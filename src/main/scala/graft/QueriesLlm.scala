@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.oracle.Parity
+import graft.oracle.Parity.{DuckD, SparkD}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (builder north star): dedup, text
+  * analysis, similarity search, multimodal plumbing — each a `queries()`
+  * entry with a DuckDB oracle on `documents`/`embeddings` where the
+  * operation is SQL-expressible (hash-family-internal ops are rows-only).
+  */
+object QueriesLlm {
+
+  private val dim = Similarity.dim
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash multiplicity + deterministic keeper
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.read(s, dir, "documents"))),
+    // near-dup by character-3-gram Jaccard in (lang, length-band) buckets
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, band = 50, threshold = 0.4)),
+    // MinHash LSH near-dup (spark.ml hash family → rows-only check)
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(Tables.read(s, dir, "documents"))),
+    // per-document token statistics
+    "text_stats" -> ((s, dir) =>
+      TextOps.stats(Tables.read(s, dir, "documents"))),
+    // composite quality score over the stats
+    "text_quality" -> ((s, dir) =>
+      TextOps.stats(Tables.read(s, dir, "documents"))
+        .withColumn("quality", expr(TextOps.qualityExpr))
+        .select("doc_id", "lang", "n_tokens", "ttr", "stop_ratio", "quality")),
+    // content fingerprint (md5) + byte length
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.read(s, dir, "documents"))),
+    // brute-force cosine top-10 for every 50th vector
+    "ann_cosine" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
+    // LSH-bucketed near-duplicate embedding pairs (library hash planes →
+    // rows-only check)
+    "emb_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.95)),
+    // multimodal: binary blob ingestion + partition-parallel (stub) decode
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents"))))
+  )
+
+  private val shingleDuck =
+    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), " +
+      "i -> substring(text, i, 3)))"
+
+  private def statsDuck =
+    s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """select md5(text) as fingerprint, cast(count(*) as bigint) as cnt,
+        | cast(min(doc_id) as bigint) as keeper_id
+        |from documents group by md5(text)""".stripMargin.replace("\n", " "),
+    "dedup_ngram" ->
+      s"""with sh as (select doc_id, lang, n_chars // 50 as bucket, $shingleDuck as sh
+         | from documents)
+         |select doc_a, doc_b, jac from (
+         | select a.doc_id as doc_a, b.doc_id as doc_b,
+         |  cast(len(list_intersect(a.sh, b.sh)) as double)
+         |   / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) as jac
+         | from sh a join sh b on a.lang = b.lang and a.bucket = b.bucket
+         |  and a.doc_id < b.doc_id)
+         |where jac >= 0.4""".stripMargin.replace("\n", " "),
+    "text_stats" -> statsDuck,
+    "text_quality" ->
+      s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
+         | ${TextOps.qualityExpr} as quality
+         |from ($statsDuck)""".stripMargin.replace("\n", " "),
+    "doc_fingerprint" ->
+      """select doc_id, md5(trim(text)) as fingerprint,
+        | cast(strlen(text) as bigint) as n_bytes
+        |from documents""".stripMargin.replace("\n", " "),
+    "ann_cosine" -> {
+      val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      s"""with nn as (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings),
+         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+         |  where vec_id % 50 = 0),
+         |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn)
+         |select q_id, n_id, cos, rn from (
+         | select q_id, n_id, cos,
+         |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
+         | from (select q_id, n_id, ($dotQN) / (q_norm * n_norm) as cos
+         |   from q join c on q_id <> n_id))
+         |where rn <= 10""".stripMargin.replace("\n", " ")
+    },
+    "multimodal_meta" ->
+      """select doc_id, cast(strlen(text) as bigint) as n_bytes,
+        | cast(64 + strlen(text) % 193 as bigint) as width,
+        | cast(64 + (strlen(text) * 7) % 193 as bigint) as height,
+        | cast(3 as bigint) as channels, 'fake' as format
+        |from documents""".stripMargin.replace("\n", " ")
+  )
+}

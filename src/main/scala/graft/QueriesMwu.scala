@@ -1,0 +1,280 @@
+package graft
+
+import graft.operators._
+import graft.oracle.Parity
+import graft.oracle.Parity.q9
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core MWU pipeline queries (SURVEY.md §2) + their DuckDB oracle SQL.
+  *
+  * Every Spark implementation here mirrors its oracle text operation-for-
+  * operation so the driver's hash compare is bit-deterministic — see
+  * [[graft.oracle.Parity]] for the strategy (exact dyadic rank sums,
+  * per-row fixed-point quantization before double sums, q9 quantization
+  * after transcendentals).
+  *
+  * The melt target is `lineitem`: features = the 4 numeric measures,
+  * groups = `l_returnflag` — the flagship mapping from FIXTURES.md §3.
+  */
+object QueriesMwu {
+
+  val liFeatures: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def liCells(s: SparkSession, dir: String): DataFrame =
+    Tables.melt(Tables.read(s, dir, "lineitem"), "l_returnflag", liFeatures)
+
+  private val cellsSql = Tables.meltSql("lineitem", "l_returnflag", liFeatures)
+
+  /** Per-row fixed-point log1p used by the lfc leg: quantizing to 2^-20
+    * makes every row value a dyadic rational with shared denominator, so
+    * double sums of any size (< 2^52 units) are exact and order-free. The
+    * oracle runs the identical text. */
+  private val logQuant =
+    "(cast(floor(ln(1e0 + value) * 1048576e0 + 5e-1) as bigint) / 1048576e0)"
+
+  /** lfc with the natural-log base of the reference (logfoldchange.py:52-54)
+    * spelled with exp()-1 rather than expm1 (DuckDB has no expm1; the text
+    * must be identical on both sides). Quantized means are O(10) here so
+    * the expm1 small-x precision advantage is immaterial. */
+  private def lfcNatSql(mu1: String, mu2: String): String =
+    s"(log2((exp($mu1) - 1e0) + 1.0e-9) - log2((exp($mu2) - 1e0) + 1.0e-9))"
+
+  /** Spark side of the stats chain, built from the library operators. */
+  private def statsDf(s: SparkSession, dir: String): DataFrame = {
+    val cells = liCells(s, dir)
+    MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+      MwuAgg.tieTerm(cells))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.7 distinct+sort of group labels (reference np.unique, rank_data.py:77)
+    "mwu_groups" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem").select(col("l_returnflag").as("grp")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy("grp")).cast("long"))
+    }),
+    // A3 group sizes (pvals.py:111-112)
+    "mwu_group_sizes" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp")).agg(count(lit(1)).as("n1"))
+        .withColumn("n", sum("n1").over(Window.partitionBy()))
+        .withColumn("n2", col("n") - col("n1"))
+    }),
+    // W1/W3 average ranks + tie sizes, collapsed to per distinct value
+    // (rank is a function of (feature, value), so no row id is needed)
+    "mwu_rank" -> ((s, dir) => {
+      Ranking.withRanks(liCells(s, dir))
+        .groupBy("feature_id", "value")
+        .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
+    }),
+    // A2 tie term
+    "mwu_tie_term" -> ((s, dir) => MwuAgg.tieTerm(liCells(s, dir))),
+    // A1 in-group rank sums
+    "mwu_ranksum" -> ((s, dir) =>
+      MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir)))
+        .select("feature_id", "grp", "rank_sum", "n1", "n")),
+    // M1 U statistics
+    "mwu_u" -> ((s, dir) =>
+      MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir))))
+        .select("feature_id", "grp", "n1", "n2", "u1", "u2", "u_max")),
+    // M2 tie-corrected z (+ sigma)
+    "mwu_z" -> ((s, dir) =>
+      statsDf(s, dir).select("feature_id", "grp", "n1", "n", "tie_term", "u1", "sigma", "z")),
+    // M3 two-sided p (q9-quantized; exp differs by ulps across libms)
+    "mwu_p" -> ((s, dir) =>
+      MwuStats.withP(statsDf(s, dir))
+        .withColumn("p9", expr(q9("p")))
+        .select("feature_id", "grp", "u1", "p9")),
+    // A5 Benjamini–Hochberg over the quantized p
+    "mwu_bh" -> ((s, dir) => {
+      val p = MwuStats.withP(statsDf(s, dir)).withColumn("p9", expr(q9("p")))
+      MwuStats.withBH(p, pCol = "p9", outCol = "p_adj")
+        .select("feature_id", "grp", "p9", "p_adj")
+    }),
+    // A4+M4 group means and log2 fold change over fixed-point log1p values
+    "mwu_lfc" -> ((s, dir) => {
+      val cq = liCells(s, dir).withColumn("value", expr(logQuant))
+      LogFold.groupMeans(cq)
+        .withColumn("n1", col("c1"))
+        .withColumn("lfc9", expr(q9(lfcNatSql("mu1", "mu2"))))
+        .select("feature_id", "grp", "n1", "mu1", "mu2", "lfc9")
+    }),
+    // W5 full marker table, top-3 per group by |lfc|
+    "mwu_markers" -> ((s, dir) => markersDf(s, dir)),
+    // S5/S7 checkpointed pipeline — same answer, rank stage persisted to
+    // parquet and re-read (cache-or-compute gate)
+    "mwu_checkpoint" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ranks_").toString
+      markersDf(s, dir, Some(tmp + "/ranks"))
+    }),
+    // single-feature pipeline on customer (c_acctbal can be negative — no lfc leg)
+    "mwu_customer" -> ((s, dir) => {
+      val cells = Tables.melt(Tables.read(s, dir, "customer"), "c_mktsegment", Seq("c_acctbal"))
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+        MwuAgg.tieTerm(cells))
+      MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9("p"))), "p9", "p_adj")
+        .select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")
+    }),
+    // MWU of events.value grouped by event_type
+    "mwu_events" -> ((s, dir) => {
+      val cells = Tables.melt(Tables.read(s, dir, "events"), "event_type", Seq("value"))
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+        MwuAgg.tieTerm(cells))
+      MwuStats.withP(st).withColumn("p9", expr(q9("p")))
+        .select("feature_id", "grp", "n1", "u1", "z", "p9")
+    }),
+    // LFC of part.p_retailprice by brand (prices > 0)
+    "lfc_part" -> ((s, dir) => {
+      val cells = Tables.melt(Tables.read(s, dir, "part"), "p_brand", Seq("p_retailprice"))
+        .withColumn("value", expr(logQuant))
+      LogFold.groupMeans(cells)
+        .withColumn("n1", col("c1"))
+        .withColumn("lfc9", expr(q9(lfcNatSql("mu1", "mu2"))))
+        .select("feature_id", "grp", "n1", "mu1", "mu2", "lfc9")
+    })
+  )
+
+  /** Full pipeline → deterministic marker table (used by three entries). */
+  private def markersDf(s: SparkSession, dir: String,
+                        checkpoint: Option[String] = None): DataFrame = {
+    val cells = liCells(s, dir)
+    val ranked = Pipeline.rankedCells(s, cells,
+      Pipeline.Config(checkpointDir = checkpoint))
+    val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(ranked)), MwuAgg.tieTerm(cells))
+    val bh = MwuStats.withBH(
+      MwuStats.withP(st).withColumn("p9", expr(q9("p"))), "p9", "p_adj")
+    val cq = cells.withColumn("value", expr(logQuant))
+    val lfc = LogFold.groupMeans(cq)
+      .withColumn("lfc9", expr(q9(lfcNatSql("mu1", "mu2"))))
+      .withColumn("abs_lfc9", abs(col("lfc9")))
+      .select("feature_id", "grp", "lfc9", "abs_lfc9")
+    val joined = bh.join(lfc, Seq("feature_id", "grp"))
+      .select(col("grp"), col("feature_id").as("gene"), col("u1").as("u"),
+        col("p9").as("p_value"), col("p_adj").as("p_adjusted"),
+        col("lfc9").as("logfoldchange"), col("abs_lfc9").as("abs_logfoldchange"))
+    MarkerTable.topK(
+      joined.withColumn("abs_lfc", col("abs_logfoldchange")), Some(3), geneCol = "gene")
+      .drop("abs_lfc")
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL
+  // ---------------------------------------------------------------------
+
+  private def mwuOracle(table: String, groupCol: String, feats: Seq[String]): String = {
+    val c = Tables.meltSql(table, groupCol, feats)
+    val joined = "select r.feature_id, r.grp, r.rank_sum, r.n1, r.n, t.tie_term " +
+      "from rs r join tt t on r.feature_id = t.feature_id"
+    s"""with cells as ($c),
+       |ranked as (${Ranking.ranksSql("select * from cells")}),
+       |rs as (${MwuAgg.rankSumsSql("select * from ranked")}),
+       |tt as (${MwuAgg.tieTermSql("select * from cells")}),
+       |st as (${MwuStats.statsSql(joined)})""".stripMargin.replace("\n", " ")
+  }
+
+  private def lfcOracle(table: String, groupCol: String, feats: Seq[String]): String = {
+    val c = Tables.meltSql(table, groupCol, feats)
+    s"""with cells0 as ($c),
+       |cells as (select grp, feature_id, $logQuant as value from cells0),
+       |m as (select feature_id, grp, sum(value) as s1, cast(count(*) as bigint) as c1
+       |  from cells group by feature_id, grp),
+       |mm as (select feature_id, grp, c1 as n1,
+       |  s1 / cast(c1 as double) as mu1,
+       |  (sum(s1) over (partition by feature_id) - s1)
+       |    / cast(cast(sum(c1) over (partition by feature_id) as bigint) - c1 as double) as mu2
+       |  from m)
+       |select feature_id, grp, n1, mu1, mu2,
+       |  ${q9(lfcNatSql("mu1", "mu2"))} as lfc9 from mm""".stripMargin.replace("\n", " ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mwu_groups" ->
+      s"""select grp, cast(row_number() over (order by grp) as bigint) as idx
+         |from (select distinct l_returnflag as grp from lineitem)""".stripMargin.replace("\n", " "),
+    "mwu_group_sizes" ->
+      s"""select l_returnflag as grp, cast(count(*) as bigint) as n1,
+         | cast(sum(count(*)) over () as bigint) as n,
+         | cast(cast(sum(count(*)) over () as bigint) - count(*) as bigint) as n2
+         |from lineitem group by l_returnflag""".stripMargin.replace("\n", " "),
+    "mwu_rank" ->
+      s"""with cells as ($cellsSql),
+         |ranked as (${Ranking.ranksSql("select * from cells")})
+         |select feature_id, value, cast(max(tie_count) as bigint) as tie_count,
+         | max(rank) as rank
+         |from ranked group by feature_id, value""".stripMargin.replace("\n", " "),
+    "mwu_tie_term" ->
+      s"with cells as ($cellsSql) ${MwuAgg.tieTermSql("select * from cells")}",
+    "mwu_ranksum" ->
+      s"""with cells as ($cellsSql),
+         |ranked as (${Ranking.ranksSql("select * from cells")})
+         |select feature_id, grp, rank_sum, n1, n from (
+         |${MwuAgg.rankSumsSql("select * from ranked")})""".stripMargin.replace("\n", " "),
+    "mwu_u" -> {
+      val u1 = "(rank_sum - cast(n1 as double) * (cast(n1 as double) + 1.0) / 2.0)"
+      val u2 = s"(cast(n1 as double) * cast(n - n1 as double) - $u1)"
+      s"""with cells as ($cellsSql),
+         |ranked as (${Ranking.ranksSql("select * from cells")}),
+         |rs as (${MwuAgg.rankSumsSql("select * from ranked")})
+         |select feature_id, grp, n1, cast(n - n1 as bigint) as n2,
+         | $u1 as u1, $u2 as u2, greatest($u1, $u2) as u_max
+         |from rs""".stripMargin.replace("\n", " ")
+    },
+    "mwu_z" ->
+      (s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
+        "select feature_id, grp, n1, n, tie_term, u1, sigma, z from st"),
+    "mwu_p" ->
+      (s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
+        s"select feature_id, grp, u1, ${q9(Parity.pFromZ("z"))} as p9 from st"),
+    "mwu_bh" -> {
+      val pSql = s"select feature_id, grp, ${q9(Parity.pFromZ("z"))} as p9 from st"
+      s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
+        MwuStats.bhSql(pSql)
+    },
+    "mwu_lfc" -> lfcOracle("lineitem", "l_returnflag", liFeatures),
+    "mwu_markers" -> markersOracle,
+    "mwu_checkpoint" -> markersOracle,
+    "mwu_customer" -> {
+      val base = mwuOracle("customer", "c_mktsegment", Seq("c_acctbal"))
+      val pSql = s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st"
+      s"""$base, p as ($pSql),
+         |bh as (${MwuStats.bhSql("select feature_id, grp, p9 from p")})
+         |select p.feature_id, p.grp, p.n1, p.u1, p.z, p.p9, bh.p_adj
+         |from p join bh on p.feature_id = bh.feature_id and p.grp = bh.grp"""
+        .stripMargin.replace("\n", " ")
+    },
+    "mwu_events" ->
+      (s"${mwuOracle("events", "event_type", Seq("value"))} " +
+        s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st"),
+    "lfc_part" -> lfcOracle("part", "p_brand", Seq("p_retailprice"))
+  )
+
+  private def markersOracle: String = {
+    val base = mwuOracle("lineitem", "l_returnflag", liFeatures)
+    val pSql = s"select feature_id, grp, u1, ${q9(Parity.pFromZ("z"))} as p9 from st"
+    val lfcPart =
+      s"""cq as (select grp, feature_id, $logQuant as value from cells),
+         |m as (select feature_id, grp, sum(value) as s1, cast(count(*) as bigint) as c1
+         |  from cq group by feature_id, grp),
+         |lf as (select feature_id, grp,
+         |  ${q9(lfcNatSql(
+              "(s1 / cast(c1 as double))",
+              "((sum(s1) over (partition by feature_id) - s1) / cast(cast(sum(c1) over (partition by feature_id) as bigint) - c1 as double))"))} as lfc9
+         |  from m)""".stripMargin.replace("\n", " ")
+    s"""$base, p as ($pSql),
+       |bh as (${MwuStats.bhSql("select feature_id, grp, p9 from p")}),
+       |$lfcPart,
+       |j as (select p.grp as grp, p.feature_id as gene, p.u1 as u, p.p9 as p_value,
+       |  bh.p_adj as p_adjusted, lf.lfc9 as logfoldchange, abs(lf.lfc9) as abs_logfoldchange
+       |  from p
+       |  join bh on p.feature_id = bh.feature_id and p.grp = bh.grp
+       |  join lf on p.feature_id = lf.feature_id and p.grp = lf.grp)
+       |select * from (
+       |  select grp, gene, u, p_value, p_adjusted, logfoldchange, abs_logfoldchange,
+       |   cast(row_number() over (partition by grp
+       |     order by abs_logfoldchange desc, gene asc) as bigint) as rk
+       |  from j)
+       |where rk <= 3""".stripMargin.replace("\n", " ")
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.EventOps
+import graft.oracle.Parity
+import graft.oracle.Parity.fpSum
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/OLAP breadth queries over the TPC-H-ish tables — scans,
+  * multi-way joins, windows, event-time buckets, JSON extraction.
+  * Money sums go through [[Parity.fpSum]] (order-independent); everything
+  * else is exact integer/rational arithmetic.
+  */
+object QueriesOlap {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: hash-agg with map-side combine,
+    // filters/pruning reach the parquet scan
+    "q1_agg" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integer-valued → exact any order
+          expr(fpSum("l_extendedprice")).as("sum_base_price"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
+    }),
+    // 5-way star join: fact → orders → customer → broadcast dims
+    "q_join_revenue" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      val r = Tables.read(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // per-segment top-5 customers by order spend (join + agg + window)
+    "q_top_customers" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val spend = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(expr(fpSum("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("c_custkey").asc)
+      spend.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
+    }),
+    // event-time tumbling hour buckets
+    "q_events_window" -> ((s, dir) => EventOps.hourly(Tables.read(s, dir, "events"))),
+    // JSON prop extraction + aggregate
+    "q_events_json" -> ((s, dir) => EventOps.propStats(Tables.read(s, dir, "events"))),
+    // sessionization (lag + cumsum windows; epoch output for determinism)
+    "q_sessions" -> ((s, dir) => {
+      EventOps.sessionize(Tables.read(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          expr("ts_min div 1000").as("start_us"),
+          expr("ts_max div 1000").as("end_us"))
+    }),
+    // Structured Streaming hourly agg — stream/batch differential: the
+    // oracle is the BATCH hourly SQL
+    "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir))
+  )
+
+  private val q1Oracle =
+    s"""select l_returnflag, l_linestatus,
+       | cast(sum(l_quantity) as double) as sum_qty,
+       | ${fpSum("l_extendedprice")} as sum_base_price,
+       | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as sum_disc_price,
+       | cast(count(*) as bigint) as count_order,
+       | cast(sum(l_quantity) as double) / cast(count(*) as double) as avg_qty,
+       | ${fpSum("l_extendedprice")} / cast(count(*) as double) as avg_price
+       |from lineitem group by l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Oracle,
+    "q_join_revenue" ->
+      s"""select r_name, n_name,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,
+         | cast(count(*) as bigint) as n_items
+         |from lineitem
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         | join nation on c_nationkey = n_nationkey
+         | join region on n_regionkey = r_regionkey
+         |group by r_name, n_name""".stripMargin.replace("\n", " "),
+    "q_top_customers" ->
+      s"""select * from (
+         | select c_mktsegment, c_custkey, c_name, spend, n_orders,
+         |  cast(row_number() over (partition by c_mktsegment
+         |    order by spend desc, c_custkey asc) as bigint) as rk
+         | from (
+         |  select c_mktsegment, c_custkey, c_name,
+         |   ${fpSum("o_totalprice")} as spend, cast(count(*) as bigint) as n_orders
+         |  from orders join customer on o_custkey = c_custkey
+         |  group by c_mktsegment, c_custkey, c_name))
+         |where rk <= 5""".stripMargin.replace("\n", " "),
+    "q_events_window" -> EventOps.hourlySql(),
+    "q_events_json" -> EventOps.propStatsSql(),
+    "q_sessions" ->
+      s"""with e as (
+         | select user_id, ts,
+         |  case when lag(ts) over (partition by user_id order by ts) is null
+         |    or (epoch_ns(ts) // 1000000000)
+         |       - (epoch_ns(lag(ts) over (partition by user_id order by ts)) // 1000000000) > 1800
+         |   then 1 else 0 end as new_session
+         | from events)
+         |select user_id, cast(session_id as bigint) as session_id,
+         | cast(count(*) as bigint) as n_events,
+         | cast(min(us) as bigint) as start_us, cast(max(us) as bigint) as end_us
+         |from (
+         | select user_id, epoch_ns(ts) // 1000 as us,
+         |  sum(new_session) over (partition by user_id order by ts
+         |    rows between unbounded preceding and current row) as session_id
+         | from e)
+         |group by user_id, session_id""".stripMargin.replace("\n", " "),
+    "stream_hourly" -> EventOps.hourlySql()
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.oracle.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M1–M3 + A5 — Mann–Whitney U, tie-corrected z, two-sided p, and
+  * Benjamini–Hochberg FDR (reference /root/reference/dask_mwu/pvals.py).
+  *
+  * All scalar math is Catalyst built-ins (whole-stage codegen'd); the one
+  * gap in Spark SQL, `erfc`, is a single-sourced SQL snippet
+  * ([[Parity.pFromZ]] — Cody's algorithm with only +,-,*,/,exp,floor,abs)
+  * parsed by `expr(...)`, so no UDF breaks codegen and the DuckDB oracle
+  * evaluates the *identical* text.
+  *
+  * Input frames are feature×group sized (tiny relative to the fact table);
+  * the tie-term join broadcasts when small, else it's a shuffle join on
+  * `feature_id` — either way nothing is ever collected (the reference
+  * `.compute()`s eagerly to driver numpy, pvals.py:111,137).
+  */
+object MwuStats {
+
+  /** U statistics from rank sums (pvals.py:72-125).
+    *   U1 = R1 − n1(n1+1)/2 ; U2 = n1·n2 − U1 ; u = max(U1,U2) two-sided.
+    * NOTE the returned `U` is U1, not max — matches scipy's statistic
+    * (pvals.py:125; SURVEY.md §7.5 "returned-U subtlety"). Exact dyadic
+    * arithmetic; bit-reproducible. */
+  def withU(rankSums: DataFrame): DataFrame =
+    rankSums
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("u1", col("rank_sum") - col("n1") * (col("n1") + 1L) / 2.0)
+      .withColumn("u2", col("n1") * col("n2") - col("u1"))
+      .withColumn("u_max", greatest(col("u1"), col("u2")))
+
+  /** Tie-corrected z with continuity correction (pvals.py:21-59):
+    *   mu = n1 n2/2 ; sigma = sqrt(n1 n2/12 · ((n+1) − T/(n(n−1)))) ;
+    *   z = (u − mu − 0.5)/sigma.
+    * sqrt is correctly rounded ⇒ z is bit-exact across engines given the
+    * exact integer/dyadic inputs. sigma=0 (all values tied) yields ±inf/NaN
+    * exactly like the reference's errstate-ignored division (pvals.py:57-58). */
+  def withZ(uStats: DataFrame, tieTerm: DataFrame, broadcastTies: Boolean = true): DataFrame = {
+    val tt = if (broadcastTies) broadcast(tieTerm) else tieTerm
+    uStats.join(tt, Seq("feature_id"), "left")
+      .withColumn("tie_term", coalesce(col("tie_term"), lit(0L)))
+      .withColumn("mu_u", col("n1") * col("n2") / 2.0)
+      .withColumn("sigma", sqrt(
+        col("n1") * col("n2") / 12.0 *
+          ((col("n") + 1.0) - col("tie_term") / (col("n") * (col("n") - 1.0)))))
+      .withColumn("z", (col("u_max") - col("mu_u") - 0.5) / col("sigma"))
+  }
+
+  /** Two-sided p = min(1, erfc(z/√2)) — single-sourced snippet. */
+  def withP(zStats: DataFrame): DataFrame =
+    zStats.withColumn("p", expr(Parity.pFromZ("z")))
+
+  /** A5 — Benjamini–Hochberg step-up per group over all features
+    * (pvals.py:128-141, via statsmodels fdr_bh). Pure windows:
+    *   i = ascending p rank, m = #features, raw = p·m/i,
+    *   p_adj = min(1, suffix-min of raw) — order-insensitive among tied
+    *   p's (suffix-min absorbs intra-tie ordering; SURVEY.md §7.5). */
+  def withBH(pStats: DataFrame, pCol: String = "p", outCol: String = "p_adj"): DataFrame = {
+    val wOrd = Window.partitionBy("grp").orderBy(col(pCol), col("feature_id"))
+    val wAll = Window.partitionBy("grp")
+    val wSuffix = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pStats
+      .withColumn("bh_i", row_number().over(wOrd).cast("long"))
+      .withColumn("bh_m", count(lit(1)).over(wAll))
+      .withColumn(outCol,
+        least(lit(1.0), min(col(pCol) * col("bh_m") / col("bh_i")).over(wSuffix)))
+      .drop("bh_i", "bh_m")
+  }
+
+  /** Oracle-SQL: U/z/p over a rankSums⋈tieTerm subquery with columns
+    * (feature_id, grp, rank_sum, n1, n, tie_term). p is q9-quantized
+    * (exp differs by ulps between libms); everything upstream is exact. */
+  def statsSql(joinedSql: String): String = {
+    val u1 = "(rank_sum - cast(n1 as double) * (cast(n1 as double) + 1.0) / 2.0)"
+    val n2 = "cast(n - n1 as double)"
+    val uMax = s"greatest($u1, cast(n1 as double) * $n2 - $u1)"
+    val sigma = s"sqrt(cast(n1 as double) * $n2 / 12.0 * ((cast(n as double) + 1.0) - " +
+      "cast(tie_term as double) / (cast(n as double) * (cast(n as double) - 1.0))))"
+    s"""select feature_id, grp, n1, n, tie_term,
+       | $u1 as u1,
+       | $sigma as sigma,
+       | ($uMax - cast(n1 as double) * $n2 / 2.0 - 0.5) / $sigma as z
+       |from ($joinedSql)""".stripMargin.replace("\n", " ")
+  }
+
+  /** BH oracle-SQL over a frame with (feature_id, grp, p9) where p9 is the
+    * already-quantized p — BH arithmetic on identical inputs is exact. */
+  def bhSql(pSql: String): String =
+    s"""select feature_id, grp, p9,
+       | least(1.0, min(p9 * cast(bh_m as double) / cast(bh_i as double)) over (
+       |   partition by grp order by p9, feature_id
+       |   rows between current row and unbounded following)) as p_adj
+       |from (
+       | select feature_id, grp, p9,
+       |  cast(row_number() over (partition by grp order by p9, feature_id) as bigint) as bh_i,
+       |  cast(count(*) over (partition by grp) as bigint) as bh_m
+       | from ($pSql)
+       |)""".stripMargin.replace("\n", " ")
+}

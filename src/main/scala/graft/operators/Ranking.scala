@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1/W3 — per-feature average ranks with ties + tie-group sizes
+  * (reference `_rank_and_ties`, /root/reference/dask_mwu/rank_data.py:90-201;
+  * scipy `method='average'`, `nan_policy='propagate'` hardcoded at :182-184).
+  *
+  * Spark-first design: the reference's per-column-chunk kernel becomes ONE
+  * hash shuffle on `feature_id` followed by two Window operators sharing
+  * that partitioning (no second exchange):
+  *
+  *   - `min_rank` = SQL RANK() (min-rank of the tie block)
+  *   - `tie_count` = COUNT(*) over the same ordered window with a
+  *     RANGE CURRENT ROW frame → number of peers (rows equal in `value`),
+  *     which avoids a separate shuffle on (feature_id, value)
+  *   - avg rank = min_rank + (tie_count-1)/2 — the mean of the tie block
+  *     [min, min+c-1]; dyadic-exact in double
+  *
+  * NaN/null propagation (reference rank_data.py:193-196): any NaN in a
+  * feature makes every rank of that feature NULL; tie counts stay finite
+  * (only ranks are overwritten in the reference, SURVEY.md §1.2).
+  *
+  * Scale: partitions = features × hash, each window sorts only one
+  * feature's rows (spillable sort). 100 TB ⇒ raise shuffle partitions;
+  * skew-free by construction (every feature has n_obs rows).
+  */
+object Ranking {
+
+  def isBad(c: Column): Column = c.isNull || isnan(c)
+
+  /** Adds `rank` (DOUBLE, null on NaN-poisoned features), `tie_count`
+    * (LONG), `feature_has_nan` (BOOLEAN) to a cells-like frame. */
+  def withRanks(cells: DataFrame, valueCol: String = "value",
+                featureCol: String = "feature_id"): DataFrame = {
+    val v = col(valueCol)
+    val wOrd = Window.partitionBy(featureCol).orderBy(v)
+    val wPeers = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
+    val wFeat = Window.partitionBy(featureCol)
+    cells
+      .withColumn("tie_count", count(lit(1)).over(wPeers))
+      .withColumn("min_rank", rank().over(wOrd).cast("long"))
+      .withColumn("feature_has_nan", max(isBad(v)).over(wFeat))
+      .withColumn("rank",
+        when(col("feature_has_nan"), lit(null).cast("double"))
+          .otherwise(col("min_rank") + (col("tie_count") - 1L) / 2.0))
+      .drop("min_rank")
+  }
+
+  /** Oracle-SQL rendering of the same computation (identical semantics in
+    * DuckDB; NaN branch omitted — driver testdata has no NaNs). */
+  def ranksSql(cellsSql: String): String =
+    s"""select grp, feature_id, value,
+       | count(*) over (partition by feature_id order by value
+       |   range between current row and current row) as tie_count,
+       | cast(rank() over (partition by feature_id order by value) as bigint)
+       |   + (cast(count(*) over (partition by feature_id order by value
+       |       range between current row and current row) as bigint) - 1) / 2.0 as rank
+       |from ($cellsSql)""".stripMargin.replace("\n", " ")
+}

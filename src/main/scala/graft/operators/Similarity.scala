@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.oracle.Parity
+import graft.oracle.Parity.{Dialect, SparkD}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder north star,
+  * SURVEY.md §7.6).
+  *
+  * Baseline: brute-force cosine top-k — O(|Q|·N·d) but fully distributed:
+  * the (small) query set broadcasts, candidates stream through a codegen'd
+  * projection, and top-k is a per-query window. The dot product is an
+  * explicit left-associated chain ([[Parity.dot]]) — a strict sequential
+  * fold in both engines, so cosine is bit-deterministic and the oracle
+  * needs no rounding.
+  *
+  * Scale path: [[lshBuckets]] — random-hyperplane (SimHash) signatures
+  * prune candidates to same-bucket pairs; at 100 TB the bucket join
+  * replaces the cross product, trading recall for a ~2^bits fan-in cut.
+  */
+object Similarity {
+
+  val dim = 64
+
+  /** Adds a deterministic `norm` column. */
+  def withNorm(emb: DataFrame, d: Dialect = SparkD, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("norm", expr(s"sqrt(${Parity.dot(d, vecCol, vecCol, dim)})"))
+
+  /** Brute-force cosine top-k: for each query row (`queryPred` selects
+    * them), the k nearest other vectors by cosine. */
+  def cosineTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) / (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "cos", "rn")
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `bits` fixed
+    * pseudo-random projections. Deterministic (seeded), so bucketing is
+    * reproducible across runs — but the hash planes are library-internal,
+    * hence rows-only checking. */
+  def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val bucketExpr = (0 until bits).map { b =>
+      val dot = (1 to dim)
+        .map(i => s"(element_at(embedding, $i) * ${Parity.lit(planes(b)(i - 1))})")
+        .reduceLeft((x, y) => s"($x + $y)")
+      s"(case when $dot >= 0.0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
+    }.reduceLeft((x, y) => s"($x + $y)")
+    emb.withColumn("bucket", expr(bucketExpr))
+  }
+
+  /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
+    * true cosine ≥ threshold. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {
+    val b = withNorm(lshBuckets(emb, bits))
+    val a = b.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        expr(Parity.dot(SparkD, "emb_a", "emb_b", dim)) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.oracle.Parity.{Dialect, DuckD, SparkD}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token stats, quality
+  * scoring, fingerprinting (builder north star, SURVEY.md §7.6). All
+  * built from codegen'd built-ins — per-row, embarrassingly parallel, no
+  * shuffle.
+  *
+  * The snippet builders are dialect-parameterized so the Spark plan and
+  * the DuckDB oracle evaluate the *same arithmetic*: token counts and
+  * ratios are exact integer ratios → bit-deterministic, no rounding.
+  */
+object TextOps {
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "data", "value", "fast")
+
+  /** Per-document token statistics + quality ratios, one SQL snippet per
+    * output column (join with "," for the oracle; feed to selectExpr for
+    * Spark). Tokenization = split on single space after trim (empties
+    * from runs of spaces count identically in both engines). */
+  def statsSelects(d: Dialect): Seq[String] = {
+    val (split, len, distinct, filt) = d match {
+      case SparkD => ("split", "size", "array_distinct", "filter")
+      case DuckD  => ("string_split", "len", "list_distinct", "list_filter")
+    }
+    val toks = s"$split(trim(text), ' ')"
+    val nTok = s"$len($toks)"
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    val sumLen = s"(length(trim(text)) - ($nTok - 1))"
+    Seq(
+      "doc_id", "lang", "source",
+      "cast(length(text) as bigint) as n_chars_m",
+      s"cast($nTok as bigint) as n_tokens",
+      s"cast($len($distinct($toks)) as bigint) as n_distinct",
+      s"cast($sumLen as bigint) as sum_token_len",
+      s"(cast($sumLen as double) / cast($nTok as double)) as avg_token_len",
+      s"(cast($len($distinct($toks)) as double) / cast($nTok as double)) as ttr",
+      s"(cast($len($filt($toks, t -> t in ($stopList))) as double) / cast($nTok as double)) as stop_ratio")
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * stopword presence, over the [[statsSelects]] columns. Pure rational
+    * arithmetic on exact ratios — deterministic. */
+  def qualityExpr: String =
+    "(least(1e0, cast(n_chars_m as double) / 4e2) * 4e-1" +
+      " + least(1e0, ttr * 2e0) * 3e-1" +
+      " + least(1e0, stop_ratio * 1e1) * 3e-1)"
+
+  /** Spark side of [[statsSelects]] — same snippets by construction. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.selectExpr(statsSelects(SparkD): _*)
+
+  /** Content fingerprint of whitespace-trimmed text (md5 — identical hex
+    * in both engines) plus UTF-8 byte length. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(trim(col("text"))).as("fingerprint"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+}
