@@ -29,7 +29,10 @@ object LogFold {
       .withColumn("tot", sum("s1").over(wFeat))
       .withColumn("n", sum("c1").over(wFeat))
       .withColumn("mu1", col("s1") / col("c1"))
-      .withColumn("mu2", (col("tot") - col("s1")) / (col("n") - col("c1")))
+      // single-group input has an empty "rest": NaN mean (the reference
+      // rejects all-true masks up front; ANSI-safe here)
+      .withColumn("mu2", when(col("n") > col("c1"),
+        (col("tot") - col("s1")) / (col("n") - col("c1"))).otherwise(lit(Double.NaN)))
   }
 
   /** M4 on a frame with mu1/mu2. `base=None` in the reference means the

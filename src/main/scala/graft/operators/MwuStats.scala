@@ -41,13 +41,23 @@ object MwuStats {
     * exactly like the reference's errstate-ignored division (pvals.py:57-58). */
   def withZ(uStats: DataFrame, tieTerm: DataFrame, broadcastTies: Boolean = true): DataFrame = {
     val tt = if (broadcastTies) broadcast(tieTerm) else tieTerm
+    // Explicit zero-denominator branches: the reference relies on numpy's
+    // errstate-ignored IEEE semantics (pvals.py:57-58); Spark 4 defaults
+    // to ANSI mode which would throw instead, so the IEEE outcomes
+    // (sigma=0 → z=±inf, 0/0 → NaN, n<2 → NaN sigma) are spelled out.
     uStats.join(tt, Seq("feature_id"), "left")
       .withColumn("tie_term", coalesce(col("tie_term"), lit(0L)))
       .withColumn("mu_u", col("n1") * col("n2") / 2.0)
-      .withColumn("sigma", sqrt(
+      .withColumn("sigma", when(col("n") > 1, sqrt(
         col("n1") * col("n2") / 12.0 *
           ((col("n") + 1.0) - col("tie_term") / (col("n") * (col("n") - 1.0)))))
-      .withColumn("z", (col("u_max") - col("mu_u") - 0.5) / col("sigma"))
+        .otherwise(lit(Double.NaN)))
+      .withColumn("z_num", col("u_max") - col("mu_u") - 0.5)
+      .withColumn("z", when(col("sigma") > 0.0, col("z_num") / col("sigma"))
+        .otherwise(when(col("z_num") > 0.0, lit(Double.PositiveInfinity))
+          .when(col("z_num") < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN))))
+      .drop("z_num")
   }
 
   /** Two-sided p = min(1, erfc(z/√2)) — single-sourced snippet. */

@@ -37,8 +37,9 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("cos",
+      .withColumn("cos", when(col("q_norm") * col("n_norm") > 0.0,
         expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) / (col("q_norm") * col("n_norm")))
+        .otherwise(lit(Double.NaN)))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("q_id", "n_id", "cos", "rn")
@@ -69,8 +70,9 @@ object Similarity {
     val c = b.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("norm").as("norm_b"), col("bucket"))
     a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos",
+      .withColumn("cos", when(col("norm_a") * col("norm_b") > 0.0,
         expr(Parity.dot(SparkD, "emb_a", "emb_b", dim)) / (col("norm_a") * col("norm_b")))
+        .otherwise(lit(Double.NaN)))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

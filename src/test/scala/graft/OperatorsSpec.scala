@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Extension + support operators: masks, validation, top-k, dedup, text,
+  * similarity, sessions, multimodal. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one-hot masks: sorted-distinct group order incl. string labels (test_get_masks.py:50-92)") {
+    val obs = Seq((0L, "a"), (1L, "b"), (2L, "d"), (3L, "b"), (4L, "a"), (5L, "c"))
+      .toDF("obs_id", "grp")
+    assert(Masks.groups(obs) == Seq("a", "b", "c", "d"))
+    val oh = Masks.oneHot(obs)
+    assert(oh.columns.toSeq == Seq("obs_id", "grp", "mask_a", "mask_b", "mask_c", "mask_d"))
+    val row = oh.filter($"obs_id" === 2L).select("mask_a", "mask_b", "mask_c", "mask_d")
+      .collect().head
+    assert(!row.getBoolean(0) && !row.getBoolean(1) && !row.getBoolean(2) && row.getBoolean(3))
+    // column sums = group sizes
+    val sums = oh.agg(sum($"mask_a".cast("long")), sum($"mask_b".cast("long"))).collect().head
+    assert(sums.getLong(0) == 2L && sums.getLong(1) == 2L)
+  }
+
+  test("validation: obs in 0 or 2 groups rejected (reference _utils.py:47-51)") {
+    val dup = Seq((0L, "a"), (0L, "b"), (1L, "a")).toDF("obs_id", "grp")
+    intercept[Validation.ValidationException](Validation.requirePartition(dup))
+    val nul = Seq((0L, "a"), (1L, null)).toDF("obs_id", "grp")
+    intercept[Validation.ValidationException](Validation.requirePartition(nul))
+    Validation.requirePartition(Seq((0L, "a"), (1L, "b")).toDF("obs_id", "grp"))
+  }
+
+  test("validation: ragged features and uncovered vars rejected (rank_gene_groups.py:118-133)") {
+    val ragged = Seq(("f1", 1.0), ("f1", 2.0), ("f2", 1.0)).toDF("feature_id", "value")
+    intercept[Validation.ValidationException](Validation.requireUniformFeatures(ragged))
+    val cells = Seq(("f1", 1.0), ("f2", 2.0)).toDF("feature_id", "value")
+    Validation.requireUniformFeatures(cells)
+    val vars = Seq("f1").toDF("feature_id")
+    intercept[Validation.ValidationException](Validation.requireVarsCover(cells, vars))
+    intercept[Validation.ValidationException](Validation.requireTopN(Some(5), 2L))
+    Validation.requireTopN(Some(2), 2L)
+  }
+
+  test("topK: per-group limit, deterministic tie-break, topN=None keeps all (create_df.py:109-134)") {
+    val df = Seq(("g1", "a", 2.0), ("g1", "b", 2.0), ("g1", "c", 1.0), ("g2", "d", 5.0))
+      .toDF("grp", "gene", "abs_lfc")
+    val top2 = MarkerTable.topK(df, Some(2))
+    assert(top2.filter($"grp" === "g1").orderBy("rk").select("gene")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b")) // tie on 2.0 → gene asc
+    assert(MarkerTable.topK(df, None).count() == 4)
+    val asc = MarkerTable.topK(df, Some(1), ascending = true)
+    assert(asc.filter($"grp" === "g1").select("gene").collect().head.getString(0) == "c")
+  }
+
+  test("exact dedup finds duplicate groups with min-id keeper") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val d = Dedup.exact(docs).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d.length == 2)
+    val dup = d.find(_._2 == 2L).get
+    assert(dup._3 == 1L)
+  }
+
+  test("ngram jaccard: identical texts → 1.0, disjoint → filtered out") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", 43L),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "en", 43L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("text stats: exact token arithmetic") {
+    val docs = Seq((1L, "the cat sat", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val r = TestOpsHelper.statsRow(docs)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("sum_token_len") == 9L)
+    assert(r.getAs[Double]("avg_token_len") == 3.0)
+    assert(approx(r.getAs[Double]("stop_ratio"), 1.0 / 3.0))
+  }
+
+  test("cosine top-k: nearest vector first, deterministic tie-break") {
+    val emb = Seq(
+      (0L, Array.fill(64)(1.0f), 0),
+      (1L, Array.fill(64)(1.0f), 0),
+      (2L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f), 0),
+      (50L, Array.fill(64)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(emb, k = 3, queryEvery = 50)
+      .orderBy("q_id", "rn").collect()
+    // queries: vec 0 and 50; nearest to 0 is 1 then 50 (cos 1.0), orthogonal 2 last
+    val q0 = top.filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(q0.head == ((1L, 1.0)))
+    assert(q0(1)._1 == 50L && approx(q0(1)._2, 1.0))
+    assert(q0(2)._1 == 2L && approx(q0(2)._2, 0.0))
+  }
+
+  test("sessionize: 30-min gap starts a new session") {
+    val h = 3600L * 1000000000L
+    val ev = Seq((1L, 0L * h), (1L, h / 4), (1L, 2 * h), (2L, 0L))
+      .toDF("user_id", "ts")
+    val sess = EventOps.sessionize(ev, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(sess.length == 3)
+    assert(sess(0).getAs[Long]("n_events") == 2L) // user1 session1: 0 + 15min
+    assert(sess(1).getAs[Long]("n_events") == 1L) // user1 session2: 2h
+    assert(sess(2).getAs[Long]("n_events") == 1L) // user2
+  }
+
+  test("multimodal stub: deterministic metadata from bytes, partition-parallel") {
+    val docs = Seq((7L, "abcd", "en", "s", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.decodeMeta(spark, Multimodal.assetsFromDocs(spark, docs)).collect().head
+    assert(meta.getAs[Long]("n_bytes") == 4L)
+    assert(meta.getAs[Long]("width") == 68L)
+    assert(meta.getAs[Long]("height") == 92L)
+    assert(meta.getAs[String]("format") == "fake")
+  }
+}
+
+object TestOpsHelper {
+  def statsRow(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+    graft.operators.TextOps.stats(docs).collect().head
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property layer (SURVEY.md §5 — the reference lacks one): algebraic
+  * identities of the pipeline over generated inputs. Inputs are drawn
+  * from seeded ScalaCheck generators but evaluated in a plain loop (one
+  * Spark job per case, not per forAll shrink). */
+class PropertySpec extends SparkSpec {
+
+  val genCase: Gen[(List[Double], List[String])] = for {
+    n <- Gen.choose(4, 40)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_.toDouble))
+    gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    if gs.distinct.size >= 2
+  } yield (vals, gs)
+
+  def cases(k: Int): Seq[(List[Double], List[String])] =
+    (1 to k).flatMap(i => genCase.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("rank-sum identity, U1+U2=n1*n2, p in [0,1], BH bounds — 6 random cases") {
+    for ((vals, gs) <- cases(6)) {
+      val cells = cellsOf("f", vals, gs)
+      val n = vals.size
+      val stats = MwuStats.withBH(MwuStats.withP(
+        MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+          MwuAgg.tieTerm(cells))))
+        .select("n1", "rank_sum", "u1", "u2", "p", "p_adj").collect()
+      val totalRankSum = stats.map(_.getDouble(1)).sum
+      assert(totalRankSum == n * (n + 1) / 2.0, s"sum of group rank sums n=$n")
+      stats.foreach { r =>
+        val (n1, u1, u2, p, padj) =
+          (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(u1 + u2 == n1.toDouble * (n - n1), "U1+U2 = n1*n2")
+        assert(p >= 0.0 && p <= 1.0, s"p=$p in [0,1]")
+        assert(padj >= p - 1e-15 && padj <= 1.0, s"BH p_adj=$padj >= p=$p, <= 1")
+      }
+    }
+  }
+
+  test("BH is monotone in p within each group") {
+    for ((vals, gs) <- cases(3)) {
+      val cells = cellsOf("f", vals, gs)
+      // fabricate multiple features by shifting values
+      val multi = (0 to 2).map(k => cellsOf(s"f$k", vals.map(_ + k * 3), gs))
+        .reduce(_ unionAll _)
+      val stats = MwuStats.withBH(MwuStats.withP(
+        MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(multi))),
+          MwuAgg.tieTerm(multi))))
+        .select("grp", "p", "p_adj").collect()
+        .groupBy(_.getString(0))
+      stats.values.foreach { rows =>
+        val sorted = rows.map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+        sorted.sliding(2).foreach {
+          case Array((_, a1), (_, a2)) => assert(a1 <= a2 + 1e-15, "monotone")
+          case _ =>
+        }
+      }
+    }
+  }
+}

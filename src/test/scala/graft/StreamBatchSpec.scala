@@ -1,0 +1,18 @@
+package graft
+
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Stream/batch differential (SURVEY.md §2.9): the Structured Streaming
+  * hourly aggregate must equal the batch plan on the same data. */
+class StreamBatchSpec extends SparkSpec {
+
+  test("streaming hourly agg equals batch hourly agg on sf0.001 events") {
+    val batch = EventOps.hourly(Tables.read(spark, sf("sf0.001"), "events"))
+      .orderBy("hour_epoch", "event_type").collect()
+    val stream = graft.streaming.EventStream.runOnce(spark, sf("sf0.001"))
+      .orderBy("hour_epoch", "event_type").collect()
+    assert(batch.length == stream.length && batch.length > 0)
+    batch.zip(stream).foreach { case (b, s) => assert(b == s) }
+  }
+}
