@@ -23,9 +23,12 @@ object QueriesLlm {
     // near-dup by character-3-gram Jaccard in (lang, length-band) buckets
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, band = 50, threshold = 0.4)),
-    // MinHash LSH near-dup (spark.ml hash family → rows-only check)
+    // MinHash LSH near-dup (library hash family → rows-only check)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.read(s, dir, "documents"))),
+    // SimHash fingerprints + Hamming-radius near-dup pairs (rows-only)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.read(s, dir, "documents"))),
     // per-document token statistics
     "text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))),
@@ -37,6 +40,17 @@ object QueriesLlm {
     // content fingerprint (md5) + byte length
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.read(s, dir, "documents"))),
+    // rolling-hash fingerprint via the custom codegen Expression
+    // (library-internal hash → rows-only check)
+    "doc_rolling_hash" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.read(s, dir, "documents")
+        .selectExpr("doc_id", "rolling_hash(trim(text)) as rh")
+    }),
+    // stopword-profile language ID (deterministic argmax)
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.read(s, dir, "documents"))
+        .select("doc_id", "lang", "pred_lang", "is_correct")),
     // brute-force cosine top-10 for every 50th vector
     "ann_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
@@ -51,7 +65,9 @@ object QueriesLlm {
 
   private val shingleDuck =
     "list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), " +
-      "i -> substring(text, i, 3)))"
+      "i -> ascii(substring(text, i, 1)) * 4398046511104 " +
+      "+ ascii(substring(text, i + 1, 1)) * 2097152 " +
+      "+ ascii(substring(text, i + 2, 1))))"
 
   private def statsDuck =
     s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
@@ -71,6 +87,11 @@ object QueriesLlm {
          | from sh a join sh b on a.lang = b.lang and a.bucket = b.bucket
          |  and a.doc_id < b.doc_id)
          |where jac >= 0.4""".stripMargin.replace("\n", " "),
+    "lang_id" ->
+      s"""select doc_id, lang, pred_lang, (pred_lang = lang) as is_correct from (
+         |select doc_id, lang, ${TextOps.langPredExpr} as pred_lang from (
+         |select ${TextOps.langIdSelects(DuckD).mkString(", ")} from documents))"""
+        .stripMargin.replace("\n", " "),
     "text_stats" -> statsDuck,
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,

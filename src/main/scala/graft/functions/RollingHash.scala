@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash over UTF-8 bytes — the document-fingerprinting
+  * primitive (SURVEY.md §7.3 path (b): a native Catalyst `Expression`
+  * with `doGenCode`, so it stays inside whole-stage codegen; a Scala UDF
+  * would break the codegen span and pay serialization per row).
+  *
+  * h = Σ h·B + byte (mod P), B=263, P=1e9+7 — stays in positive longs.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash expects STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Base = 263L
+  final val Mod = 1000000007L
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Base + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+/** SQL registration for the library's custom expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+}

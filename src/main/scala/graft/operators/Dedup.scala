@@ -30,13 +30,36 @@ object Dedup {
     expr(s"array_distinct(transform(sequence(1, greatest(char_length($textCol) - ${n - 1}, 1)), " +
       s"i -> substring($textCol, i, $n)))")
 
+  /** Distinct character 3-gram shingles packed into BIGINT codes
+    * (codepoint·2^42 + codepoint·2^21 + codepoint — collision-free for
+    * Unicode ≤ 0x10FFFF). Same set cardinalities as the string shingles,
+    * but array intersection runs on longs instead of hashed strings —
+    * several× cheaper at scale — and the encoding is expressible
+    * identically in DuckDB for the oracle. */
+  def charShingleCodes(textCol: String): Column = expr(charShingleCodesSql(textCol))
+
+  def charShingleCodesSql(textCol: String): String =
+    s"array_distinct(transform(sequence(1, greatest(char_length($textCol) - 2, 1)), " +
+      s"i -> ascii(substring($textCol, i, 1)) * 4398046511104 " +
+      s"+ ascii(substring($textCol, i + 1, 1)) * 2097152 " +
+      s"+ ascii(substring($textCol, i + 2, 1))))"
+
+  /** Distinct word n-gram shingles — the right granularity for document-
+    * level near-dup: random word sequences are near-disjoint between
+    * unrelated documents even over a small vocabulary, so LSH candidate
+    * sets stay sparse (char n-grams of a shared vocab overlap almost
+    * completely and degenerate to O(n²) candidates). */
+  def wordShingles(textCol: String, n: Int = 3): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(size(split(trim($textCol), ' ')) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice(split(trim($textCol), ' '), i, $n))))")
+
   /** Near-duplicate pairs by character-n-gram Jaccard within
     * (lang, length-band) candidate buckets. Jaccard is an exact integer
     * ratio — cross-engine deterministic with no rounding. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, band: Int = 50,
                    threshold: Double = 0.4): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"),
-        expr(s"n_chars div $band").as("bucket"), shingles("text", n).as("sh"))
+        expr(s"n_chars div $band").as("bucket"), charShingleCodes("text").as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
@@ -49,22 +72,89 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
-  /** MinHash near-dup via spark.ml LSH: shingle → binarized term vector →
-    * banded min-hash join. The ml estimator owns the hash family, so this
-    * variant is checked rows-only (no portable SQL oracle). */
-  def minHashPairs(docs: DataFrame, numHashTables: Int = 8,
-                   maxDistance: Double = 0.6): DataFrame = {
-    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
-    val withShingles = docs.select(col("doc_id"), shingles("text").as("sh"))
-    val cv = new CountVectorizer().setInputCol("sh").setOutputCol("features")
-      .setBinary(true).setMinDF(1.0)
-    val vecs = cv.fit(withShingles).transform(withShingles)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
-        col("jaccard_dist"))
-      .filter(col("doc_a") < col("doc_b"))
+  /** MinHash + LSH near-dup, built Spark-first from codegen'd built-ins
+    * (shingle → xxhash64 minhash signature → band buckets → bucket join →
+    * exact-Jaccard verification). The classic scale shape: signature
+    * width is fixed (numHashes longs/doc), candidate generation is a
+    * shuffle on band value, and only same-bucket pairs pay the exact
+    * verification. (spark.ml's MinHashLSH approxSimilarityJoin was tried
+    * first and degenerates into a single-task quadratic candidate scan.)
+    *
+    * Hash family: h_j(s) = xxhash64(j, s) — deterministic, library-
+    * internal (rows-only oracle check).
+    *
+    * @param numHashes signature width (bands × rowsPerBand)
+    * @param bands     LSH bands; match probability ≈ 1-(1-j^r)^b
+    */
+  def minHashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = docs.select(col("doc_id"), wordShingles("text").as("sh"))
+    // signature: per doc, min over shingles of each seeded hash — one
+    // explode + one partial+final hash aggregate (map-side combined)
+    val hashCols = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val sig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(hashCols.head, hashCols.tail: _*)
+    // band values: hash of each r-slice of the signature
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bv"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // same-bucket candidates (distinct pairs), then exact verification
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.
+    * Built from explode + bitwise built-ins: for each of 64 bit lanes,
+    * sum ±1 per token and take the sign bit. Near-dup candidates =
+    * fingerprints within `maxHamming` (verified by popcount on xor). */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr(s"split(trim($textCol), ' ')")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    val bitSums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    bitSums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, candidate-pruned by
+    * 16-bit block keys (pigeonhole: <=3 differing bits → some 16-bit
+    * block equal). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs)
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("blk"), expr(s"(simhash >> ${b * 16}) & 65535").as("bv")))
+    val keyed = fp.select(col("doc_id"), col("simhash"),
+        explode(array(blocks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    keyed.as("a").join(keyed.as("b"), Seq("blk", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 }

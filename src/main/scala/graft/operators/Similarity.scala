@@ -45,20 +45,34 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `bits` fixed
-    * pseudo-random projections. Deterministic (seeded), so bucketing is
-    * reproducible across runs — but the hash planes are library-internal,
-    * hence rows-only checking. */
-  def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L): DataFrame = {
+  /** Random-hyperplane LSH bucket id: sign bits of `bits` fixed seeded
+    * projections. A typed mapPartitions kernel (not a 768-term codegen
+    * expression, which blew up janino compile time): the plane matrix is
+    * a broadcast-sized closure constant, the loop is tight primitive
+    * arithmetic — SURVEY.md §7.3 case (d), justified for a fixed numeric
+    * kernel. Library-internal hash family → rows-only checking. */
+  def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val bucketExpr = (0 until bits).map { b =>
-      val dot = (1 to dim)
-        .map(i => s"(element_at(embedding, $i) * ${Parity.lit(planes(b)(i - 1))})")
-        .reduceLeft((x, y) => s"($x + $y)")
-      s"(case when $dot >= 0.0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)"
-    }.reduceLeft((x, y) => s"($x + $y)")
-    emb.withColumn("bucket", expr(bucketExpr))
+    val buckets = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var bucket = 0L
+        var b = 0
+        while (b < planes.length) {
+          var s = 0.0; var i = 0
+          val p = planes(b)
+          while (i < v.length) { s += v(i) * p(i); i += 1 }
+          if (s >= 0.0) bucket |= (1L << b)
+          b += 1
+        }
+        (id, bucket)
+      }).toDF(idCol, "bucket")
+    emb.join(buckets, idCol)
   }
 
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by

@@ -54,6 +54,44 @@ object TextOps {
   def stats(docs: DataFrame): DataFrame =
     docs.selectExpr(statsSelects(SparkD): _*)
 
+  /** Language-ID by stopword-profile scoring: score(lang) = fraction of
+    * tokens in that language's function-word list; prediction = argmax
+    * with alphabetical tie-break. The classic cheap n-gram/stopword
+    * heuristic — deterministic exact ratios, dialect-shared. (The
+    * synthetic corpus uses one shared vocabulary across langs, so the
+    * scorer's value here is the oracle-checked mechanics, not accuracy.) */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "no", "por", "los"),
+    "fr" -> Seq("le", "la", "et", "un", "que", "pour", "dans", "ce", "une", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  def langIdSelects(d: Dialect): Seq[String] = {
+    val (split, len, filt) = d match {
+      case SparkD => ("split", "size", "filter")
+      case DuckD  => ("string_split", "len", "list_filter")
+    }
+    val toks = s"$split(trim(text), ' ')"
+    val scores = langProfiles.map { case (lg, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"(cast($len($filt($toks, t -> t in ($list))) as double) / cast($len($toks) as double)) as s_$lg"
+    }
+    Seq("doc_id", "lang") ++ scores
+  }
+
+  /** argmax over the s_<lang> columns, alphabetical tie-break. */
+  def langPredExpr: String = {
+    val m = langProfiles.map { case (lg, _) => s"s_$lg" }.mkString("greatest(", ", ", ")")
+    val cases = langProfiles.map { case (lg, _) => s"when s_$lg = $m then '$lg'" }
+    s"(case ${cases.mkString(" ")} end)"
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.selectExpr(langIdSelects(SparkD): _*)
+      .withColumn("pred_lang", expr(langPredExpr))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+
   /** Content fingerprint of whitespace-trimmed text (md5 — identical hex
     * in both engines) plus UTF-8 byte length. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -72,6 +72,56 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("minhash LSH: duplicate and near-duplicate texts pair up, disjoint don't") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " okay"),
+      (4L, "completely different words about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val jac12 = Dedup.minHashPairs(docs).filter($"doc_a" === 1 && $"doc_b" === 2)
+      .select("jac").collect().head.getDouble(0)
+    assert(jac12 == 1.0)
+  }
+
+  test("simhash: identical texts → hamming 0; unrelated text excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated vocabulary cluster nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("lang id: stopword-profile argmax with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "der hund und die katze ist nicht da", "de", "s", 0L),
+      (2L, "the cat and the dog in a house", "en", "s", 0L),
+      (3L, "xyzzy plugh", "en", "s", 0L)) // no stopwords → tie → 'de' (alphabetical)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.operators.TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(m(1L) == "de" && m(2L) == "en" && m(3L) == "de")
+  }
+
+  test("rolling_hash custom expression: deterministic, codegen path") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "rolling_hash(text) as rh")
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = ((('a' * 263L + 'b') % 1000000007L) * 263L + 'c') % 1000000007L
+    assert(m(1L) == exp && m(2L) == exp && m(3L) != exp)
+  }
+
   test("text stats: exact token arithmetic") {
     val docs = Seq((1L, "the cat sat", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val r = TestOpsHelper.statsRow(docs)
