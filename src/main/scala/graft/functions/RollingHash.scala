@@ -50,7 +50,13 @@ object RollingHash {
 
 /** SQL registration for the library's custom expressions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_trigram_codes", exprs => CharTrigramCodes(exprs.head), "scala_udf")
+  }
 }

@@ -58,13 +58,20 @@ object Dedup {
     * ratio — cross-engine deterministic with no rounding. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, band: Int = 50,
                    threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"), col("lang"),
-        expr(s"n_chars div $band").as("bucket"), charShingleCodes("text").as("sh"))
+        expr(s"n_chars div $band").as("bucket"),
+        expr("char_trigram_codes(text)").as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // sound prune: jac <= min/max, so min < t*max can never pass
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      // linear merge intersect (sorted long arrays) — same count as
+      // size(array_intersect), several× cheaper than per-pair hash sets
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("uni",
         size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))

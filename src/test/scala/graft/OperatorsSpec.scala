@@ -113,6 +113,37 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L) == "de" && m(2L) == "en" && m(3L) == "de")
   }
 
+  test("char_trigram_codes equals the SQL formula on ASCII (where spark ascii = codepoint)") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("hello world", "ab", "x", "the quick brown fox")
+    val df = texts.toDF("text").selectExpr(
+      "char_trigram_codes(text) as fast",
+      "array_sort(" + graft.operators.Dedup.charShingleCodesSql("text") + ") as ref")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("char_trigram_codes uses Unicode code points (DuckDB ascii semantics, not spark's first-byte)") {
+    graft.functions.GraftFunctions.register(spark)
+    // 日本語テキスト code points
+    val cps = Seq(26085L, 26412L, 35486L, 12486L, 12461L, 12473L, 12488L)
+    val exp = (0 to 4).map(i =>
+      cps(i) * 4398046511104L + cps(i + 1) * 2097152L + cps(i + 2)).sorted
+    val got = Seq("日本語テキスト").toDF("text")
+      .selectExpr("char_trigram_codes(text) as c").collect().head.getSeq[Long](0)
+    assert(got == exp)
+  }
+
+  test("sorted_intersect_count equals size(array_intersect)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) as c",
+        "cast(size(array_intersect(a, b)) as bigint) as r")
+    val row = df.collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
+  }
+
   test("rolling_hash custom expression: deterministic, codegen path") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
