@@ -54,6 +54,9 @@ object QueriesLlm {
     // brute-force cosine top-10 for every 50th vector
     "ann_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
+    // IVF approximate top-k — coarse-quantizer scale path (rows-only)
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
     // LSH-bucketed near-duplicate embedding pairs (library hash planes →
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>

@@ -42,4 +42,58 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions(_.map(decodeFn)).toDF()
   }
+
+  case class ResizedAsset(doc_id: Long, width: Long, height: Long, blob: Array[Byte])
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long, blob: Array[Byte])
+  case class Feature(doc_id: Long, embedding: Array[Float])
+
+  /** STUB resize to a bounding box preserving the fake aspect ratio —
+    * a real implementation calls the codec here; the partitioning, typed
+    * schema, and byte-payload flow are the real thing. */
+  def resize(spark: SparkSession, assets: Dataset[Asset], maxSide: Long = 64L,
+             decodeFn: Asset => AssetMeta = fakeDecode): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = decodeFn(a)
+      val scale = maxSide.toDouble / math.max(m.width, m.height)
+      val (w, h) = if (scale >= 1.0) (m.width, m.height)
+        else (math.max(1L, (m.width * scale).toLong), math.max(1L, (m.height * scale).toLong))
+      ResizedAsset(a.doc_id, w, h, a.blob)
+    })
+  }
+
+  /** STUB frame sampling for video-like blobs: one row per sampled frame
+    * (every `stride` bytes stands in for every Nth frame) — the generator
+    * shape (`flatMap` → row explosion) is what a real frame extractor
+    * uses; payload is the byte window. */
+  def frameSample(spark: SparkSession, assets: Dataset[Asset],
+                  stride: Int = 256, maxFrames: Int = 8): Dataset[Frame] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val n = a.blob.length
+      (0 until math.min(maxFrames, math.max(1, n / stride))).map { i =>
+        val off = i * stride
+        Frame(a.doc_id, i.toLong, off.toLong,
+          a.blob.slice(off, math.min(n, off + stride)))
+      }
+    }
+  }
+
+  /** STUB feature extraction: deterministic pseudo-embedding from byte
+    * histogram moments (a real implementation runs the vision/audio model
+    * per partition batch). Output schema matches the `embeddings` table. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[Asset],
+                      dim: Int = 64): Dataset[Feature] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < a.blob.length) {
+        v(((a.blob(i) & 0xff) * dim / 256) % dim) += 1.0f
+        i += 1
+      }
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      Feature(a.doc_id, if (norm > 0) v.map(x => (x / norm).toFloat) else v)
+    })
+  }
 }

@@ -75,6 +75,57 @@ object Similarity {
     emb.join(buckets, idCol)
   }
 
+  /** IVF (inverted-file) approximate top-k — the scale path for cosine
+    * search: a coarse k-means quantizer (spark.ml, seeded) partitions the
+    * corpus into `nlist` cells; each query probes only its `nprobe`
+    * nearest cells, cutting the scanned fraction to ~nprobe/nlist. At
+    * 100 TB the candidate join shuffles on the cluster id (data can be
+    * stored bucketed by it), and only the probed cells are read.
+    * Hash family is library-internal → rows-only checking; recall vs the
+    * exact [[cosineTopK]] is asserted in the spec. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.withColumn("v",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("v").setPredictionCol("cluster").fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val n = withNorm(assigned)
+    // tiny centroid relation (nlist rows) — broadcast everywhere
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("cluster", "centroid")
+    val cNorm = broadcast(centroids.withColumn("c_norm",
+      expr(s"sqrt(${Parity.dot(SparkD, "centroid", "centroid", dim)})")))
+    // probe list: nprobe nearest centroids per query by cosine
+    val q = n.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_cos").desc, col("cluster").asc)
+    val probes = q.crossJoin(cNorm)
+      .withColumn("c_cos", expr(Parity.dot(SparkD,
+        "q_emb", "centroid", dim)) / (col("q_norm") * col("c_norm")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "q_emb", "q_norm", "cluster")
+    // scan only probed cells
+    val cand = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    probes.join(cand, Seq("cluster")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", when(col("q_norm") * col("n_norm") > 0.0,
+        expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) / (col("q_norm") * col("n_norm")))
+        .otherwise(lit(Double.NaN)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "cos", "rn")
+  }
+
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
     * true cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {

@@ -29,6 +29,48 @@ object EventStream {
       .select(expr("unix_micros(w.start) div 1000000").as("hour_epoch"),
         col("event_type"), col("n"), col("v"))
 
+  // ---- stateful sessionization ----------------------------------------
+
+  case class Ev(user_id: Long, ts: Long)
+  case class SessState(sessionId: Long, nEvents: Long, start: Long, end: Long)
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+                     start_ns: Long, end_ns: Long)
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user open
+    * session kept in the state store; a session CLOSES (and is emitted)
+    * when a later event arrives past the inactivity gap. Mirrors the
+    * batch [[graft.operators.EventOps.sessionize]] lag+cumsum plan —
+    * closed sessions match it exactly (the still-open tail session stays
+    * in state). */
+  def sessionizeStream(stream: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapNs = gapMinutes * 60L * 1000000000L
+    def fn(key: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
+      val sorted = events.toSeq.sortBy(_.ts)
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.end > gapNs =>
+            out += SessOut(key, s.sessionId, s.nEvents, s.start, s.end)
+            cur = Some(SessState(s.sessionId + 1, 1L, e.ts, e.ts))
+          case Some(s) =>
+            cur = Some(s.copy(nEvents = s.nEvents + 1, end = e.ts))
+          case None =>
+            cur = Some(SessState(1L, 1L, e.ts, e.ts))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    stream.select(col("user_id"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Drives the streaming query synchronously over the static events
     * parquet (staged into a stream-source directory) and returns the final
     * result as a batch DataFrame — used by Verify/Bench. */

@@ -179,6 +179,17 @@ class OperatorsSpec extends SparkSpec {
     assert(q0(2)._1 == 2L && approx(q0(2)._2, 0.0))
   }
 
+  test("IVF top-k: decent recall vs exact brute force on real embeddings") {
+    val emb = graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.cosineTopK(emb, k = 10, queryEvery = 100))
+    val ivf = asSet(Similarity.ivfTopK(emb, k = 10, queryEvery = 100, nlist = 8, nprobe = 3))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
   test("sessionize: 30-min gap starts a new session") {
     val h = 3600L * 1000000000L
     val ev = Seq((1L, 0L * h), (1L, h / 4), (1L, 2 * h), (2L, 0L))
@@ -198,6 +209,20 @@ class OperatorsSpec extends SparkSpec {
     assert(meta.getAs[Long]("width") == 68L)
     assert(meta.getAs[Long]("height") == 92L)
     assert(meta.getAs[String]("format") == "fake")
+  }
+
+  test("multimodal plumbing: resize bounds, frame explosion, normalized features") {
+    val text = "x" * 1000
+    val docs = Seq((1L, text, "en", "s", 1000L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assets = Multimodal.assetsFromDocs(spark, docs)
+    val rz = Multimodal.resize(spark, assets, maxSide = 64L).collect().head
+    assert(math.max(rz.width, rz.height) <= 64L && rz.blob.length == 1000)
+    val frames = Multimodal.frameSample(spark, assets, stride = 256, maxFrames = 8).collect()
+    assert(frames.length == 3 && frames.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.head.blob.length == 256)
+    val feats = Multimodal.extractFeatures(spark, assets).collect().head
+    assert(feats.embedding.length == 64)
+    assert(math.abs(feats.embedding.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
   }
 }
 
