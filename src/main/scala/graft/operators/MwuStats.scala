@@ -60,9 +60,13 @@ object MwuStats {
       .drop("z_num")
   }
 
-  /** Two-sided p = min(1, erfc(z/√2)) — single-sourced snippet. */
+  /** Two-sided p = min(1, erfc(z/√2)) — single-sourced snippet. Null z
+    * (NaN-poisoned feature) keeps a null p: Spark's `least` skips nulls
+    * and would otherwise return the 1.0 clip arm. */
   def withP(zStats: DataFrame): DataFrame =
-    zStats.withColumn("p", expr(Parity.pFromZ("z")))
+    zStats.withColumn("p",
+      when(col("z").isNull, lit(null).cast("double"))
+        .otherwise(expr(Parity.pFromZ("z"))))
 
   /** A5 — Benjamini–Hochberg step-up per group over all features
     * (pvals.py:128-141, via statsmodels fdr_bh). Pure windows:
@@ -76,8 +80,11 @@ object MwuStats {
     pStats
       .withColumn("bh_i", row_number().over(wOrd).cast("long"))
       .withColumn("bh_m", count(lit(1)).over(wAll))
-      .withColumn(outCol,
-        least(lit(1.0), min(col(pCol) * col("bh_m") / col("bh_i")).over(wSuffix)))
+      // null p (NaN-poisoned feature, SURVEY §1.2) stays null — MIN would
+      // otherwise skip the null raw term and fabricate a finite p_adj
+      .withColumn(outCol, when(col(pCol).isNull, lit(null).cast("double"))
+        .otherwise(
+          least(lit(1.0), min(col(pCol) * col("bh_m") / col("bh_i")).over(wSuffix))))
       .drop("bh_i", "bh_m")
   }
 

@@ -61,6 +61,23 @@ class MwuStatsSpec extends SparkSpec {
     st.values.foreach { case (n1, _, u1, u2, _, _, _) => assert(u1 + u2 == n1 * (24 - n1)) }
   }
 
+  test("NaN feature propagates null U/z/p/p_adj end-to-end; tie term stays finite") {
+    import org.apache.spark.sql.functions.lit
+    val cells = cellsOf("good", Seq(1.0, 2.0, 3.0, 4.0), Seq("a", "b", "a", "b"))
+      .unionAll(cellsOf("bad", Seq(1.0, Double.NaN, 3.0, 3.0), Seq("a", "b", "a", "b")))
+    val st = MwuStats.withBH(MwuStats.withP(
+      MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+        MwuAgg.tieTerm(cells))))
+    val bad = st.filter(st("feature_id") === "bad").collect()
+    bad.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("u1")) && r.isNullAt(r.fieldIndex("z")))
+      assert(r.isNullAt(r.fieldIndex("p")) && r.isNullAt(r.fieldIndex("p_adj")))
+      assert(r.getLong(r.fieldIndex("tie_term")) == 6L) // the 3.0 pair
+    }
+    val good = st.filter(st("feature_id") === "good").collect()
+    good.foreach(r => assert(!r.isNullAt(r.fieldIndex("p_adj"))))
+  }
+
   test("BH step-up matches reimplementation incl. tied p (gen_fixtures F4)") {
     import spark.implicits._
     val df = Seq(("f1", 0.01), ("f2", 0.04), ("f3", 0.04), ("f4", 0.8))

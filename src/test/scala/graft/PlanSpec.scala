@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{MwuAgg, Ranking}
+import graft.sources.Tables
+
+/** Physical-plan guarantees — the scale properties SURVEY.md §4 promises.
+  * These assert plan SHAPE (shuffle counts, broadcasts, scan pruning),
+  * not results, so regressions that only hurt at 1000× data fail fast. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("rank windows + rank sums ride ONE fact shuffle (hash by feature_id)") {
+    val p = plan(MwuAgg.rankSums(Ranking.withRanks(
+      QueriesMwu.liCells(spark, sf("sf0.001")))))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("marker pipeline broadcasts the feature-sized side tables") {
+    val p = plan(SparkEntry.queries("mwu_markers")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"feature-size tables must broadcast:\n$p")
+  }
+
+  test("top-k window uses WindowGroupLimit pushdown") {
+    val p = plan(SparkEntry.queries("mwu_markers")(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("projection reaches the parquet scan (column pruning)") {
+    val df = Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select("l_returnflag", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>") ||
+      p.contains("ReadSchema: struct<l_returnflag:string,l_quantity:double>"), p)
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Tables.read(spark, sf("sf0.001"), "lineitem")
+      .filter("l_quantity > 30.0").select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan(SparkEntry.queries("q_join_revenue")(spark, sf("sf0.001")))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("rank windows keep whole-stage codegen") {
+    val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n)" in the compact plan string; the
+    // projections around the Window operators must stay inside them
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
+  }
+}
