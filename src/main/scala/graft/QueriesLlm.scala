@@ -54,13 +54,17 @@ object QueriesLlm {
     // brute-force cosine top-10 for every 50th vector
     "ann_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
+    // exact near-dup within label blocks (oracle-checked counterpart of
+    // the LSH variant)
+    "emb_neardup_exact" -> ((s, dir) =>
+      Similarity.nearDupExact(Tables.read(s, dir, "embeddings"), threshold = 0.3)),
     // IVF approximate top-k — coarse-quantizer scale path (rows-only)
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
     // LSH-bucketed near-duplicate embedding pairs (library hash planes →
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.95)),
+      Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
     // multimodal: binary blob ingestion + partition-parallel (stub) decode
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents"))))
@@ -104,6 +108,17 @@ object QueriesLlm {
       """select doc_id, md5(trim(text)) as fingerprint,
         | cast(strlen(text) as bigint) as n_bytes
         |from documents""".stripMargin.replace("\n", " "),
+    "emb_neardup_exact" -> {
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      s"""with nn as (select vec_id, label, embedding, sqrt($dotSelf) as norm
+         |  from embeddings)
+         |select label, id_a, id_b, cos from (
+         | select a.label as label, a.vec_id as id_a, b.vec_id as id_b,
+         |  (${Parity.dot(DuckD, "a.embedding", "b.embedding", dim)})
+         |    / (a.norm * b.norm) as cos
+         | from nn a join nn b on a.label = b.label and a.vec_id < b.vec_id)
+         |where cos >= 3e-1""".stripMargin.replace("\n", " ")
+    },
     "ann_cosine" -> {
       val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
       val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)

@@ -65,6 +65,10 @@ object QueriesOlap {
           expr("ts_min div 1000").as("start_us"),
           expr("ts_max div 1000").as("end_us"))
     }),
+    // per-user trailing-window rolling aggregates (exact dyadic sums)
+    "q_user_rolling" -> ((s, dir) => EventOps.rolling(Tables.read(s, dir, "events"))),
+    // sliding event-time windows (1h / 15min)
+    "q_events_sliding" -> ((s, dir) => EventOps.sliding(Tables.read(s, dir, "events"))),
     // Structured Streaming hourly agg — stream/batch differential: the
     // oracle is the BATCH hourly SQL
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir))
@@ -122,6 +126,8 @@ object QueriesOlap {
          |    rows between unbounded preceding and current row) as session_id
          | from e)
          |group by user_id, session_id""".stripMargin.replace("\n", " "),
+    "q_user_rolling" -> EventOps.rollingSql(),
+    "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql()
   )
 }

@@ -50,6 +50,55 @@ object EventOps {
        |  from $table)
        |group by event_type""".stripMargin.replace("\n", " ")
 
+  /** Per-user rolling aggregate: trailing `window`-row sum/avg of the
+    * fixed-point-quantized value, ordered by (ts, event_id). Quantized
+    * dyadic addends make the rolling double sums exact → deterministic
+    * cross-engine with no rounding. */
+  def rolling(events: DataFrame, window: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .withColumn("vq", expr(
+        "cast(floor(value * 1048576e0 + 5e-1) as bigint) / 1048576e0"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum("vq").over(w))
+      .withColumn("roll_avg", col("roll_sum") / col("roll_n").cast("double"))
+      .select("event_id", "user_id", "roll_n", "roll_sum", "roll_avg")
+  }
+
+  def rollingSql(table: String = "events", window: Int = 5): String = {
+    val w = s"over (partition by user_id order by ts, event_id " +
+      s"rows between ${window - 1} preceding and current row)"
+    s"""select event_id, user_id,
+       | cast(count(*) $w as bigint) as roll_n,
+       | sum(cast(floor(value * 1048576e0 + 5e-1) as bigint) / 1048576e0) $w as roll_sum,
+       | (sum(cast(floor(value * 1048576e0 + 5e-1) as bigint) / 1048576e0) $w)
+       |   / cast(count(*) $w as double) as roll_avg
+       |from $table""".stripMargin.replace("\n", " ")
+  }
+
+  /** Sliding event-time windows (1h window, 15min slide): each event lands
+    * in 4 epoch-aligned buckets — the Spark `window()` semantics, spelled
+    * as an explode so the DuckDB oracle can mirror it exactly. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("w", expr("window(ts_t, '1 hour', '15 minutes')"))
+      .select(expr("unix_micros(w.start) div 1000000").as("win_start"),
+        col("event_type"), col("value"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("value")).as("v"))
+
+  def slidingSql(table: String = "events"): String =
+    s"""select win_start, event_type, cast(count(*) as bigint) as n,
+       | ${Parity.fpSum("value")} as v
+       |from (
+       |  select ((epoch_ns(ts) // 900000000000) - k) * 900 as win_start,
+       |         event_type, value
+       |  from $table cross join (select unnest([0, 1, 2, 3]) as k))
+       |group by win_start, event_type""".stripMargin.replace("\n", " ")
+
   /** Session windows per user: a new session starts after `gapMinutes` of
     * inactivity — the classic lag+cumsum pattern, one shuffle on user_id. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -126,6 +126,24 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
+  /** Exact near-duplicate pairs within a blocking key (here: the label
+    * column): deterministic cosine over all same-block pairs — the
+    * oracle-checkable exact counterpart of [[nearDupPairs]]. */
+  def nearDupExact(emb: DataFrame, threshold: Double = 0.8,
+                   blockCol: String = "label"): DataFrame = {
+    val n = withNorm(emb)
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"), col(blockCol))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"), col(blockCol))
+    a.join(b, Seq(blockCol)).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", when(col("norm_a") * col("norm_b") > 0.0,
+        expr(Parity.dot(SparkD, "emb_a", "emb_b", dim)) / (col("norm_a") * col("norm_b")))
+        .otherwise(lit(Double.NaN)))
+      .filter(col("cos") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
     * true cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {

@@ -41,6 +41,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("full marker pipeline is invariant to shuffle partitioning (1/4/13)") {
+    def run(): Seq[String] = {
+      SparkEntry.queries("mwu_markers")(spark, sf("sf0.001"))
+        .orderBy("grp", "rk").collect().map(_.toString).toSeq
+    }
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
   test("BH is monotone in p within each group") {
     for ((vals, gs) <- cases(3)) {
       val cells = cellsOf("f", vals, gs)
