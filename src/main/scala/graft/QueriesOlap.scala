@@ -54,6 +54,24 @@ object QueriesOlap {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("c_custkey").asc)
       spend.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
     }),
+    // TPC-H Q3-shaped: date-filtered 3-way join, global top-10 by revenue
+    "q_shipping" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      li.filter(col("l_shipdate") > lit("1998-01-01"))
+        .join(o.filter(col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c.filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"),
+          // o_orderdate is TIMESTAMP_NTZ; session UTC makes the cast
+          // epoch equal DuckDB's naive epoch_us
+          expr("min(unix_micros(cast(o_orderdate as timestamp)) div 1000000)").as("order_epoch"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
     // event-time tumbling hour buckets
     "q_events_window" -> ((s, dir) => EventOps.hourly(Tables.read(s, dir, "events"))),
     // JSON prop extraction + aggregate
@@ -71,7 +89,9 @@ object QueriesOlap {
     "q_events_sliding" -> ((s, dir) => EventOps.sliding(Tables.read(s, dir, "events"))),
     // Structured Streaming hourly agg — stream/batch differential: the
     // oracle is the BATCH hourly SQL
-    "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir))
+    "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir)),
+    // streaming dropDuplicates state — oracle is the batch distinct count
+    "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir))
   )
 
   private val q1Oracle =
@@ -107,6 +127,18 @@ object QueriesOlap {
          |  from orders join customer on o_custkey = c_custkey
          |  group by c_mktsegment, c_custkey, c_name))
          |where rk <= 5""".stripMargin.replace("\n", " "),
+    "q_shipping" ->
+      s"""select l_orderkey,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,
+         | cast(min(epoch_us(o_orderdate) // 1000000) as bigint) as order_epoch
+         |from lineitem
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         |where l_shipdate > timestamp '1998-01-01'
+         | and o_orderdate < timestamp '1998-01-01'
+         | and c_mktsegment = 'BUILDING'
+         |group by l_orderkey
+         |order by revenue desc, l_orderkey asc limit 10""".stripMargin.replace("\n", " "),
     "q_events_window" -> EventOps.hourlySql(),
     "q_events_json" -> EventOps.propStatsSql(),
     "q_sessions" ->
@@ -128,6 +160,9 @@ object QueriesOlap {
          |group by user_id, session_id""".stripMargin.replace("\n", " "),
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
-    "stream_hourly" -> EventOps.hourlySql()
+    "stream_hourly" -> EventOps.hourlySql(),
+    "stream_dedup" ->
+      """select event_type, cast(count(distinct user_id) as bigint) as n_distinct_users
+        |from events group by event_type""".stripMargin.replace("\n", " ")
   )
 }

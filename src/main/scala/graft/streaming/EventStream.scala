@@ -29,6 +29,32 @@ object EventStream {
       .select(expr("unix_micros(w.start) div 1000000").as("hour_epoch"),
         col("event_type"), col("n"), col("v"))
 
+  /** Streaming exact dedup: dropDuplicates state keyed by
+    * (user_id, event_type) — the streaming leg of the dedup suite; counts
+    * of first-seen pairs per type equal the batch COUNT(DISTINCT user_id)
+    * (that's the oracle). */
+  def dedupCounts(stream: DataFrame): DataFrame =
+    stream
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+
+  /** One-shot driver for [[dedupCounts]] over the static events parquet. */
+  def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val qName = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = dedupCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName(qName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Ev(user_id: Long, ts: Long)
