@@ -29,6 +29,25 @@ object QueriesOlap {
         .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
         .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
     }),
+    // same aggregate through the two-stage SALTED plan (skew-resilient);
+    // exact integer partials make it bit-identical — it shares q1_agg's
+    // oracle, proving operator equivalence
+    "q1_salted" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val stage1 = Seq(
+        sum("l_quantity").as("__qty"),
+        sum(expr("cast(floor((l_extendedprice) * 1048576e0 + 5e-1) as bigint)")).as("__base"),
+        sum(expr("cast(floor((l_extendedprice * (1e0 - l_discount)) * 1048576e0 + 5e-1) as bigint)")).as("__disc"),
+        count(lit(1)).as("__cnt"))
+      val stage2 = Seq(
+        sum("__qty").as("sum_qty"),
+        (sum("__base").cast("long") / lit(1048576e0)).as("sum_base_price"),
+        (sum("__disc").cast("long") / lit(1048576e0)).as("sum_disc_price"),
+        sum("__cnt").cast("long").as("count_order"))
+      graft.operators.SkewAgg.salted(li, Seq("l_returnflag", "l_linestatus"), 8, stage1, stage2)
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
+    }),
     // 5-way star join: fact → orders → customer → broadcast dims
     "q_join_revenue" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
@@ -106,6 +125,7 @@ object QueriesOlap {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
+    "q1_salted" -> q1Oracle,
     "q_join_revenue" ->
       s"""select r_name, n_name,
          | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,
