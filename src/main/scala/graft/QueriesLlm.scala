@@ -65,6 +65,16 @@ object QueriesLlm {
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
+    // per-label centroid via array explode + fixed-point mean (the
+    // aggregate building block of IVF training, oracle-checked)
+    "emb_centroids" -> ((s, dir) =>
+      Tables.read(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          explode(expr(s"sequence(1, $dim)")).as("dim"), col("embedding"))
+        .withColumn("v", expr("cast(element_at(embedding, dim) as double)"))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), expr(Parity.fpSum("v")).as("vsum"))
+        .withColumn("centroid", col("vsum") / col("n").cast("double"))),
     // multimodal: binary blob ingestion + partition-parallel (stub) decode
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents"))))
@@ -133,6 +143,14 @@ object QueriesLlm {
          |   from q join c on q_id <> n_id))
          |where rn <= 10""".stripMargin.replace("\n", " ")
     },
+    "emb_centroids" ->
+      s"""select cast(label as bigint) as label, cast(i as bigint) as dim,
+         | cast(count(*) as bigint) as n,
+         | ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vsum,
+         | ${Parity.fpSum("cast(list_extract(embedding, i) as double)")}
+         |   / cast(count(*) as double) as centroid
+         |from embeddings, generate_series(1, $dim) t(i)
+         |group by label, i""".stripMargin.replace("\n", " "),
     "multimodal_meta" ->
       """select doc_id, cast(strlen(text) as bigint) as n_bytes,
         | cast(64 + strlen(text) % 193 as bigint) as width,

@@ -125,6 +125,22 @@ object QueriesMwu {
       MwuStats.withP(st).withColumn("p9", expr(q9("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
     }),
+    // J1 obs-table variant: group labels live in a DIMENSION table
+    // (orders.o_orderstatus) broadcast-joined onto the fact before the
+    // rank pipeline — the "masks as separate obs table" path of SURVEY §2.3
+    "mwu_orders" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val cells = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderstatus").as("grp"),
+          lit("l_extendedprice").as("feature_id"),
+          col("l_extendedprice").cast("double").as("value"))
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+        MwuAgg.tieTerm(cells))
+      MwuStats.withP(st).withColumn("p9", expr(q9("p")))
+        .select("feature_id", "grp", "n1", "u1", "z", "p9")
+    }),
     // LFC of part.p_retailprice by brand (prices > 0)
     "lfc_part" -> ((s, dir) => {
       val cells = Tables.melt(Tables.read(s, dir, "part"), "p_brand", Seq("p_retailprice"))
@@ -247,6 +263,19 @@ object QueriesMwu {
     "mwu_events" ->
       (s"${mwuOracle("events", "event_type", Seq("value"))} " +
         s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st"),
+    "mwu_orders" -> {
+      val c = "select o_orderstatus as grp, 'l_extendedprice' as feature_id, " +
+        "cast(l_extendedprice as double) as value " +
+        "from lineitem join orders on l_orderkey = o_orderkey"
+      val joined = "select r.feature_id, r.grp, r.rank_sum, r.n1, r.n, t.tie_term " +
+        "from rs r join tt t on r.feature_id = t.feature_id"
+      (s"""with cells as ($c),
+          |ranked as (${Ranking.ranksSql("select * from cells")}),
+          |rs as (${MwuAgg.rankSumsSql("select * from ranked")}),
+          |tt as (${MwuAgg.tieTermSql("select * from cells")}),
+          |st as (${MwuStats.statsSql(joined)})""".stripMargin.replace("\n", " ") +
+        s" select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st")
+    },
     "lfc_part" -> lfcOracle("part", "p_brand", Seq("p_retailprice"))
   )
 

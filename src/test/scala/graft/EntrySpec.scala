@@ -1,0 +1,27 @@
+package graft
+
+/** The driver smoke-checks `SparkEntry.entry` with ITS OWN session —
+  * which on Spark 4 defaults to ANSI mode. The flagship must survive
+  * both ANSI settings (zero-denominator branches are explicitly guarded
+  * in the operators, not left to IEEE). */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns marker rows under ANSI mode (driver-like session)") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = SparkEntry.entry(spark)
+      assert(df.count() > 0)
+      assert(df.columns.contains("p_value") && df.columns.contains("logfoldchange"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  test("every registered query has either an oracle or is explicitly rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    val rowsOnly = q -- o
+    // the known library-internal-hash queries
+    assert(rowsOnly == Set("dedup_minhash", "dedup_simhash", "doc_rolling_hash",
+      "ann_ivf", "emb_neardup"), s"unexpected rows-only set: $rowsOnly")
+  }
+}
