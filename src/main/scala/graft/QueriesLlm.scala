@@ -65,6 +65,15 @@ object QueriesLlm {
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
+    // corpus vocabulary: token frequency + document frequency, top-100
+    // (explode → two-level count; the token-counting op of the text suite)
+    "corpus_vocab" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"), countDistinct("doc_id").as("docfreq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)),
     // per-label centroid via array explode + fixed-point mean (the
     // aggregate building block of IVF training, oracle-checked)
     "emb_centroids" -> ((s, dir) =>
@@ -143,6 +152,13 @@ object QueriesLlm {
          |   from q join c on q_id <> n_id))
          |where rn <= 10""".stripMargin.replace("\n", " ")
     },
+    "corpus_vocab" ->
+      """select token, cast(count(*) as bigint) as freq,
+        | cast(count(distinct doc_id) as bigint) as docfreq
+        |from (select doc_id, unnest(string_split(trim(text), ' ')) as token
+        |      from documents)
+        |group by token order by freq desc, token asc limit 100"""
+        .stripMargin.replace("\n", " "),
     "emb_centroids" ->
       s"""select cast(label as bigint) as label, cast(i as bigint) as dim,
          | cast(count(*) as bigint) as n,

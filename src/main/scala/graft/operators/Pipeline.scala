@@ -35,8 +35,13 @@ object Pipeline {
         if (cfg.recomputeRanks || !fs.exists(path)) {
           // One write, pre-partitioned by feature hash — the reference's
           // write-then-rechunk-then-rewrite double pass (S5) collapses to a
-          // single repartitioned write (SURVEY.md §2.1).
-          Ranking.withRanks(cells).write.mode("overwrite").parquet(dir)
+          // single repartitioned write (SURVEY.md §2.1). Stored planes
+          // mirror the reference's rank tensor exactly: ranks + tie sizes
+          // (rank_data.py:201), keyed by (grp, feature) — not the raw
+          // values, which downstream stages re-scan from the source.
+          Ranking.withRanks(cells)
+            .select("grp", "feature_id", "rank", "tie_count")
+            .write.mode("overwrite").parquet(dir)
         }
         spark.read.parquet(dir) // column pruning replaces zarr plane slicing
     }
