@@ -89,6 +89,30 @@ class OperatorsSpec extends SparkSpec {
     assert(jac12 == 1.0)
   }
 
+  test("minhash signature agreement estimates true word-shingle Jaccard") {
+    // doc pairs with graded overlap: shared prefix of w words out of 40
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def doc(shared: Int, tag: String) =
+      ((1 to shared).map(i => s"w$i") ++ (1 to (40 - shared)).map(i => s"$tag$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, doc(30, "x")), (3L, doc(10, "y")))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", Dedup.wordShingles("text").as("sh"))
+    val true12 = {
+      val rows = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      rows(1L).intersect(rows(2L)).size.toDouble / rows(1L).union(rows(2L)).size
+    }
+    // signature agreement with 64 hashes ~ Jaccard +- ~1/sqrt(64)
+    val est = {
+      val sig = sh.select($"doc_id", explode($"sh").as("s"))
+        .groupBy("doc_id")
+        .agg((0 until 64).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j")).head,
+          (0 until 64).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j")).tail: _*)
+        .collect().map(r => r.getLong(0) -> (0 until 64).map(j => r.getLong(j + 1))).toMap
+      sig(1L).zip(sig(2L)).count { case (a, b) => a == b } / 64.0
+    }
+    assert(math.abs(est - true12) < 0.2, s"est=$est true=$true12")
+  }
+
   test("simhash: identical texts → hamming 0; unrelated text excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
