@@ -73,6 +73,17 @@ object QueriesOlap {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("c_custkey").asc)
       spend.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
     }),
+    // exact interpolated quantiles per group (Spark percentile ≡ DuckDB
+    // quantile_cont up to ulps; q6-quantized)
+    "q_percentiles" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(
+          expr(Parity.q6("percentile(l_extendedprice, 25e-2)")).as("p25"),
+          expr(Parity.q6("percentile(l_extendedprice, 5e-1)")).as("p50"),
+          expr(Parity.q6("percentile(l_extendedprice, 75e-2)")).as("p75"),
+          expr(Parity.q6("percentile(l_discount, 5e-1)")).as("p50_disc"))
+    }),
     // TPC-H Q3-shaped: date-filtered 3-way join, global top-10 by revenue
     "q_shipping" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
@@ -147,6 +158,13 @@ object QueriesOlap {
          |  from orders join customer on o_custkey = c_custkey
          |  group by c_mktsegment, c_custkey, c_name))
          |where rk <= 5""".stripMargin.replace("\n", " "),
+    "q_percentiles" ->
+      (s"""select l_returnflag as grp,
+          | ${Parity.q6("quantile_cont(l_extendedprice, 25e-2)")} as p25,
+          | ${Parity.q6("quantile_cont(l_extendedprice, 5e-1)")} as p50,
+          | ${Parity.q6("quantile_cont(l_extendedprice, 75e-2)")} as p75,
+          | ${Parity.q6("quantile_cont(l_discount, 5e-1)")} as p50_disc
+          |from lineitem group by l_returnflag""".stripMargin.replace("\n", " ")),
     "q_shipping" ->
       s"""select l_orderkey,
          | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,

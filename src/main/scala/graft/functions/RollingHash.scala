@@ -48,15 +48,23 @@ object RollingHash {
   }
 }
 
-/** SQL registration for the library's custom expressions. */
+/** The library's custom-expression function table — single source for
+  * both registration paths (per-session registry here; cluster-wide via
+  * [[graft.GraftExtensions]]). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_trigram_codes", exprs => CharTrigramCodes(exprs.head), "scala_udf")
-  }
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "polynomial rolling hash of a string",
+      exprs => RollingHash(exprs.head)),
+    ("sorted_intersect_count", "|A intersect B| of two sorted BIGINT arrays",
+      exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    ("char_trigram_codes", "sorted distinct packed char-trigram codes",
+      exprs => CharTrigramCodes(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

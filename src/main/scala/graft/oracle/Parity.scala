@@ -45,6 +45,10 @@ object Parity {
     * Only valid for |x| < 2^53/1e9 ≈ 9e6. Also canonicalizes -0.0/0.0. */
   def q9(x: String): String = s"(floor(($x) * 1.0e9 + 5e-1) / 1.0e9 + 0e0)"
 
+  /** Coarser grid for large-magnitude transcendental/interpolated outputs
+    * (q9's 1e-9 grid sits too close to ulp(1e5)). */
+  def q6(x: String): String = s"(floor(($x) * 1.0e6 + 5e-1) / 1.0e6 + 0e0)"
+
   /** Order-independent exact aggregation of a double expression: round each
     * row to 2^-20 fixed point (the *2^20 multiply is exact — power of two),
     * sum as BIGINT (exact, order-free), divide once. The outer cast makes
