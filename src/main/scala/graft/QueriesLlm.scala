@@ -65,6 +65,9 @@ object QueriesLlm {
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
+    // BPE-ish regex sub-word token counts
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokens(Tables.read(s, dir, "documents"))),
     // corpus vocabulary: token frequency + document frequency, top-100
     // (explode → two-level count; the token-counting op of the text suite)
     "corpus_vocab" -> ((s, dir) =>
@@ -152,6 +155,7 @@ object QueriesLlm {
          |   from q join c on q_id <> n_id))
          |where rn <= 10""".stripMargin.replace("\n", " ")
     },
+    "text_bpe_tokens" -> TextOps.bpeSql(),
     "corpus_vocab" ->
       """select token, cast(count(*) as bigint) as freq,
         | cast(count(distinct doc_id) as bigint) as docfreq

@@ -58,6 +58,8 @@ object Dedup {
     * ratio — cross-engine deterministic with no rounding. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, band: Int = 50,
                    threshold: Double = 0.4): DataFrame = {
+    require(n == 3, "char_trigram_codes packs exactly 3 code points; " +
+      "other n would need a wider packing")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"), col("lang"),
         expr(s"n_chars div $band").as("bucket"),

@@ -54,6 +54,25 @@ object TextOps {
   def stats(docs: DataFrame): DataFrame =
     docs.selectExpr(statsSelects(SparkD): _*)
 
+  /** BPE-ish sub-word tokenization: the classic pre-tokenizer regex
+    * (letter runs | digit runs | single non-alphanumeric), counted via
+    * regexp_extract_all — identical simple-class pattern semantics in
+    * Java and RE2 regex engines. */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeSelects: Seq[String] = Seq(
+    "doc_id",
+    s"cast(size(regexp_extract_all(text, '$bpePattern', 0)) as bigint) as n_bpe",
+    s"cast(size(array_distinct(regexp_extract_all(text, '$bpePattern', 0))) as bigint) as n_bpe_distinct")
+
+  def bpeTokens(docs: DataFrame): DataFrame = docs.selectExpr(bpeSelects: _*)
+
+  def bpeSql(table: String = "documents"): String =
+    s"""select doc_id,
+       | cast(len(regexp_extract_all(text, '$bpePattern', 0)) as bigint) as n_bpe,
+       | cast(len(list_distinct(regexp_extract_all(text, '$bpePattern', 0))) as bigint) as n_bpe_distinct
+       |from $table""".stripMargin.replace("\n", " ")
+
   /** Language-ID by stopword-profile scoring: score(lang) = fraction of
     * tokens in that language's function-word list; prediction = argmax
     * with alphabetical tie-break. The classic cheap n-gram/stopword
