@@ -33,6 +33,24 @@ object Tables {
       .select(col("grp"), col("feature_id"), col("value").cast("double").as("value"))
   }
 
+  /** CSV/JSON round-trip support (source-format breadth beyond the
+    * parquet testdata; S6 writes CSV too). Schema travels explicitly —
+    * CSV carries a header, JSON is schema-on-read with the supplied
+    * schema to keep types stable. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Melt SQL for the DuckDB oracle — UNION ALL keeps it ANSI. */
   def meltSql(table: String, groupCol: String, featureCols: Seq[String]): String =
     featureCols.map(c =>

@@ -11,6 +11,37 @@ import org.apache.spark.sql.streaming.Trigger
   * user's open tail. */
 class StatefulStreamSpec extends SparkSpec {
 
+  test("watermark drops events later than the lateness bound (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val h = 3600L * 1000000000L // one hour in nanos
+    val input = MemoryStream[(Long, String, Double)]
+    val agg = graft.streaming.EventStream.hourlyAgg(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val qn = "wm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: events in hours 0 and 3 → watermark advances to hour 2
+    input.addData((h / 10, "a", 1.0), (3L * h + 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event in hour 0 (beyond the 1h lateness bound) and
+    // an on-time event in hour 3
+    input.addData((h / 2, "a", 1.0), (3L * h + 2, "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance event time far so hour-3 window closes and emits
+    input.addData((10L * h, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(qn).orderBy("hour_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("n")))).toMap
+    // hour 0 closed with ONLY the batch-1 event; the late one was dropped
+    assert(out(0L) == 1L, s"late event must be dropped: $out")
+    // hour 3 kept both on-time events
+    assert(out(3L * 3600) == 2L, s"on-time events kept: $out")
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionize on closed sessions") {
     val sfDir = sf("sf0.001")
     // drive the stream one-shot
