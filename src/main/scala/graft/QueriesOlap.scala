@@ -73,6 +73,22 @@ object QueriesOlap {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("c_custkey").asc)
       spend.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
     }),
+    // ROLLUP subtotal hierarchy (grouping sets; NULL marks subtotals in
+    // both engines)
+    "q1_rollup" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), expr(fpSum("l_extendedprice")).as("sum_price"))
+    }),
+    // PIVOT: hourly event counts spread across event-type columns
+    "q_events_pivot" -> ((s, dir) => {
+      Tables.read(s, dir, "events")
+        .withColumn("hour_epoch", expr(Parity.hourEpoch(Parity.SparkD, "ts")))
+        .groupBy("hour_epoch")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
     // exact interpolated quantiles per group (Spark percentile ≡ DuckDB
     // quantile_cont up to ulps; q6-quantized)
     "q_percentiles" -> ((s, dir) => {
@@ -158,6 +174,18 @@ object QueriesOlap {
          |  from orders join customer on o_custkey = c_custkey
          |  group by c_mktsegment, c_custkey, c_name))
          |where rk <= 5""".stripMargin.replace("\n", " "),
+    "q1_rollup" ->
+      (s"""select l_returnflag, l_linestatus, cast(count(*) as bigint) as n,
+          | ${fpSum("l_extendedprice")} as sum_price
+          |from lineitem group by rollup(l_returnflag, l_linestatus)"""
+        .stripMargin.replace("\n", " ")),
+    "q_events_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"cast(count(*) filter (where event_type = '$t') as bigint) as $t").mkString(", ")
+      s"""select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch, $cols
+         |from events group by 1""".stripMargin.replace("\n", " ")
+    },
     "q_percentiles" ->
       (s"""select l_returnflag as grp,
           | ${Parity.q6("quantile_cont(l_extendedprice, 25e-2)")} as p25,
