@@ -34,6 +34,24 @@ class MwuApiSpec extends SparkSpec {
     }
   }
 
+  test("split-relation input (cells + obs) matches the inline-group pipeline") {
+    val vals = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 2.5)
+    val grps = Seq("a", "b", "a", "b", "a", "b", "a", "b")
+    val inline = graft.operators.Pipeline.markerStats(spark,
+      cellsOf("f", vals, grps)).orderBy("grp", "rk").collect()
+    val cells = vals.zipWithIndex.map { case (v, i) => (i.toLong, "f", v) }
+      .toDF("obs_id", "feature_id", "value")
+    val obs = grps.zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("obs_id", "grp")
+    val split = MwuApi.rankGeneGroupsFromObs(spark, cells, obs)
+      .orderBy("grp", "rk").collect()
+    assert(inline.sameElements(split))
+    // invalid obs (duplicate membership) rejected up front
+    val dup = (obs.collect().map(r => (r.getLong(0), r.getString(1))) :+ ((0L, "b")))
+      .toSeq.toDF("obs_id", "grp")
+    intercept[graft.operators.Validation.ValidationException](
+      MwuApi.rankGeneGroupsFromObs(spark, cells, dup))
+  }
+
   test("masks facade matches groups of the cells relation") {
     val obs = Seq((0L, "b"), (1L, "a")).toDF("obs_id", "grp")
     assert(MwuApi.getMasks(obs).columns.toSeq ==
