@@ -65,6 +65,14 @@ object QueriesLlm {
     // rows-only check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
+    // canonical text normalization (trim → collapse spaces → lower) with
+    // a normalized-content fingerprint
+    "text_normalize" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").selectExpr(
+        "doc_id",
+        "lower(trim(regexp_replace(text, '  +', ' '))) as norm_text",
+        "md5(lower(trim(regexp_replace(text, '  +', ' ')))) as norm_fp",
+        "cast(length(lower(trim(regexp_replace(text, '  +', ' ')))) as bigint) as norm_len")),
     // BPE-ish regex sub-word token counts
     "text_bpe_tokens" -> ((s, dir) =>
       TextOps.bpeTokens(Tables.read(s, dir, "documents"))),
@@ -155,6 +163,12 @@ object QueriesLlm {
          |   from q join c on q_id <> n_id))
          |where rn <= 10""".stripMargin.replace("\n", " ")
     },
+    "text_normalize" ->
+      """select doc_id,
+        | lower(trim(regexp_replace(text, '  +', ' ', 'g'))) as norm_text,
+        | md5(lower(trim(regexp_replace(text, '  +', ' ', 'g')))) as norm_fp,
+        | cast(length(lower(trim(regexp_replace(text, '  +', ' ', 'g')))) as bigint) as norm_len
+        |from documents""".stripMargin.replace("\n", " "),
     "text_bpe_tokens" -> TextOps.bpeSql(),
     "corpus_vocab" ->
       """select token, cast(count(*) as bigint) as freq,

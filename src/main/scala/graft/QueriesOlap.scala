@@ -73,6 +73,21 @@ object QueriesOlap {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("c_custkey").asc)
       spend.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
     }),
+    // per-group winsorization: clip at the group's [p5, p95] — the
+    // analytics-feeds-transform pattern (quantiles broadcast back onto
+    // the fact)
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag").agg(
+        expr(Parity.q6("percentile(l_extendedprice, 5e-2)")).as("lo"),
+        expr(Parity.q6("percentile(l_extendedprice, 95e-2)")).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), expr(fpSum("clipped")).as("sum_clipped"),
+          min("lo").as("lo"), min("hi").as("hi"))
+    }),
     // ROLLUP subtotal hierarchy (grouping sets; NULL marks subtotals in
     // both engines)
     "q1_rollup" -> ((s, dir) => {
@@ -174,6 +189,16 @@ object QueriesOlap {
          |  from orders join customer on o_custkey = c_custkey
          |  group by c_mktsegment, c_custkey, c_name))
          |where rk <= 5""".stripMargin.replace("\n", " "),
+    "q_winsorize" ->
+      (s"""with b as (select l_returnflag,
+          |  ${Parity.q6("quantile_cont(l_extendedprice, 5e-2)")} as lo,
+          |  ${Parity.q6("quantile_cont(l_extendedprice, 95e-2)")} as hi
+          | from lineitem group by l_returnflag)
+          |select l.l_returnflag, cast(count(*) as bigint) as n,
+          | ${fpSum("least(greatest(l_extendedprice, lo), hi)")} as sum_clipped,
+          | min(lo) as lo, min(hi) as hi
+          |from lineitem l join b on l.l_returnflag = b.l_returnflag
+          |group by l.l_returnflag""".stripMargin.replace("\n", " ")),
     "q1_rollup" ->
       (s"""select l_returnflag, l_linestatus, cast(count(*) as bigint) as n,
           | ${fpSum("l_extendedprice")} as sum_price
