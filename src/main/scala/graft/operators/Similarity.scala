@@ -91,7 +91,9 @@ object Similarity {
     import spark.implicits._
     val vecs = emb.withColumn("v",
       org.apache.spark.ml.functions.array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    // a coarse quantizer needs few iterations — cells only prune the
+    // candidate scan, they don't decide the final ranking
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("v").setPredictionCol("cluster").fit(vecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cluster"))
