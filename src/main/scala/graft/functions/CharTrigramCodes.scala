@@ -43,6 +43,8 @@ object CharTrigramCodes {
   def codes(s: UTF8String): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length
+    // n == 0: the SQL formula evaluates one term of all-ascii('') = 0 → [0].
+    if (n == 0) return new GenericArrayData(Array(0L))
     val m = math.max(n - 2, 1)
     val out = new Array[Long](m)
     var i = 0

@@ -62,10 +62,14 @@ object MwuStats {
 
   /** Two-sided p = min(1, erfc(z/√2)) — single-sourced snippet. Null z
     * (NaN-poisoned feature) keeps a null p: Spark's `least` skips nulls
-    * and would otherwise return the 1.0 clip arm. */
+    * and would otherwise return the 1.0 clip arm. NaN z (n<2 feature,
+    * sigma=NaN) keeps a NaN p for the same reason — Spark's `least`
+    * treats NaN as greatest and would return the 1.0 clip arm, where the
+    * reference's 2·norm.sf(NaN) = NaN (pvals.py:119). */
   def withP(zStats: DataFrame): DataFrame =
     zStats.withColumn("p",
       when(col("z").isNull, lit(null).cast("double"))
+        .when(isnan(col("z")), lit(Double.NaN))
         .otherwise(expr(Parity.pFromZ("z"))))
 
   /** A5 — Benjamini–Hochberg step-up per group over all features
@@ -74,18 +78,24 @@ object MwuStats {
     *   p_adj = min(1, suffix-min of raw) — order-insensitive among tied
     *   p's (suffix-min absorbs intra-tie ordering; SURVEY.md §7.5). */
   def withBH(pStats: DataFrame, pCol: String = "p", outCol: String = "p_adj"): DataFrame = {
-    val wOrd = Window.partitionBy("grp").orderBy(col(pCol), col("feature_id"))
-    val wAll = Window.partitionBy("grp")
+    // null/NaN p rows (NaN-poisoned features, SURVEY §1.2) are excluded
+    // from the BH windows entirely: partitioning on the validity flag keeps
+    // them out of bh_i/bh_m AND out of every valid row's suffix-min frame
+    // (Spark sorts null first / NaN last, DuckDB null last — excluding them
+    // makes both engines and the reference agree without relying on either
+    // engine's null ordering).
+    val wOrd = Window.partitionBy("grp", "bh_valid").orderBy(col(pCol), col("feature_id"))
+    val wAll = Window.partitionBy("grp", "bh_valid")
     val wSuffix = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     pStats
+      .withColumn("bh_valid", col(pCol).isNotNull && !isnan(col(pCol)))
       .withColumn("bh_i", row_number().over(wOrd).cast("long"))
       .withColumn("bh_m", count(lit(1)).over(wAll))
-      // null p (NaN-poisoned feature, SURVEY §1.2) stays null — MIN would
-      // otherwise skip the null raw term and fabricate a finite p_adj
       .withColumn(outCol, when(col(pCol).isNull, lit(null).cast("double"))
+        .when(isnan(col(pCol)), lit(Double.NaN))
         .otherwise(
           least(lit(1.0), min(col(pCol) * col("bh_m") / col("bh_i")).over(wSuffix))))
-      .drop("bh_i", "bh_m")
+      .drop("bh_i", "bh_m", "bh_valid")
   }
 
   /** Oracle-SQL: U/z/p over a rankSums⋈tieTerm subquery with columns
@@ -108,13 +118,16 @@ object MwuStats {
     * already-quantized p — BH arithmetic on identical inputs is exact. */
   def bhSql(pSql: String): String =
     s"""select feature_id, grp, p9,
-       | least(1.0, min(p9 * cast(bh_m as double) / cast(bh_i as double)) over (
-       |   partition by grp order by p9, feature_id
-       |   rows between current row and unbounded following)) as p_adj
+       | case when p9 is null or isnan(p9) then p9 else
+       |  least(1.0, min(p9 * cast(bh_m as double) / cast(bh_i as double)) over (
+       |   partition by grp, bh_valid order by p9 nulls last, feature_id
+       |   rows between current row and unbounded following)) end as p_adj
        |from (
        | select feature_id, grp, p9,
-       |  cast(row_number() over (partition by grp order by p9, feature_id) as bigint) as bh_i,
-       |  cast(count(*) over (partition by grp) as bigint) as bh_m
+       |  (p9 is not null and not isnan(p9)) as bh_valid,
+       |  cast(row_number() over (partition by grp, (p9 is not null and not isnan(p9))
+       |    order by p9 nulls last, feature_id) as bigint) as bh_i,
+       |  cast(count(*) over (partition by grp, (p9 is not null and not isnan(p9))) as bigint) as bh_m
        | from ($pSql)
        |)""".stripMargin.replace("\n", " ")
 }

@@ -72,14 +72,18 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    val gapNs = gapMinutes * 60L * 1000000000L
+    // Same granularity as the batch plan (EventOps.sessionize compares
+    // floored epoch SECONDS, not raw nanos): a gap in (gapSec, gapSec+1)
+    // seconds must make the same open/close decision in both paths.
+    val gapSec = gapMinutes * 60L
+    def sec(ns: Long): Long = ns / 1000000000L
     def fn(key: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
       val sorted = events.toSeq.sortBy(_.ts)
       var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
       sorted.foreach { e =>
         cur match {
-          case Some(s) if e.ts - s.end > gapNs =>
+          case Some(s) if sec(e.ts) - sec(s.end) > gapSec =>
             out += SessOut(key, s.sessionId, s.nEvents, s.start, s.end)
             cur = Some(SessState(s.sessionId + 1, 1L, e.ts, e.ts))
           case Some(s) =>

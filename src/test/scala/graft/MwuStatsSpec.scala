@@ -78,6 +78,27 @@ class MwuStatsSpec extends SparkSpec {
     good.foreach(r => assert(!r.isNullAt(r.fieldIndex("p_adj"))))
   }
 
+  test("n<2 feature: NaN z propagates to NaN p/p_adj; valid rows' BH unaffected") {
+    // n=1 → sigma=NaN → z=NaN; reference 2*norm.sf(NaN)=NaN, but Spark's
+    // least() treats NaN as greatest and would clip to 1.0 without the
+    // isnan guard in withP; the NaN row must also stay out of the valid
+    // rows' BH windows (bh_m / suffix-min).
+    val cells = cellsOf("good", Seq(1.0, 2.0, 3.0, 4.0), Seq("a", "b", "a", "b"))
+      .unionAll(cellsOf("tiny", Seq(1.0), Seq("a")))
+    val st = MwuStats.withBH(MwuStats.withP(
+      MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+        MwuAgg.tieTerm(cells))))
+    val rows = st.collect().map(r =>
+      (r.getString(r.fieldIndex("feature_id")), r.getString(r.fieldIndex("grp"))) ->
+        (r.getDouble(r.fieldIndex("z")), r.getDouble(r.fieldIndex("p")),
+          r.getDouble(r.fieldIndex("p_adj")))).toMap
+    val (tz, tp, tadj) = rows(("tiny", "a"))
+    assert(tz.isNaN && tp.isNaN && tadj.isNaN)
+    // grp "a" has one valid feature (good) → bh_m=1, bh_i=1 → p_adj = min(1, p)
+    val (_, gp, gadj) = rows(("good", "a"))
+    assert(!gp.isNaN && gadj == math.min(1.0, gp))
+  }
+
   test("BH step-up matches reimplementation incl. tied p (gen_fixtures F4)") {
     import spark.implicits._
     val df = Seq(("f1", 0.01), ("f2", 0.04), ("f3", 0.04), ("f4", 0.8))

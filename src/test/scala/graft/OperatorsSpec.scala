@@ -148,6 +148,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("char_trigram_codes on empty/1-char/2-char strings matches the SQL formula (no AIOOBE)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("", "a", "ab").toDF("text").selectExpr(
+      "char_trigram_codes(text) as fast",
+      "array_sort(" + graft.operators.Dedup.charShingleCodesSql("text") + ") as ref")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    // '' → one all-zero term, exactly like the SQL formula's ascii('')=0
+    val empty = Seq("").toDF("text")
+      .selectExpr("char_trigram_codes(text) as c").collect().head.getSeq[Long](0)
+    assert(empty == Seq(0L))
+  }
+
   test("char_trigram_codes uses Unicode code points (DuckDB ascii semantics, not spark's first-byte)") {
     graft.functions.GraftFunctions.register(spark)
     // 日本語テキスト code points

@@ -42,6 +42,31 @@ class StatefulStreamSpec extends SparkSpec {
     assert(out(3L * 3600) == 2L, s"on-time events kept: $out")
   }
 
+  test("sessionizer uses floored-second gaps like batch (sub-second boundary case)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // raw nano gap = 1800.7s > 1800s, but floored-second gap = 1800 (not >
+    // 1800): batch keeps the session open, so streaming must too.
+    val t1 = 200000000L            // 0.2 s  → sec 0
+    val t2 = 1800900000000L        // 1800.9 s → sec 1800
+    val t3 = 10000000000000L       // 10000 s — far gap, closes the session
+    val input = MemoryStream[(Long, Long)]
+    val qn = "sessgap_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.sessionizeStream(
+        input.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((1L, t1), (1L, t2), (1L, t3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(qn)
+      .select("session_id", "n_events", "start_ns", "end_ns")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one closed session containing BOTH t1 and t2
+    assert(out.toSeq == Seq((1L, 2L, t1, t2)), out.mkString(","))
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionize on closed sessions") {
     val sfDir = sf("sf0.001")
     // drive the stream one-shot
