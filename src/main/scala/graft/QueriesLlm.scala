@@ -23,10 +23,11 @@ object QueriesLlm {
     // near-dup by character-3-gram Jaccard in (lang, length-band) buckets
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, band = 50, threshold = 0.4)),
-    // MinHash LSH near-dup (library hash family → rows-only check)
+    // MinHash LSH near-dup (Carter-Wegman family → full hash check)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.read(s, dir, "documents"))),
-    // SimHash fingerprints + Hamming-radius near-dup pairs (rows-only)
+    // SimHash fingerprints + Hamming-radius near-dup pairs (CW lane bits
+    // → full hash check)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.read(s, dir, "documents"))),
     // per-document token statistics
@@ -41,7 +42,7 @@ object QueriesLlm {
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.read(s, dir, "documents"))),
     // rolling-hash fingerprint via the custom codegen Expression
-    // (library-internal hash → rows-only check)
+    // (codepoint polynomial — mirrored in DuckDB by Parity.rollingHashDuck)
     "doc_rolling_hash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables.read(s, dir, "documents")
@@ -61,8 +62,8 @@ object QueriesLlm {
     // IVF approximate top-k — coarse-quantizer scale path (rows-only)
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
-    // LSH-bucketed near-duplicate embedding pairs (library hash planes →
-    // rows-only check)
+    // LSH-bucketed near-duplicate embedding pairs (deterministic ±1
+    // hyperplanes over fixed-point projections → full hash check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
     // canonical text normalization (trim → collapse spaces → lower) with
@@ -109,7 +110,102 @@ object QueriesLlm {
   private def statsDuck =
     s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
 
+  /** DuckDB mirror of [[Dedup.minHashPairs]] — word-3-gram shingles →
+    * rolling-hash codes → 16 CW minhashes → 4 band buckets → bucket join
+    * → exact Jaccard on the code sets. Every constant is interpolated
+    * from the same Scala source as the Spark plan. */
+  private def minhashDuck: String = {
+    val numHashes = 16
+    val bands = 4
+    val r = numHashes / bands
+    val rh = Parity.rollingHashDuck("s")
+    val shingle = "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' ')))"
+    val sigCols = (0 until numHashes)
+      .map(j => s"list_min(list_transform(codes, c -> ${Parity.cwMix(j, "c")})) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until bands)
+      .map(b => s"select doc_id, $b as band, " +
+        s"${Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
+      .mkString(" union all ")
+    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from documents),
+       |sh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from doc),
+       |sig as (select doc_id, $sigCols from sh),
+       |banded as ($bandRows),
+       |cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+       |  from banded a join banded b on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id),
+       |vr as (select doc_a, doc_b,
+       |  cast(len(list_intersect(sa.codes, sb.codes)) as bigint) as inter,
+       |  cast(len(sa.codes) as bigint) + cast(len(sb.codes) as bigint) as tot
+       |  from cand join sh sa on cand.doc_a = sa.doc_id join sh sb on cand.doc_b = sb.doc_id)
+       |select doc_a, doc_b, jac from (
+       | select doc_a, doc_b, cast(inter as double) / cast(tot - inter as double) as jac from vr)
+       |where jac >= 5e-1""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB mirror of [[Dedup.simHashPairs]] — CW lane bits assembled
+    * into four 16-bit blocks (DuckDB's BIGINT shift throws on 1<<63, so
+    * the 64-bit word never materializes; hamming sums block popcounts). */
+  private def simhashDuck: String = {
+    val rh = Parity.rollingHashDuck("t")
+    val bitSums = (0 until 64)
+      .map(b => s"sum(case when ${Parity.cwBit(b, "h")} = 1 then 1 else -1 end) as s$b")
+      .mkString(", ")
+    val blocks = (0 until 4).map { k =>
+      val terms = (0 until 16)
+        .map(i => s"(case when s${k * 16 + i} > 0 then ${1 << i} else 0 end)")
+        .mkString(" + ")
+      s"cast($terms as bigint) as k$k"
+    }.mkString(", ")
+    val keyRows = (0 until 4)
+      .map(k => s"select doc_id, k0, k1, k2, k3, $k as blk, k$k as bv from blk")
+      .mkString(" union all ")
+    s"""with toks as (select doc_id, unnest(string_split(trim(text), ' ')) as t from documents),
+       |h as (select doc_id, $rh as h from toks),
+       |bits as (select doc_id, $bitSums from h group by doc_id),
+       |blk as (select doc_id, $blocks from bits),
+       |keyed as ($keyRows),
+       |cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       |  a.k0 as a0, a.k1 as a1, a.k2 as a2, a.k3 as a3,
+       |  b.k0 as b0, b.k1 as b1, b.k2 as b2, b.k3 as b3
+       |  from keyed a join keyed b on a.blk = b.blk and a.bv = b.bv and a.doc_id < b.doc_id)
+       |select doc_a, doc_b, hamming from (
+       | select doc_a, doc_b, cast(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+       |  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) as bigint) as hamming from cand)
+       |where hamming <= 3""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB mirror of [[Similarity.nearDupPairs]] — 12 deterministic ±1
+    * hyperplane sign bits over 2^-20 fixed-point values → bucket join →
+    * exact cosine. */
+  private def embNeardupDuck: String = {
+    val sCols = (0 until 12)
+      .map(b => s"sum(case when ${Parity.cwBit(b, "i")} = 1 then qv else -qv end) as s$b")
+      .mkString(", ")
+    val bucket = (0 until 12)
+      .map(b => s"(case when s$b > 0 then ${1 << b} else 0 end)")
+      .mkString(" + ")
+    val dotAB = Parity.dot(DuckD, "a.embedding", "b.embedding", dim)
+    val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+    s"""with qd as (select vec_id, i,
+       |  cast(floor(cast(list_extract(embedding, i) as double) * 1048576e0 + 5e-1) as bigint) as qv
+       |  from embeddings, generate_series(1, $dim) t(i)),
+       |bs as (select vec_id, $sCols from qd group by vec_id),
+       |bkt as (select vec_id, cast($bucket as bigint) as bucket from bs),
+       |nn as (select e.vec_id, e.embedding, sqrt($dotSelf) as norm, k.bucket
+       |  from embeddings e join bkt k on e.vec_id = k.vec_id)
+       |select id_a, id_b, cos from (
+       | select a.vec_id as id_a, b.vec_id as id_b, ($dotAB) / (a.norm * b.norm) as cos
+       | from nn a join nn b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+       |where cos >= 35e-2""".stripMargin.replace("\n", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_rolling_hash" ->
+      s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
+    "dedup_minhash" -> minhashDuck,
+    "dedup_simhash" -> simhashDuck,
+    "emb_neardup" -> embNeardupDuck,
     "dedup_exact" ->
       """select md5(text) as fingerprint, cast(count(*) as bigint) as cnt,
         | cast(min(doc_id) as bigint) as keeper_id

@@ -7,12 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Polynomial rolling hash over UTF-8 bytes — the document-fingerprinting
-  * primitive (SURVEY.md §7.3 path (b): a native Catalyst `Expression`
-  * with `doGenCode`, so it stays inside whole-stage codegen; a Scala UDF
-  * would break the codegen span and pay serialization per row).
+/** Polynomial rolling hash over Unicode code points — the document-
+  * fingerprinting primitive (SURVEY.md §7.3 path (b): a native Catalyst
+  * `Expression` with `doGenCode`, so it stays inside whole-stage codegen;
+  * a Scala UDF would break the codegen span and pay serialization per row).
   *
-  * h = Σ h·B + byte (mod P), B=263, P=1e9+7 — stays in positive longs.
+  * h = Σ h·B + codepoint (mod P), B=263, P=1e9+7 — stays in positive
+  * longs. Code points (not UTF-8 bytes) so the hash is expressible
+  * identically in DuckDB SQL (`unicode(substring(s, i, 1))` — see
+  * [[graft.oracle.Parity.rollingHashDuck]]), which upgrades every query
+  * built on this hash from rows-only to full oracle hash-checking.
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression {
@@ -24,10 +28,10 @@ case class RollingHash(child: Expression)
   override def prettyName: String = "rolling_hash"
 
   protected override def nullSafeEval(input: Any): Any =
-    RollingHash.hash(input.asInstanceOf[UTF8String].getBytes)
+    RollingHash.hash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c.getBytes())")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -37,12 +41,17 @@ object RollingHash {
   final val Base = 263L
   final val Mod = 1000000007L
 
-  def hash(bytes: Array[Byte]): Long = {
+  /** Iterates code points (surrogate pairs consume two chars, one step) —
+    * exactly the sequence DuckDB's codepoint-indexed `substring` +
+    * `unicode` walks, so both engines hash identical integer streams. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = (h * Base + (bytes(i) & 0xff)) % Mod
-      i += 1
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * Base + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

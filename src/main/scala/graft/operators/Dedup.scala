@@ -49,9 +49,18 @@ object Dedup {
     * unrelated documents even over a small vocabulary, so LSH candidate
     * sets stay sparse (char n-grams of a shared vocab overlap almost
     * completely and degenerate to O(n²) candidates). */
-  def wordShingles(textCol: String, n: Int = 3): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(size(split(trim($textCol), ' ')) - ${n - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice(split(trim($textCol), ' '), i, $n))))")
+  def wordShingles(textCol: String, n: Int = 3): Column = expr(wordShinglesSql(textCol, n))
+
+  def wordShinglesSql(textCol: String, n: Int = 3): String =
+    s"array_distinct(transform(sequence(1, greatest(size(split(trim($textCol), ' ')) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice(split(trim($textCol), ' '), i, $n))))"
+
+  /** Sorted distinct rolling-hash codes of the word-3-gram shingles — the
+    * integer shingle-set representation every hash-family op runs on
+    * (merge-intersect ready; codes ∈ [0, CwMod) so Carter-Wegman mixes
+    * stay overflow-free in both engines). */
+  def shingleCodesSql(textCol: String): String =
+    s"array_sort(array_distinct(transform(${wordShinglesSql(textCol)}, s -> rolling_hash(s))))"
 
   /** Near-duplicate pairs by character-n-gram Jaccard within
     * (lang, length-band) candidate buckets. Jaccard is an exact integer
@@ -81,16 +90,28 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Polynomial fold of a band's minhashes into one bucket value —
+    * modular, so it is overflow-free and identical in both engines. */
+  private[graft] def bandValueSql(hashes: Seq[String]): String =
+    hashes.reduceLeft((acc, h) => s"((($acc) * 1000003 + $h) % ${graft.oracle.Parity.CwMod})")
+
   /** MinHash + LSH near-dup, built Spark-first from codegen'd built-ins
-    * (shingle → xxhash64 minhash signature → band buckets → bucket join →
-    * exact-Jaccard verification). The classic scale shape: signature
-    * width is fixed (numHashes longs/doc), candidate generation is a
-    * shuffle on band value, and only same-bucket pairs pay the exact
-    * verification. (spark.ml's MinHashLSH approxSimilarityJoin was tried
-    * first and degenerates into a single-task quadratic candidate scan.)
+    * (word shingles → rolling-hash codes → Carter-Wegman minhash
+    * signature → band buckets → bucket join → exact-Jaccard
+    * verification). The classic scale shape: signature width is fixed
+    * (numHashes longs/doc), candidate generation is a shuffle on band
+    * value, and only same-bucket pairs pay the exact verification.
+    * (spark.ml's MinHashLSH approxSimilarityJoin was tried first and
+    * degenerates into a single-task quadratic candidate scan.)
     *
-    * Hash family: h_j(s) = xxhash64(j, s) — deterministic, library-
-    * internal (rows-only oracle check).
+    * The signature is computed with array transforms on the per-doc code
+    * set — zero shuffles until the band join (the previous explode +
+    * 16-way min aggregate paid a full shuffle of every shingle).
+    *
+    * Hash family: h_j(S) = min over codes c of (a_j·c + b_j) mod P
+    * ([[graft.oracle.Parity.cwMix]]) over codepoint rolling-hash codes —
+    * every step expressible in DuckDB SQL, so the driver hash-checks this
+    * query end-to-end (no rows-only carve-out).
     *
     * @param numHashes signature width (bands × rowsPerBand)
     * @param bands     LSH bands; match probability ≈ 1-(1-j^r)^b
@@ -98,33 +119,30 @@ object Dedup {
   def minHashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
-    val sh = docs.select(col("doc_id"), wordShingles("text").as("sh"))
-    // signature: per doc, min over shingles of each seeded hash — one
-    // explode + one partial+final hash aggregate (map-side combined)
-    val hashCols = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
-    val sig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id")
-      .agg(hashCols.head, hashCols.tail: _*)
-    // band values: hash of each r-slice of the signature
+    val sh = docs.select(col("doc_id"), expr(shingleCodesSql("text")).as("codes"))
+    val sigCols = (0 until numHashes).map(j =>
+      expr(s"array_min(transform(codes, c -> ${graft.oracle.Parity.cwMix(j, "c")}))").as(s"h$j"))
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
-      val slice = (b * r until (b + 1) * r).map(j => col(s"h$j"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bv"))
+      val bv = bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
+      struct(lit(b).as("band"), expr(bv).as("bv"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    // same-bucket candidates (distinct pairs), then exact verification
+    // same-bucket candidates (distinct pairs), then exact verification on
+    // the sorted code sets (linear merge intersect, longs not strings)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("codes").as("codes_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("codes").as("codes_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter", expr("sorted_intersect_count(codes_a, codes_b)"))
       .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+        size(col("codes_a")).cast("long") + size(col("codes_b")).cast("long") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
@@ -133,13 +151,20 @@ object Dedup {
   /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.
     * Built from explode + bitwise built-ins: for each of 64 bit lanes,
     * sum ±1 per token and take the sign bit. Near-dup candidates =
-    * fingerprints within `maxHamming` (verified by popcount on xor). */
+    * fingerprints within `maxHamming` (verified by popcount on xor).
+    *
+    * Lane bits come from Carter-Wegman mixes of the token's codepoint
+    * rolling hash ([[graft.oracle.Parity.cwBit]]) — pairwise-independent
+    * per lane and expressible in DuckDB, so the pair query hash-checks
+    * (DuckDB assembles the same bits into four 16-bit blocks instead of
+    * one 64-bit word — its BIGINT shift throws on 1<<63). */
   def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"),
       explode(expr(s"split(trim($textCol), ' ')")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", expr("rolling_hash(t)"))
     val bitCols = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+      sum(when(expr(graft.oracle.Parity.cwBit(b, "h")) === 1, 1L).otherwise(-1L)).as(s"b$b"))
     val bitSums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val fp = (0 until 64).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))

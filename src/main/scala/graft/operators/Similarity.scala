@@ -45,29 +45,47 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `bits` fixed seeded
+  /** Random-hyperplane LSH bucket id: sign bits of `bits` fixed ±1
     * projections. A typed mapPartitions kernel (not a 768-term codegen
-    * expression, which blew up janino compile time): the plane matrix is
+    * expression, which blew up janino compile time): the sign matrix is
     * a broadcast-sized closure constant, the loop is tight primitive
     * arithmetic — SURVEY.md §7.3 case (d), justified for a fixed numeric
-    * kernel. Library-internal hash family → rows-only checking. */
-  def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L,
+    * kernel.
+    *
+    * Cross-engine determinism: plane component (b,d) is ±1 from the
+    * Carter-Wegman parity of the 1-based dimension index
+    * ([[Parity.cwParams]]), and each embedding value is quantized to
+    * 2^-20 fixed point (floor(v·2^20 + 0.5) — the [[Parity.fpSum]]
+    * pattern) so the projection is an exact BIGINT sum. The bucket id is
+    * therefore a pure integer function of the vector, reproducible in
+    * DuckDB SQL — the LSH near-dup query hash-checks end-to-end. */
+  def lshBuckets(emb: DataFrame, bits: Int = 12,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val mod = Parity.CwMod
+    val params = Array.tabulate(bits)(b => Parity.cwParams(b))
     val buckets = emb
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
+        val q = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) {
+          q(i) = math.floor(v(i).toDouble * 1048576.0 + 0.5).toLong
+          i += 1
+        }
         var bucket = 0L
         var b = 0
-        while (b < planes.length) {
-          var s = 0.0; var i = 0
-          val p = planes(b)
-          while (i < v.length) { s += v(i) * p(i); i += 1 }
-          if (s >= 0.0) bucket |= (1L << b)
+        while (b < params.length) {
+          val (a, c) = params(b)
+          var s = 0L; var d = 0
+          while (d < q.length) {
+            // 1-based dim index matches DuckDB's generate_series(1, dim)
+            if ((((d + 1) * a + c) % mod) % 2 == 1) s += q(d) else s -= q(d)
+            d += 1
+          }
+          if (s > 0L) bucket |= (1L << b)
           b += 1
         }
         (id, bucket)

@@ -138,6 +138,66 @@ object Parity {
     (1 to dim).map(i => s"(cast(${elem(d, a, i)} as double) * cast(${elem(d, b, i)} as double))")
       .reduceLeft((x, y) => s"($x + $y)")
 
+  // ---------------------------------------------------------------------
+  // Cross-engine hash family — the backbone of the oracle-checked dedup /
+  // LSH queries. Spark evaluates the codepoint rolling hash through the
+  // codegen'd [[graft.functions.RollingHash]] expression; DuckDB evaluates
+  // [[rollingHashDuck]]; both walk the same codepoint stream mod the same
+  // prime, so downstream Carter-Wegman mixes ([[cwMix]]/[[cwBit]]) —
+  // whose SQL text is IDENTICAL on both sides — produce equal signatures.
+  // ---------------------------------------------------------------------
+
+  /** Prime modulus shared with [[graft.functions.RollingHash.Mod]]: all
+    * hash values live in [0, CwMod), so `x * a + b` for a,b < CwMod stays
+    * under 2^63 — overflow-free in BOTH engines (DuckDB BIGINT throws on
+    * overflow rather than wrapping, so this bound is load-bearing). */
+  final val CwMod = 1000000007L
+
+  /** Deterministic affine parameters (a_j, b_j), a_j ∈ [1, CwMod),
+    * b_j ∈ [0, CwMod) — a fixed splitmix-style walk; both engines receive
+    * the resulting literals because all SQL text is generated here. */
+  def cwParams(j: Int): (Long, Long) = {
+    var x = 0x9E3779B97F4A7C15L * (j + 1) + 0x2545F4914F6CDD1DL
+    def next(): Long = {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      x
+    }
+    val a = java.lang.Long.remainderUnsigned(next(), CwMod - 1) + 1
+    val b = java.lang.Long.remainderUnsigned(next(), CwMod)
+    (a, b)
+  }
+
+  /** j-th Carter-Wegman affine mix of a hash-valued expression
+    * (input MUST be in [0, CwMod)). Identical text for both engines —
+    * plain integer literals (no `L` suffix: DuckDB rejects it; both
+    * engines promote INT literal × BIGINT column to BIGINT). */
+  def cwMix(j: Int, x: String): String = {
+    val (a, b) = cwParams(j)
+    s"((($x) * $a + $b) % $CwMod)"
+  }
+
+  /** j-th pairwise-independent hash bit of a hash-valued expression. */
+  def cwBit(j: Int, x: String): String = s"(${cwMix(j, x)} % 2)"
+
+  /** Codepoint polynomial rolling hash in DuckDB SQL — mirrors
+    * [[graft.functions.RollingHash.hash]] exactly (h←h·263+cp mod 1e9+7;
+    * empty string → 0; `list_reduce` seeds with the first element, which
+    * equals the first iteration since cp < mod). */
+  def rollingHashDuck(e: String): String =
+    s"(case when length($e) = 0 then 0 " +
+      s"else list_reduce(list_transform(generate_series(1, length($e)), " +
+      s"i -> cast(unicode(substring($e, i, 1)) as bigint)), " +
+      s"(a, b) -> (a * 263 + b) % 1000000007) end)"
+
+  /** The dialect split for the rolling hash: Spark runs the codegen
+    * expression, DuckDB the list fold. */
+  def rollingHash(d: Dialect, e: String): String = d match {
+    case SparkD => s"rolling_hash($e)"
+    case DuckD  => rollingHashDuck(e)
+  }
+
   /** Epoch seconds of the hour bucket of an epoch-nanos BIGINT (Spark
     * side; see [[graft.sources.Tables.read]]) / TIMESTAMP_NS (DuckDB). */
   def hourEpoch(d: Dialect, tsNanos: String): String = d match {

@@ -20,8 +20,7 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // the known library-internal-hash queries
-    assert(rowsOnly == Set("dedup_minhash", "dedup_simhash", "doc_rolling_hash",
-      "ann_ivf", "emb_neardup"), s"unexpected rows-only set: $rowsOnly")
+    // the one genuinely SQL-inexpressible op (k-means coarse quantizer)
+    assert(rowsOnly == Set("ann_ivf"), s"unexpected rows-only set: $rowsOnly")
   }
 }
