@@ -98,7 +98,21 @@ object QueriesLlm {
         .withColumn("centroid", col("vsum") / col("n").cast("double"))),
     // multimodal: binary blob ingestion + partition-parallel (stub) decode
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents"))))
+      Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))),
+    // Gopher-style within-document repetition signals
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetition(Tables.read(s, dir, "documents"))),
+    // per-document top-3 tokens by TF-IDF (quantized idf, deterministic
+    // tie-break)
+    "tfidf_top" -> ((s, dir) =>
+      TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
+    // benchmark decontamination: best eval-set match by word-3-gram
+    // containment (broadcast eval side)
+    "decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.read(s, dir, "documents"))),
+    // symmetric int8 embedding quantization (long format)
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")))
   )
 
   private val shingleDuck =
@@ -200,7 +214,31 @@ object QueriesLlm {
        |where cos >= 35e-2""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB mirror of [[Dedup.decontaminate]]. */
+  private def decontamDuck: String = {
+    val rh = Parity.rollingHashDuck("s")
+    val shingle = "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' ')))"
+    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from documents),
+       |sh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from doc),
+       |ev as (select doc_id as eval_id, codes as eval_codes from sh where doc_id % 97 = 0),
+       |corp as (select doc_id, codes from sh where doc_id % 97 <> 0)
+       |select doc_id, eval_id, contam from (
+       | select doc_id, eval_id, contam,
+       |  row_number() over (partition by doc_id order by contam desc, eval_id asc) as rk
+       | from (select corp.doc_id, ev.eval_id,
+       |   cast(len(list_intersect(corp.codes, ev.eval_codes)) as double)
+       |    / cast(len(ev.eval_codes) as double) as contam
+       |   from corp cross join ev))
+       |where rk = 1""".stripMargin.replace("\n", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
+    "tfidf_top" -> TextOps.tfIdfSql(),
+    "decontaminate" -> decontamDuck,
+    "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "dedup_minhash" -> minhashDuck,

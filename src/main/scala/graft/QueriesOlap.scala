@@ -152,7 +152,9 @@ object QueriesOlap {
     // oracle is the BATCH hourly SQL
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir)),
     // streaming dropDuplicates state — oracle is the batch distinct count
-    "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir))
+    "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir)),
+    // stream-static broadcast enrichment join — oracle is the batch join
+    "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir))
   )
 
   private val q1Oracle =
@@ -254,6 +256,10 @@ object QueriesOlap {
     "stream_hourly" -> EventOps.hourlySql(),
     "stream_dedup" ->
       """select event_type, cast(count(distinct user_id) as bigint) as n_distinct_users
-        |from events group by event_type""".stripMargin.replace("\n", " ")
+        |from events group by event_type""".stripMargin.replace("\n", " "),
+    "stream_join" ->
+      s"""select c_mktsegment, cast(count(*) as bigint) as n, ${fpSum("value")} as v
+         |from events join customer on user_id = c_custkey
+         |group by c_mktsegment""".stripMargin.replace("\n", " ")
   )
 }

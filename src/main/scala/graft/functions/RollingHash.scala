@@ -41,17 +41,30 @@ object RollingHash {
   final val Base = 263L
   final val Mod = 1000000007L
 
-  /** Iterates code points (surrogate pairs consume two chars, one step) —
-    * exactly the sequence DuckDB's codepoint-indexed `substring` +
-    * `unicode` walks, so both engines hash identical integer streams. */
+  /** Iterates code points decoded straight from the UTF-8 bytes (no
+    * String materialization — this runs once per shingle on the dedup hot
+    * path) — exactly the sequence DuckDB's codepoint-indexed `substring`
+    * + `unicode` walks, so both engines hash identical integer streams.
+    * Spark strings are valid UTF-8, so the decoder needs no error paths;
+    * a 4-byte sequence (surrogate pair in UTF-16) is one code point. */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var h = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
       h = (h * Base + cp) % Mod
-      i += Character.charCount(cp)
     }
     h
   }

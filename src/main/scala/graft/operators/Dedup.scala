@@ -58,9 +58,25 @@ object Dedup {
   /** Sorted distinct rolling-hash codes of the word-3-gram shingles — the
     * integer shingle-set representation every hash-family op runs on
     * (merge-intersect ready; codes ∈ [0, CwMod) so Carter-Wegman mixes
-    * stay overflow-free in both engines). */
+    * stay overflow-free in both engines). Single-expression form — see
+    * [[withShingleCodes]] for the fast two-projection shape. */
   def shingleCodesSql(textCol: String): String =
     s"array_sort(array_distinct(transform(${wordShinglesSql(textCol)}, s -> rolling_hash(s))))"
+
+  /** (doc_id, codes) with the words array materialized in a LOWER
+    * projection: inlining `split` into the shingle lambda re-splits the
+    * text once per shingle — O(words²) per document, measured 3× slower
+    * at sf0.1. CollapseProject keeps the two projections separate because
+    * `words` is non-cheap and referenced twice. */
+  def withShingleCodes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(s"split(trim($textCol), ' ')").as("words"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(transform(" +
+          "sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3))), " +
+          "s -> rolling_hash(s))))").as("codes"))
+  }
 
   /** Near-duplicate pairs by character-n-gram Jaccard within
     * (lang, length-band) candidate buckets. Jaccard is an exact integer
@@ -121,31 +137,63 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
-    val sh = docs.select(col("doc_id"), expr(shingleCodesSql("text")).as("codes"))
+    // codes materialize ONCE in this projection (CollapseProject keeps
+    // the expensive array out of the 16 signature transforms), and ride
+    // through the band join so no subplan recomputes the shingling —
+    // carrying the fixed-width code array through the shuffle is the
+    // standard LSH trade (≈1 KB/doc·band) vs. re-deriving it per join.
+    val sh = withShingleCodes(docs, "text")
     val sigCols = (0 until numHashes).map(j =>
       expr(s"array_min(transform(codes, c -> ${graft.oracle.Parity.cwMix(j, "c")}))").as(s"h$j"))
-    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val sig = sh.select(col("doc_id") +: col("codes") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
       val bv = bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
       struct(lit(b).as("band"), expr(bv).as("bv"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    // same-bucket candidates (distinct pairs), then exact verification on
-    // the sorted code sets (linear merge intersect, longs not strings)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("codes").as("codes_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("codes").as("codes_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
+    val banded = sig.select(col("doc_id"), col("codes"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("codes"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // same-bucket collisions verified in place (linear merge intersect on
+    // the sorted code sets); a pair colliding in several bands dedupes in
+    // the final aggregate (jac is identical on every collision)
+    val a = banded.select(col("doc_id").as("doc_a"), col("codes").as("codes_a"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("codes").as("codes_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", expr("sorted_intersect_count(codes_a, codes_b)"))
       .withColumn("uni",
         size(col("codes_a")).cast("long") + size(col("codes_b")).cast("long") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+      .groupBy("doc_a", "doc_b")
+      .agg(min("jac").as("jac"))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the best-
+    * matching eval-set document by word-3-gram containment
+    * |D∩E| / |E| (the standard train/eval contamination direction).
+    * The eval set (doc_id % evalEvery == 0 — a stand-in for a benchmark
+    * table) is tiny by construction, so it BROADCASTS and the scan over
+    * the corpus is a single shuffle-free pass plus one per-doc top-1
+    * window; at 100 TB this is the only shape that works — the corpus
+    * never shuffles. Exact integer ratios → full oracle hash check. */
+  def decontaminate(docs: DataFrame, evalEvery: Int = 97): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = withShingleCodes(docs, "text")
+    val evals = sh.filter(col("doc_id") % evalEvery === 0)
+      .select(col("doc_id").as("eval_id"), col("codes").as("eval_codes"))
+    val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("contam").desc, col("eval_id").asc)
+    corpus.crossJoin(broadcast(evals))
+      .withColumn("inter", expr("sorted_intersect_count(codes, eval_codes)"))
+      .withColumn("contam",
+        col("inter").cast("double") / size(col("eval_codes")).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("doc_id", "eval_id", "contam")
   }
 
   /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.

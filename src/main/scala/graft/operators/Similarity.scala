@@ -146,6 +146,31 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth-reduction op of an embedding pipeline. scale = 127/max|v|
+    * (max is order-independent), q = clamp(floor(v·scale + 0.5), ±127) —
+    * every step IEEE-exact on identical operands, so the long-format
+    * output hash-checks against DuckDB. Per-row array math: no shuffle. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(expr(s"sequence(1, $dim)")).as("dim"), col("embedding"))
+      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale", expr("case when mx > 0e0 then 127e0 / mx else 0e0 end"))
+      .withColumn("v", expr("cast(element_at(embedding, dim) as double)"))
+      .withColumn("q",
+        expr("greatest(-127, least(127, cast(floor(v * scale + 5e-1) as bigint)))"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"), col("scale"))
+
+  /** DuckDB mirror of [[quantizeInt8]]. */
+  def quantizeInt8Sql: String =
+    s"""select vec_id, cast(i as bigint) as dim,
+       | greatest(-127, least(127, cast(floor(cast(list_extract(embedding, i) as double) * scale + 5e-1) as bigint))) as q,
+       | scale
+       |from (select vec_id, embedding, i,
+       |  case when mx > 0e0 then 127e0 / mx else 0e0 end as scale
+       |  from (select vec_id, embedding, i,
+       |   list_max(list_transform(embedding, x -> abs(cast(x as double)))) as mx
+       |   from embeddings, generate_series(1, $dim) t(i)))""".stripMargin.replace("\n", " ")
+
   /** Exact near-duplicate pairs within a blocking key (here: the label
     * column): deterministic cosine over all same-block pairs — the
     * oracle-checkable exact counterpart of [[nearDupPairs]]. */

@@ -116,4 +116,88 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(trim(col("text"))).as("fingerprint"),
       octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * filters): fraction of duplicate word n-grams and the share of the
+    * most frequent token. All exact integer ratios over per-row array
+    * ops — no shuffle, bit-deterministic in both engines. */
+  def repetitionSelects(d: Dialect): Seq[String] = {
+    val (split, len, distinct) = d match {
+      case SparkD => ("split", "size", "array_distinct")
+      case DuckD  => ("string_split", "len", "list_distinct")
+    }
+    val toks = s"$split(trim(text), ' ')"
+    val nTok = s"$len($toks)"
+    // NON-distinct word k-grams: repetition is about multiplicity
+    def grams(k: Int) = d match {
+      case SparkD =>
+        s"transform(sequence(1, greatest($nTok - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice($toks, i, $k)))"
+      case DuckD =>
+        s"list_transform(generate_series(1, greatest($nTok - ${k - 1}, 1)), " +
+          s"i -> array_to_string(list_slice($toks, i, i + ${k - 1}), ' '))"
+    }
+    def dupFrac(k: Int) =
+      s"(1e0 - cast($len($distinct(${grams(k)})) as double) / " +
+        s"cast($len(${grams(k)}) as double))"
+    val topTok = d match {
+      case SparkD =>
+        s"array_max(transform($distinct($toks), t -> $len(filter($toks, x -> x = t))))"
+      case DuckD =>
+        s"list_max(list_transform($distinct($toks), t -> $len(list_filter($toks, x -> x = t))))"
+    }
+    Seq(
+      "doc_id", "lang",
+      s"cast($nTok as bigint) as n_tokens",
+      s"(cast($topTok as double) / cast($nTok as double)) as top_token_frac",
+      s"${dupFrac(2)} as dup_2gram_frac",
+      s"${dupFrac(3)} as dup_3gram_frac")
+  }
+
+  def repetition(docs: DataFrame): DataFrame =
+    docs.selectExpr(repetitionSelects(SparkD): _*)
+
+  /** Per-document top-k tokens by TF-IDF. tf is an exact ratio; idf goes
+    * through ln (1-ulp divergence risk) so it is q9-quantized BEFORE the
+    * product — identical operands make the product bit-equal, and the
+    * top-k window tie-breaks on the token for a deterministic order.
+    * Plan shape: one explode, two hash aggregates, a broadcast-sized df
+    * join (vocabulary rows), one per-doc window. */
+  def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(expr("split(trim(text), ' ')")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
+    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("dfq"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("n_tok").cast("double")) *
+          expr(graft.oracle.Parity.q9(
+            "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "token", "tfidf", "rk")
+  }
+
+  /** DuckDB mirror of [[tfIdfTop]]. */
+  def tfIdfSql(k: Int = 3): String = {
+    val idf = graft.oracle.Parity.q9(
+      "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
+    s"""with toks as (select doc_id, unnest(string_split(trim(text), ' ')) as token from documents),
+       |tf as (select doc_id, token, count(*) as c,
+       |  sum(count(*)) over (partition by doc_id) as n_tok
+       |  from toks group by doc_id, token),
+       |dfreq as (select token, count(distinct doc_id) as dfq from toks group by token),
+       |n as (select count(*) as nn from documents)
+       |select doc_id, token, tfidf, rk from (
+       | select doc_id, token, tfidf,
+       |  cast(row_number() over (partition by doc_id order by tfidf desc, token asc) as bigint) as rk
+       | from (select tf.doc_id, tf.token,
+       |   (cast(c as double) / cast(n_tok as double)) * $idf as tfidf
+       |   from tf join dfreq on tf.token = dfreq.token, n))
+       |where rk <= $k""".stripMargin.replace("\n", " ")
+  }
 }

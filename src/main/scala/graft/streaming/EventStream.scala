@@ -55,6 +55,34 @@ object EventStream {
     spark.table(qName)
   }
 
+  /** Stream-static join: the event stream enriched against the (small,
+    * broadcast) customer dimension, aggregated per market segment — the
+    * canonical streaming-enrichment shape (dimension broadcast to every
+    * task; no stream-side shuffle before the aggregate). Oracle = the
+    * identical batch join SQL. */
+  def joinSegments(stream: DataFrame, customers: DataFrame): DataFrame =
+    stream.join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("value")).as("v"))
+
+  /** One-shot driver for [[joinSegments]] over the static events parquet. */
+  def runJoinOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_sjoin_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val customers = graft.sources.Tables.read(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val qName = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joinSegments(stream, customers).writeStream
+      .outputMode("complete").format("memory").queryName(qName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Ev(user_id: Long, ts: Long)

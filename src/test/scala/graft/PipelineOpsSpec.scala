@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-2 training-pipeline operators: repetition signals, TF-IDF,
+  * decontamination, int8 quantization. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: duplicated n-grams and top-token share are exact ratios") {
+    val docs = Seq(
+      (1L, "a b a b a b", "en"),       // 5 2-grams, 2 distinct; 'a' 3/6
+      (2L, "u v w x y z", "en"))       // all distinct
+      .toDF("doc_id", "text", "lang")
+    val m = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("top_token_frac") == 0.5)
+    assert(m(1L).getAs[Double]("dup_2gram_frac") == 1.0 - 2.0 / 5.0)
+    assert(m(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(m(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+  }
+
+  test("tf-idf: corpus-frequent token ranks below document-specific token") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other words"),
+      (3L, "common more words")).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTop(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare") // tf 2/3 and df 1 beats 'common' (df 3)
+  }
+
+  test("decontaminate: verbatim eval overlap → containment 1.0, disjoint → 0") {
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, evalText),                       // eval member (0 % 97 == 0)
+      (1L, s"prefix words $evalText suffix"), // contains the eval doc
+      (2L, "completely unrelated content nothing shared here"))
+      .toDF("doc_id", "text")
+    val m = Dedup.decontaminate(docs, evalEvery = 97).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = m.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 == 0L && byDoc(1L)._3 == 1.0)
+    assert(byDoc(2L)._3 == 0.0)
+    assert(!byDoc.contains(0L)) // eval docs are not scored against themselves
+  }
+
+  test("int8 quantization: max|v| maps to ±127, zero vector to 0") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f) ++ Array.fill(62)(0.0f)),
+      (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((1L, 2L)) == -127L)                 // the max-magnitude dim
+    assert(rows((1L, 1L)) == math.floor(0.5 * 127.0 + 0.5).toLong) // 64
+    assert(rows((2L, 7L)) == 0L)                    // zero vector → scale 0
+  }
+
+  test("minhash CW signature: identical code sets give identical band values") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+}

@@ -15,4 +15,17 @@ class StreamBatchSpec extends SparkSpec {
     assert(batch.length == stream.length && batch.length > 0)
     batch.zip(stream).foreach { case (b, s) => assert(b == s) }
   }
+
+  test("stream-static broadcast join equals the batch join on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.read(spark, sf("sf0.001"), "events")
+    val customers = Tables.read(spark, sf("sf0.001"), "customer")
+      .select("c_custkey", "c_mktsegment")
+    val batch = graft.streaming.EventStream.joinSegments(events, customers)
+      .orderBy("c_mktsegment").collect()
+    val stream = graft.streaming.EventStream.runJoinOnce(spark, sf("sf0.001"))
+      .orderBy("c_mktsegment").collect()
+    assert(batch.length == stream.length && batch.length > 0)
+    batch.zip(stream).foreach { case (b, s) => assert(b == s) }
+  }
 }
