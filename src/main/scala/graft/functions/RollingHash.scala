@@ -82,7 +82,9 @@ object GraftFunctions {
     ("sorted_intersect_count", "|A intersect B| of two sorted BIGINT arrays",
       exprs => SortedIntersectCount(exprs.head, exprs(1))),
     ("char_trigram_codes", "sorted distinct packed char-trigram codes",
-      exprs => CharTrigramCodes(exprs.head)))
+      exprs => CharTrigramCodes(exprs.head)),
+    ("chain_dot", "left-associated dot product of two numeric arrays",
+      exprs => ChainDot(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -24,8 +24,10 @@ object Similarity {
   val dim = 64
 
   /** Adds a deterministic `norm` column. */
-  def withNorm(emb: DataFrame, d: Dialect = SparkD, vecCol: String = "embedding"): DataFrame =
+  def withNorm(emb: DataFrame, d: Dialect = SparkD, vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("norm", expr(s"sqrt(${Parity.dot(d, vecCol, vecCol, dim)})"))
+  }
 
   /** Brute-force cosine top-k: for each query row (`queryPred` selects
     * them), the k nearest other vectors by cosine. */
@@ -103,6 +105,7 @@ object Similarity {
     * exact [[cosineTopK]] is asserted in the spec. */
   def ivfTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.vector_to_array
     val spark = emb.sparkSession

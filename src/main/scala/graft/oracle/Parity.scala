@@ -131,12 +131,18 @@ object Parity {
     case DuckD  => s"list_extract($arr, $i)"
   }
 
-  /** Deterministic dot product of two fixed-dim double arrays: explicit
-    * left-associated chain a[1]*b[1] + ... + a[d]*b[d] — a strict
-    * sequential fold in both engines (no reliance on list_sum order). */
-  def dot(d: Dialect, a: String, b: String, dim: Int): String =
-    (1 to dim).map(i => s"(cast(${elem(d, a, i)} as double) * cast(${elem(d, b, i)} as double))")
-      .reduceLeft((x, y) => s"($x + $y)")
+  /** Deterministic dot product of two fixed-dim double arrays: a strict
+    * left-associated sequential fold in both engines. DuckDB gets the
+    * spelled-out chain a[1]*b[1] + ... + a[d]*b[d]; Spark gets the
+    * codegen'd [[graft.functions.ChainDot]] loop, which accumulates in
+    * the identical order over identically-widened doubles — bit-equal
+    * results, ~dim× fewer expression nodes. */
+  def dot(d: Dialect, a: String, b: String, dim: Int): String = d match {
+    case SparkD => s"chain_dot($a, $b)"
+    case DuckD =>
+      (1 to dim).map(i => s"(cast(${elem(d, a, i)} as double) * cast(${elem(d, b, i)} as double))")
+        .reduceLeft((x, y) => s"($x + $y)")
+  }
 
   // ---------------------------------------------------------------------
   // Cross-engine hash family — the backbone of the oracle-checked dedup /

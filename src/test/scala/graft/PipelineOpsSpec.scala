@@ -58,6 +58,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows((2L, 7L)) == 0L)                    // zero vector → scale 0
   }
 
+  test("chain_dot is bit-equal to the explicit left-associated SQL chain") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(20)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "a", "b")
+    val chain = (1 to 64)
+      .map(i => s"(cast(element_at(a, $i) as double) * cast(element_at(b, $i) as double))")
+      .reduceLeft((x, y) => s"($x + $y)")
+    val diffs = emb.selectExpr(s"chain_dot(a, b) as fast", s"$chain as slow")
+      .collect().count(r => r.getDouble(0) != r.getDouble(1))
+    assert(diffs == 0)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),
