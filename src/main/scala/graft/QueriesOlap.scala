@@ -154,8 +154,29 @@ object QueriesOlap {
     // streaming dropDuplicates state — oracle is the batch distinct count
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir)),
     // stream-static broadcast enrichment join — oracle is the batch join
-    "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir))
+    "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir)),
+    // stateful sessionization (flatMapGroupsWithState) — closed sessions
+    // equal the batch sessions minus each user's open tail
+    "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.runSessionsOnce(s, dir))
   )
+
+  private val sessionsOracle =
+    """with e as (
+      | select user_id, ts,
+      |  case when lag(ts) over (partition by user_id order by ts) is null
+      |    or (epoch_ns(ts) // 1000000000)
+      |       - (epoch_ns(lag(ts) over (partition by user_id order by ts)) // 1000000000) > 1800
+      |   then 1 else 0 end as new_session
+      | from events)
+      |select user_id, cast(session_id as bigint) as session_id,
+      | cast(count(*) as bigint) as n_events,
+      | cast(min(us) as bigint) as start_us, cast(max(us) as bigint) as end_us
+      |from (
+      | select user_id, epoch_ns(ts) // 1000 as us,
+      |  sum(new_session) over (partition by user_id order by ts
+      |    rows between unbounded preceding and current row) as session_id
+      | from e)
+      |group by user_id, session_id""".stripMargin.replace("\n", " ")
 
   private val q1Oracle =
     s"""select l_returnflag, l_linestatus,
@@ -234,23 +255,7 @@ object QueriesOlap {
          |order by revenue desc, l_orderkey asc limit 10""".stripMargin.replace("\n", " "),
     "q_events_window" -> EventOps.hourlySql(),
     "q_events_json" -> EventOps.propStatsSql(),
-    "q_sessions" ->
-      s"""with e as (
-         | select user_id, ts,
-         |  case when lag(ts) over (partition by user_id order by ts) is null
-         |    or (epoch_ns(ts) // 1000000000)
-         |       - (epoch_ns(lag(ts) over (partition by user_id order by ts)) // 1000000000) > 1800
-         |   then 1 else 0 end as new_session
-         | from events)
-         |select user_id, cast(session_id as bigint) as session_id,
-         | cast(count(*) as bigint) as n_events,
-         | cast(min(us) as bigint) as start_us, cast(max(us) as bigint) as end_us
-         |from (
-         | select user_id, epoch_ns(ts) // 1000 as us,
-         |  sum(new_session) over (partition by user_id order by ts
-         |    rows between unbounded preceding and current row) as session_id
-         | from e)
-         |group by user_id, session_id""".stripMargin.replace("\n", " "),
+    "q_sessions" -> sessionsOracle,
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
@@ -260,6 +265,11 @@ object QueriesOlap {
     "stream_join" ->
       s"""select c_mktsegment, cast(count(*) as bigint) as n, ${fpSum("value")} as v
          |from events join customer on user_id = c_custkey
-         |group by c_mktsegment""".stripMargin.replace("\n", " ")
+         |group by c_mktsegment""".stripMargin.replace("\n", " "),
+    "stream_sessions" ->
+      s"""with s as ($sessionsOracle)
+         |select user_id, session_id, n_events, start_us, end_us from (
+         | select s.*, max(session_id) over (partition by user_id) as mx from s)
+         |where session_id < mx""".stripMargin.replace("\n", " ")
   )
 }

@@ -11,9 +11,18 @@ import org.apache.spark.sql.functions._
   * balanced by construction).
   *
   * `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.ScaleStress [nFeatures]"`
+  *
+  * Second leg: replicate the documents table M× (fresh doc_ids, texts
+  * perturbed with a replica-tagged token so replicas are near- but not
+  * exact duplicates) and run MinHash LSH end-to-end — evidence that
+  * candidate generation stays bounded when the corpus grows: pair count
+  * scales with the number of true near-dup clusters, not quadratically.
+  *
+  * `sbt "runMain graft.ScaleStress dedup [replicas]"`
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) { dedupStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -43,6 +52,34 @@ object ScaleStress {
     val n = res.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"mwu_pipeline","features":$nFeat,"cells":$nCells,"out_rows":$n,"sec":$sec%.2f,"cells_per_sec":${(nCells / sec).toLong}}""")
+    spark.stop()
+  }
+
+  private def dedupStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val base = docs.count()
+    // replica r of doc d: same text with r extra tagged tokens appended —
+    // high-Jaccard near-dups of the original, never byte-identical
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"),
+            col("r").cast("string"))).as("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minHashPairs(blown, numHashes = 16, bands = 4, threshold = 0.5).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"dedup_minhash","replicas":$replicas,"docs":$n,"base_docs":$base,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 }

@@ -129,6 +129,29 @@ object EventStream {
       .toDF()
   }
 
+  /** One-shot driver for [[sessionizeStream]]: emits the CLOSED sessions
+    * (the open tail stays in state), which equal the batch sessionization
+    * minus each user's last session — that complement IS the DuckDB
+    * oracle, making the stateful streaming path fully hash-checked. */
+  def runSessionsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val qName = "graft_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessionizeStream(stream).writeStream
+      .outputMode("append").format("memory").queryName(qName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("start_ns div 1000").as("start_us"),
+        expr("end_ns div 1000").as("end_us"))
+  }
+
   /** Drives the streaming query synchronously over the static events
     * parquet (staged into a stream-source directory) and returns the final
     * result as a batch DataFrame — used by Verify/Bench. */
