@@ -242,9 +242,9 @@ object QueriesMwu {
         "select feature_id, grp, n1, n, tie_term, u1, sigma, z from st"),
     "mwu_p" ->
       (s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
-        s"select feature_id, grp, u1, ${q9(Parity.pFromZ("z"))} as p9 from st"),
+        s"select feature_id, grp, u1, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"),
     "mwu_bh" -> {
-      val pSql = s"select feature_id, grp, ${q9(Parity.pFromZ("z"))} as p9 from st"
+      val pSql = s"select feature_id, grp, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
       s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
         MwuStats.bhSql(pSql)
     },
@@ -253,7 +253,7 @@ object QueriesMwu {
     "mwu_checkpoint" -> markersOracle,
     "mwu_customer" -> {
       val base = mwuOracle("customer", "c_mktsegment", Seq("c_acctbal"))
-      val pSql = s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st"
+      val pSql = s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
       s"""$base, p as ($pSql),
          |bh as (${MwuStats.bhSql("select feature_id, grp, p9 from p")})
          |select p.feature_id, p.grp, p.n1, p.u1, p.z, p.p9, bh.p_adj
@@ -262,7 +262,7 @@ object QueriesMwu {
     },
     "mwu_events" ->
       (s"${mwuOracle("events", "event_type", Seq("value"))} " +
-        s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st"),
+        s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"),
     "mwu_orders" -> {
       val c = "select o_orderstatus as grp, 'l_extendedprice' as feature_id, " +
         "cast(l_extendedprice as double) as value " +
@@ -274,14 +274,14 @@ object QueriesMwu {
           |rs as (${MwuAgg.rankSumsSql("select * from ranked")}),
           |tt as (${MwuAgg.tieTermSql("select * from cells")}),
           |st as (${MwuStats.statsSql(joined)})""".stripMargin.replace("\n", " ") +
-        s" select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ("z"))} as p9 from st")
+        s" select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st")
     },
     "lfc_part" -> lfcOracle("part", "p_brand", Seq("p_retailprice"))
   )
 
   private def markersOracle: String = {
     val base = mwuOracle("lineitem", "l_returnflag", liFeatures)
-    val pSql = s"select feature_id, grp, u1, ${q9(Parity.pFromZ("z"))} as p9 from st"
+    val pSql = s"select feature_id, grp, u1, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
     val lfcPart =
       s"""cq as (select grp, feature_id, $logQuant as value from cells),
          |m as (select feature_id, grp, sum(value) as s1, cast(count(*) as bigint) as c1

@@ -84,7 +84,9 @@ object GraftFunctions {
     ("char_trigram_codes", "sorted distinct packed char-trigram codes",
       exprs => CharTrigramCodes(exprs.head)),
     ("chain_dot", "left-associated dot product of two numeric arrays",
-      exprs => ChainDot(exprs.head, exprs(1))))
+      exprs => ChainDot(exprs.head, exprs(1))),
+    ("cody_erfc", "erfc via Cody's SPECFUN algorithm (bit-equal to the SQL snippet)",
+      exprs => CodyErfc(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

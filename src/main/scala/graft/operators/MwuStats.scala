@@ -66,11 +66,13 @@ object MwuStats {
     * sigma=NaN) keeps a NaN p for the same reason — Spark's `least`
     * treats NaN as greatest and would return the 1.0 clip arm, where the
     * reference's 2·norm.sf(NaN) = NaN (pvals.py:119). */
-  def withP(zStats: DataFrame): DataFrame =
+  def withP(zStats: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(zStats.sparkSession)
     zStats.withColumn("p",
       when(col("z").isNull, lit(null).cast("double"))
         .when(isnan(col("z")), lit(Double.NaN))
-        .otherwise(expr(Parity.pFromZ("z"))))
+        .otherwise(expr(Parity.pFromZ(Parity.SparkD, "z"))))
+  }
 
   /** A5 — Benjamini–Hochberg step-up per group over all features
     * (pvals.py:128-141, via statsmodels fdr_bh). Pure windows:

@@ -39,6 +39,9 @@ object Pipeline {
           // mirror the reference's rank tensor exactly: ranks + tie sizes
           // (rank_data.py:201), keyed by (grp, feature) — not the raw
           // values, which downstream stages re-scan from the source.
+          // (A round-robin repartition before the write was tried to undo
+          // the few-features skew at small SF; the extra 4M-row shuffle
+          // cost more than the skewed write saved.)
           Ranking.withRanks(cells)
             .select("grp", "feature_id", "rank", "tie_count")
             .write.mode("overwrite").parquet(dir)

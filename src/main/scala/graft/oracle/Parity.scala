@@ -122,8 +122,14 @@ object Parity {
   }
 
   /** Two-sided normal-approximation p-value from a z column:
-    * p = min(1, 2*Phi(-z)) = min(1, erfc(z/sqrt(2))). */
-  def pFromZ(z: String): String = s"least(1e0, ${erfc(s"($z / sqrt(2e0))")})"
+    * p = min(1, 2*Phi(-z)) = min(1, erfc(z/sqrt(2))). Spark runs the
+    * codegen'd [[graft.functions.CodyErfc]] (bit-equal to the snippet —
+    * same ops, same order, java.lang.Math exp/floor/abs like Spark SQL's
+    * own); DuckDB gets the spelled-out snippet. */
+  def pFromZ(d: Dialect, z: String): String = d match {
+    case SparkD => s"least(1e0, cody_erfc(($z / sqrt(2e0))))"
+    case DuckD  => s"least(1e0, ${erfc(s"($z / sqrt(2e0))")})"
+  }
 
   /** 1-based array element access — the one real dialect split. */
   def elem(d: Dialect, arr: String, i: Int): String = d match {

@@ -22,10 +22,24 @@ class ErfcSpec extends SparkSpec {
     }
   }
 
+  test("cody_erfc codegen expression is bit-equal to the SQL snippet") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val xs = (-600 to 600).map(_ / 25.0) ++
+      Seq(-26.5, -5.0, 0.46875, -0.46875, 4.0, 4.0001, -4.0001, 26.0, 0.0, -0.0)
+    val diffs = xs.toDF("x")
+      .selectExpr("cody_erfc(x) as fast", s"${Parity.erfc("x")} as slow")
+      .collect()
+      .count(r => java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    assert(diffs == 0)
+  }
+
   test("p-from-z snippet: symmetric clip behavior") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq(0.0, -3.0, 3.0, Double.NegativeInfinity, Double.PositiveInfinity)
-      .toDF("z").withColumn("p", expr(Parity.pFromZ("z")))
+      .toDF("z").withColumn("p", expr(Parity.pFromZ(Parity.SparkD, "z")))
     val p = df.orderBy("z").collect().map(_.getDouble(1))
     // z asc: -inf, -3, 0, 3, +inf
     assert(p(0) == 1.0)              // -inf → clipped
