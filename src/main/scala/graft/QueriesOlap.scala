@@ -157,7 +157,29 @@ object QueriesOlap {
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir)),
     // stateful sessionization (flatMapGroupsWithState) — closed sessions
     // equal the batch sessions minus each user's open tail
-    "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.runSessionsOnce(s, dir))
+    "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.runSessionsOnce(s, dir)),
+    // calendar rollup: year/month extraction (o_orderdate is NTZ — both
+    // engines extract the same naive calendar fields)
+    "q_calendar" -> ((s, dir) =>
+      Tables.read(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_orders"), expr(fpSum("o_totalprice")).as("revenue"))),
+    // lead window: inter-event gap seconds per user, aggregated per type
+    // (exact integer gaps; avg is a single division)
+    "q_events_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.read(s, dir, "events")
+        .withColumn("nxt", lead("ts", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("gap_sec", expr("(nxt - ts) div 1000000000"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_sec").as("sum_gap_sec"),
+          max("gap_sec").as("max_gap_sec"))
+        .withColumn("avg_gap_sec",
+          col("sum_gap_sec").cast("double") / col("n_gaps").cast("double"))
+    })
   )
 
   private val sessionsOracle =
@@ -270,6 +292,26 @@ object QueriesOlap {
       s"""with s as ($sessionsOracle)
          |select user_id, session_id, n_events, start_us, end_us from (
          | select s.*, max(session_id) over (partition by user_id) as mx from s)
-         |where session_id < mx""".stripMargin.replace("\n", " ")
+         |where session_id < mx""".stripMargin.replace("\n", " "),
+    "q_calendar" ->
+      s"""select cast(year(o_orderdate) as bigint) as y,
+         | cast(month(o_orderdate) as bigint) as m,
+         | cast(count(*) as bigint) as n_orders, ${fpSum("o_totalprice")} as revenue
+         |from orders group by 1, 2""".stripMargin.replace("\n", " "),
+    "q_events_lead" ->
+      """select event_type, cast(n_gaps as bigint) as n_gaps,
+        | cast(sum_gap_sec as bigint) as sum_gap_sec,
+        | cast(max_gap_sec as bigint) as max_gap_sec,
+        | cast(sum_gap_sec as double) / cast(n_gaps as double) as avg_gap_sec
+        |from (
+        | select event_type, count(*) as n_gaps, sum(gap_sec) as sum_gap_sec,
+        |  max(gap_sec) as max_gap_sec
+        | from (
+        |  select event_type,
+        |   (epoch_ns(lead(ts) over (partition by user_id order by ts asc, event_id asc))
+        |    - epoch_ns(ts)) // 1000000000 as gap_sec
+        |  from events)
+        | where gap_sec is not null
+        | group by event_type)""".stripMargin.replace("\n", " ")
   )
 }
