@@ -165,6 +165,24 @@ object QueriesOlap {
         .groupBy(year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n_orders"), expr(fpSum("o_totalprice")).as("revenue"))),
+    // anti join (Q22 shape): customers with no URGENT order, per segment
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_idle"), expr(fpSum("c_acctbal")).as("acctbal_sum"))
+    }),
+    // semi join: customers with at least one URGENT order, per nation
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_urgent_cust"))
+    }),
     // lead window: inter-event gap seconds per user, aggregated per type
     // (exact integer gaps; avg is a single division)
     "q_events_lead" -> ((s, dir) => {
@@ -293,6 +311,20 @@ object QueriesOlap {
          |select user_id, session_id, n_events, start_us, end_us from (
          | select s.*, max(session_id) over (partition by user_id) as mx from s)
          |where session_id < mx""".stripMargin.replace("\n", " "),
+    "q_anti_join" ->
+      s"""select c_mktsegment, cast(count(*) as bigint) as n_idle,
+         | ${fpSum("c_acctbal")} as acctbal_sum
+         |from customer
+         |where not exists (select 1 from orders
+         |  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+         |group by c_mktsegment""".stripMargin.replace("\n", " "),
+    "q_semi_join" ->
+      """select cast(c_nationkey as bigint) as nationkey,
+        | cast(count(*) as bigint) as n_urgent_cust
+        |from customer
+        |where exists (select 1 from orders
+        |  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+        |group by c_nationkey""".stripMargin.replace("\n", " "),
     "q_calendar" ->
       s"""select cast(year(o_orderdate) as bigint) as y,
          | cast(month(o_orderdate) as bigint) as m,
