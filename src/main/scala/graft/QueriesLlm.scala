@@ -112,7 +112,12 @@ object QueriesLlm {
       Dedup.decontaminate(Tables.read(s, dir, "documents"))),
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.read(s, dir, "embeddings")))
+      Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
+    // KMV (k-minimum-values) distinct-count sketch per language — a
+    // deterministic sketch over the CW hash family, so even the estimate
+    // is oracle-checked (alongside the exact count it approximates)
+    "sketch_distinct" -> ((s, dir) =>
+      TextOps.kmvDistinct(Tables.read(s, dir, "documents")))
   )
 
   private val shingleDuck =
@@ -234,6 +239,7 @@ object QueriesLlm {
   }
 
   val oracles: Map[String, String] = Map(
+    "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "tfidf_top" -> TextOps.tfIdfSql(),

@@ -165,6 +165,11 @@ object QueriesOlap {
         .groupBy(year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n_orders"), expr(fpSum("o_totalprice")).as("revenue"))),
+    // CUBE grouping-set lattice over the Q1 keys (rollup's sibling)
+    "q1_cube" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), expr(fpSum("l_extendedprice")).as("sum_price"))),
     // anti join (Q22 shape): customers with no URGENT order, per segment
     "q_anti_join" -> ((s, dir) => {
       val c = Tables.read(s, dir, "customer")
@@ -311,6 +316,11 @@ object QueriesOlap {
          |select user_id, session_id, n_events, start_us, end_us from (
          | select s.*, max(session_id) over (partition by user_id) as mx from s)
          |where session_id < mx""".stripMargin.replace("\n", " "),
+    "q1_cube" ->
+      s"""select l_returnflag, l_linestatus, cast(count(*) as bigint) as n,
+         | ${fpSum("l_extendedprice")} as sum_price
+         |from lineitem group by cube(l_returnflag, l_linestatus)"""
+        .stripMargin.replace("\n", " "),
     "q_anti_join" ->
       s"""select c_mktsegment, cast(count(*) as bigint) as n_idle,
          | ${fpSum("c_acctbal")} as acctbal_sum
