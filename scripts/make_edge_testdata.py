@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Build an adversarial edge-case dataset shaped like /root/testdata/sf*.
+
+The synthetic fixtures are well-behaved (ASCII text, min length ~47,
+no zero vectors), so cross-engine divergences on edge inputs stay latent
+until someone feeds real data. This generator covers the classes that
+have actually bitten: empty/whitespace text, multibyte (CJK, accents)
+code points, runs of spaces, exact duplicates, 1-2-token docs, zero and
+identical embedding vectors, tiny magnitudes.
+
+Usage:
+    python3 scripts/make_edge_testdata.py [outDir]   # default /tmp/edge_sf
+    sbt "runMain graft.Verify <outDir> /tmp/verify_edge"
+    python3 scripts/check_oracle.py <outDir> /tmp/verify_edge
+
+Divergences this gate has caught (fixed; kept here as regression fuel):
+  - DuckDB ascii() returns INT32; cp * 2097152 overflowed on CJK
+    codepoints in the char-trigram packing oracle.
+  - Zero-norm vectors: Spark 0/0 = NaN (compares GREATEST), DuckDB
+    0/0 = NULL (fails >=) -> cosine thresholds/rankings diverged.
+"""
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+
+
+def main(dst: str) -> None:
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    con = duckdb.connect()
+    docs = [
+        (0, "", "en", "edge", 0),
+        (1, " ", "en", "edge", 1),
+        (2, "a", "en", "edge", 1),
+        (3, "é", "fr", "edge", 1),
+        (4, "中文 文本 测试 中文 文本", "zh", "edge", 12),
+        (5, "double  space  here", "en", "edge", 19),
+        (6, "trailing space ", "en", "edge", 15),
+        (7, "the quick brown fox jumps over the lazy dog", "en", "edge", 43),
+        (8, "the quick brown fox jumps over the lazy dog", "en", "edge", 43),
+        (9, "the quick brown fox jumps over a lazy dog today", "en", "edge", 47),
+        (10, "one two", "en", "edge", 7),
+        (11, "x y z", "de", "edge", 5),
+        (12, "naïve café résumé naïve café", "fr", "edge", 28),
+        (13, "tab\tand newline", "en", "edge", 15),
+        (97 * 1, "the quick brown fox eval benchmark text", "en", "eval", 39),
+        (97 * 2, "completely different eval set entry two", "en", "eval", 39),
+    ]
+    con.execute("create table d(doc_id bigint, text varchar, lang varchar,"
+                " source varchar, n_chars bigint)")
+    con.executemany("insert into d values (?,?,?,?,?)", docs)
+    con.execute(f"copy d to '{dst}/documents.parquet' (format parquet)")
+
+    def vec(f):
+        return [float(f(i)) for i in range(64)]
+
+    rows = [
+        (0, vec(lambda i: 0.0), 0),            # zero vector
+        (1, vec(lambda i: 1.0), 0),
+        (2, vec(lambda i: 1.0), 0),            # identical pair
+        (3, vec(lambda i: -1.0), 0),           # opposite
+        (4, vec(lambda i: 1e-8), 1),           # tiny magnitudes
+        (50, vec(lambda i: (i % 3) - 1), 1),   # query row (50 % 50 == 0)
+        (100, vec(lambda i: 0.5 if i < 32 else -0.5), 1),
+    ]
+    con.execute("create table e(vec_id bigint, embedding float[], label integer)")
+    con.executemany("insert into e values (?,?,?)", rows)
+    con.execute(f"copy e to '{dst}/embeddings.parquet' (format parquet)")
+    print(f"edge testdata written to {dst}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sf"
+    import os
+    os.makedirs(out, exist_ok=True)
+    main(out)

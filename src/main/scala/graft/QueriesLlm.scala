@@ -120,11 +120,13 @@ object QueriesLlm {
       TextOps.kmvDistinct(Tables.read(s, dir, "documents")))
   )
 
+  // every ascii() is cast to BIGINT before the multiply: DuckDB's ascii
+  // returns INT32 and cp * 2097152 overflows it for CJK codepoints
   private val shingleDuck =
     "list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), " +
-      "i -> ascii(substring(text, i, 1)) * 4398046511104 " +
-      "+ ascii(substring(text, i + 1, 1)) * 2097152 " +
-      "+ ascii(substring(text, i + 2, 1))))"
+      "i -> cast(ascii(substring(text, i, 1)) as bigint) * 4398046511104 " +
+      "+ cast(ascii(substring(text, i + 1, 1)) as bigint) * 2097152 " +
+      "+ cast(ascii(substring(text, i + 2, 1)) as bigint)))"
 
   private def statsDuck =
     s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
@@ -211,8 +213,8 @@ object QueriesLlm {
        |  from embeddings, generate_series(1, $dim) t(i)),
        |bs as (select vec_id, $sCols from qd group by vec_id),
        |bkt as (select vec_id, cast($bucket as bigint) as bucket from bs),
-       |nn as (select e.vec_id, e.embedding, sqrt($dotSelf) as norm, k.bucket
-       |  from embeddings e join bkt k on e.vec_id = k.vec_id)
+       |nn as (select * from (select e.vec_id, e.embedding, sqrt($dotSelf) as norm, k.bucket
+       |  from embeddings e join bkt k on e.vec_id = k.vec_id) where norm > 0e0)
        |select id_a, id_b, cos from (
        | select a.vec_id as id_a, b.vec_id as id_b, ($dotAB) / (a.norm * b.norm) as cos
        | from nn a join nn b on a.bucket = b.bucket and a.vec_id < b.vec_id)
@@ -280,8 +282,8 @@ object QueriesLlm {
         |from documents""".stripMargin.replace("\n", " "),
     "emb_neardup_exact" -> {
       val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
-      s"""with nn as (select vec_id, label, embedding, sqrt($dotSelf) as norm
-         |  from embeddings)
+      s"""with nn as (select * from (select vec_id, label, embedding, sqrt($dotSelf) as norm
+         |  from embeddings) where norm > 0e0)
          |select label, id_a, id_b, cos from (
          | select a.label as label, a.vec_id as id_a, b.vec_id as id_b,
          |  (${Parity.dot(DuckD, "a.embedding", "b.embedding", dim)})
@@ -292,7 +294,8 @@ object QueriesLlm {
     "ann_cosine" -> {
       val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
       val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
-      s"""with nn as (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings),
+      s"""with nn as (select * from (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings)
+         |  where norm > 0e0),
          |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
          |  where vec_id % 50 = 0),
          |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn)

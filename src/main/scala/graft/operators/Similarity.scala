@@ -32,7 +32,10 @@ object Similarity {
   /** Brute-force cosine top-k: for each query row (`queryPred` selects
     * them), the k nearest other vectors by cosine. */
   def cosineTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
-    val n = withNorm(emb)
+    // zero vectors have no cosine: exclude them up front — Spark's NaN
+    // compares GREATEST while DuckDB's 0/0 is NULL, so letting them reach
+    // the ordering/threshold produces engine-divergent results
+    val n = withNorm(emb).filter(col("norm") > 0.0)
     val q = n.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val c = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
@@ -118,7 +121,7 @@ object Similarity {
       .setFeaturesCol("v").setPredictionCol("cluster").fit(vecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    val n = withNorm(assigned)
+    val n = withNorm(assigned).filter(col("norm") > 0.0)
     // tiny centroid relation (nlist rows) — broadcast everywhere
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }.toDF("cluster", "centroid")
@@ -179,7 +182,7 @@ object Similarity {
     * oracle-checkable exact counterpart of [[nearDupPairs]]. */
   def nearDupExact(emb: DataFrame, threshold: Double = 0.8,
                    blockCol: String = "label"): DataFrame = {
-    val n = withNorm(emb)
+    val n = withNorm(emb).filter(col("norm") > 0.0)
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"), col(blockCol))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
@@ -195,7 +198,7 @@ object Similarity {
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
     * true cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {
-    val b = withNorm(lshBuckets(emb, bits))
+    val b = withNorm(lshBuckets(emb, bits)).filter(col("norm") > 0.0)
     val a = b.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"), col("bucket"))
     val c = b.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
