@@ -70,6 +70,45 @@ def main(dst: str) -> None:
     con.execute("create table e(vec_id bigint, embedding float[], label integer)")
     con.executemany("insert into e values (?,?,?)", rows)
     con.execute(f"copy e to '{dst}/embeddings.parquet' (format parquet)")
+
+    # adversarial events (replaces the copied table): timestamp ties,
+    # inactivity gaps exactly at/just-over the 1800 s session boundary,
+    # sub-second boundary fractions, hour-bucket edges, a single-event
+    # user, null/empty/non-JSON props, negative and zero values
+    events = [
+        # user 1: duplicate timestamps (window-order ties)
+        (1, "2024-01-01 00:00:00", 1, "click", 1.5, '{"k": 7}'),
+        (2, "2024-01-01 00:00:00", 1, "click", 2.5, '{"k": 0}'),
+        (3, "2024-01-01 00:00:01", 1, "view", 0.0, "{}"),
+        # user 2: gap 1800 s (same session), then +1800.5 s (floored 1800,
+        # same session), then floored 1801 s (closes the session)
+        (4, "2024-01-01 00:00:00", 2, "click", -5.5, None),
+        (5, "2024-01-01 00:30:00", 2, "view", 123.25, '{"k": 42}'),
+        (6, "2024-01-01 01:00:00.500000000", 2, "view", 1.0, "not json"),
+        (7, "2024-01-01 01:30:01.500000000", 2, "purchase", 1000000.0, '{"k": 9}'),
+        # user 3: single event
+        (8, "2024-01-01 05:00:00", 3, "signup", -0.0, '{"k": 1}'),
+        # user 4: hour-bucket boundary at nanosecond resolution
+        (9, "2024-01-01 01:59:59.999999999", 4, "error", 2.0, "{}"),
+        (10, "2024-01-01 02:00:00.000000000", 4, "error", 3.0, "{}"),
+    ]
+    # pyarrow, not duckdb: the table must carry the parquet
+    # Timestamp(NANOS, isAdjustedToUTC=false) annotation the real
+    # testdata has (duckdb's writer downgrades to micros, which flips
+    # Spark's nanosAsLong read path into TIMESTAMP_NTZ)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pa.table({
+        "event_id": pa.array([e[0] for e in events], pa.int64()),
+        "ts": pa.array(np.array([np.datetime64(e[1].replace(" ", "T"), "ns")
+                                 for e in events]), pa.timestamp("ns")),
+        "user_id": pa.array([e[2] for e in events], pa.int64()),
+        "event_type": pa.array([e[3] for e in events], pa.string()),
+        "value": pa.array([e[4] for e in events], pa.float64()),
+        "props": pa.array([e[5] for e in events], pa.string()),
+    })
+    pq.write_table(tbl, f"{dst}/events.parquet")
     print(f"edge testdata written to {dst}")
 
 
