@@ -198,14 +198,20 @@ object TextOps {
     // sketch the word-3-gram universe (thousands of distinct values per
     // language — the 31-token synthetic vocabulary itself never exceeds
     // k, which would reduce the sketch to its exact fallback branch)
-    val toks = docs.select(col("lang"),
-      explode(Dedup.wordShingles("text")).as("t"))
-    val hashed = toks
-      .select(col("lang"), expr(graft.oracle.Parity.cwMix(0, "rolling_hash(t)")).as("h"),
-        col("t"))
-    val exact = hashed.groupBy("lang").agg(countDistinct("t").as("n_exact"))
+    // the exploded multiset collapses through ONE distinct; the exact
+    // count, the hash set, and the k-minimum scan all run on the small
+    // distinct relation. Words materialize in a lower projection (the
+    // split-inside-the-shingle-lambda form is O(words²) per doc).
+    val dt = docs.select(col("lang"), expr("split(trim(text), ' ')").as("words"))
+      .select(col("lang"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3))))")).as("t"))
+      .distinct()
+    val exact = dt.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy("lang").orderBy(col("h").asc)
-    val sketch = hashed.select("lang", "h").distinct()
+    val sketch = dt
+      .select(col("lang"), expr(graft.oracle.Parity.cwMix(0, "rolling_hash(t)")).as("h"))
+      .distinct() // hash collisions collapse (the sketch sees the h-set)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy("lang")
@@ -225,11 +231,11 @@ object TextOps {
     val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
       "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
     s"""with doc as (select lang, string_split(trim(text), ' ') as words from documents),
-       |toks as (select lang, unnest(list_distinct($shingle)) as t from doc),
-       |hashed as (select lang, $mix as h, t from toks),
-       |exact as (select lang, cast(count(distinct t) as bigint) as n_exact
-       |  from hashed group by lang),
-       |dh as (select distinct lang, h from hashed),
+       |dt as (select distinct lang, t from
+       |  (select lang, unnest(list_distinct($shingle)) as t from doc)),
+       |exact as (select lang, cast(count(*) as bigint) as n_exact
+       |  from dt group by lang),
+       |dh as (select distinct lang, $mix as h from dt),
        |ranked as (select lang, h, row_number() over (partition by lang order by h asc) as rn from dh),
        |sk as (select lang, cast(count(*) as bigint) as n_kept, max(h) as h_k
        |  from ranked where rn <= $k group by lang)

@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
   }
 
+  test("decontaminate broadcasts the eval side — the corpus never shuffles pre-join") {
+    val p = plan(SparkEntry.queries("decontaminate")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only hash exchange is the per-doc top-1 window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (argmax window), plan:\n$p")
+  }
+
+  test("minhash signature computes shuffle-free (band join is the first exchange)") {
+    val sh = graft.operators.Dedup.withShingleCodes(
+      Tables.read(spark, sf("sf0.001"), "documents"))
+    val sig = sh.selectExpr(("doc_id" +: (0 until 16).map(j =>
+      s"array_min(transform(codes, c -> ${graft.oracle.Parity.cwMix(j, "c")})) as h$j")): _*)
+    val p = plan(sig)
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+  }
+
+  test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
+    val events = Tables.read(spark, sf("sf0.001"), "events")
+    val customers = Tables.read(spark, sf("sf0.001"), "customer")
+      .select("c_custkey", "c_mktsegment")
+    val p = plan(graft.streaming.EventStream.joinSegments(events, customers))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
