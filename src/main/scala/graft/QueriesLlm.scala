@@ -113,6 +113,9 @@ object QueriesLlm {
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
+    // token-window chunking with overlap (context-window preparation)
+    "text_chunk" -> ((s, dir) =>
+      TextOps.chunk(Tables.read(s, dir, "documents"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -242,6 +245,7 @@ object QueriesLlm {
 
   val oracles: Map[String, String] = Map(
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
+    "text_chunk" -> TextOps.chunkSql(),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "tfidf_top" -> TextOps.tfIdfSql(),

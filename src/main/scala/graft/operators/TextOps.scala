@@ -245,6 +245,37 @@ object TextOps {
        |from exact join sk on exact.lang = sk.lang""".stripMargin.replace("\n", " ")
   }
 
+  /** Token-window chunking with overlap — the context-window preparation
+    * op of a training pipeline: doc → ⌈(n-size)/stride⌉+1 chunks of
+    * `size` tokens starting every `stride` tokens. Pure per-row array
+    * math + one generator explode; exact integer bounds (the final
+    * partial chunk is kept, matching the usual packer). */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    docs.select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+           | sequence(0, cast(greatest(ceil((size(words) - $size) / cast($stride as double)), 0) as int)),
+           | i -> struct(cast(i as bigint) as chunk_idx,
+           |   concat_ws(' ', slice(words, i * $stride + 1, $size)) as chunk_text,
+           |   cast(size(slice(words, i * $stride + 1, $size)) as bigint) as n_chunk_tokens)))"""
+          .stripMargin.replace("\n", " ")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_chunk_tokens"))
+  }
+
+  /** DuckDB mirror of [[chunk]] — scalar generate_series (list form) +
+    * unnest, since DuckDB's table-function form rejects lateral column
+    * arguments. */
+  def chunkSql(size: Int = 32, stride: Int = 24): String =
+    s"""select doc_id, cast(i as bigint) as chunk_idx,
+       | array_to_string(list_slice(words, i * $stride + 1, i * $stride + $size), ' ') as chunk_text,
+       | cast(len(list_slice(words, i * $stride + 1, i * $stride + $size)) as bigint) as n_chunk_tokens
+       |from (
+       | select doc_id, words,
+       |  unnest(generate_series(0, cast(greatest(ceil((len(words) - $size) / cast($stride as double)), 0) as bigint))) as i
+       | from (select doc_id, string_split(trim(text), ' ') as words from documents))"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[tfIdfTop]]. */
   def tfIdfSql(k: Int = 3): String = {
     val idf = graft.oracle.Parity.q9(

@@ -58,6 +58,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows((2L, 7L)) == 0L)                    // zero vector → scale 0
   }
 
+  test("chunking: stride windows cover every token, last partial kept") {
+    val docs = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextOps.chunk(docs, size = 32, stride = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 1: 80 tokens → chunks at 0,24,48 (ceil((80-32)/24)=2) → idx 0..2
+    assert(rows((1L, 0L))._1.startsWith("w1 ") && rows((1L, 0L))._2 == 32L)
+    assert(rows((1L, 1L))._1.startsWith("w25 "))
+    assert(rows((1L, 2L))._2 == 32L && rows((1L, 2L))._1.endsWith(" w80"))
+    assert(!rows.contains((1L, 3L)))
+    // short and empty docs: a single (partial) chunk
+    assert(rows((2L, 0L)) == ("a b", 2L))
+    assert(rows((3L, 0L)) == ("", 1L))
+  }
+
   test("chain_dot is bit-equal to the explicit left-associated SQL chain") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
