@@ -60,4 +60,17 @@ object Validation {
         throw ValidationException(
           s"top_n must be in [1, $nFeatures], got $k (reference create_df.py:60-64)")
     }
+
+  /** Pre-flight finiteness check for fixed-point-summed measures: NaN/Inf
+    * inputs would not fail loudly — Spark's non-ANSI double→BIGINT cast
+    * wraps them to 0/Long.Max while DuckDB throws — so the deterministic-
+    * aggregation contract ([[graft.oracle.Parity.fpSum]]) only holds for
+    * finite values. Reject up front, like the reference's shape checks. */
+  def requireFinite(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      firstBad(
+        df.filter(isnan(col(c)) || col(c) === Double.PositiveInfinity ||
+          col(c) === Double.NegativeInfinity),
+        s"measure column '$c' must be finite (NaN/Inf would diverge between engines)")
+    }
 }

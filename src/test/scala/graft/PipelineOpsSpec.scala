@@ -58,6 +58,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows((2L, 7L)) == 0L)                    // zero vector → scale 0
   }
 
+  test("requireFinite rejects NaN/Inf measures, passes finite columns") {
+    import graft.operators.Validation
+    val bad = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "v")
+    intercept[Validation.ValidationException](Validation.requireFinite(bad, Seq("v")))
+    val inf = Seq((1L, Double.PositiveInfinity)).toDF("id", "v")
+    intercept[Validation.ValidationException](Validation.requireFinite(inf, Seq("v")))
+    Validation.requireFinite(Seq((1L, 1.5), (2L, -2.5)).toDF("id", "v"), Seq("v"))
+  }
+
   test("chunking: stride windows cover every token, last partial kept") {
     val docs = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" ")),
       (2L, "a b"), (3L, "")).toDF("doc_id", "text")
