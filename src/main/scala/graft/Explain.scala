@@ -17,7 +17,8 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("mwu_markers", "q_join_revenue", "dedup_minhash", "ann_cosine")
+      else Seq("mwu_markers", "q_join_revenue", "dedup_minhash", "ann_cosine",
+        "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join")
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

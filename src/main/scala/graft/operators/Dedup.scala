@@ -153,19 +153,30 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("codes"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("codes"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    // same-bucket collisions verified in place (linear merge intersect on
-    // the sorted code sets); a pair colliding in several bands dedupes in
-    // the final aggregate (jac is identical on every collision)
-    val a = banded.select(col("doc_id").as("doc_a"), col("codes").as("codes_a"),
-      col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("codes").as("codes_b"),
-      col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", expr("sorted_intersect_count(codes_a, codes_b)"))
-      .withColumn("uni",
-        size(col("codes_a")).cast("long") + size(col("codes_b")).cast("long") - col("inter"))
-      .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+    // one-pass LSH: gather each bucket's members and emit its pairs in
+    // place — the codes compute ONCE and ride a single shuffle (a self-
+    // join instead re-derives the whole shingle pipeline on both sides).
+    // Buckets are near-dup cliques plus hash noise, so per-bucket pair
+    // generation is quadratic only within a clique — the candidate count
+    // the verification pays anyway. (At corpus scale, run [[exact]] first
+    // so byte-identical duplicates collapse before LSH; that bounds the
+    // clique — and the collected bucket — sizes.) A pair colliding in
+    // several bands dedupes in the final aggregate (jac is identical on
+    // every hit).
+    val pairSql =
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members)), n ->
+        |    struct(m.doc_id as doc_a, n.doc_id as doc_b,
+        |      sorted_intersect_count(m.codes, n.codes) as inter,
+        |      size(m.codes) + size(n.codes) as tot))))""".stripMargin.replace("\n", " ")
+    banded
+      .groupBy("band", "bv")
+      .agg(expr("array_sort(collect_list(struct(doc_id, codes)))").as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(pairSql)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        col("p.inter").cast("long").as("inter"), col("p.tot").cast("long").as("tot"))
+      .withColumn("jac", col("inter").cast("double") / (col("tot") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)
       .groupBy("doc_a", "doc_b")
       .agg(min("jac").as("jac"))
