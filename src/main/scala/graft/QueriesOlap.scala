@@ -165,6 +165,27 @@ object QueriesOlap {
         .groupBy(year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n_orders"), expr(fpSum("o_totalprice")).as("revenue"))),
+    // ntile quartiles of event value per type (deterministic total order)
+    "q_events_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      Tables.read(s, dir, "events")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"), expr(fpSum("value")).as("v"))
+    }),
+    // rows above their group's exact mean (correlated-aggregate compare;
+    // the mean is a fixed-point ratio, so the comparison is deterministic)
+    "q_above_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      Tables.read(s, dir, "lineitem")
+        .withColumn("grp_sum", expr(
+          "sum(cast(floor(l_extendedprice * 1048576e0 + 5e-1) as bigint))").over(w))
+        .withColumn("grp_n", count(lit(1)).over(w))
+        .withColumn("grp_avg", (col("grp_sum") / lit(1048576.0)) / col("grp_n").cast("double"))
+        .filter(col("l_extendedprice") > col("grp_avg"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_above"), expr(fpSum("l_extendedprice")).as("sum_above"))
+    }),
     // CUBE grouping-set lattice over the Q1 keys (rollup's sibling)
     "q1_cube" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
@@ -316,6 +337,24 @@ object QueriesOlap {
          |select user_id, session_id, n_events, start_us, end_us from (
          | select s.*, max(session_id) over (partition by user_id) as mx from s)
          |where session_id < mx""".stripMargin.replace("\n", " "),
+    "q_events_ntile" ->
+      s"""select event_type, cast(quartile as bigint) as quartile,
+         | cast(count(*) as bigint) as n, ${fpSum("value")} as v
+         |from (select event_type, value,
+         |  ntile(4) over (partition by event_type order by value asc, event_id asc) as quartile
+         | from events)
+         |group by event_type, quartile""".stripMargin.replace("\n", " "),
+    "q_above_avg" ->
+      s"""select l_returnflag, cast(count(*) as bigint) as n_above,
+         | ${fpSum("l_extendedprice")} as sum_above
+         |from (
+         | select l_returnflag, l_extendedprice,
+         |  (cast(sum(cast(floor(l_extendedprice * 1048576e0 + 5e-1) as bigint))
+         |     over (partition by l_returnflag) as bigint) / 1048576e0)
+         |   / cast(count(*) over (partition by l_returnflag) as double) as grp_avg
+         | from lineitem)
+         |where l_extendedprice > grp_avg
+         |group by l_returnflag""".stripMargin.replace("\n", " "),
     "q1_cube" ->
       s"""select l_returnflag, l_linestatus, cast(count(*) as bigint) as n,
          | ${fpSum("l_extendedprice")} as sum_price
