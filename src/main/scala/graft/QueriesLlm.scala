@@ -113,6 +113,15 @@ object QueriesLlm {
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
+    // multimodal frame sampling: one row per sampled byte-window "frame"
+    // (generator explosion over the typed asset Dataset; metadata fully
+    // derivable from byte length → oracle-checked)
+    "multimodal_frames" -> ((s, dir) => {
+      val frames = Multimodal.frameSample(s,
+        Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))
+      frames.toDF().select(col("doc_id"), col("frame_idx"), col("offset"),
+        expr("cast(octet_length(blob) as bigint)").as("frame_bytes"))
+    }),
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
@@ -246,6 +255,12 @@ object QueriesLlm {
   val oracles: Map[String, String] = Map(
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "text_chunk" -> TextOps.chunkSql(),
+    "multimodal_frames" ->
+      """select doc_id, cast(i as bigint) as frame_idx, cast(i * 256 as bigint) as offset,
+        | cast(least(strlen(text), i * 256 + 256) - i * 256 as bigint) as frame_bytes
+        |from (select doc_id, text,
+        |  unnest(generate_series(0, cast(least(8, greatest(1, strlen(text) // 256)) as bigint) - 1)) as i
+        | from documents)""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "tfidf_top" -> TextOps.tfIdfSql(),

@@ -165,6 +165,17 @@ object QueriesOlap {
         .groupBy(year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n_orders"), expr(fpSum("o_totalprice")).as("revenue"))),
+    // set operations: customer cohorts by order year — intersect/except
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      val a = o.filter(col("y") <= 1995).select("o_custkey").distinct()
+      val b = o.filter(col("y") >= 1996).select("o_custkey").distinct()
+      val both = a.intersect(b).agg(count(lit(1)).as("n")).select(lit("both").as("cohort"), col("n"))
+      val onlyA = a.except(b).agg(count(lit(1)).as("n")).select(lit("early_only").as("cohort"), col("n"))
+      val onlyB = b.except(a).agg(count(lit(1)).as("n")).select(lit("late_only").as("cohort"), col("n"))
+      both.union(onlyA).union(onlyB)
+    }),
     // ntile quartiles of event value per type (deterministic total order)
     "q_events_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
@@ -337,6 +348,15 @@ object QueriesOlap {
          |select user_id, session_id, n_events, start_us, end_us from (
          | select s.*, max(session_id) over (partition by user_id) as mx from s)
          |where session_id < mx""".stripMargin.replace("\n", " "),
+    "q_setops" ->
+      """with a as (select distinct o_custkey from orders where year(o_orderdate) <= 1995),
+        |b as (select distinct o_custkey from orders where year(o_orderdate) >= 1996)
+        |select 'both' as cohort, cast(count(*) as bigint) as n from (select * from a intersect select * from b)
+        |union all
+        |select 'early_only', cast(count(*) as bigint) from (select * from a except select * from b)
+        |union all
+        |select 'late_only', cast(count(*) as bigint) from (select * from b except select * from a)"""
+        .stripMargin.replace("\n", " "),
     "q_events_ntile" ->
       s"""select event_type, cast(quartile as bigint) as quartile,
          | cast(count(*) as bigint) as n, ${fpSum("value")} as v
