@@ -80,7 +80,13 @@ object Dedup {
 
   /** Near-duplicate pairs by character-n-gram Jaccard within
     * (lang, length-band) candidate buckets. Jaccard is an exact integer
-    * ratio — cross-engine deterministic with no rounding. */
+    * ratio — cross-engine deterministic with no rounding.
+    *
+    * Deliberately a bucketed self-JOIN, not the gather-per-bucket shape
+    * [[minHashPairs]] uses: length-band buckets are large (most docs of a
+    * language share a band), and in-place pair generation would serialize
+    * each bucket into one task, while the join spreads the quadratic
+    * verification across the cluster (measured ~25% slower as a gather). */
   def ngramJaccard(docs: DataFrame, n: Int = 3, band: Int = 50,
                    threshold: Double = 0.4): DataFrame = {
     require(n == 3, "char_trigram_codes packs exactly 3 code points; " +
