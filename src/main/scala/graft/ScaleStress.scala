@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   * scales with the number of true near-dup clusters, not quadratically.
   *
   * `sbt "runMain graft.ScaleStress dedup [replicas]"`
+  *
+  * Third leg: replicate embeddings M× and run IVF top-k with a fixed
+  * query count — per-query cost stays ~nprobe/nlist of the corpus.
+  *
+  * `sbt "runMain graft.ScaleStress ann [replicas]"`
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) { dedupStress(args.drop(1)); return }
+    if (args.headOption.contains("ann")) { annStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -52,6 +58,32 @@ object ScaleStress {
     val n = res.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"mwu_pipeline","features":$nFeat,"cells":$nCells,"out_rows":$n,"sec":$sec%.2f,"cells_per_sec":${(nCells / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Third leg: replicate embeddings M× and run IVF top-k with a fixed
+    * query count — evidence the coarse-quantizer prune keeps per-query
+    * scan cost at ~nprobe/nlist of the corpus as it grows. */
+  private def annStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val blown = emb.select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"),
+        col("embedding"), col("label"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = Similarity.ivfTopK(blown, k = 10, queryEvery = 50 * replicas).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"ann_ivf","replicas":$replicas,"vecs":$n,"out_rows":$out,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
