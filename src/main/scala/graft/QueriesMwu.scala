@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.oracle.Parity
-import graft.oracle.Parity.q9
+import graft.oracle.Parity.{q9, q9n}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -35,12 +35,15 @@ object QueriesMwu {
   private val logQuant =
     "(cast(floor(ln(1e0 + value) * 1048576e0 + 5e-1) as bigint) / 1048576e0)"
 
-  /** lfc with the natural-log base of the reference (logfoldchange.py:52-54)
-    * spelled with exp()-1 rather than expm1 (DuckDB has no expm1; the text
-    * must be identical on both sides). Quantized means are O(10) here so
-    * the expm1 small-x precision advantage is immaterial. */
+  /** Natural-log lfc of the reference's default base (logfoldchange.py:
+    * 52-54) — the shared-text snippet lives in [[LogFold.lfcSql]]. */
   private def lfcNatSql(mu1: String, mu2: String): String =
-    s"(log2((exp($mu1) - 1e0) + 1.0e-9) - log2((exp($mu2) - 1e0) + 1.0e-9))"
+    LogFold.lfcSql(mu1, mu2, None)
+
+  /** Base-2 variant of [[logQuant]]: data log2(1+x)-transformed, the
+    * reference's `base=2` parametrization (test_log_fold_change.py:74). */
+  private val log2Quant =
+    "(cast(floor(log2(1e0 + value) * 1048576e0 + 5e-1) as bigint) / 1048576e0)"
 
   /** Spark side of the stats chain, built from the library operators. */
   private def statsDf(s: SparkSession, dir: String): DataFrame = {
@@ -85,11 +88,11 @@ object QueriesMwu {
     // M3 two-sided p (q9-quantized; exp differs by ulps across libms)
     "mwu_p" -> ((s, dir) =>
       MwuStats.withP(statsDf(s, dir))
-        .withColumn("p9", expr(q9("p")))
+        .withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "u1", "p9")),
     // A5 Benjamini–Hochberg over the quantized p
     "mwu_bh" -> ((s, dir) => {
-      val p = MwuStats.withP(statsDf(s, dir)).withColumn("p9", expr(q9("p")))
+      val p = MwuStats.withP(statsDf(s, dir)).withColumn("p9", expr(q9n("p")))
       MwuStats.withBH(p, pCol = "p9", outCol = "p_adj")
         .select("feature_id", "grp", "p9", "p_adj")
     }),
@@ -114,7 +117,7 @@ object QueriesMwu {
       val cells = Tables.melt(Tables.read(s, dir, "customer"), "c_mktsegment", Seq("c_acctbal"))
       val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
         MwuAgg.tieTerm(cells))
-      MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9("p"))), "p9", "p_adj")
+      MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
         .select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")
     }),
     // MWU of events.value grouped by event_type
@@ -122,23 +125,29 @@ object QueriesMwu {
       val cells = Tables.melt(Tables.read(s, dir, "events"), "event_type", Seq("value"))
       val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
         MwuAgg.tieTerm(cells))
-      MwuStats.withP(st).withColumn("p9", expr(q9("p")))
+      MwuStats.withP(st).withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
     }),
-    // J1 obs-table variant: group labels live in a DIMENSION table
-    // (orders.o_orderstatus) broadcast-joined onto the fact before the
-    // rank pipeline — the "masks as separate obs table" path of SURVEY §2.3
+    // J1 obs-table variant: group labels live in a SEPARATE obs table
+    // (orders.o_orderstatus) joined onto the fact before the rank
+    // pipeline — the "masks as separate obs table" path of SURVEY §2.3.
+    // No broadcast hint: orders is fact-proportional (~1/4 of lineitem
+    // rows), not a dimension, so forcing a broadcast would OOM at scale.
+    // AQE decides — it still broadcasts at small SF and shuffle-joins at
+    // 100 TB (PlanSpec asserts no forced hint survives to the plan; the
+    // MwuApi.rankGeneGroupsFromObs `broadcastObs` escape hatch remains
+    // for genuinely dimension-sized obs tables).
     "mwu_orders" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
       val o = Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      val cells = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      val cells = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderstatus").as("grp"),
           lit("l_extendedprice").as("feature_id"),
           col("l_extendedprice").cast("double").as("value"))
       val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
         MwuAgg.tieTerm(cells))
-      MwuStats.withP(st).withColumn("p9", expr(q9("p")))
+      MwuStats.withP(st).withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
     }),
     // LFC of part.p_retailprice by brand (prices > 0)
@@ -149,8 +158,65 @@ object QueriesMwu {
         .withColumn("n1", col("c1"))
         .withColumn("lfc9", expr(q9(lfcNatSql("mu1", "mu2"))))
         .select("feature_id", "grp", "n1", "mu1", "mu2", "lfc9")
+    }),
+    // M4 with base=2: data log2(1+x)-transformed, lfc via expm1(x·ln 2)
+    // — the reference's log-base parametrization
+    // (test_log_fold_change.py:74), previously spec-only
+    "lfc_base2" -> ((s, dir) => {
+      val cells = Tables.melt(Tables.read(s, dir, "part"), "p_brand", Seq("p_retailprice"))
+        .withColumn("value", expr(log2Quant))
+      LogFold.groupMeans(cells)
+        .withColumn("n1", col("c1"))
+        .withColumn("lfc9", expr(q9(LogFold.lfcSql("mu1", "mu2", Some(2.0)))))
+        .select("feature_id", "grp", "n1", "mu1", "mu2", "lfc9")
+    }),
+    // The reference's signature degenerate shapes, manufactured from
+    // lineitem so EVERY gate (driver sf0.01 included) exercises them
+    // end-to-end: a clean feature, a NaN-poisoned feature (any NaN →
+    // all ranks NULL, tie_term finite, rank_data.py:193-196), and an
+    // all-tied feature (sigma=0 → z=-inf → p=1). BH must exclude the
+    // poisoned feature and keep the others.
+    "mwu_edge" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val cells = li.selectExpr("l_returnflag as grp", "'clean' as feature_id",
+          "cast(l_quantity as double) as value")
+        .union(li.selectExpr("l_returnflag as grp", "'poison' as feature_id",
+          "case when l_orderkey % 97 = 0 then cast('NaN' as double) " +
+            "else cast(l_extendedprice as double) end as value"))
+        .union(li.selectExpr("l_returnflag as grp", "'tied' as feature_id",
+          "5e-1 as value"))
+      pAdjChain(cells).select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")
+    }),
+    // n<2: a single-observation feature (nation key 0) — sigma is NaN
+    // like numpy's guarded formula, z/p/p_adj stay NaN, BH excludes it
+    // (the shape ADVICE r2 flagged as never exercised end-to-end)
+    "mwu_single" -> ((s, dir) => {
+      val cells = Tables.read(s, dir, "nation").filter(col("n_nationkey") === 0)
+        .select(col("n_name").as("grp"), lit("n_regionkey").as("feature_id"),
+          col("n_regionkey").cast("double").as("value"))
+      pAdjChain(cells).select("feature_id", "grp", "n1", "n2", "sigma", "z", "p9", "p_adj")
+    }),
+    // S6 round-trip: the per-group CSV sink (one directory per sanitized
+    // group label, rank_gene_groups.py:294-307) written and read BACK, so
+    // the sink itself sits inside the oracle gate — doubles survive via
+    // Java shortest-round-trip formatting
+    "mwu_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      MarkerTable.writePerGroup(markersDf(s, dir), tmp, format = "csv")
+      s.read.option("header", "true")
+        .schema("grp STRING, gene STRING, u DOUBLE, p_value DOUBLE, " +
+          "p_adjusted DOUBLE, logfoldchange DOUBLE, abs_logfoldchange DOUBLE, rk BIGINT")
+        .csv(tmp)
+        .drop("grp_dir")
     })
   )
+
+  /** Full rank → U/z → p → BH chain with the NaN-safe quantized p. */
+  private def pAdjChain(cells: DataFrame): DataFrame = {
+    val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+      MwuAgg.tieTerm(cells))
+    MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
+  }
 
   /** Full pipeline → deterministic marker table (used by three entries). */
   private def markersDf(s: SparkSession, dir: String,
@@ -160,7 +226,7 @@ object QueriesMwu {
       Pipeline.Config(checkpointDir = checkpoint))
     val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(ranked)), MwuAgg.tieTerm(cells))
     val bh = MwuStats.withBH(
-      MwuStats.withP(st).withColumn("p9", expr(q9("p"))), "p9", "p_adj")
+      MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
     val cq = cells.withColumn("value", expr(logQuant))
     val lfc = LogFold.groupMeans(cq)
       .withColumn("lfc9", expr(q9(lfcNatSql("mu1", "mu2"))))
@@ -179,21 +245,46 @@ object QueriesMwu {
   // Oracle SQL
   // ---------------------------------------------------------------------
 
-  private def mwuOracle(table: String, groupCol: String, feats: Seq[String]): String = {
-    val c = Tables.meltSql(table, groupCol, feats)
+  /** DuckDB p9 projection over the `st` CTE: p is computed once in a
+    * subselect (the erfc snippet is large — don't repeat it), then the
+    * NaN-safe quantization [[q9n]] (Spark's BIGINT floor sends NaN to 0,
+    * DuckDB's double floor keeps it; the guard text is engine-shared). */
+  private def p9Duck(cols: String): String =
+    s"select $cols, ${q9n("p")} as p9 from " +
+      s"(select *, ${Parity.pFromZ(Parity.DuckD, "z")} as p from st)"
+
+  /** The shared rank→stats CTE pipeline over an arbitrary cells SQL. */
+  private def mwuOracleCells(cellsSql: String): String = {
     val joined = "select r.feature_id, r.grp, r.rank_sum, r.n1, r.n, t.tie_term " +
       "from rs r join tt t on r.feature_id = t.feature_id"
-    s"""with cells as ($c),
+    s"""with cells as ($cellsSql),
        |ranked as (${Ranking.ranksSql("select * from cells")}),
        |rs as (${MwuAgg.rankSumsSql("select * from ranked")}),
        |tt as (${MwuAgg.tieTermSql("select * from cells")}),
        |st as (${MwuStats.statsSql(joined)})""".stripMargin.replace("\n", " ")
   }
 
-  private def lfcOracle(table: String, groupCol: String, feats: Seq[String]): String = {
+  private def mwuOracle(table: String, groupCol: String, feats: Seq[String]): String =
+    mwuOracleCells(Tables.meltSql(table, groupCol, feats))
+
+  /** p→BH tail over the `st` CTE: `cols` are the p-CTE projections (may
+    * be aliased expressions), `names` their output aliases — emits
+    * `names…, p9, p_adj`. */
+  private def bhTailDuck(cols: String, names: Seq[String]): String = {
+    val pCols = names.map(c => s"p.$c").mkString(", ")
+    s""", p as (${p9Duck(cols)}),
+       |bh as (${MwuStats.bhSql("select feature_id, grp, p9 from p")})
+       |select $pCols, p.p9, bh.p_adj
+       |from p join bh on p.feature_id = bh.feature_id and p.grp = bh.grp"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private def lfcOracle(table: String, groupCol: String, feats: Seq[String],
+                        quant: String = logQuant,
+                        lfc: (String, String) => String = lfcNatSql): String = {
     val c = Tables.meltSql(table, groupCol, feats)
     s"""with cells0 as ($c),
-       |cells as (select grp, feature_id, $logQuant as value from cells0),
+       |cells as (select grp, feature_id, $quant as value from cells0),
        |m as (select feature_id, grp, sum(value) as s1, cast(count(*) as bigint) as c1
        |  from cells group by feature_id, grp),
        |mm as (select feature_id, grp, c1 as n1,
@@ -202,7 +293,7 @@ object QueriesMwu {
        |    / cast(cast(sum(c1) over (partition by feature_id) as bigint) - c1 as double) as mu2
        |  from m)
        |select feature_id, grp, n1, mu1, mu2,
-       |  ${q9(lfcNatSql("mu1", "mu2"))} as lfc9 from mm""".stripMargin.replace("\n", " ")
+       |  ${q9(lfc("mu1", "mu2"))} as lfc9 from mm""".stripMargin.replace("\n", " ")
   }
 
   val oracles: Map[String, String] = Map(
@@ -242,46 +333,57 @@ object QueriesMwu {
         "select feature_id, grp, n1, n, tie_term, u1, sigma, z from st"),
     "mwu_p" ->
       (s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
-        s"select feature_id, grp, u1, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"),
+        p9Duck("feature_id, grp, u1")),
     "mwu_bh" -> {
-      val pSql = s"select feature_id, grp, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
       s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
-        MwuStats.bhSql(pSql)
+        MwuStats.bhSql(p9Duck("feature_id, grp"))
     },
     "mwu_lfc" -> lfcOracle("lineitem", "l_returnflag", liFeatures),
     "mwu_markers" -> markersOracle,
     "mwu_checkpoint" -> markersOracle,
-    "mwu_customer" -> {
-      val base = mwuOracle("customer", "c_mktsegment", Seq("c_acctbal"))
-      val pSql = s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
-      s"""$base, p as ($pSql),
-         |bh as (${MwuStats.bhSql("select feature_id, grp, p9 from p")})
-         |select p.feature_id, p.grp, p.n1, p.u1, p.z, p.p9, bh.p_adj
-         |from p join bh on p.feature_id = bh.feature_id and p.grp = bh.grp"""
-        .stripMargin.replace("\n", " ")
-    },
+    "mwu_customer" ->
+      (mwuOracle("customer", "c_mktsegment", Seq("c_acctbal")) +
+        bhTailDuck("feature_id, grp, n1, u1, z",
+          Seq("feature_id", "grp", "n1", "u1", "z"))),
     "mwu_events" ->
       (s"${mwuOracle("events", "event_type", Seq("value"))} " +
-        s"select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"),
+        p9Duck("feature_id, grp, n1, u1, z")),
     "mwu_orders" -> {
       val c = "select o_orderstatus as grp, 'l_extendedprice' as feature_id, " +
         "cast(l_extendedprice as double) as value " +
         "from lineitem join orders on l_orderkey = o_orderkey"
-      val joined = "select r.feature_id, r.grp, r.rank_sum, r.n1, r.n, t.tie_term " +
-        "from rs r join tt t on r.feature_id = t.feature_id"
-      (s"""with cells as ($c),
-          |ranked as (${Ranking.ranksSql("select * from cells")}),
-          |rs as (${MwuAgg.rankSumsSql("select * from ranked")}),
-          |tt as (${MwuAgg.tieTermSql("select * from cells")}),
-          |st as (${MwuStats.statsSql(joined)})""".stripMargin.replace("\n", " ") +
-        s" select feature_id, grp, n1, u1, z, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st")
+      s"${mwuOracleCells(c)} ${p9Duck("feature_id, grp, n1, u1, z")}"
     },
-    "lfc_part" -> lfcOracle("part", "p_brand", Seq("p_retailprice"))
+    "lfc_part" -> lfcOracle("part", "p_brand", Seq("p_retailprice")),
+    "lfc_base2" -> lfcOracle("part", "p_brand", Seq("p_retailprice"),
+      quant = log2Quant, lfc = (a, b) => LogFold.lfcSql(a, b, Some(2.0))),
+    "mwu_edge" -> {
+      val c =
+        "select l_returnflag as grp, 'clean' as feature_id, " +
+          "cast(l_quantity as double) as value from lineitem " +
+          "union all " +
+          "select l_returnflag as grp, 'poison' as feature_id, " +
+          "case when l_orderkey % 97 = 0 then 'nan'::double " +
+          "else cast(l_extendedprice as double) end as value from lineitem " +
+          "union all " +
+          "select l_returnflag as grp, 'tied' as feature_id, " +
+          "5e-1 as value from lineitem"
+      mwuOracleCells(c) + bhTailDuck("feature_id, grp, n1, u1, z",
+        Seq("feature_id", "grp", "n1", "u1", "z"))
+    },
+    "mwu_single" -> {
+      val c = "select n_name as grp, 'n_regionkey' as feature_id, " +
+        "cast(n_regionkey as double) as value from nation where n_nationkey = 0"
+      mwuOracleCells(c) + bhTailDuck(
+        "feature_id, grp, n1, cast(n - n1 as bigint) as n2, sigma, z",
+        Seq("feature_id", "grp", "n1", "n2", "sigma", "z"))
+    },
+    "mwu_sink" -> markersOracle
   )
 
   private def markersOracle: String = {
     val base = mwuOracle("lineitem", "l_returnflag", liFeatures)
-    val pSql = s"select feature_id, grp, u1, ${q9(Parity.pFromZ(Parity.DuckD, "z"))} as p9 from st"
+    val pSql = p9Duck("feature_id, grp, u1")
     val lfcPart =
       s"""cq as (select grp, feature_id, $logQuant as value from cells),
          |m as (select feature_id, grp, sum(value) as s1, cast(count(*) as bigint) as c1

@@ -43,4 +43,19 @@ object LogFold {
     means.withColumn("lfc", log2(f(col("mu1"))) - log2(f(col("mu2"))))
       .withColumn("abs_lfc", abs(col("lfc")))
   }
+
+  /** Cross-engine snippet of the same lfc formula over two (quantized)
+    * mean expressions — identical text on both sides (DuckDB has no
+    * expm1, so f is spelled exp()-1; the means are O(10) here, so the
+    * small-x precision advantage of expm1 is immaterial). `base=Some(b)`
+    * folds ln b into a shared double literal, mirroring the reference's
+    * log-base parameter (logfoldchange.py:50-54, tests
+    * test_log_fold_change.py:74). */
+  def lfcSql(mu1: String, mu2: String, base: Option[Double] = None): String = {
+    def f(mu: String) = base match {
+      case None    => s"(exp($mu) - 1e0)"
+      case Some(b) => s"(exp($mu * ${graft.oracle.Parity.lit(math.log(b))}) - 1e0)"
+    }
+    s"(log2(${f(mu1)} + 1.0e-9) - log2(${f(mu2)} + 1.0e-9))"
+  }
 }

@@ -45,10 +45,14 @@ object MwuAgg {
        | cast(sum(count(*)) over (partition by feature_id) as bigint) as n
        |from ($rankedSql) group by feature_id, grp""".stripMargin.replace("\n", " ")
 
-  /** Oracle-SQL for [[tieTerm]] over a cells subquery. */
+  /** Oracle-SQL for [[tieTerm]] over a cells subquery. NaN/NULL rows are
+    * filtered like the Spark side: DuckDB's GROUP BY coalesces NaNs into
+    * one group (t³−t ≠ 0) where the reference treats each NaN as a
+    * contributing-zero singleton. */
   def tieTermSql(cellsSql: String): String =
     s"""select feature_id, cast(sum(t*t*t - t) as bigint) as tie_term from (
        | select feature_id, value, cast(count(*) as bigint) as t
-       | from ($cellsSql) group by feature_id, value
+       | from ($cellsSql) where value is not null and not isnan(value)
+       | group by feature_id, value
        |) group by feature_id""".stripMargin.replace("\n", " ")
 }

@@ -53,7 +53,12 @@ object MwuStats {
           ((col("n") + 1.0) - col("tie_term") / (col("n") * (col("n") - 1.0)))))
         .otherwise(lit(Double.NaN)))
       .withColumn("z_num", col("u_max") - col("mu_u") - 0.5)
+      // sigma=NaN (n<2) must yield z=NaN (numpy: x/NaN = NaN) — it must
+      // NOT fall into the sign-of-numerator ±inf arms, which model ONLY
+      // the sigma=0 division. NaN fails `> 0.0`, so the isnan arm comes
+      // between the division and the sigma=0 sign arms.
       .withColumn("z", when(col("sigma") > 0.0, col("z_num") / col("sigma"))
+        .when(isnan(col("sigma")), lit(Double.NaN))
         .otherwise(when(col("z_num") > 0.0, lit(Double.PositiveInfinity))
           .when(col("z_num") < 0.0, lit(Double.NegativeInfinity))
           .otherwise(lit(Double.NaN))))
@@ -68,9 +73,16 @@ object MwuStats {
     * reference's 2·norm.sf(NaN) = NaN (pvals.py:119). */
   def withP(zStats: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(zStats.sparkSession)
+    // ±inf z (all-tied feature, sigma=0) gets the limit values explicitly:
+    // erfc(+inf)=0 → p=0, erfc(-inf)=2 → clip 1. CodyErfc's saturating
+    // BIGINT floor already computes these, but the DuckDB snippet's double
+    // floor keeps inf and turns the scale factor into 0·NaN — so both
+    // sides spell the limits out (Parity.pFromZ mirrors these arms).
     zStats.withColumn("p",
       when(col("z").isNull, lit(null).cast("double"))
         .when(isnan(col("z")), lit(Double.NaN))
+        .when(col("z") === Double.PositiveInfinity, lit(0.0))
+        .when(col("z") === Double.NegativeInfinity, lit(1.0))
         .otherwise(expr(Parity.pFromZ(Parity.SparkD, "z"))))
   }
 
@@ -107,12 +119,27 @@ object MwuStats {
     val u1 = "(rank_sum - cast(n1 as double) * (cast(n1 as double) + 1.0) / 2.0)"
     val n2 = "cast(n - n1 as double)"
     val uMax = s"greatest($u1, cast(n1 as double) * $n2 - $u1)"
-    val sigma = s"sqrt(cast(n1 as double) * $n2 / 12.0 * ((cast(n as double) + 1.0) - " +
+    // n<2 → NaN sigma, mirroring withZ's explicit guard (the raw formula
+    // would hit tie_term/0, which DuckDB evaluates to NULL, not numpy's
+    // NaN — ADVICE r2: DuckDB double x/0 and 0/0 return NULL).
+    val sigmaRaw = s"sqrt(cast(n1 as double) * $n2 / 12.0 * ((cast(n as double) + 1.0) - " +
       "cast(tie_term as double) / (cast(n as double) * (cast(n as double) - 1.0))))"
+    val sigma = s"(case when n > 1 then $sigmaRaw else 'nan'::double end)"
+    val num = s"($uMax - cast(n1 as double) * $n2 / 2.0 - 0.5)"
+    // the IEEE outcomes withZ spells out, mirrored: sigma NaN/NULL → NaN
+    // (checked FIRST — DuckDB orders NaN greater than everything, so
+    // `sigma > 0` would wrongly take the division arm); sigma > 0 → the
+    // division (NULL numerator of a NaN-poisoned feature flows to NULL);
+    // sigma = 0 → sign-of-numerator ±inf/NaN.
+    val z = s"""(case when $sigma is null or isnan($sigma) then 'nan'::double
+       | when $sigma > 0e0 then $num / $sigma
+       | when $num > 0e0 then 'infinity'::double
+       | when $num < 0e0 then '-infinity'::double
+       | else 'nan'::double end)""".stripMargin.replace("\n", " ")
     s"""select feature_id, grp, n1, n, tie_term,
        | $u1 as u1,
        | $sigma as sigma,
-       | ($uMax - cast(n1 as double) * $n2 / 2.0 - 0.5) / $sigma as z
+       | $z as z
        |from ($joinedSql)""".stripMargin.replace("\n", " ")
   }
 

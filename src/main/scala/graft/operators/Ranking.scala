@@ -49,14 +49,21 @@ object Ranking {
       .drop("min_rank")
   }
 
-  /** Oracle-SQL rendering of the same computation (identical semantics in
-    * DuckDB; NaN branch omitted — driver testdata has no NaNs). */
+  /** Oracle-SQL rendering of the same computation, including the NaN
+    * branch: any NaN/NULL cell NULLs every rank of its feature while tie
+    * counts stay finite (rank_data.py:193-196). Both engines order NaN
+    * last and treat NaN = NaN as a tie, so tie_count agrees; the rank
+    * values themselves are masked before anything downstream sums them. */
   def ranksSql(cellsSql: String): String =
-    s"""select grp, feature_id, value,
+    s"""select grp, feature_id, value, tie_count,
+       | case when f_nan = 1 then null else rank0 end as rank
+       |from (select grp, feature_id, value,
        | count(*) over (partition by feature_id order by value
        |   range between current row and current row) as tie_count,
        | cast(rank() over (partition by feature_id order by value) as bigint)
        |   + (cast(count(*) over (partition by feature_id order by value
-       |       range between current row and current row) as bigint) - 1) / 2.0 as rank
-       |from ($cellsSql)""".stripMargin.replace("\n", " ")
+       |       range between current row and current row) as bigint) - 1) / 2.0 as rank0,
+       | max(case when value is null or isnan(value) then 1 else 0 end)
+       |   over (partition by feature_id) as f_nan
+       |from ($cellsSql))""".stripMargin.replace("\n", " ")
 }

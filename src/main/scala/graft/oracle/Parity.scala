@@ -49,6 +49,14 @@ object Parity {
     * (q9's 1e-9 grid sits too close to ulp(1e5)). */
   def q6(x: String): String = s"(floor(($x) * 1.0e6 + 5e-1) / 1.0e6 + 0e0)"
 
+  /** NaN-safe [[q9]]: Spark's `floor` goes through BIGINT (NaN → 0) while
+    * DuckDB's double floor keeps NaN, so quantizing a possibly-NaN value
+    * diverges (0.0 vs NaN). The identical guard text works in BOTH
+    * engines: isnan(NULL) is false/NULL in each, and q9(NULL) is NULL in
+    * each, so NULL still flows through the else arm. Use for any
+    * quantized column that can carry the NaN of an n<2 feature. */
+  def q9n(x: String): String = s"(case when isnan($x) then ($x) else ${q9(x)} end)"
+
   /** Order-independent exact aggregation of a double expression: round each
     * row to 2^-20 fixed point (the *2^20 multiply is exact — power of two),
     * sum as BIGINT (exact, order-free), divide once. The outer cast makes
@@ -124,11 +132,24 @@ object Parity {
   /** Two-sided normal-approximation p-value from a z column:
     * p = min(1, 2*Phi(-z)) = min(1, erfc(z/sqrt(2))). Spark runs the
     * codegen'd [[graft.functions.CodyErfc]] (bit-equal to the snippet —
-    * same ops, same order, java.lang.Math exp/floor/abs like Spark SQL's
-    * own); DuckDB gets the spelled-out snippet. */
+    * same ops, same order, StrictMath.exp and a BIGINT floor round-trip
+    * like Spark SQL's own); DuckDB gets the spelled-out snippet.
+    *
+    * Both sides guard the non-finite z shapes explicitly, mirroring
+    * [[graft.operators.MwuStats.withP]] — without them the DuckDB side
+    * silently disagrees: DuckDB `least` ignores NULL and treats NaN as
+    * greatest (least(1.0, NULL) = 1.0), and its double `floor` keeps
+    * ±inf/NaN where Spark's saturates through BIGINT, so a NaN-poisoned
+    * (z NULL), n<2 (z NaN), or all-tied (z ±inf) feature would get
+    * p = 1.0 from the oracle while Spark emits NULL/NaN/0. */
   def pFromZ(d: Dialect, z: String): String = d match {
     case SparkD => s"least(1e0, cody_erfc(($z / sqrt(2e0))))"
-    case DuckD  => s"least(1e0, ${erfc(s"($z / sqrt(2e0))")})"
+    case DuckD =>
+      s"(case when $z is null then null " +
+        s"when isnan($z) then 'nan'::double " +
+        s"when $z = 'infinity'::double then 0e0 " +
+        s"when $z = '-infinity'::double then 1e0 " +
+        s"else least(1e0, ${erfc(s"($z / sqrt(2e0))")}) end)"
   }
 
   /** 1-based array element access — the one real dialect split. */

@@ -66,6 +66,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
   }
 
+  test("mwu_orders: no forced broadcast of the fact-proportional obs side (AQE decides)") {
+    val df = SparkEntry.queries("mwu_orders")(spark, sf("sf0.001"))
+    // orders is ~1/4 of lineitem — a hardcoded broadcast() hint would OOM
+    // at 100× scale; the fact⋈obs join must stay hint-free so AQE can
+    // pick broadcast at small SF and shuffle-join at large. (The tiny
+    // per-feature tie-term join keeps its deliberate broadcast hint.)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val obsJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "o_orderkey")) => j
+    }
+    assert(obsJoins.nonEmpty, "expected the lineitem ⋈ orders join in the plan")
+    obsJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"obs-side join must not carry a strategy hint: $j")
+    }
+  }
+
+  test("kmv sketch: per-lang top-k sort is two-phase (partition-local prune first)") {
+    val df = graft.operators.TextOps.kmvDistinct(
+      Tables.read(spark, sf("sf0.001"), "documents"))
+    // two Window operators over row_number: the partition-local (lang,pid)
+    // prune and the final per-lang top-k — a single global per-lang sort
+    // (the r2 shape) shows only one
+    val p = plan(df)
+    val rn = "row_number".r.findAllIn(p).length
+    assert(rn >= 2, s"expected the local prune + final top-k windows (got $rn):\n$p")
+  }
+
   test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
     val events = Tables.read(spark, sf("sf0.001"), "events")
     val customers = Tables.read(spark, sf("sf0.001"), "customer")
