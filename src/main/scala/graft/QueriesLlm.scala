@@ -110,6 +110,11 @@ object QueriesLlm {
     // containment (broadcast eval side)
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.read(s, dir, "documents"))),
+    // same semantics via the inverted-index join — the shape for LARGE
+    // eval sets that cannot broadcast (both variants share one oracle, so
+    // the gate proves them bit-identical)
+    "decontaminate_join" -> ((s, dir) =>
+      Dedup.decontaminateJoin(Tables.read(s, dir, "documents"))),
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
@@ -265,6 +270,7 @@ object QueriesLlm {
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "tfidf_top" -> TextOps.tfIdfSql(),
     "decontaminate" -> decontamDuck,
+    "decontaminate_join" -> decontamDuck,
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

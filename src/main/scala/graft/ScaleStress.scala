@@ -29,6 +29,8 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) { dedupStress(args.drop(1)); return }
     if (args.headOption.contains("ann")) { annStress(args.drop(1)); return }
+    if (args.headOption.contains("dedupdegen")) { dedupDegenStress(args.drop(1)); return }
+    if (args.headOption.contains("decontam")) { decontamStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -85,6 +87,64 @@ object ScaleStress {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"ann_ivf","replicas":$replicas,"vecs":$n,"out_rows":$out,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
+  }
+
+  /** Adversarial leg for the MinHash gather cap: N byte-identical docs
+    * (the exact-dedup pre-pass deliberately NOT run), so every doc lands
+    * in the SAME bucket in every band. Pre-cap this would collect one
+    * N-member row per band and OOM the task; with the cap the bucket
+    * takes the self-join path and the N²/2 verifications spread across
+    * the cluster. `sbt "runMain graft.ScaleStress dedupdegen [nDocs]"` */
+  private def dedupDegenStress(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 3000
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+      lit("the same boilerplate document body repeated verbatim across the corpus").as("text"))
+    val t0 = System.nanoTime()
+    // gatherCap forced tiny so the join fallback carries the whole load
+    val pairs = Dedup.minHashPairs(docs, numHashes = 16, bands = 4,
+      threshold = 0.5, gatherCap = 64).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expected = nDocs.toLong * (nDocs - 1) / 2
+    println(f"""{"stress":"dedup_degenerate","docs":$nDocs,"pairs":$pairs,"expected":$expected,"sec":$sec%.2f}""")
+    assert(pairs == expected, s"degenerate clique must yield all pairs: $pairs != $expected")
+    spark.stop()
+  }
+
+  /** Large-eval decontamination leg: replicate documents M× and mark a
+    * THIRD of the corpus as the eval set — far past anything a broadcast
+    * could hold at real scale — and run the inverted-index variant.
+    * `sbt "runMain graft.ScaleStress decontam [replicas]"` */
+  private def decontamStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.decontaminateJoin(blown, evalEvery = 3).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"decontaminate_join","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
   }
 
   private def dedupStress(args: Array[String]): Unit = {

@@ -139,7 +139,7 @@ object Dedup {
     * @param bands     LSH bands; match probability ≈ 1-(1-j^r)^b
     */
   def minHashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, gatherCap: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
@@ -169,19 +169,42 @@ object Dedup {
     // clique — and the collected bucket — sizes.) A pair colliding in
     // several bands dedupes in the final aggregate (jac is identical on
     // every hit).
+    //
+    // Degenerate-bucket guard: a pathological bucket (boilerplate corpus
+    // where everything shares a signature) would collect into ONE row and
+    // OOM its task, so bucket sizes are counted FIRST (a window sharing
+    // the same (band, bv) shuffle) and buckets above `gatherCap` take a
+    // self-JOIN path instead — identical pairs, quadratic work spread
+    // across the cluster rather than one executor. Results are identical
+    // either way (the final per-pair aggregate merges both paths), so the
+    // cap is a pure scale-safety valve — un-OOM-able by construction,
+    // exercised by the adversarial all-identical-docs ScaleStress leg.
+    val sized = banded.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
     val pairSql =
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members)), n ->
         |    struct(m.doc_id as doc_a, n.doc_id as doc_b,
         |      sorted_intersect_count(m.codes, n.codes) as inter,
         |      size(m.codes) + size(n.codes) as tot))))""".stripMargin.replace("\n", " ")
-    banded
+    val gathered = sized
+      .filter(col("bsz") > 1 && col("bsz") <= gatherCap)
       .groupBy("band", "bv")
       .agg(expr("array_sort(collect_list(struct(doc_id, codes)))").as("members"))
-      .filter(size(col("members")) > 1)
       .select(explode(expr(pairSql)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         col("p.inter").cast("long").as("inter"), col("p.tot").cast("long").as("tot"))
+    val big = sized.filter(col("bsz") > gatherCap)
+    val bigA = big.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("codes").as("codes_a"))
+    val bigB = big.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("codes").as("codes_b"))
+    val joinedPairs = bigA.join(bigB, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(codes_a, codes_b)").cast("long").as("inter"),
+        (size(col("codes_a")) + size(col("codes_b"))).cast("long").as("tot"))
+    gathered.union(joinedPairs)
       .withColumn("jac", col("inter").cast("double") / (col("tot") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)
       .groupBy("doc_a", "doc_b")
@@ -211,6 +234,47 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("doc_id", "eval_id", "contam")
+  }
+
+  /** Inverted-index decontamination — same answers as [[decontaminate]],
+    * different physics: when the eval side is a large held-out corpus
+    * (not a benchmark-sized table) it cannot broadcast, so both sides
+    * explode to (doc, shingle-code) postings and meet in a hash join ON
+    * THE CODE, then containment re-aggregates per (corpus, eval) pair.
+    * Work is proportional to actual shingle collisions instead of
+    * |corpus|×|eval| comparisons — the classic scale shape for
+    * contamination sweeps against big eval sets.
+    *
+    * Zero-overlap corpus docs never reach the join, so they are patched
+    * back with the same (min eval_id, contam 0) row the broadcast
+    * variant's top-1 window produces — the two variants stay
+    * bit-identical and share one oracle. */
+  def decontaminateJoin(docs: DataFrame, evalEvery: Int = 97): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = withShingleCodes(docs, "text")
+    val evals = sh.filter(col("doc_id") % evalEvery === 0)
+      .select(col("doc_id").as("eval_id"), col("codes").as("eval_codes"))
+    val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
+    val corpusIdx = corpus.select(col("doc_id"), explode(col("codes")).as("code"))
+    val evalIdx = evals.select(col("eval_id"),
+      size(col("eval_codes")).cast("long").as("eval_n"),
+      explode(col("eval_codes")).as("code"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("contam").desc, col("eval_id").asc)
+    val best = corpusIdx.join(evalIdx, "code")
+      .groupBy("doc_id", "eval_id", "eval_n").agg(count(lit(1)).as("inter"))
+      .withColumn("contam", col("inter").cast("double") / col("eval_n").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("doc_id", "eval_id", "contam")
+    // docs with no shingle in common with ANY eval doc: the broadcast
+    // variant ranks all-zero contam rows and keeps the min eval_id
+    val minEval = evals.agg(min("eval_id").as("eval_id"))
+      .withColumn("contam", lit(0.0))
+    val missed = corpus.select("doc_id")
+      .join(best.select("doc_id"), Seq("doc_id"), "left_anti")
+      .crossJoin(broadcast(minEval))
+    best.union(missed.select("doc_id", "eval_id", "contam"))
   }
 
   /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.

@@ -209,9 +209,24 @@ object TextOps {
       .distinct()
     val exact = dt.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy("lang").orderBy(col("h").asc)
-    val sketch = dt
+    val dh = dt
       .select(col("lang"), expr(graft.oracle.Parity.cwMix(0, "rolling_hash(t)")).as("h"))
       .distinct() // hash collisions collapse (the sketch sees the h-set)
+    // two-phase top-k: a single per-lang window would sort each
+    // language's ENTIRE distinct hash set in one task (millions of rows
+    // feeding a 256-row answer — the r2 bench's slowest query). Phase 1
+    // keeps each physical partition's k smallest per lang (any global
+    // top-k row is also top-k within its own partition, so nothing the
+    // final window needs is lost); the per-lang sort then runs over at
+    // most partitions·k survivors. distinct() leaves the data hashed on
+    // (lang, h), so phase 1's groups are partition-local slices.
+    val local = dh
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("lang", "pid").orderBy(col("h").asc)))
+      .filter(col("lrn") <= k)
+      .drop("pid", "lrn")
+    val sketch = local
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy("lang")
