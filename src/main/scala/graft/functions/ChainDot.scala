@@ -37,15 +37,24 @@ case class ChainDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "chain_dot"
 
+  /** A malformed embedding must fail LOUD-consistently, not silently:
+    * mismatched lengths or a null element return NULL — exactly what the
+    * previous element_at chain and the DuckDB spelled-out chain produce
+    * (out-of-bounds list_extract / null element → NULL propagates through
+    * the whole sum) — instead of a truncated partial dot. */
+  override def nullable: Boolean = true
+
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -58,15 +67,32 @@ case class ChainDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat" else s"$a.getDouble"
       val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat" else s"$b.getDouble"
+      val lNullable = left.dataType.asInstanceOf[ArrayType].containsNull
+      val rNullable = right.dataType.asInstanceOf[ArrayType].containsNull
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val elemNullCheck =
+        (if (lNullable) s"$a.isNullAt($i)" else "") +
+          (if (lNullable && rNullable) " || " else "") +
+          (if (rNullable) s"$b.isNullAt($i)" else "")
+      val body =
+        if (elemNullCheck.isEmpty)
+          s"$acc += $lGet($i) * $rGet($i);"
+        else
+          s"""if ($elemNullCheck) { ${ev.isNull} = true; break; }
+             |$acc += $lGet($i) * $rGet($i);""".stripMargin
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += $lGet($i) * $rGet($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $body
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * twin of the SQL snippet [[graft.oracle.Parity.erfc]].
   *
   * Evaluates the IDENTICAL operations in the IDENTICAL order on IEEE
-  * doubles (Spark SQL's `exp`/`floor`/`abs` are `java.lang.Math` calls,
-  * which this uses directly), so results are bit-equal to the spelled-out
-  * snippet the DuckDB oracle runs — asserted by ErfcSpec across all three
-  * branches. One method call replaces ~150 expression nodes per row on
-  * the p-value hot path.
+  * doubles. Two load-bearing Spark-SQL-compat details (do NOT "simplify"
+  * them away): `exp` must be `StrictMath.exp` — Spark SQL's exp compiles
+  * to it, and it is 1 ulp off `java.lang.Math.exp` — and `floor` must
+  * round-trip through BIGINT (`.toLong`) because Spark SQL's floor
+  * returns LONG and saturates at ±Long.Max for infinities. With those,
+  * results are bit-equal to the spelled-out snippet the DuckDB oracle
+  * runs — asserted by ErfcSpec across all three branches. One method call
+  * replaces ~150 expression nodes per row on the p-value hot path.
   */
 case class CodyErfc(child: Expression) extends UnaryExpression {
 

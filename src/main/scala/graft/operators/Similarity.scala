@@ -115,6 +115,12 @@ object Similarity {
     import spark.implicits._
     val vecs = emb.withColumn("v",
       org.apache.spark.ml.functions.array_to_vector(col("embedding").cast("array<double>")))
+    // a corpus barely larger than nlist breaks the k-means fit (spark.ml's
+    // aggregator AIOOBEs when duplicate/degenerate points collapse the
+    // init below k) and makes cell pruning pointless anyway — degrade to
+    // the exact scan, which is both correct and faster at that size. The
+    // count is one scalar off a pass the fit would do regardless.
+    if (vecs.count() < 4L * nlist) return cosineTopK(emb, k, queryEvery)
     // a coarse quantizer needs few iterations — cells only prune the
     // candidate scan, they don't decide the final ranking
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)

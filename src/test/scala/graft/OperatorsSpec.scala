@@ -89,6 +89,51 @@ class OperatorsSpec extends SparkSpec {
     assert(jac12 == 1.0)
   }
 
+  test("minhash gather cap: join-fallback path yields identical pairs (degenerate bucket)") {
+    // 12 byte-identical docs (no exact-dedup pre-pass) land in ONE bucket
+    // per band — with gatherCap=2 every bucket takes the self-join path
+    val docs = (1L to 12L).map(i => (i, "same boilerplate body for every document here"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minHashPairs(docs, gatherCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaJoin = run(2)
+    val viaGather = run(100000)
+    assert(viaJoin == viaGather, s"paths diverge: $viaJoin vs $viaGather")
+    assert(viaJoin.size == 12 * 11 / 2 && viaJoin.forall(_._3 == 1.0))
+  }
+
+  test("decontaminate_join (inverted index) is bit-identical to the broadcast variant") {
+    // doc 0 and 97·2 form the eval set; include a corpus doc with ZERO
+    // overlap (hits the min-eval-id patch path) and graded-overlap docs
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (194L, "one two three four five six seven eight nine"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta other words entirely here"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bc = canon(Dedup.decontaminate(docs))
+    val ij = canon(Dedup.decontaminateJoin(docs))
+    assert(bc == ij, s"broadcast=$bc join=$ij")
+    // the zero-overlap doc resolved to the min eval id with contam 0
+    assert(ij.contains((3L, 0L, 0.0)))
+  }
+
+  test("chain_dot: strict length + null-element semantics (NULL, not a truncated dot)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(1.0, 2.0), Seq(4.0, 5.0, 6.0))).toDF("id", "a", "b")
+    val rows = df.selectExpr("id", "chain_dot(a, b) as d").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).contains(32.0))
+    assert(rows(2L).isEmpty, "length mismatch must be NULL, not a partial dot")
+    val withNull = spark.sql(
+      "select chain_dot(array(1e0, cast(null as double)), array(2e0, 3e0)) as d").collect().head
+    assert(withNull.isNullAt(0), "null element must propagate to NULL")
+  }
+
   test("minhash signature agreement estimates true word-shingle Jaccard") {
     // doc pairs with graded overlap: shared prefix of w words out of 40
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
