@@ -134,8 +134,47 @@ object QueriesLlm {
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
     "sketch_distinct" -> ((s, dir) =>
-      TextOps.kmvDistinct(Tables.read(s, dir, "documents")))
+      TextOps.kmvDistinct(Tables.read(s, dir, "documents"))),
+    // reproducible train/val/test assignment by id hash — the split every
+    // training pipeline needs to be STABLE across runs and engines: no
+    // rand(), no row order dependence, pure per-row arithmetic
+    "sample_split" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.read(s, dir, "documents").selectExpr(
+          "doc_id", "lang",
+          s"${Parity.cwMix(21, "rolling_hash(cast(doc_id as string))")} as h")
+        .withColumn("split", expr(splitCase))
+    }),
+    // end-to-end curation: one pass scores quality + language, the exact-
+    // dedup keeper set marks duplicates, and every doc gets a keep/drop
+    // verdict with its first failing reason — the composed filter chain
+    // of a training-data pipeline, oracle-checked row by row
+    "curate_filter" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val combined = docs.selectExpr(
+          (TextOps.statsSelects(SparkD) ++ TextOps.langIdSelects(SparkD).drop(2)): _*)
+        .withColumn("quality", expr(TextOps.qualityExpr))
+        .withColumn("pred_lang", expr(TextOps.langPredExpr))
+      val keepers = Dedup.exact(docs)
+        .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
+      combined.join(keepers, Seq("doc_id"), "left")
+        .withColumn("reason", expr(curateReason))
+        .withColumn("keep", col("reason") === "keep")
+        .select("doc_id", "lang", "pred_lang", "quality", "keep", "reason")
+    })
   )
+
+  /** 80/10/10 split from the last decimal digit of the id hash — shared
+    * text, exact integer arithmetic. */
+  private val splitCase =
+    "(case when h % 10 < 8 then 'train' when h % 10 = 8 then 'val' else 'test' end)"
+
+  /** First-failing-reason verdict, shared text (is_keeper is NULL for
+    * non-keeper rows of the left join in BOTH engines). */
+  private val curateReason =
+    "(case when is_keeper is null then 'duplicate' " +
+      "when quality < 5e-1 then 'low_quality' " +
+      "when pred_lang <> lang then 'lang_mismatch' else 'keep' end)"
 
   // every ascii() is cast to BIGINT before the multiply: DuckDB's ascii
   // returns INT32 and cp * 2097152 overflows it for CJK codepoints
@@ -258,6 +297,24 @@ object QueriesLlm {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_split" ->
+      s"""select doc_id, lang, h, $splitCase as split from (
+         |select doc_id, lang,
+         | ${Parity.cwMix(21, Parity.rollingHashDuck("cast(doc_id as varchar)"))} as h
+         |from documents)""".stripMargin.replace("\n", " "),
+    "curate_filter" -> {
+      val combined = (TextOps.statsSelects(DuckD) ++ TextOps.langIdSelects(DuckD).drop(2))
+        .mkString(", ")
+      s"""with c as (select *, ${TextOps.qualityExpr} as quality,
+         |  ${TextOps.langPredExpr} as pred_lang
+         | from (select $combined from documents)),
+         |k as (select min(doc_id) as doc_id, true as is_keeper
+         | from documents group by md5(text))
+         |select doc_id, lang, pred_lang, quality, (reason = 'keep') as keep, reason
+         |from (select c.doc_id, c.lang, pred_lang, quality, $curateReason as reason
+         |  from c left join k on c.doc_id = k.doc_id)"""
+        .stripMargin.replace("\n", " ")
+    },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "multimodal_frames" ->

@@ -177,14 +177,16 @@ object QueriesMwu {
     // all-tied feature (sigma=0 → z=-inf → p=1). BH must exclude the
     // poisoned feature and keep the others.
     "mwu_edge" -> ((s, dir) => {
-      val li = Tables.read(s, dir, "lineitem")
-      val cells = li.selectExpr("l_returnflag as grp", "'clean' as feature_id",
-          "cast(l_quantity as double) as value")
-        .union(li.selectExpr("l_returnflag as grp", "'poison' as feature_id",
-          "case when l_orderkey % 97 = 0 then cast('NaN' as double) " +
-            "else cast(l_extendedprice as double) end as value"))
-        .union(li.selectExpr("l_returnflag as grp", "'tied' as feature_id",
-          "5e-1 as value"))
+      // ONE fact scan: the three features are computed columns melted by
+      // the stack generator (the oracle's union-all spelling scans three
+      // times — DuckDB's problem, not the plan we'd ship)
+      val li = Tables.read(s, dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "cast(l_quantity as double) as clean",
+        "case when l_orderkey % 97 = 0 then cast('NaN' as double) " +
+          "else cast(l_extendedprice as double) end as poison",
+        "5e-1 as tied")
+      val cells = Tables.melt(li, "l_returnflag", Seq("clean", "poison", "tied"))
       pAdjChain(cells).select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")
     }),
     // n<2: a single-observation feature (nation key 0) — sigma is NaN

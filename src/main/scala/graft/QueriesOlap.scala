@@ -234,6 +234,35 @@ object QueriesOlap {
           max("gap_sec").as("max_gap_sec"))
         .withColumn("avg_gap_sec",
           col("sum_gap_sec").cast("double") / col("n_gaps").cast("double"))
+    }),
+    // as-of join: each purchase enriched with the user's latest
+    // at-or-before click (EventOps.asofJoin — the merge-shape temporal
+    // enrichment, one shuffle + one sort, never a per-row range scan)
+    "q_asof" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val right = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      EventOps.asofJoin(left, right, "user_id", "ts", "event_id",
+          payload = Seq("event_id", "ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("ts_sec"),
+          col("asof_event_id").as("click_id"),
+          col("asof_value").as("click_value"),
+          expr("(ts - asof_ts) div 1000000000").as("gap_sec"))
+    }),
+    // temporal-proximity range "join" as a RANGE window frame: per event,
+    // how many of the same user's events land in the following 10 minutes
+    // — the frame shares the sessionization shuffle shape and is the
+    // scale-correct rendering of a bounded self range join
+    "q_events_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
+        .rangeBetween(Window.currentRow, 600L * 1000000000L)
+      Tables.read(s, dir, "events")
+        .withColumn("n_next_10m", count(lit(1)).over(w) - 1L)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     })
   )
 
@@ -413,6 +442,16 @@ object QueriesOlap {
         |    - epoch_ns(ts)) // 1000000000 as gap_sec
         |  from events)
         | where gap_sec is not null
-        | group by event_type)""".stripMargin.replace("\n", " ")
+        | group by event_type)""".stripMargin.replace("\n", " "),
+    "q_asof" -> EventOps.asofSql(),
+    "q_events_range" ->
+      """select event_id, user_id, tsn // 1000000000 as ts_sec,
+        | cast(n_next_10m as bigint) as n_next_10m
+        |from (
+        | select event_id, user_id, tsn,
+        |  count(*) over (partition by user_id order by tsn asc
+        |    range between current row and 600000000000 following) - 1 as n_next_10m
+        | from (select event_id, user_id, epoch_ns(ts) as tsn from events))"""
+        .stripMargin.replace("\n", " ")
   )
 }

@@ -50,6 +50,68 @@ object EventOps {
        |  from $table)
        |group by event_type""".stripMargin.replace("\n", " ")
 
+  /** As-of join — enrich each left row with the latest right row at or
+    * before its timestamp, per key (the temporal-enrichment operator the
+    * prompt class of engines ships natively; Spark lacks it).
+    *
+    * Spark-first rendering: NOT a per-row range join (quadratic in
+    * events/key) but the merge shape — tag the sides, union, and take a
+    * running `last(payload, ignoreNulls)` over ONE window ordered by
+    * (ts, side, order). Right rows sort before co-timestamped left rows
+    * (side 0 < 1), giving inclusive "at-or-before" semantics; `order`
+    * breaks right-side ts ties deterministically (greatest order wins —
+    * the latest write). One shuffle on the key + one sort — exactly the
+    * distributed merge an as-of join compiles to at 100 TB, and every
+    * payload column rides the same Window operator.
+    *
+    * Both frames must carry `key`, `ts`, `order`; left keeps all its
+    * columns, right contributes `payload` columns renamed `asof_<c>`
+    * (NULL where no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               order: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fixed = Seq(key, ts, order)
+    val leftOther = left.columns.toSeq.filterNot(fixed.contains)
+    val lSel = fixed.map(col) ++ Seq(lit(1).as("_side")) ++ leftOther.map(col) ++
+      payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+    val rSel = fixed.map(col) ++ Seq(lit(0).as("_side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      payload.map(c => col(c).as(s"asof_$c"))
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col(order).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = payload.foldLeft(u)((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
+    enriched.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** DuckDB mirror of [[asofJoin]] for the events demo (purchase rows
+    * enriched with the user's latest at-or-before click): the identical
+    * union + running-last spelling, so tie semantics match bit-for-bit
+    * (DuckDB's native ASOF JOIN would leave right-side ts ties
+    * unspecified). */
+  def asofSql(table: String = "events"): String =
+    s"""with l as (select user_id, epoch_ns(ts) as tsn, event_id, 1 as side,
+       |  cast(null as bigint) as a_id, cast(null as bigint) as a_tsn,
+       |  cast(null as double) as a_val
+       | from $table where event_type = 'purchase'),
+       |r as (select user_id, epoch_ns(ts) as tsn, event_id, 0 as side,
+       |  event_id as a_id, epoch_ns(ts) as a_tsn, value as a_val
+       | from $table where event_type = 'click'),
+       |u as (select * from l union all select * from r),
+       |wn as (select user_id, tsn, event_id, side,
+       |  last_value(a_id ignore nulls) over win as asof_event_id,
+       |  last_value(a_tsn ignore nulls) over win as asof_tsn,
+       |  last_value(a_val ignore nulls) over win as asof_value
+       | from u
+       | window win as (partition by user_id order by tsn asc, side asc, event_id asc
+       |   rows between unbounded preceding and current row))
+       |select event_id, user_id, tsn // 1000000000 as ts_sec,
+       | asof_event_id as click_id, asof_value as click_value,
+       | (tsn - asof_tsn) // 1000000000 as gap_sec
+       |from wn where side = 1""".stripMargin.replace("\n", " ")
+
   /** Per-user rolling aggregate: trailing `window`-row sum/avg of the
     * fixed-point-quantized value, ordered by (ts, event_id). Quantized
     * dyadic addends make the rolling double sums exact → deterministic
