@@ -94,6 +94,14 @@ class PlanSpec extends SparkSpec {
     assert(rn >= 2, s"expected the local prune + final top-k windows (got $rn):\n$p")
   }
 
+  test("as-of join is the merge shape: ONE shuffle, ONE window carrying every payload") {
+    val p = plan(SparkEntry.queries("q_asof")(spark, sf("sf0.001")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("Window".r.findAllIn(p).length == 1,
+      s"all asof payload columns must ride one Window operator:\n$p")
+    assert(!p.contains("Join"), s"asof must not degenerate into a join:\n$p")
+  }
+
   test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
     val events = Tables.read(spark, sf("sf0.001"), "events")
     val customers = Tables.read(spark, sf("sf0.001"), "customer")
