@@ -135,6 +135,17 @@ object QueriesOlap {
     }),
     // event-time tumbling hour buckets
     "q_events_window" -> ((s, dir) => EventOps.hourly(Tables.read(s, dir, "events"))),
+    // JSON sink round-trip: the hourly aggregate written as JSON lines
+    // and read back with its schema — with the parquet checkpoint
+    // (mwu_checkpoint) and per-group CSV sink (mwu_sink) this puts every
+    // sink format inside the oracle gate; doubles survive via Jackson's
+    // shortest-round-trip rendering
+    "q_json_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val agg = EventOps.hourly(Tables.read(s, dir, "events"))
+      Tables.writeJson(agg, tmp)
+      Tables.readJson(s, tmp, agg.schema)
+    }),
     // JSON prop extraction + aggregate
     "q_events_json" -> ((s, dir) => EventOps.propStats(Tables.read(s, dir, "events"))),
     // sessionization (lag + cumsum windows; epoch output for determinism)
@@ -360,6 +371,7 @@ object QueriesOlap {
          |group by l_orderkey
          |order by revenue desc, l_orderkey asc limit 10""".stripMargin.replace("\n", " "),
     "q_events_window" -> EventOps.hourlySql(),
+    "q_json_sink" -> EventOps.hourlySql(),
     "q_events_json" -> EventOps.propStatsSql(),
     "q_sessions" -> sessionsOracle,
     "q_user_rolling" -> EventOps.rollingSql(),

@@ -54,6 +54,38 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("as-of join equals the brute-force at-or-before lookup — 5 random cases") {
+    import spark.implicits._
+    val genEvents: Gen[List[(Long, Long, Long, Double)]] = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(1L, 3L)
+        ts <- Gen.choose(0L, 20L) // small domain → many exact-tie collisions
+        v <- Gen.chooseNum(-50, 50).map(_.toDouble)
+      } yield (key, ts, v))
+    } yield rows.zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+    for (seed <- 1 to 5) {
+      val rows = genEvents(Gen.Parameters.default, Seed(seed.toLong)).get
+      val (leftRows, rightRows) = rows.partition(_._1 % 2 == 0)
+      val left = leftRows.map(r => (r._2, r._3, r._1)).toDF("user_id", "ts", "event_id")
+      val right = rightRows.map(r => (r._2, r._3, r._1, r._4))
+        .toDF("user_id", "ts", "event_id", "value")
+      val got = EventOps.asofJoin(left, right, "user_id", "ts", "event_id",
+          payload = Seq("event_id", "value"))
+        .select("event_id", "asof_event_id", "asof_value").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+      // oracle: latest right row with (ts, id) <= (l.ts, +inf), max (ts, id)
+      val expected = leftRows.map { l =>
+        val cand = rightRows.filter(r => r._2 == l._2 && r._3 <= l._3)
+        l._1 -> (if (cand.isEmpty) None
+                 else { val b = cand.maxBy(r => (r._3, r._1)); Some((b._1, b._4)) })
+      }.toMap
+      assert(got == expected, s"seed=$seed: $got vs $expected")
+      assert(got.size == leftRows.size)
+    }
+  }
+
   test("BH is monotone in p within each group") {
     for ((vals, gs) <- cases(3)) {
       val cells = cellsOf("f", vals, gs)
