@@ -78,6 +78,12 @@ object QueriesMwu {
     "mwu_ranksum" -> ((s, dir) =>
       MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir)))
         .select("feature_id", "grp", "rank_sum", "n1", "n")),
+    // A1 via the tied-data scale path: map-side-combined value counts,
+    // sort only distinct values — same oracle as mwu_ranksum proves the
+    // two plans bit-equal
+    "mwu_ranksum_agg" -> ((s, dir) =>
+      MwuAgg.rankSumsAgg(liCells(s, dir))
+        .select("feature_id", "grp", "rank_sum", "n1", "n")),
     // M1 U statistics
     "mwu_u" -> ((s, dir) =>
       MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir))))
@@ -315,11 +321,8 @@ object QueriesMwu {
          |from ranked group by feature_id, value""".stripMargin.replace("\n", " "),
     "mwu_tie_term" ->
       s"with cells as ($cellsSql) ${MwuAgg.tieTermSql("select * from cells")}",
-    "mwu_ranksum" ->
-      s"""with cells as ($cellsSql),
-         |ranked as (${Ranking.ranksSql("select * from cells")})
-         |select feature_id, grp, rank_sum, n1, n from (
-         |${MwuAgg.rankSumsSql("select * from ranked")})""".stripMargin.replace("\n", " "),
+    "mwu_ranksum" -> ranksumOracle,
+    "mwu_ranksum_agg" -> ranksumOracle,
     "mwu_u" -> {
       val u1 = "(rank_sum - cast(n1 as double) * (cast(n1 as double) + 1.0) / 2.0)"
       val u2 = s"(cast(n1 as double) * cast(n - n1 as double) - $u1)"
@@ -382,6 +385,12 @@ object QueriesMwu {
     },
     "mwu_sink" -> markersOracle
   )
+
+  private def ranksumOracle: String =
+    s"""with cells as ($cellsSql),
+       |ranked as (${Ranking.ranksSql("select * from cells")})
+       |select feature_id, grp, rank_sum, n1, n from (
+       |${MwuAgg.rankSumsSql("select * from ranked")})""".stripMargin.replace("\n", " ")
 
   private def markersOracle: String = {
     val base = mwuOracle("lineitem", "l_returnflag", liFeatures)

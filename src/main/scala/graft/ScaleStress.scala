@@ -31,6 +31,7 @@ object ScaleStress {
     if (args.headOption.contains("ann")) { annStress(args.drop(1)); return }
     if (args.headOption.contains("dedupdegen")) { dedupDegenStress(args.drop(1)); return }
     if (args.headOption.contains("decontam")) { decontamStress(args.drop(1)); return }
+    if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -86,6 +87,37 @@ object ScaleStress {
     val out = Similarity.ivfTopK(blown, k = 10, queryEvery = 50 * replicas).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"ann_ivf","replicas":$replicas,"vecs":$n,"out_rows":$out,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Rank-sum plan shoot-out on DISCRETE (heavily tied) measures: the
+    * per-cell path sorts every cell inside the feature shuffle; the
+    * aggregated path ([[MwuAgg.rankSumsAgg]]) collapses cells map-side
+    * and sorts only distinct values. Same bit-exact answer (shared
+    * oracle + PropertySpec); this leg measures the gap as features
+    * widen. `sbt "runMain graft.ScaleStress ranks [nFeatures]"` */
+  private def ranksStress(args: Array[String]): Unit = {
+    val nFeat = if (args.nonEmpty) args(0).toInt else 32
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+    // discrete features: integer mixes mod a small domain → ~2k distinct
+    // values per feature regardless of row count (the tied regime)
+    val cells = li.select(col("l_returnflag").as("grp"),
+        explode(expr(s"sequence(0, ${nFeat - 1})")).as("fi"),
+        col("l_quantity"), col("l_partkey"))
+      .select(col("grp"), concat(lit("f"), col("fi")).as("feature_id"),
+        ((col("l_partkey") * (col("fi") + 1L) + col("l_quantity")) % 2048L)
+          .cast("double").as("value"))
+    val n = cells.count()
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (r1, sPerCell) = time(MwuAgg.rankSums(Ranking.withRanks(cells)).count())
+    val (r2, sAgg) = time(MwuAgg.rankSumsAgg(cells).count())
+    assert(r1 == r2, s"row counts diverge: $r1 != $r2")
+    println(f"""{"stress":"rank_plans","features":$nFeat,"cells":$n,"per_cell_sec":$sPerCell%.2f,"agg_sec":$sAgg%.2f,"speedup":${sPerCell / sAgg}%.2f}""")
     spark.stop()
   }
 

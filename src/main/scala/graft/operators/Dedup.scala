@@ -248,7 +248,18 @@ object Dedup {
     * Zero-overlap corpus docs never reach the join, so they are patched
     * back with the same (min eval_id, contam 0) row the broadcast
     * variant's top-1 window produces — the two variants stay
-    * bit-identical and share one oracle. */
+    * bit-identical and share one oracle.
+    *
+    * Skew at 100 TB: a boilerplate shingle present in most corpus docs
+    * AND some eval doc makes one join key quadratic-hot. The join is a
+    * plain equi-join, so AQE's skew-join split handles it at runtime
+    * (partitions split by size, the eval side duplicated per split);
+    * the downstream count re-aggregates correctly because splits of one
+    * (doc, eval) pair land in the same hash group. For corpora where
+    * even that is too hot, prune codes above a document-frequency cap
+    * FIRST on both sides — containment against a capped shingle set is
+    * a different (documented) measure, so it is a caller decision, not
+    * a silent default here. */
   def decontaminateJoin(docs: DataFrame, evalEvery: Int = 97): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = withShingleCodes(docs, "text")

@@ -25,6 +25,39 @@ object MwuAgg {
     agg.withColumn("n", sum("n1").over(Window.partitionBy("feature_id")))
   }
 
+  /** A1+A3 WITHOUT sorting the fact table — the tied-data scale path.
+    * Average ranks are a pure function of distinct (feature, value)
+    * cumulative counts, so the fact rows collapse through a map-side-
+    * combined aggregate to (feature, value, grp, count) FIRST and only
+    * the distinct-value relation is sorted:
+    *   avg_rank(v) = C_{<v} + (t_v + 1)/2, computed by RANGE-frame sums
+    *   over the aggregated rows (peers share a value by construction);
+    *   rank_sum(grp) = Σ_v c(grp,v)·avg_rank(v), exact dyadic arithmetic
+    *   → bit-identical to summing per-cell ranks in any order, so it
+    *   shares [[rankSums]]'s oracle.
+    * For discrete measures (quantities, discounts, grades) the window
+    * sorts thousands of rows instead of billions; for continuous values
+    * it degrades to ~n aggregated rows — prefer [[Ranking.withRanks]] +
+    * [[rankSums]] there (the per-cell ranks are also the API surface).
+    * NaN poisoning matches rank_data.py:193-196: any bad value NULLs the
+    * feature's rank sums while n1/n stay populated. */
+  def rankSumsAgg(cells: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("feature_id").orderBy("value")
+    val wCum = wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeer = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
+    val wFeat = Window.partitionBy("feature_id")
+    cells
+      .groupBy("feature_id", "value", "grp").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("t", sum("c").over(wPeer))
+      .withColumn("f_nan", max(Ranking.isBad(col("value"))).over(wFeat))
+      .withColumn("avg_rank", when(col("f_nan"), lit(null).cast("double"))
+        .otherwise((col("cum") - col("t")).cast("double") + (col("t") + 1L) / 2.0))
+      .groupBy("feature_id", "grp")
+      .agg(sum(col("avg_rank") * col("c")).as("rank_sum"), sum("c").as("n1"))
+      .withColumn("n", sum("n1").over(wFeat))
+  }
+
   /** A2: tie term Σ(t³−t) per feature. Two-level aggregate: count each
     * distinct value's multiplicity, then sum t³−t — singletons contribute
     * 0, exactly the scipy tie-vector semantics (rank_data.py:315).

@@ -54,6 +54,21 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("aggregated rank sums are bit-equal to per-cell rank sums (incl. NaN poisoning)") {
+    for ((vals, gs) <- cases(4)) {
+      val cells = cellsOf("f", vals, gs)
+        .unionAll(cellsOf("g", vals.map(v => if (v > 50) Double.NaN else v), gs))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("feature_id", "grp", "rank_sum", "n1", "n").collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3), r.getLong(4)))
+          .toMap
+      val perCell = rows(MwuAgg.rankSums(Ranking.withRanks(cells)))
+      val agg = rows(MwuAgg.rankSumsAgg(cells))
+      assert(perCell == agg, s"plans diverge: $perCell vs $agg")
+    }
+  }
+
   test("as-of join equals the brute-force at-or-before lookup — 5 random cases") {
     import spark.implicits._
     val genEvents: Gen[List[(Long, Long, Long, Double)]] = for {
