@@ -130,6 +130,10 @@ object QueriesLlm {
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
+    // deterministic shuffle + contiguous-fill sequence packing into
+    // fixed-token training bins (one window cumsum per language)
+    "text_pack" -> ((s, dir) =>
+      TextOps.packBins(Tables.read(s, dir, "documents"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -317,6 +321,7 @@ object QueriesLlm {
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "text_chunk" -> TextOps.chunkSql(),
+    "text_pack" -> TextOps.packBinsSql(),
     "multimodal_frames" ->
       """select doc_id, cast(i as bigint) as frame_idx, cast(i * 256 as bigint) as offset,
         | cast(least(strlen(text), i * 256 + 256) - i * 256 as bigint) as frame_bytes

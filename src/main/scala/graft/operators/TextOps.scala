@@ -260,6 +260,42 @@ object TextOps {
        |from exact join sk on exact.lang = sk.lang""".stripMargin.replace("\n", " ")
   }
 
+  /** Deterministic shuffle + sequence packing: order documents by an id
+    * hash (a reproducible "random" shuffle — same property as
+    * [[graft.oracle.Parity.cwMix]]-based splitting), then assign each
+    * doc to the training batch whose token budget its START offset falls
+    * in (contiguous-fill packing: a running token count per language,
+    * bin = floor(offset / budget)). The classic pre-training batch
+    * packer, rendered as one window cumsum per stratum — the same
+    * distributed shape as sessionization, no driver state. Bins may
+    * overrun the budget by at most one document, the standard
+    * contiguous-fill tradeoff. Exact integer arithmetic throughout. */
+  def packBins(docs: DataFrame, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.selectExpr("doc_id", "lang",
+        "cast(size(split(trim(text), ' ')) as bigint) as n_tokens",
+        s"${graft.oracle.Parity.cwMix(33, "rolling_hash(cast(doc_id as string))")} as h")
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+      .select("doc_id", "lang", "n_tokens", "h", "bin")
+  }
+
+  /** DuckDB mirror of [[packBins]]. */
+  def packBinsSql(budget: Int = 256): String = {
+    val h = graft.oracle.Parity.cwMix(33,
+      graft.oracle.Parity.rollingHashDuck("cast(doc_id as varchar)"))
+    s"""select doc_id, lang, n_tokens, h, (cum - n_tokens) // $budget as bin from (
+       | select doc_id, lang, n_tokens, h,
+       |  sum(n_tokens) over (partition by lang order by h asc, doc_id asc
+       |    rows between unbounded preceding and current row) as cum
+       | from (select doc_id, lang,
+       |   cast(len(string_split(trim(text), ' ')) as bigint) as n_tokens,
+       |   $h as h from documents))""".stripMargin.replace("\n", " ")
+  }
+
   /** Token-window chunking with overlap — the context-window preparation
     * op of a training pipeline: doc → ⌈(n-size)/stride⌉+1 chunks of
     * `size` tokens starting every `stride` tokens. Pure per-row array
