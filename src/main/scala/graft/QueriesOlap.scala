@@ -267,6 +267,11 @@ object QueriesOlap {
     // how many of the same user's events land in the following 10 minutes
     // — the frame shares the sessionization shuffle shape and is the
     // scale-correct rendering of a bounded self range join
+    // stream-stream interval join (purchases ⋈ same-user clicks within
+    // the prior 2 h) — watermarked both sides, append mode, AvailableNow;
+    // oracle = the identical batch micro-precision range join
+    "stream_interval" -> ((s, dir) =>
+      graft.streaming.EventStream.runIntervalOnce(s, dir)),
     "q_events_range" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
         .rangeBetween(Window.currentRow, 600L * 1000000000L)
@@ -456,6 +461,16 @@ object QueriesOlap {
         | where gap_sec is not null
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
+    "stream_interval" ->
+      """select p.event_id as p_id, c.event_id as c_id,
+        | p.user_id as user_id,
+        | (epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 as gap_sec
+        |from events p join events c
+        | on p.user_id = c.user_id
+        | and p.event_type = 'purchase' and c.event_type = 'click'
+        | and epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+        | and epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 7200000000"""
+        .stripMargin.replace("\n", " "),
     "q_events_range" ->
       """select event_id, user_id, tsn // 1000000000 as ts_sec,
         | cast(n_next_10m as bigint) as n_next_10m

@@ -83,6 +83,47 @@ object EventStream {
     spark.table(qName)
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks from the preceding two hours — the canonical event-time
+    * range-join of Structured Streaming. Both sides carry watermarks and
+    * the join condition bounds event time, so state is evictable (Spark
+    * derives the state horizon from the watermark + interval); in append
+    * mode each qualifying pair emits exactly once. Comparisons run at
+    * micro precision (timestamps ARE micros in Spark) and the oracle
+    * spells the identical micro arithmetic. */
+  def intervalJoin(stream: DataFrame): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        timestamp_micros(expr("ts div 1000")).as("c_t"))
+      .withWatermark("c_t", "3 hours")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        timestamp_micros(expr("ts div 1000")).as("p_t"))
+      .withWatermark("p_t", "3 hours")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("p_t") >= col("c_t") &&
+          col("p_t") <= col("c_t") + expr("interval 2 hours"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        expr("(unix_micros(p_t) - unix_micros(c_t)) div 1000000").as("gap_sec"))
+  }
+
+  /** One-shot driver for [[intervalJoin]]. */
+  def runIntervalOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_ivj_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events.parquet"))
+    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val qName = "graft_ivj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = intervalJoin(stream).writeStream
+      .outputMode("append").format("memory").queryName(qName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Ev(user_id: Long, ts: Long)
