@@ -30,6 +30,11 @@ object QueriesLlm {
     // → full hash check)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.read(s, dir, "documents"))),
+    // near-dup CLUSTERS: MinHash pairs collapsed to connected components
+    // by 8 rounds of min-label propagation (oracle = the identical
+    // iteration unrolled as CTEs — deterministic converged or not)
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.clusterLabels(Dedup.minHashPairs(Tables.read(s, dir, "documents")))),
     // per-document token statistics
     "text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))),
@@ -337,6 +342,23 @@ object QueriesLlm {
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "dedup_minhash" -> minhashDuck,
+    "dedup_groups" -> {
+      // every CTE is MATERIALIZED: each l_i references l_{i-1} twice, so
+      // inlining would re-evaluate the MinHash pipeline 2^8 times
+      val lp = (1 to 8).map { i =>
+        val prev = s"l${i - 1}"
+        s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
+          s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
+          "group by id)"
+      }.mkString(", ")
+      s"""with pairs as materialized ($minhashDuck),
+         |edges as materialized (select doc_a as src, doc_b as dst from pairs
+         |  union all select doc_b as src, doc_a as dst from pairs),
+         |l0 as materialized (select id, id as lbl from
+         |  (select doc_a as id from pairs union select doc_b as id from pairs)),
+         |$lp
+         |select id as doc_id, lbl as cluster_id from l8""".stripMargin.replace("\n", " ")
+    },
     "dedup_simhash" -> simhashDuck,
     "emb_neardup" -> embNeardupDuck,
     "dedup_exact" ->

@@ -236,6 +236,35 @@ object Dedup {
       .select("doc_id", "eval_id", "contam")
   }
 
+  /** Near-dup CLUSTER resolution: collapse a pair relation into
+    * connected components by synchronized min-label propagation —
+    * `iters` rounds of "my label = min(mine, my neighbors')". The output
+    * is a deterministic function of (pairs, iters) whether or not the
+    * propagation has converged, so the DuckDB oracle (the identical
+    * iteration unrolled as CTEs) matches bit-for-bit by construction;
+    * clusters with diameter ≤ iters are fully resolved, and near-dup
+    * clusters are band-bucketed cliques-plus-chains where 8 hops is
+    * generous. Each round is one join + one min-aggregate on the
+    * (tiny relative to the corpus) pair relation; lineage is cut with a
+    * localCheckpoint per round — on a cluster, swap for
+    * `checkpoint()` against a reliable dir, same plan otherwise. */
+  def clusterLabels(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+      .withColumn("lbl", col("id"))
+    (1 to iters).foreach { _ =>
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("lbl"))
+      labels = labels.select("id", "lbl").union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Inverted-index decontamination — same answers as [[decontaminate]],
     * different physics: when the eval side is a large held-out corpus
     * (not a benchmark-sized table) it cannot broadcast, so both sides
