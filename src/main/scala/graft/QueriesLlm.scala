@@ -139,6 +139,10 @@ object QueriesLlm {
     // fixed-token training bins (one window cumsum per language)
     "text_pack" -> ((s, dir) =>
       TextOps.packBins(Tables.read(s, dir, "documents"))),
+    // unigram-LM mean token log-probability per document (model-based
+    // quality filter; fixed-point summation keeps ln cross-engine exact)
+    "text_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(Tables.read(s, dir, "documents"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -327,6 +331,7 @@ object QueriesLlm {
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
+    "text_logprob" -> TextOps.unigramLogProbSql(),
     "multimodal_frames" ->
       """select doc_id, cast(i as bigint) as frame_idx, cast(i * 256 as bigint) as offset,
         | cast(least(strlen(text), i * 256 + 256) - i * 256 as bigint) as frame_bytes

@@ -260,6 +260,44 @@ object TextOps {
        |from exact join sk on exact.lang = sk.lang""".stripMargin.replace("\n", " ")
   }
 
+  /** Unigram language-model score — the model-based quality filter of a
+    * training pipeline (perplexity-style): train token frequencies on the
+    * corpus itself (one aggregate), then score each document by its mean
+    * token log-probability. Per-token ln goes through fixed-point BIGINT
+    * units (floor(ln(c/N)·1e9 + 0.5) — ln outputs can differ by 1 ulp
+    * between engines AND decimal-grid doubles don't sum exactly, so the
+    * summation happens in integers) and divides once per doc. Shape:
+    * explode → vocab aggregate → token⋈vocab hash join → per-doc
+    * aggregate; the vocab join is the standard shuffle at corpus scale. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("split(trim(text), ' ')")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("nn"))
+    val units =
+      "cast(floor(ln(cast(c as double) / cast(nn as double)) * 1.0e9 + 5e-1) as bigint)"
+    toks.join(vocab, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), expr(units).as("u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("u").as("u_sum"))
+      .withColumn("avg_logp",
+        expr("cast(u_sum as double) / cast(n_tokens as double) / 1.0e9"))
+      .select("doc_id", "n_tokens", "avg_logp")
+  }
+
+  /** DuckDB mirror of [[unigramLogProb]]. */
+  def unigramLogProbSql(table: String = "documents"): String = {
+    val units =
+      "cast(floor(ln(cast(c as double) / cast(nn as double)) * 1.0e9 + 5e-1) as bigint)"
+    s"""with toks as (select doc_id, unnest(string_split(trim(text), ' ')) as token from $table),
+       |vocab as (select token, cast(count(*) as bigint) as c from toks group by token),
+       |n as (select cast(count(*) as bigint) as nn from toks)
+       |select doc_id, cast(count(*) as bigint) as n_tokens,
+       | cast(cast(sum($units) as bigint) as double) / cast(count(*) as double) / 1.0e9 as avg_logp
+       |from toks join vocab on toks.token = vocab.token, n
+       |group by doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Deterministic shuffle + sequence packing: order documents by an id
     * hash (a reproducible "random" shuffle — same property as
     * [[graft.oracle.Parity.cwMix]]-based splitting), then assign each

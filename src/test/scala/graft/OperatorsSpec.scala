@@ -102,6 +102,13 @@ class OperatorsSpec extends SparkSpec {
     assert(viaJoin.size == 12 * 11 / 2 && viaJoin.forall(_._3 == 1.0))
   }
 
+  test("cluster labels: transitive chains collapse to one component (A~B, B~C, no A~C)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterLabels(pairs, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
+  }
+
   test("decontaminate_join (inverted index) is bit-identical to the broadcast variant") {
     // doc 0 and 97·2 form the eval set; include a corpus doc with ZERO
     // overlap (hits the min-eval-id patch path) and graded-overlap docs
