@@ -272,6 +272,40 @@ object QueriesOlap {
     // oracle = the identical batch micro-precision range join
     "stream_interval" -> ((s, dir) =>
       graft.streaming.EventStream.runIntervalOnce(s, dir)),
+    // TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    // non-equi residual (orders with a lineitem shipped >60 days after
+    // the order date), counted per priority
+    "q_exists" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+    }),
+    // TPC-H Q7 shape: cross-nation trade volume — fact joins supplier and
+    // customer sides, each resolved to its nation (tiny dims broadcast),
+    // aggregated per ordered nation pair
+    "q_nation_volume" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = Tables.read(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .join(broadcast(n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(count(lit(1)).as("n_items"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("volume"))
+    }),
     "q_events_range" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
         .rangeBetween(Window.currentRow, 600L * 1000000000L)
@@ -461,6 +495,25 @@ object QueriesOlap {
         | where gap_sec is not null
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
+    "q_exists" ->
+      """select o_orderpriority, cast(count(*) as bigint) as n_late_orders
+        |from orders o
+        |where exists (select 1 from lineitem l
+        |  where l.l_orderkey = o.o_orderkey
+        |  and l.l_shipdate > o.o_orderdate + interval 60 day)
+        |group by o_orderpriority""".stripMargin.replace("\n", " "),
+    "q_nation_volume" ->
+      s"""select ns.n_name as supp_nation, nc.n_name as cust_nation,
+         | cast(count(*) as bigint) as n_items,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as volume
+         |from lineitem
+         | join supplier on l_suppkey = s_suppkey
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         | join nation ns on s_nationkey = ns.n_nationkey
+         | join nation nc on c_nationkey = nc.n_nationkey
+         |where ns.n_name <> nc.n_name
+         |group by ns.n_name, nc.n_name""".stripMargin.replace("\n", " "),
     "stream_interval" ->
       """select p.event_id as p_id, c.event_id as c_id,
         | p.user_id as user_id,
