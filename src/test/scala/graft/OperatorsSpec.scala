@@ -102,6 +102,20 @@ class OperatorsSpec extends SparkSpec {
     assert(viaJoin.size == 12 * 11 / 2 && viaJoin.forall(_._3 == 1.0))
   }
 
+  test("sequence packing: bins equal brute-force contiguous fill per language") {
+    val docs = (1L to 60L).map(i => (i, if (i % 3 == 0) "de" else "en",
+      (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" "))).toDF("doc_id", "lang", "text")
+    val got = TextOps.packBins(docs, budget = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.groupBy(_._2).values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).foreach { case (id, _, n, _, bin) =>
+        assert(bin == cum / 8, s"doc $id: bin $bin != ${cum / 8}")
+        cum += n
+      }
+    }
+  }
+
   test("cluster labels: transitive chains collapse to one component (A~B, B~C, no A~C)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = Dedup.clusterLabels(pairs, iters = 8).collect()
