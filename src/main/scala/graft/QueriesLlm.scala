@@ -64,9 +64,15 @@ object QueriesLlm {
     // the LSH variant)
     "emb_neardup_exact" -> ((s, dir) =>
       Similarity.nearDupExact(Tables.read(s, dir, "embeddings"), threshold = 0.3)),
-    // IVF approximate top-k — coarse-quantizer scale path (rows-only)
+    // IVF approximate top-k — coarse-quantizer scale path (rows-only:
+    // the k-means fit is the one SQL-inexpressible estimator)
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
+    // IVF with a FIXED coarse quantizer (label partition = inverted file):
+    // identical probe/scan machinery, fully hash-checked — the oracle
+    // covers centroid build, nprobe selection, and the cell-pruned rerank
+    "ann_ivf_label" -> ((s, dir) =>
+      Similarity.ivfLabelTopK(Tables.read(s, dir, "embeddings"))),
     // LSH-bucketed near-duplicate embedding pairs (deterministic ±1
     // hyperplanes over fixed-point projections → full hash check)
     "emb_neardup" -> ((s, dir) =>
@@ -434,6 +440,36 @@ object QueriesLlm {
         |      from documents)
         |group by token order by freq desc, token asc limit 100"""
         .stripMargin.replace("\n", " "),
+    "ann_ivf_label" -> {
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      val dotCC = Parity.dot(DuckD, "centroid", "centroid", dim)
+      val dotQC = Parity.dot(DuckD, "q_emb", "centroid", dim)
+      val dotQN = Parity.dot(DuckD, "p.q_emb", "nn.embedding", dim)
+      s"""with cg as (select cast(label as bigint) as cl, i as d,
+         |  cast(count(*) as bigint) as n,
+         |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
+         | from embeddings, generate_series(1, $dim) t(i) group by cl, i),
+         |cent as (select cl, list(cv order by d) as centroid from
+         |  (select cl, d, vs / cast(n as double) as cv from cg) group by cl),
+         |cn as (select * from (select cl, centroid, sqrt($dotCC) as c_norm from cent)
+         |  where c_norm > 0e0),
+         |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
+         |   sqrt($dotSelf) as norm from embeddings) where norm > 0e0),
+         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+         |  where vec_id % 50 = 0),
+         |probes as (select q_id, q_emb, q_norm, cl from (
+         |  select q.q_id, q.q_emb, q.q_norm, cn.cl,
+         |   row_number() over (partition by q.q_id
+         |     order by ($dotQC) / (q.q_norm * cn.c_norm) desc, cn.cl asc) as pr
+         |  from q cross join cn) where pr <= 3)
+         |select q_id, n_id, cos, rn from (
+         | select q_id, n_id, cos,
+         |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
+         | from (select p.q_id, nn.vec_id as n_id,
+         |   ($dotQN) / (p.q_norm * nn.norm) as cos
+         |  from probes p join nn on p.cl = nn.cl and p.q_id <> nn.vec_id))
+         |where rn <= 10""".stripMargin.replace("\n", " ")
+    },
     "emb_centroids" ->
       s"""select cast(label as bigint) as label, cast(i as bigint) as dim,
          | cast(count(*) as bigint) as n,

@@ -158,6 +158,56 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
+  /** IVF with a FIXED coarse quantizer: the label partition is the
+    * inverted file (cells = per-label fixed-point-mean centroids), so —
+    * unlike the k-means [[ivfTopK]] — every step is SQL-expressible and
+    * the whole IVF machinery (centroid build, nprobe cell selection by
+    * centroid cosine, cell-pruned candidate scan, exact re-rank) runs
+    * under the hash-checked oracle instead of a rows-only carve-out.
+    * Same physical shape as [[ivfTopK]]: tiny centroid relation
+    * broadcasts, candidates join on the cell id (storable bucketed by it
+    * at 100 TB), only probed cells are scanned. */
+  def ivfLabelTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                   nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cells = emb.select(col("label").cast("long").as("cl"),
+        explode(expr(s"sequence(1, $dim)")).as("d"), col("embedding"))
+      .withColumn("v", expr("cast(element_at(embedding, d) as double)"))
+      .groupBy("cl", "d")
+      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("v")).as("vs"))
+      .withColumn("cv", col("vs") / col("n").cast("double"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)")
+        .as("centroid"))
+    // zero-norm centroids (a cell of cancelling vectors) have no cosine:
+    // exclude like zero-norm vectors — x/0 is ±inf/NaN in Spark but NULL
+    // in DuckDB, so they must never reach the probe ordering
+    val cNorm = broadcast(cells.withColumn("c_norm",
+        expr(s"sqrt(${Parity.dot(SparkD, "centroid", "centroid", dim)})"))
+      .filter(col("c_norm") > 0.0))
+    val n = withNorm(emb).filter(col("norm") > 0.0)
+    val q = n.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_cos").desc, col("cl").asc)
+    val probes = q.crossJoin(cNorm)
+      .withColumn("c_cos", expr(Parity.dot(SparkD, "q_emb", "centroid", dim)) /
+        (col("q_norm") * col("c_norm")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "q_emb", "q_norm", "cl")
+    val cand = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"), col("label").cast("long").as("cl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    probes.join(cand, Seq("cl")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "cos", "rn")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage/
     * bandwidth-reduction op of an embedding pipeline. scale = 127/max|v|
     * (max is order-independent), q = clamp(floor(v·scale + 0.5), ±127) —
