@@ -129,6 +129,15 @@ object QueriesLlm {
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
+    // multimodal resize plumbing: bounding-box scale of the (stub-decoded)
+    // dimensions — a pure function of byte length, so the typed
+    // mapPartitions path is oracle-checked like meta and frames
+    "multimodal_resize" -> ((s, dir) => {
+      val resized = Multimodal.resize(s,
+        Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))
+      resized.toDF().select(col("doc_id"), col("width"), col("height"),
+        expr("cast(octet_length(blob) as bigint)").as("n_bytes"))
+    }),
     // multimodal frame sampling: one row per sampled byte-window "frame"
     // (generator explosion over the typed asset Dataset; metadata fully
     // derivable from byte length → oracle-checked)
@@ -478,6 +487,21 @@ object QueriesLlm {
          |   / cast(count(*) as double) as centroid
          |from embeddings, generate_series(1, $dim) t(i)
          |group by label, i""".stripMargin.replace("\n", " "),
+    "multimodal_resize" ->
+      // floor() is explicit: Scala's .toLong truncates (= floor for the
+      // positive scaled dims) while DuckDB's cast ROUNDS
+      """select doc_id,
+        | case when scale >= 1e0 then w0
+        |  else greatest(1, cast(floor(cast(w0 as double) * scale) as bigint)) end as width,
+        | case when scale >= 1e0 then h0
+        |  else greatest(1, cast(floor(cast(h0 as double) * scale) as bigint)) end as height,
+        | cast(n as bigint) as n_bytes
+        |from (select doc_id, n, w0, h0,
+        |  64e0 / cast(greatest(w0, h0) as double) as scale
+        | from (select doc_id, strlen(text) as n,
+        |   cast(64 + strlen(text) % 193 as bigint) as w0,
+        |   cast(64 + (strlen(text) * 7) % 193 as bigint) as h0
+        |  from documents))""".stripMargin.replace("\n", " "),
     "multimodal_meta" ->
       """select doc_id, cast(strlen(text) as bigint) as n_bytes,
         | cast(64 + strlen(text) % 193 as bigint) as width,
