@@ -108,7 +108,13 @@ object EventStream {
         expr("(unix_micros(p_t) - unix_micros(c_t)) div 1000000").as("gap_sec"))
   }
 
-  /** One-shot driver for [[intervalJoin]]. */
+  /** One-shot driver for [[intervalJoin]]. The stream-stream join keeps
+    * FOUR state stores per shuffle partition; with the default 32
+    * partitions the fixed store init/commit dominates a small stream, so
+    * the streaming shuffle is narrowed for this query (a cluster deploy
+    * sizes `spark.sql.shuffle.partitions` to the STATE volume for
+    * stateful queries — this is that decision, locally). Restored after
+    * the run; results are partitioning-invariant. */
   def runIntervalOnce(spark: SparkSession, sfDir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft_ivj_src_")
     java.nio.file.Files.copy(
@@ -117,10 +123,14 @@ object EventStream {
     val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
     val stream = spark.readStream.schema(schema).parquet(src.toString)
     val qName = "graft_ivj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = intervalJoin(stream).writeStream
-      .outputMode("append").format("memory").queryName(qName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = intervalJoin(stream).writeStream
+        .outputMode("append").format("memory").queryName(qName)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(qName)
   }
 
