@@ -39,21 +39,37 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_distinct_users"))
 
-  /** One-shot driver for [[dedupCounts]] over the static events parquet. */
-  def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src_")
+  /** Shared one-shot driver: stage the static events parquet as a stream
+    * source, run the query AvailableNow, return the memory-sink table.
+    * The streaming shuffle is narrowed to 8 partitions for the run
+    * (restored after): stateful operators keep a state store per shuffle
+    * partition, and for these small streams the fixed store init/commit
+    * dominates at 32 — the same "size shuffle partitions to state
+    * volume" decision a cluster deploy makes. Results are
+    * partitioning-invariant (asserted by the oracle gate). */
+  private def runAvailableNow(spark: SparkSession, sfDir: String, prefix: String,
+                              mode: String, build: DataFrame => DataFrame): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       src.resolve("events.parquet"))
     val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
     val stream = spark.readStream.schema(schema).parquet(src.toString)
-    val qName = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = dedupCounts(stream).writeStream
-      .outputMode("complete").format("memory").queryName(qName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val qName = s"graft_${prefix}_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(stream).writeStream
+        .outputMode(mode).format("memory").queryName(qName)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(qName)
   }
+
+  /** One-shot driver for [[dedupCounts]] over the static events parquet. */
+  def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "dedup", "complete", dedupCounts)
 
   /** Stream-static join: the event stream enriched against the (small,
     * broadcast) customer dimension, aggregated per market segment — the
@@ -67,20 +83,9 @@ object EventStream {
 
   /** One-shot driver for [[joinSegments]] over the static events parquet. */
   def runJoinOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory("graft_sjoin_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      src.resolve("events.parquet"))
-    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
     val customers = graft.sources.Tables.read(spark, sfDir, "customer")
       .select("c_custkey", "c_mktsegment")
-    val qName = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = joinSegments(stream, customers).writeStream
-      .outputMode("complete").format("memory").queryName(qName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qName)
+    runAvailableNow(spark, sfDir, "sjoin", "complete", joinSegments(_, customers))
   }
 
   /** Stream-stream interval join: purchases joined to the same user's
@@ -108,31 +113,10 @@ object EventStream {
         expr("(unix_micros(p_t) - unix_micros(c_t)) div 1000000").as("gap_sec"))
   }
 
-  /** One-shot driver for [[intervalJoin]]. The stream-stream join keeps
-    * FOUR state stores per shuffle partition; with the default 32
-    * partitions the fixed store init/commit dominates a small stream, so
-    * the streaming shuffle is narrowed for this query (a cluster deploy
-    * sizes `spark.sql.shuffle.partitions` to the STATE volume for
-    * stateful queries — this is that decision, locally). Restored after
-    * the run; results are partitioning-invariant. */
-  def runIntervalOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory("graft_ivj_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      src.resolve("events.parquet"))
-    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
-    val qName = "graft_ivj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = intervalJoin(stream).writeStream
-        .outputMode("append").format("memory").queryName(qName)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(qName)
-  }
+  /** One-shot driver for [[intervalJoin]] (four state stores per shuffle
+    * partition — the sizing in [[runAvailableNow]] matters most here). */
+  def runIntervalOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "ivj", "append", intervalJoin)
 
   // ---- stateful sessionization ----------------------------------------
 
@@ -184,40 +168,14 @@ object EventStream {
     * (the open tail stays in state), which equal the batch sessionization
     * minus each user's last session — that complement IS the DuckDB
     * oracle, making the stateful streaming path fully hash-checked. */
-  def runSessionsOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val src = java.nio.file.Files.createTempDirectory("graft_sess_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      src.resolve("events.parquet"))
-    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
-    val qName = "graft_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = sessionizeStream(stream).writeStream
-      .outputMode("append").format("memory").queryName(qName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qName)
+  def runSessionsOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "sess", "append", sessionizeStream(_))
       .select(col("user_id"), col("session_id"), col("n_events"),
         expr("start_ns div 1000").as("start_us"),
         expr("end_ns div 1000").as("end_us"))
-  }
 
-  /** Drives the streaming query synchronously over the static events
-    * parquet (staged into a stream-source directory) and returns the final
-    * result as a batch DataFrame — used by Verify/Bench. */
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory("graft_stream_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      src.resolve("events.parquet"))
-    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
-    val qName = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = hourlyAgg(stream).writeStream
-      .outputMode("complete").format("memory").queryName(qName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qName)
-  }
+  /** Drives the hourly aggregate synchronously over the static events
+    * parquet — used by Verify/Bench. */
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "stream", "complete", hourlyAgg)
 }
