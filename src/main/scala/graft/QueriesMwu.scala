@@ -72,6 +72,21 @@ object QueriesMwu {
         .groupBy("feature_id", "value")
         .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
     }),
+    // the 100-TB storage recommendation made real: cells WRITTEN bucketed
+    // by feature_id (external parquet table), then the rank pipeline over
+    // the bucketed scan — ZERO exchanges (the bucket hash satisfies every
+    // downstream distribution; PlanSpec asserts it), same numbers as
+    // mwu_rank (shared oracle)
+    "mwu_rank_bucket" -> ((s, dir) => {
+      val tbl = "graft_cells_bucketed"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      s.sql(s"drop table if exists $tbl")
+      liCells(s, dir).write.bucketBy(8, "feature_id").sortBy("feature_id", "value")
+        .option("path", s"$tmp/cells").format("parquet").saveAsTable(tbl)
+      Ranking.withRanks(s.table(tbl))
+        .groupBy("feature_id", "value")
+        .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
+    }),
     // A2 tie term
     "mwu_tie_term" -> ((s, dir) => MwuAgg.tieTerm(liCells(s, dir))),
     // A1 in-group rank sums
@@ -313,12 +328,8 @@ object QueriesMwu {
          | cast(sum(count(*)) over () as bigint) as n,
          | cast(cast(sum(count(*)) over () as bigint) - count(*) as bigint) as n2
          |from lineitem group by l_returnflag""".stripMargin.replace("\n", " "),
-    "mwu_rank" ->
-      s"""with cells as ($cellsSql),
-         |ranked as (${Ranking.ranksSql("select * from cells")})
-         |select feature_id, value, cast(max(tie_count) as bigint) as tie_count,
-         | max(rank) as rank
-         |from ranked group by feature_id, value""".stripMargin.replace("\n", " "),
+    "mwu_rank" -> rankOracle,
+    "mwu_rank_bucket" -> rankOracle,
     "mwu_tie_term" ->
       s"with cells as ($cellsSql) ${MwuAgg.tieTermSql("select * from cells")}",
     "mwu_ranksum" -> ranksumOracle,
@@ -385,6 +396,13 @@ object QueriesMwu {
     },
     "mwu_sink" -> markersOracle
   )
+
+  private def rankOracle: String =
+    s"""with cells as ($cellsSql),
+       |ranked as (${Ranking.ranksSql("select * from cells")})
+       |select feature_id, value, cast(max(tie_count) as bigint) as tie_count,
+       | max(rank) as rank
+       |from ranked group by feature_id, value""".stripMargin.replace("\n", " ")
 
   private def ranksumOracle: String =
     s"""with cells as ($cellsSql),

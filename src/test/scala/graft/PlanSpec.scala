@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
     assert(rn >= 2, s"expected the local prune + final top-k windows (got $rn):\n$p")
   }
 
+  test("bucketed cells: the whole rank pipeline runs with ZERO exchanges") {
+    val df = SparkEntry.queries("mwu_rank_bucket")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      s"bucket hash must satisfy every downstream distribution:\n$p")
+  }
+
   test("as-of join is the merge shape: ONE shuffle, ONE window carrying every payload") {
     val p = plan(SparkEntry.queries("q_asof")(spark, sf("sf0.001")))
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
