@@ -158,6 +158,20 @@ object QueriesLlm {
     // quality filter; fixed-point summation keeps ln cross-engine exact)
     "text_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.read(s, dir, "documents"))),
+    // Count-Min sketch heavy hitters: top-20 tokens by exact frequency
+    // with their CMS estimates — the bounded-memory counter grid is
+    // CW-deterministic, so even the sketch's overcounts oracle-check
+    "sketch_heavy" -> ((s, dir) =>
+      TextOps.cmsHeavy(Tables.read(s, dir, "documents"))),
+    // corpus-level line dedup (the RefinedWeb pass): per-doc duplicated-
+    // line counts + fingerprint of the text left after removing lines
+    // that repeat anywhere in the corpus
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.read(s, dir, "documents"))),
+    // L2-normalized embeddings in long format (bit-exact: shared chain
+    // dot + one IEEE division; zero vectors excluded)
+    "emb_normalize" -> ((s, dir) =>
+      Similarity.l2Normalize(Tables.read(s, dir, "embeddings"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -344,6 +358,9 @@ object QueriesLlm {
         .stripMargin.replace("\n", " ")
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
+    "sketch_heavy" -> TextOps.cmsHeavySql(),
+    "dedup_lines" -> Dedup.lineDedupSql(),
+    "emb_normalize" -> Similarity.l2NormalizeSql,
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),

@@ -306,6 +306,71 @@ object QueriesOlap {
         .agg(count(lit(1)).as("n_items"),
           expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("volume"))
     }),
+    // TPC-H Q14 shape: promo revenue share per ship month — conditional
+    // aggregation over a fact⋈dim join (no broadcast hint: part is
+    // SF-proportional, AQE picks broadcast at small SF and shuffle at 100×)
+    "q_promo_share" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val p = Tables.read(s, dir, "part").select("p_partkey", "p_type")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(
+          expr(fpSum("case when p_type = 'PROMO' then l_extendedprice * (1e0 - l_discount) else 0e0 end"))
+            .as("promo_revenue"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("total_revenue"))
+        .withColumn("promo_share",
+          lit(100e0) * col("promo_revenue") / col("total_revenue"))
+    }),
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (zero-order customers must survive) + two-level aggregation
+    "q_cust_dist" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer").select("c_custkey")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q17 shape: revenue lost to small orders — correlated per-part
+    // mean rendered as a window sharing the join's partitioning (the
+    // avg is an exact integral-sum ratio, so the comparison is
+    // deterministic); one row out
+    "q_avg_yearly" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val p = Tables.read(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val w = Window.partitionBy("l_partkey")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          sum("l_quantity").over(w) / count(lit(1)).over(w).cast("double"))
+        .filter(col("l_quantity") < lit(2e-1) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          (expr(fpSum("l_extendedprice")) / lit(7e0)).as("avg_yearly"))
+    }),
+    // TPC-H Q18 shape: large-volume orders — HAVING on a fact rollup,
+    // joined back to orders + customer, global top-100
+    "q_large_orders" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = Tables.read(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val c = Tables.read(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("order_epoch"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
     "q_events_range" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
         .rangeBetween(Window.currentRow, 600L * 1000000000L)
@@ -523,6 +588,44 @@ object QueriesOlap {
         | and p.event_type = 'purchase' and c.event_type = 'click'
         | and epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
         | and epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 7200000000"""
+        .stripMargin.replace("\n", " "),
+    "q_promo_share" -> {
+      val promo = fpSum("case when p_type = 'PROMO' then l_extendedprice * (1e0 - l_discount) else 0e0 end")
+      val total = fpSum("l_extendedprice * (1e0 - l_discount)")
+      s"""select cast(year(l_shipdate) as bigint) as y,
+         | cast(month(l_shipdate) as bigint) as m,
+         | $promo as promo_revenue, $total as total_revenue,
+         | 100e0 * $promo / $total as promo_share
+         |from lineitem join part on l_partkey = p_partkey
+         |group by 1, 2""".stripMargin.replace("\n", " ")
+    },
+    "q_cust_dist" ->
+      """select c_count, cast(count(*) as bigint) as custdist
+        |from (select c_custkey, cast(count(o_orderkey) as bigint) as c_count
+        | from customer left join
+        |  (select o_custkey, o_orderkey from orders
+        |   where o_orderpriority = '1-URGENT') o
+        |  on c_custkey = o_custkey
+        | group by c_custkey)
+        |group by c_count""".stripMargin.replace("\n", " "),
+    "q_avg_yearly" ->
+      s"""select cast(count(*) as bigint) as n_small,
+         | ${fpSum("l_extendedprice")} / 7e0 as avg_yearly
+         |from (select l_quantity, l_extendedprice,
+         |  sum(l_quantity) over (partition by l_partkey)
+         |   / cast(count(*) over (partition by l_partkey) as double) as avg_qty
+         | from lineitem join part on l_partkey = p_partkey
+         | where p_brand = 'Brand#1')
+         |where l_quantity < 2e-1 * avg_qty""".stripMargin.replace("\n", " "),
+    "q_large_orders" ->
+      """select c_name, c_custkey, o_orderkey,
+        | cast(epoch_us(o_orderdate) // 1000000 as bigint) as order_epoch,
+        | o_totalprice, sum_qty
+        |from (select l_orderkey, cast(sum(l_quantity) as double) as sum_qty
+        |  from lineitem group by l_orderkey having sum(l_quantity) > 150) big
+        | join orders on l_orderkey = o_orderkey
+        | join customer on o_custkey = c_custkey
+        |order by o_totalprice desc, o_orderkey asc limit 100"""
         .stripMargin.replace("\n", " "),
     "q_events_range" ->
       """select event_id, user_id, tsn // 1000000000 as ts_sec,

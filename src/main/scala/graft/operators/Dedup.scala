@@ -360,4 +360,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Corpus-level LINE deduplication (the RefinedWeb/CCNet pass): split
+    * every document into fixed-token "lines", count each line's
+    * multiplicity across the WHOLE corpus, and report per document how
+    * many of its lines are corpus-duplicated plus the fingerprint of the
+    * text that survives removing them (first occurrences are removed too,
+    * matching the usual conservative variant).
+    *
+    * Scale design: only (line-hash, count) tuples aggregate — map-side
+    * combine keeps the shuffle at distinct-line volume — and the join back
+    * carries ONLY duplicated hashes (cnt > 1), which after exact-dedup is
+    * a small fraction of the corpus, so AQE can broadcast it; document
+    * text itself shuffles once, keyed by doc_id, for the reassembly. */
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), expr(s"split(trim($textCol), ' ')").as("words"))
+      .select(col(idCol), expr(
+        s"explode(transform(sequence(0, cast((size(words) + ${lineTokens - 1}) div $lineTokens as int) - 1), " +
+          s"i -> struct(cast(i as bigint) as line_idx, " +
+          s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"))
+      .select(col(idCol), col("l.line_idx").as("line_idx"), col("l.line").as("line"))
+      .withColumn("fp", md5(col("line")))
+    val dupFps = lines.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    lines.join(dupFps, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_lines"),
+        // kept text = the cnt-is-null lines back in order; all-dup docs
+        // collapse to md5('') in both engines (empty concat vs coalesce'd
+        // empty string_agg)
+        expr("md5(concat_ws(' ', transform(array_sort(" +
+          "collect_list(case when cnt is null then struct(line_idx, line) end)), x -> x.line)))")
+          .as("kept_fp"))
+  }
+
+  /** DuckDB mirror of [[lineDedup]]. */
+  def lineDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
+    s"""with d as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |l as (select doc_id, i as line_idx,
+       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
+       | from (select doc_id, words,
+       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+       |lf as (select doc_id, line_idx, line, md5(line) as fp from l),
+       |dups as (select fp, cast(count(*) as bigint) as cnt from lf
+       |  group by fp having count(*) > 1)
+       |select doc_id, cast(count(*) as bigint) as n_lines,
+       | cast(sum(case when cnt is not null then 1 else 0 end) as bigint) as n_dup_lines,
+       | md5(coalesce(string_agg(case when cnt is null then line end, ' ' order by line_idx), '')) as kept_fp
+       |from lf left join dups on lf.fp = dups.fp
+       |group by doc_id""".stripMargin.replace("\n", " ")
 }

@@ -233,6 +233,32 @@ object Similarity {
        |   list_max(list_transform(embedding, x -> abs(cast(x as double)))) as mx
        |   from embeddings, generate_series(1, $dim) t(i)))""".stripMargin.replace("\n", " ")
 
+  /** L2 normalization of the embedding column in long format — the
+    * preprocessing step every cosine-based pipeline wants done ONCE at
+    * ingestion (after it, cosine = plain dot). norm is the same strict
+    * left-associated chain dot both engines share ([[Parity.dot]]) and
+    * v/norm is one IEEE division on identical operands, so the values are
+    * bit-exact with no quantization. Zero vectors (no direction) are
+    * excluded like everywhere else. Per-row math + a generator: no
+    * shuffle. */
+  def l2Normalize(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb).filter(col("norm") > 0.0)
+    n.select(col("vec_id"), explode(expr(s"sequence(1, $dim)")).as("d"),
+        col("embedding"), col("norm"))
+      .select(col("vec_id"), col("d").cast("long").as("dim"),
+        (expr("cast(element_at(embedding, d) as double)") / col("norm")).as("nv"))
+  }
+
+  /** DuckDB mirror of [[l2Normalize]]. */
+  def l2NormalizeSql: String = {
+    val dotSelf = Parity.dot(Parity.DuckD, "embedding", "embedding", dim)
+    s"""select vec_id, cast(i as bigint) as dim,
+       | cast(list_extract(embedding, i) as double) / norm as nv
+       |from (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings) e,
+       | generate_series(1, $dim) t(i)
+       |where norm > 0e0""".stripMargin.replace("\n", " ")
+  }
+
   /** Exact near-duplicate pairs within a blocking key (here: the label
     * column): deterministic cosine over all same-block pairs — the
     * oracle-checkable exact counterpart of [[nearDupPairs]]. */

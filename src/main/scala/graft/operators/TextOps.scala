@@ -260,6 +260,76 @@ object TextOps {
        |from exact join sk on exact.lang = sk.lang""".stripMargin.replace("\n", " ")
   }
 
+  /** Shared Carter-Wegman bucket text for [[cmsHeavy]]: row j of the
+    * sketch hashes `code` with the j-th affine mix, modulo the width. */
+  private def cmsBucketCase(depth: Int, width: Int): String = {
+    val arms = (0 until depth)
+      .map(j => s"when $j then (${graft.oracle.Parity.cwMix(j, "code")} % $width)")
+      .mkString(" ")
+    s"(case j $arms end)"
+  }
+
+  /** Count-Min sketch heavy hitters — the bounded-memory frequency
+    * estimator of a streaming pipeline, next to the exact counts it
+    * approximates. The sketch is a fixed depth×width counter grid: every
+    * token occurrence increments one counter per row (map-side combine
+    * collapses each partition to ≤ depth·width cells, so the shuffle is
+    * O(grid), not O(corpus)); a token's estimate is the MIN over its
+    * depth counters, guaranteed ≥ the true count. Built on the
+    * Carter-Wegman family ([[graft.oracle.Parity.cwMix]] of the codepoint
+    * rolling hash), so the sketch — collisions, overcounts and all — is
+    * DETERMINISTIC and the estimate itself oracle-checks, like the KMV
+    * sketch ([[kmvDistinct]]). Output: the top-k tokens by exact
+    * frequency with their CMS estimates. */
+  def cmsHeavy(docs: DataFrame, depth: Int = 4, width: Int = 16, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs
+      .select(explode(expr("split(trim(text), ' ')")).as("token"))
+      .select(col("token"), expr("rolling_hash(token)").as("code"))
+    // the sketch update stream: depth cells per occurrence, aggregated to
+    // the fixed grid (this is the scale-honest shape — the exact vocab agg
+    // below is only needed because the demo reports estimate vs truth)
+    val counters = toks
+      .select(col("code"), explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .select(col("j"), expr(cmsBucketCase(depth, width)).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val freqs = toks.groupBy("token", "code").agg(count(lit(1)).as("freq"))
+    val top = freqs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)))
+      .filter(col("rn") <= k)
+    top.select(col("token"), col("freq"), col("code"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .withColumn("bucket", expr(cmsBucketCase(depth, width)))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("token", "freq")
+      .agg(min("cnt").as("cms_est"))
+  }
+
+  /** DuckDB mirror of [[cmsHeavy]]. */
+  def cmsHeavySql(depth: Int = 4, width: Int = 16, k: Int = 20,
+                  table: String = "documents"): String = {
+    val rh = graft.oracle.Parity.rollingHashDuck("token")
+    val bc = cmsBucketCase(depth, width)
+    s"""with toks as (select token, $rh as code from
+       |  (select unnest(string_split(trim(text), ' ')) as token from $table)),
+       |counters as (select j, bucket, cast(count(*) as bigint) as cnt from
+       |  (select j, $bc as bucket from toks, generate_series(0, ${depth - 1}) t(j))
+       |  group by j, bucket),
+       |freqs as (select token, code, cast(count(*) as bigint) as freq
+       |  from toks group by token, code),
+       |top as (select token, code, freq from
+       |  (select token, code, freq,
+       |    row_number() over (order by freq desc, token asc) as rn from freqs)
+       |  where rn <= $k),
+       |probe as (select token, freq, j, $bc as bucket
+       |  from top, generate_series(0, ${depth - 1}) t(j))
+       |select token, freq, min(cnt) as cms_est
+       |from probe join counters on probe.j = counters.j and probe.bucket = counters.bucket
+       |group by token, freq""".stripMargin.replace("\n", " ")
+  }
+
   /** Unigram language-model score — the model-based quality filter of a
     * training pipeline (perplexity-style): train token frequencies on the
     * corpus itself (one aggregate), then score each document by its mean

@@ -328,6 +328,46 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.embedding.length == 64)
     assert(math.abs(feats.embedding.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
   }
+
+  test("CMS heavy hitters: top-k by exact count, estimate never undercounts") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d e f g"), (3L, "a c c h i j"))
+      .toDF("doc_id", "text")
+    val r = TextOps.cmsHeavy(docs, depth = 4, width = 16, k = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 5)
+    // the CMS guarantee: min-over-rows estimate >= true count, always
+    r.foreach { case (_, freq, est) => assert(est >= freq) }
+    val byTok = r.map(t => t._1 -> t._2).toMap
+    assert(byTok("a") == 5L && byTok("b") == 3L && byTok("c") == 3L)
+    // singleton ties at the k boundary break alphabetically
+    assert(r.map(_._1).sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+  }
+
+  test("corpus line dedup: cross-doc repeated lines counted and removed") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 4-token lines; doc 1 and doc 2 share their first line
+    val docs = Seq(
+      (1L, "w x y z a b c d"),
+      (2L, "w x y z e f g h"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, lineTokens = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 1L, md5hex("a b c d")))) // dup line removed, 2nd kept
+    assert(r(2L) == ((2L, 1L, md5hex("e f g h"))))
+    assert(r(3L) == ((2L, 0L, md5hex("p q r s t u v w")))) // untouched
+  }
+
+  test("l2 normalize: unit output norms, zero vectors excluded") {
+    val emb = Seq(
+      (0L, Array.tabulate(64)(i => (i + 1) * 0.25f), 0L),
+      (1L, Array.fill(64)(0.0f), 0L)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.l2Normalize(emb)
+    assert(r.filter($"vec_id" === 1L).count() == 0) // no direction to keep
+    assert(r.filter($"vec_id" === 0L).count() == 64)
+    val s = r.groupBy("vec_id").agg(sum($"nv" * $"nv").as("s")).collect()
+    s.foreach(x => assert(math.abs(x.getDouble(1) - 1.0) < 1e-12))
+  }
 }
 
 object TestOpsHelper {
