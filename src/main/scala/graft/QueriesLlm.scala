@@ -126,6 +126,12 @@ object QueriesLlm {
     // the gate proves them bit-identical)
     "decontaminate_join" -> ((s, dir) =>
       Dedup.decontaminateJoin(Tables.read(s, dir, "documents"))),
+    // bloom-filter decontamination screen: the eval universe compresses
+    // to a constant-size bit-position set (broadcast no matter how big
+    // the eval corpus); per-doc bloom-positive shingle fraction is a
+    // certified upper bound on containment (no false negatives)
+    "decontaminate_bloom" -> ((s, dir) =>
+      Dedup.decontaminateBloom(Tables.read(s, dir, "documents"))),
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
@@ -375,6 +381,7 @@ object QueriesLlm {
     "tfidf_top" -> TextOps.tfIdfSql(),
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,
+    "decontaminate_bloom" -> Dedup.decontaminateBloomSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

@@ -371,6 +371,19 @@ object QueriesOlap {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
     }),
+    // TPC-H Q19 shape: OR-of-ANDs join residual — the disjunction mixes
+    // part and lineitem predicates per arm, so Catalyst must extract the
+    // common l_quantity/p_size bounds as pushdown-able conjuncts while
+    // the full disjunction stays a join residual
+    "q_disjunctive" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.read(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(expr(disjunctiveArms))
+        .agg(count(lit(1)).as("n_items"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"))
+    }),
     "q_events_range" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
         .rangeBetween(Window.currentRow, 600L * 1000000000L)
@@ -380,6 +393,13 @@ object QueriesOlap {
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     })
   )
+
+  /** Q19-style OR-of-ANDs residual, shared text (integer bounds on a
+    * double column compare identically in both engines). */
+  private val disjunctiveArms =
+    "((p_brand = 'Brand#1' and p_size between 1 and 15 and l_quantity between 1 and 11)" +
+      " or (p_brand = 'Brand#2' and p_size between 1 and 25 and l_quantity between 10 and 20)" +
+      " or (p_brand = 'Brand#3' and p_size between 1 and 35 and l_quantity between 20 and 30))"
 
   private val sessionsOracle =
     """with e as (
@@ -627,6 +647,11 @@ object QueriesOlap {
         | join customer on o_custkey = c_custkey
         |order by o_totalprice desc, o_orderkey asc limit 100"""
         .stripMargin.replace("\n", " "),
+    "q_disjunctive" ->
+      s"""select cast(count(*) as bigint) as n_items,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue
+         |from lineitem join part on l_partkey = p_partkey
+         |where $disjunctiveArms""".stripMargin.replace("\n", " "),
     "q_events_range" ->
       """select event_id, user_id, tsn // 1000000000 as ts_sec,
         | cast(n_next_10m as bigint) as n_next_10m

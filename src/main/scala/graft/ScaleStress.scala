@@ -31,6 +31,7 @@ object ScaleStress {
     if (args.headOption.contains("ann")) { annStress(args.drop(1)); return }
     if (args.headOption.contains("dedupdegen")) { dedupDegenStress(args.drop(1)); return }
     if (args.headOption.contains("decontam")) { decontamStress(args.drop(1)); return }
+    if (args.headOption.contains("bloom")) { bloomStress(args.drop(1)); return }
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,6 +165,31 @@ object ScaleStress {
     val out = Dedup.decontaminateJoin(blown, evalEvery = 3).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"decontaminate_join","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Bloom-screen counterpart of [[decontamStress]]: same replicated
+    * corpus, same 1/3 eval fraction, but the eval side compresses to the
+    * constant-size bit-position set — the screen should sweep the corpus
+    * in a small fraction of the inverted-index join's time, which is the
+    * entire point of running it first at 100 TB.
+    * `sbt "runMain graft.ScaleStress bloom [replicas]"` */
+  private def bloomStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.decontaminateBloom(blown, evalEvery = 3).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"decontaminate_bloom","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 

@@ -317,6 +317,78 @@ object Dedup {
     best.union(missed.select("doc_id", "eval_id", "contam"))
   }
 
+  /** Shared Carter-Wegman bloom-position text: hash j of a shingle code,
+    * modulo the filter width (same text both engines, like the CMS grid). */
+  private def bloomPosCase(kHash: Int, mBits: Int): String = {
+    val arms = (0 until kHash)
+      .map(j => s"when $j then (${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)")
+      .mkString(" ")
+    s"(case j $arms end)"
+  }
+
+  /** Bloom-filter decontamination SCREEN — the third point in the
+    * eval-side size tradeoff: [[decontaminate]] broadcasts the full eval
+    * shingle sets (benchmark-sized evals), [[decontaminateJoin]] shuffles
+    * postings (huge evals, exact answers), and this one compresses the
+    * WHOLE eval universe to its set of set bit positions — at most
+    * `mBits` rows, a constant-size broadcast NO MATTER how large the eval
+    * corpus grows. Each corpus shingle probes its `kHash` positions and
+    * counts as a (possible) hit iff ALL are set: one-sided error — no
+    * false negatives, only deterministic false positives — so the
+    * per-document bloom-positive fraction is a certified UPPER bound on
+    * true containment, the classic cheap first pass that gates the exact
+    * sweep. Built on the Carter-Wegman family, so the filter (false
+    * positives and all) is deterministic and the estimate oracle-checks. */
+  def decontaminateBloom(docs: DataFrame, evalEvery: Int = 97,
+                         mBits: Int = 65536, kHash: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = withShingleCodes(docs, "text")
+    val bloom = sh.filter(col("doc_id") % evalEvery === 0)
+      .select(explode(col("codes")).as("code"))
+      .select(col("code"), explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+      .select(expr(bloomPosCase(kHash, mBits)).as("pos"))
+      .distinct()
+      .withColumn("set_bit", lit(1))
+    val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
+      .select(col("doc_id"), size(col("codes")).cast("long").as("n_codes"),
+        explode(col("codes")).as("code"))
+    corpus
+      .select(col("doc_id"), col("n_codes"), col("code"),
+        explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+      .withColumn("pos", expr(bloomPosCase(kHash, mBits)))
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("doc_id", "n_codes", "code")
+      .agg(min(coalesce(col("set_bit"), lit(0))).as("all_set"))
+      .groupBy("doc_id", "n_codes")
+      .agg(sum("all_set").as("n_hits"))
+      .select(col("doc_id"), col("n_codes"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_codes").cast("double")).as("hit_frac"))
+  }
+
+  /** DuckDB mirror of [[decontaminateBloom]]. */
+  def decontaminateBloomSql(evalEvery: Int = 97, mBits: Int = 65536,
+                            kHash: Int = 3, table: String = "documents"): String = {
+    val rh = graft.oracle.Parity.rollingHashDuck("s")
+    val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
+    val pc = bloomPosCase(kHash, mBits)
+    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |sh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from doc),
+       |ev as (select unnest(codes) as code from sh where doc_id % $evalEvery = 0),
+       |bloom as (select distinct $pc as pos from ev, generate_series(0, ${kHash - 1}) t(j)),
+       |corp as (select doc_id, cast(len(codes) as bigint) as n_codes,
+       |  unnest(codes) as code from sh where doc_id % $evalEvery <> 0),
+       |pr as (select doc_id, n_codes, code, $pc as pos
+       |  from corp, generate_series(0, ${kHash - 1}) t(j)),
+       |h as (select doc_id, n_codes, code,
+       |  min(case when b.pos is not null then 1 else 0 end) as all_set
+       | from pr left join bloom b on pr.pos = b.pos
+       | group by doc_id, n_codes, code)
+       |select doc_id, n_codes, cast(sum(all_set) as bigint) as n_hits,
+       | cast(sum(all_set) as double) / cast(n_codes as double) as hit_frac
+       |from h group by doc_id, n_codes""".stripMargin.replace("\n", " ")
+  }
+
   /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.
     * Built from explode + bitwise built-ins: for each of 64 bit lanes,
     * sum ±1 per token and take the sign bit. Near-dup candidates =

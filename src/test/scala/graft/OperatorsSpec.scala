@@ -358,6 +358,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((2L, 0L, md5hex("p q r s t u v w")))) // untouched
   }
 
+  test("bloom decontamination screen: upper bound — no false negatives") {
+    // doc 0 is the eval side (0 % 97 == 0); doc 1 shares its first two
+    // word-3-gram shingles with eval, doc 2 shares none
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta unique1 unique2"),
+      (2L, "totally different words here nothing shared"))
+      .toDF("doc_id", "text")
+    val r = Dedup.decontaminateBloom(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    // doc 1 has 4 shingles, of which "alpha beta gamma" and
+    // "beta gamma delta" ARE in the eval universe — the bloom screen can
+    // only over-report (deterministic false positives), never miss them
+    assert(r(1L)._1 == 4L && r(1L)._2 >= 2L)
+    r.values.foreach { case (n, hits, frac) =>
+      assert(hits >= 0L && hits <= n && frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
   test("l2 normalize: unit output norms, zero vectors excluded") {
     val emb = Seq(
       (0L, Array.tabulate(64)(i => (i + 1) * 0.25f), 0L),

@@ -109,6 +109,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"asof must not degenerate into a join:\n$p")
   }
 
+  test("line dedup joins back only the duplicated hashes (broadcast-able side)") {
+    val p = plan(SparkEntry.queries("dedup_lines")(spark, sf("sf0.001")))
+    // the dup-hash relation (cnt > 1) broadcasts; the corpus lines shuffle
+    // exactly twice — the (hash,count) aggregate and the per-doc reassembly
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dup hashes must stay the small side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (line counts + doc reassembly):\n$p")
+  }
+
+  test("q_avg_yearly: the per-part window reuses the join's partitioning (one fact shuffle)") {
+    val p = plan(SparkEntry.queries("q_avg_yearly")(spark, sf("sf0.001")))
+    // one hash exchange feeds BOTH the l_partkey window and nothing else —
+    // the correlated-mean window must not add its own shuffle on top
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (shared by join+window):\n$p")
+  }
+
+  test("CMS counters aggregate with map-side combine before the grid shuffle") {
+    val p = plan(SparkEntry.queries("sketch_heavy")(spark, sf("sf0.001")))
+    // partial HashAggregate under each Exchange: the token stream collapses
+    // to <= depth*width cells per partition before anything moves
+    assert("partial_count".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), s"the 64-cell grid must broadcast:\n$p")
+  }
+
   test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
     val events = Tables.read(spark, sf("sf0.001"), "events")
     val customers = Tables.read(spark, sf("sf0.001"), "customer")
