@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.oracle.Parity
 import graft.oracle.Parity.{DuckD, SparkD}
 import graft.sources.Tables
@@ -209,7 +209,21 @@ object QueriesLlm {
         .withColumn("reason", expr(curateReason))
         .withColumn("keep", col("reason") === "keep")
         .select("doc_id", "lang", "pred_lang", "quality", "keep", "reason")
-    })
+    }),
+    // PII scrub: detect + redact emails/phones/IPv4 (counts + redacted-
+    // text fingerprint); the corpus is deterministically PII-seeded so
+    // every detector arm fires on every row
+    "text_pii" -> ((s, dir) =>
+      TextOps.piiRedact(Tables.read(s, dir, "documents"))),
+    // stratified sample: the k hash-smallest docs of every language —
+    // reproducible equal-per-stratum sampling, two-phase top-k
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.read(s, dir, "documents"))),
+    // temperature (α=1/2) language rebalancing: per-lang keep rates from
+    // √n weights, membership by id-hash threshold — the multilingual
+    // corpus-mixing pass, deterministic member set
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperature(Tables.read(s, dir, "documents")))
   )
 
   /** 80/10/10 split from the last decimal digit of the id hash — shared
@@ -382,6 +396,9 @@ object QueriesLlm {
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,
     "decontaminate_bloom" -> Dedup.decontaminateBloomSql(),
+    "text_pii" -> TextOps.piiSql(),
+    "sample_stratified" -> Sampling.stratifiedSql(),
+    "sample_temperature" -> Sampling.temperatureSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.EventOps
+import graft.operators.{EventOps, Quantiles}
 import graft.oracle.Parity
 import graft.oracle.Parity.fpSum
 import graft.sources.Tables
@@ -391,6 +391,31 @@ object QueriesOlap {
         .withColumn("n_next_10m", count(lit(1)).over(w) - 1L)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
+    }),
+    // deterministic fixed-grid histogram quantiles of the price column —
+    // the order-free (hence oracle-checkable) stand-in for
+    // approx_percentile: exact bin counts, estimate = first bin edge
+    // reaching ⌈p·N⌉, error ≤ one bin width; the fact column never
+    // shuffles (two map-side-combined aggs + a 64-row window)
+    "sketch_quantiles" -> ((s, dir) =>
+      Quantiles.hist(Tables.read(s, dir, "lineitem"), "l_extendedprice")),
+    // TPC-H Q15 shape: per-supplier revenue for one quarter, then keep
+    // the max-revenue supplier(s) — the aggregate-then-self-max pattern;
+    // the max is a 1-row broadcast, supplier joins post-aggregation so
+    // AQE picks the join strategy (supplier is NOT dimension-small at
+    // 100 TB)
+    "q_top_supplier" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+      val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("total_revenue"))
+      val top = rev.join(broadcast(rev.agg(max("total_revenue").as("mx"))),
+        col("total_revenue") === col("mx")).drop("mx")
+      Tables.read(s, dir, "supplier")
+        .join(top, col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
     })
   )
 
@@ -652,6 +677,18 @@ object QueriesOlap {
          | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue
          |from lineitem join part on l_partkey = p_partkey
          |where $disjunctiveArms""".stripMargin.replace("\n", " "),
+    "sketch_quantiles" -> Quantiles.histSql("lineitem", "l_extendedprice"),
+    "q_top_supplier" ->
+      s"""with rev as (select l_suppkey as supplier_no,
+         |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue
+         | from lineitem
+         | where l_shipdate >= timestamp '1997-01-01'
+         |  and l_shipdate < timestamp '1997-04-01'
+         | group by l_suppkey)
+         |select s_suppkey, s_name, total_revenue
+         |from supplier join rev on s_suppkey = supplier_no
+         |where total_revenue = (select max(total_revenue) from rev)"""
+        .stripMargin.replace("\n", " "),
     "q_events_range" ->
       """select event_id, user_id, tsn // 1000000000 as ts_sec,
         | cast(n_next_10m as bigint) as n_next_10m

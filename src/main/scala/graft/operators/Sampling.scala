@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.oracle.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines (builder
+  * north star, SURVEY.md §7.6): stratified per-language samples and
+  * temperature-based language rebalancing. Everything is keyed off the
+  * Carter-Wegman hash of the document id — no `rand()`, no row-order
+  * dependence — so the sample is REPRODUCIBLE across runs, partitionings
+  * and engines, and the DuckDB oracle checks the exact member set.
+  */
+object Sampling {
+
+  /** Spark-side per-doc uniform hash in [0, CwMod): CW mix of the
+    * codepoint rolling hash of the id (same construction as
+    * `sample_split`, different mix index so the streams are pairwise
+    * independent). */
+  private def hSpark = Parity.cwMix(33, "rolling_hash(cast(doc_id as string))")
+  private def hDuck =
+    Parity.cwMix(33, Parity.rollingHashDuck("cast(doc_id as varchar)"))
+
+  /** Stratified sample: the k hash-smallest documents of EVERY language —
+    * equal representation per stratum no matter how skewed the corpus.
+    *
+    * Scale shape (the KMV two-phase pattern, `TextOps.kmvDistinct`): a
+    * single per-lang `row_number` window would sort each language's
+    * entire corpus in one task. Phase 1 keeps each physical partition's k
+    * hash-smallest per lang (any global top-k row is also top-k within
+    * its own partition, so phase 1 never drops a final-answer row);
+    * the per-lang sort then runs over ≤ partitions·k survivors. */
+  def stratified(docs: DataFrame, k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hashed = docs.selectExpr("doc_id", "lang", s"$hSpark as h")
+    val local = hashed
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("lang", "pid").orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("lrn") <= k)
+      .drop("pid", "lrn")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB mirror of [[stratified]] — the one-phase spelling (phase 1
+    * only discards rows the final window discards anyway). */
+  def stratifiedSql(k: Int = 50, table: String = "documents"): String =
+    s"""select doc_id, lang, h, rn from (
+       | select doc_id, lang, h,
+       |  row_number() over (partition by lang order by h asc, doc_id asc) as rn
+       | from (select doc_id, lang, $hDuck as h from $table))
+       |where rn <= $k""".stripMargin.replace("\n", " ")
+
+  /** Temperature (α = 1/2) language rebalancing — the multilingual-corpus
+    * resampling pass (sampling weight ∝ n_l^α, so low-resource languages
+    * are upweighted relative to their share). Per language:
+    * weight w_l = √n_l / Σ_m √n_m, target budget = frac·N·w_l, keep rate
+    * r_l = min(1, budget/n_l); a document survives iff its id-hash mod
+    * 10^6 falls under floor(r_l·10^6). The Σ√n is an order-free
+    * fixed-point sum ([[Parity.fpSum]]) and √ is correctly rounded in
+    * both engines, so the rates — and therefore the exact member set —
+    * are cross-engine deterministic. Returns the per-language audit:
+    * corpus count, rate, kept count.
+    *
+    * Scale shape: one map-side-combinable count per lang, a broadcast of
+    * the (few-row) rate table back onto the corpus, one final count agg —
+    * the corpus itself never shuffles. */
+  def temperature(docs: DataFrame, frac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val wsum = counts.agg(
+      expr(Parity.fpSum("sqrt(cast(n_docs as double))")).as("wsum"),
+      sum("n_docs").as("n_total"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("rate", expr(rateExpr(frac)))
+      .select(col("lang"), col("n_docs"), col("rate"))
+    val kept = docs.selectExpr("doc_id", "lang", s"($hSpark % 1000000) as u")
+      .join(broadcast(rates.select("lang", "rate")), Seq("lang"))
+      .filter(col("u") < expr("cast(floor(rate * 1e6) as bigint)"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        expr(Parity.q9("rate")).as("rate9"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** min(1, frac·N·(√n_l / Σ√n) / n_l) — shared snippet text. The
+    * fraction is spelled as an exact integer ratio (decimal-point
+    * literals parse as DECIMAL in Spark — the Parity literal trap). */
+  private def rateExpr(frac: Double): String = {
+    val f = s"(${(frac * 1e6).round} / 1e6)"
+    s"least(1e0, $f * cast(n_total as double) * " +
+      "(sqrt(cast(n_docs as double)) / wsum) / cast(n_docs as double))"
+  }
+
+  /** DuckDB mirror of [[temperature]]. */
+  def temperatureSql(frac: Double = 0.5, table: String = "documents"): String =
+    s"""with counts as (select lang, cast(count(*) as bigint) as n_docs
+       |  from $table group by lang),
+       |s as (select ${Parity.fpSum("sqrt(cast(n_docs as double))")} as wsum,
+       |  cast(sum(n_docs) as bigint) as n_total from counts),
+       |rates as (select lang, n_docs, ${rateExpr(frac)} as rate from counts, s),
+       |kept as (select lang, cast(count(*) as bigint) as n_kept from (
+       |  select d.lang from
+       |   (select doc_id, lang, ($hDuck % 1000000) as u from $table) d
+       |   join rates r on d.lang = r.lang
+       |   where d.u < cast(floor(r.rate * 1e6) as bigint)) group by lang)
+       |select rates.lang, n_docs, ${Parity.q9("rate")} as rate9,
+       | coalesce(n_kept, 0) as n_kept
+       |from rates left join kept on rates.lang = kept.lang"""
+      .stripMargin.replace("\n", " ")
+}

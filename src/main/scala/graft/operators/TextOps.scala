@@ -453,4 +453,74 @@ object TextOps {
        |   from tf join dfreq on tf.token = dfreq.token, n))
        |where rk <= $k""".stripMargin.replace("\n", " ")
   }
+
+  // -------------------------------------------------------------------
+  // PII scrubbing — detect + redact emails / phone numbers / IPv4
+  // addresses (the privacy pass every training-data pipeline runs).
+  // Patterns avoid backslash escapes entirely ([.] not \., [0-9] not \d)
+  // so the SAME literal text is a valid, identically-interpreted regex
+  // in Spark (java.util.regex) and DuckDB (RE2) — backslashes are the
+  // one place the two engines' string-literal rules diverge.
+  // -------------------------------------------------------------------
+
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  private def strT(d: Dialect): String = d match {
+    case SparkD => "string"
+    case DuckD  => "varchar"
+  }
+
+  /** Deterministic PII augmentation: the synthetic corpus contains no
+    * PII, so the query seeds each document with an email, a phone and an
+    * IPv4 derived from its id — pure arithmetic, identical text in both
+    * engines — making every detector arm fire on every row. */
+  def piiAugExpr(d: Dialect): String = {
+    val s = strT(d)
+    s"concat(text, ' contact user', cast(doc_id as $s), '@mail', " +
+      s"cast(doc_id % 7 as $s), '.example.org call 555-', " +
+      s"lpad(cast(doc_id % 1000 as $s), 3, '0'), '-', " +
+      s"lpad(cast(doc_id % 10000 as $s), 4, '0'), ' from 10.', " +
+      s"cast(doc_id % 256 as $s), '.', cast((doc_id * 7) % 256 as $s), " +
+      s"'.', cast((doc_id * 13) % 256 as $s))"
+  }
+
+  private def reCount(d: Dialect, e: String, pat: String): String = d match {
+    // Spark's idx defaults to capture group 1 — pass 0 (whole match)
+    case SparkD => s"cast(size(regexp_extract_all($e, '$pat', 0)) as bigint)"
+    case DuckD  => s"cast(len(regexp_extract_all($e, '$pat')) as bigint)"
+  }
+
+  private def reScrub(d: Dialect, e: String, pat: String, rep: String): String =
+    d match {
+      // DuckDB replaces only the first match unless 'g'; Spark always-global
+      case SparkD => s"regexp_replace($e, '$pat', '$rep')"
+      case DuckD  => s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+
+  /** Per-document PII audit: match counts per class + the md5 of the
+    * text after redacting emails → phones → IPs in that order (the order
+    * matters and is part of the contract — it is identical in the
+    * oracle, so the fingerprint proves byte-identical redaction). */
+  def piiSelects(d: Dialect): Seq[String] = {
+    val aug = piiAugExpr(d)
+    val scrubbed = reScrub(d, reScrub(d, reScrub(d,
+      aug, emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+    Seq(
+      "doc_id",
+      s"${reCount(d, aug, emailPat)} as n_emails",
+      s"${reCount(d, aug, phonePat)} as n_phones",
+      s"${reCount(d, aug, ipPat)} as n_ips",
+      s"md5($scrubbed) as red_fp")
+  }
+
+  /** PII scrub over the augmented corpus — per-row, embarrassingly
+    * parallel, no shuffle (the 100 TB shape: a pure map). */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.selectExpr(piiSelects(SparkD): _*)
+
+  /** DuckDB mirror of [[piiRedact]]. */
+  def piiSql(table: String = "documents"): String =
+    s"select ${piiSelects(DuckD).mkString(", ")} from $table"
 }

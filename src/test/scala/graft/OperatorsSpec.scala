@@ -378,6 +378,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub: every class detected, redaction is byte-exact") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq((100L, "plain body")).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs).collect()(0)
+    // augmentation for doc 100: user100@mail2.example.org,
+    // 555-100-0100, 10.100.188.20 (7·100%256=188, 13·100%256=20)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    val expected = md5hex(
+      "plain body contact <EMAIL> call <PHONE> from <IP>")
+    assert(r.getString(4) == expected,
+      "redacted fingerprint must equal the hand-redacted text's md5")
+  }
+
+  test("pii scrub: pre-existing PII in the body is caught too") {
+    val docs = Seq((1L, "mail a.b@x.io or 192.168.001.001 now")).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs).collect()(0)
+    assert(r.getLong(1) == 2L, "body email + seeded email")
+    assert(r.getLong(3) == 2L, "body ip + seeded ip")
+  }
+
+  test("stratified sample: k hash-smallest per language, partition-invariant") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i", if (i % 4 == 0) "en" else s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val k = 7
+    val got = Sampling.stratified(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.groupBy(_._2).forall(_._2.length == k), "k rows per stratum")
+    // brute force: global sort by (h, doc_id) per lang
+    val brute = Sampling.stratified(docs.repartition(13), k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(x => (x._2, x._4)).toSeq == brute.sortBy(x => (x._2, x._4)).toSeq,
+      "member set must not depend on the input partitioning")
+  }
+
+  test("temperature resampling: low-resource langs upweighted, rates sane") {
+    val docs = ((0L until 900L).map(i => (i, "t", "big")) ++
+      (900L until 1000L).map(i => (i, "t", "small")))
+      .toDF("doc_id", "text", "lang")
+    val r = Sampling.temperature(docs, frac = 0.5).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getLong(3)))).toMap
+    val (nBig, rateBig, keptBig) = r("big")
+    val (nSmall, rateSmall, keptSmall) = r("small")
+    assert(nBig == 900L && nSmall == 100L)
+    assert(rateSmall > rateBig, "α=1/2 must upweight the small language")
+    assert(rateBig > 0.0 && rateSmall <= 1.0)
+    assert(keptBig <= nBig && keptSmall <= nSmall)
+    // expected keeps ≈ rate·n: the hash threshold is uniform enough that
+    // the realized count lands within ±30% of the target
+    assert(math.abs(keptBig - rateBig * nBig) < 0.3 * rateBig * nBig)
+  }
+
+  test("histogram quantiles: estimates within one bin width of the truth") {
+    val vals = (0 until 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val r = Quantiles.hist(vals, "v", bins = 64).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val width = 999.0 / 64
+    for ((p, est) <- r) {
+      val truth = p / 100.0 * 999.0
+      assert(math.abs(est - truth) <= width + 1e-6,
+        s"p=$p est=$est truth=$truth width=$width")
+    }
+    // constant column: no division by zero, bin 0, estimate = the value
+    val const = Seq.fill(10)(Tuple1(42.0)).toDF("v")
+    val c = Quantiles.hist(const, "v").collect()
+    assert(c.forall(x => x.getLong(1) == 0L && x.getDouble(3) == 42.0))
+  }
+
   test("l2 normalize: unit output norms, zero vectors excluded") {
     val emb = Seq(
       (0L, Array.tabulate(64)(i => (i + 1) * 0.25f), 0L),

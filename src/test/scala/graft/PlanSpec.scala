@@ -135,6 +135,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the 64-cell grid must broadcast:\n$p")
   }
 
+  test("stratified sample is two-phase (partition-local prune before the per-lang sort)") {
+    val p = plan(SparkEntry.queries("sample_stratified")(spark, sf("sf0.001")))
+    val rn = "row_number".r.findAllIn(p).length
+    assert(rn >= 2, s"expected the local (lang,pid) prune + final window (got $rn):\n$p")
+  }
+
+  test("temperature resampling broadcasts the rate table; the corpus never shuffles") {
+    val p = plan(SparkEntry.queries("sample_temperature")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n$p")
+    // the only hash exchanges move per-lang aggregates (≤ langs rows per
+    // partition after map-side combine) — never raw documents; partial
+    // aggregation before every one of them proves that
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= exchanges - 1, s"expected map-side combine before the lang shuffles:\n$p")
+  }
+
+  test("histogram quantiles: fact scan feeds map-side-combined aggs, never a fact shuffle") {
+    val p = plan(SparkEntry.queries("sketch_quantiles")(spark, sf("sf0.001")))
+    // both fact passes collapse before moving: the scalar min/max/count and
+    // the ≤64-bin histogram both show partial aggregation
+    assert("partial_count".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row scalar relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to sort-merge:\n$p")
+  }
+
   test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
     val events = Tables.read(spark, sf("sf0.001"), "events")
     val customers = Tables.read(spark, sf("sf0.001"), "customer")
