@@ -392,6 +392,64 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     }),
+    // conversion funnel view → click → purchase: stage k's timestamp is
+    // the user's FIRST stage-k event strictly after their stage-(k−1)
+    // time — three conditional-min aggs, every shuffle keyed on user_id
+    // so AQE coalesces them onto one partitioning
+    "q_funnel" -> ((s, dir) => {
+      // µs granularity throughout: DuckDB truncates TIMESTAMP(NANOS) to
+      // its µs timestamp, so sub-µs nanos must never reach a comparison
+      // or an output column
+      val e = Tables.read(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      val g1 = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+      val g2 = e.join(g1, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).as("t2"))
+      val g3 = e.join(g2, "user_id").groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+          col("us"))).as("t3"))
+      g1.join(g2, "user_id").join(g3, "user_id")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          expr("case when t3 is not null then 3 when t2 is not null then 2 " +
+            "when t1 is not null then 1 else 0 end").cast("long").as("stage"))
+    }),
+    // weekly retention cohorts: users grouped by first-active week, one
+    // row per (cohort, week offset) with distinct active users — pure
+    // integer day/week arithmetic on the nanosecond epoch
+    "q_retention" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val f = d.groupBy("user_id").agg(min("day").as("fday"))
+      d.join(f, "user_id")
+        .select(col("user_id"), expr("fday div 7").as("cohort_week"),
+          expr("(day - fday) div 7").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+    // MERGE/upsert (SCD-style dimension maintenance) as a full-outer
+    // join: order-derived changes apply onto the customer snapshot —
+    // matched keys update, unmatched-change keys insert, untouched rows
+    // carry over; Spark OSS has no MERGE INTO, this IS the Spark-first
+    // spelling (one co-partitioned full outer join, no driver loop)
+    "q_upsert" -> ((s, dir) => {
+      val changes = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select(expr("case when o_custkey % 10 = 0 then o_custkey + 10000000 " +
+          "else o_custkey end").as("u_key"), col("o_totalprice"))
+        .groupBy("u_key")
+        .agg(count(lit(1)).as("n_orders"),
+          expr(fpSum("o_totalprice")).as("delta"))
+      Tables.read(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .join(changes, col("c_custkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("u_key")).as("key"),
+          expr("coalesce(c_acctbal, 0e0) + coalesce(delta, 0e0)").as("acctbal_new"),
+          expr("case when c_custkey is null then 'insert' " +
+            "when u_key is null then 'carry' else 'update' end").as("action"))
+    }),
     // deterministic fixed-grid histogram quantiles of the price column —
     // the order-free (hence oracle-checkable) stand-in for
     // approx_percentile: exact bin counts, estimate = first bin edge
@@ -399,6 +457,45 @@ object QueriesOlap {
     // shuffles (two map-side-combined aggs + a 64-row window)
     "sketch_quantiles" -> ((s, dir) =>
       Quantiles.hist(Tables.read(s, dir, "lineitem"), "l_extendedprice")),
+    // TPC-H Q5 shape: local-supplier volume — the distinctive join is the
+    // EQUALITY BETWEEN TWO DIMENSION KEYS (c_nationkey = s_nationkey)
+    // threaded through the fact: lineitem⋈orders⋈customer⋈supplier with
+    // the customer/supplier nations constrained equal, then the tiny
+    // nation⋈region chain broadcast on top
+    "q_local_supplier" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = Tables.read(s, dir, "nation")
+      val r = Tables.read(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // partitioned-layout sink: write documents hive-partitioned by lang,
+    // read back ONE partition — the scan must prune to that directory
+    // (PartitionFilters, asserted in PlanSpec): the data-layout story
+    // that turns a 100 TB full scan into a per-language slice
+    "sink_partitioned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      Tables.read(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp).filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
     // TPC-H Q15 shape: per-supplier revenue for one quarter, then keep
     // the max-revenue supplier(s) — the aggregate-then-self-max pattern;
     // the max is a 1-row broadcast, supplier joins post-aggregation so
@@ -678,6 +775,63 @@ object QueriesOlap {
          |from lineitem join part on l_partkey = p_partkey
          |where $disjunctiveArms""".stripMargin.replace("\n", " "),
     "sketch_quantiles" -> Quantiles.histSql("lineitem", "l_extendedprice"),
+    "q_local_supplier" ->
+      s"""select n_name, ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,
+         | cast(count(*) as bigint) as n_items
+         |from lineitem
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         | join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+         | join nation on s_nationkey = n_nationkey
+         | join region on n_regionkey = r_regionkey
+         |where r_name = 'ASIA'
+         | and o_orderdate >= timestamp '1997-01-01'
+         | and o_orderdate < timestamp '1998-01-01'
+         |group by n_name""".stripMargin.replace("\n", " "),
+    "sink_partitioned" ->
+      """select source, cast(count(*) as bigint) as n_docs,
+        | cast(sum(n_chars) as bigint) as sum_chars
+        |from documents where lang = 'en' group by source"""
+        .stripMargin.replace("\n", " "),
+    "q_funnel" ->
+      """with e as (select user_id, event_type, epoch_ns(ts) // 1000 as us from events),
+        |g1 as (select user_id,
+        |  min(case when event_type = 'view' then us end) as t1
+        | from e group by user_id),
+        |g2 as (select e.user_id,
+        |  min(case when event_type = 'click' and us > t1 then us end) as t2
+        | from e join g1 on e.user_id = g1.user_id group by e.user_id),
+        |g3 as (select e.user_id,
+        |  min(case when event_type = 'purchase' and us > t2 then us end) as t3
+        | from e join g2 on e.user_id = g2.user_id group by e.user_id)
+        |select g1.user_id, t1, t2, t3,
+        | cast(case when t3 is not null then 3 when t2 is not null then 2
+        |  when t1 is not null then 1 else 0 end as bigint) as stage
+        |from g1 join g2 on g1.user_id = g2.user_id
+        | join g3 on g1.user_id = g3.user_id"""
+        .stripMargin.replace("\n", " "),
+    "q_retention" ->
+      """with d as (select distinct user_id,
+        |  epoch_ns(ts) // 86400000000000 as day from events),
+        |f as (select user_id, min(day) as fday from d group by user_id)
+        |select fday // 7 as cohort_week, (day - fday) // 7 as week_offset,
+        | cast(count(distinct d.user_id) as bigint) as n_users
+        |from d join f on d.user_id = f.user_id
+        |group by 1, 2""".stripMargin.replace("\n", " "),
+    "q_upsert" ->
+      s"""with changes as (select
+         |  case when o_custkey % 10 = 0 then o_custkey + 10000000
+         |   else o_custkey end as u_key,
+         |  cast(count(*) as bigint) as n_orders,
+         |  ${fpSum("o_totalprice")} as delta
+         | from orders where o_orderdate >= timestamp '1998-01-01'
+         | group by 1)
+         |select coalesce(c_custkey, u_key) as key,
+         | coalesce(c_acctbal, 0e0) + coalesce(delta, 0e0) as acctbal_new,
+         | case when c_custkey is null then 'insert'
+         |  when u_key is null then 'carry' else 'update' end as action
+         |from customer full outer join changes on c_custkey = u_key"""
+        .stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       s"""with rev as (select l_suppkey as supplier_no,
          |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue

@@ -162,6 +162,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to sort-merge:\n$p")
   }
 
+  test("partitioned sink: the read-back scan prunes to the one lang partition") {
+    val p = plan(SparkEntry.queries("sink_partitioned")(spark, sf("sf0.001")))
+    assert(p.contains("PartitionFilters"), s"expected a partition-pruned scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*= en".r.findFirstIn(p).isDefined,
+      s"the lang = en predicate must prune directories, not filter rows:\n$p")
+  }
+
+  test("q_local_supplier: nation/region broadcast; no cartesian from the dim-key equality") {
+    val p = plan(SparkEntry.queries("q_local_supplier")(spark, sf("sf0.001")))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Cartesian"), s"c_nationkey = s_nationkey must ride the equi-join:\n$p")
+  }
+
   test("stream-static join broadcasts the dimension (no stream-side shuffle before agg)") {
     val events = Tables.read(spark, sf("sf0.001"), "events")
     val customers = Tables.read(spark, sf("sf0.001"), "customer")
