@@ -392,6 +392,14 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     }),
+    // explicit GROUPING SETS lattice (beyond rollup/cube: a hand-picked
+    // set of grouping combinations) with grouping() flags disambiguating
+    // the NULL-as-total rows from genuine NULL keys — one Expand + one
+    // hash agg, the flags are free
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(groupingSetsSql("li_gs"))
+    }),
     // conversion funnel view → click → purchase: stage k's timestamp is
     // the user's FIRST stage-k event strictly after their stage-(k−1)
     // time — three conditional-min aggs, every shuffle keyed on user_id
@@ -515,6 +523,18 @@ object QueriesOlap {
         .select("s_suppkey", "s_name", "total_revenue")
     })
   )
+
+  /** GROUPING SETS query — identical text runs in Spark SQL and DuckDB
+    * (same lattice syntax, same grouping() flag semantics). */
+  private def groupingSetsSql(table: String): String =
+    s"""select l_returnflag, l_linestatus,
+       | cast(grouping(l_returnflag) as bigint) as g_rf,
+       | cast(grouping(l_linestatus) as bigint) as g_ls,
+       | cast(count(*) as bigint) as n,
+       | ${fpSum("l_quantity")} as sum_qty
+       |from $table
+       |group by grouping sets ((l_returnflag, l_linestatus),
+       | (l_returnflag), ())""".stripMargin.replace("\n", " ")
 
   /** Q19-style OR-of-ANDs residual, shared text (integer bounds on a
     * double column compare identically in both engines). */
@@ -793,6 +813,7 @@ object QueriesOlap {
         | cast(sum(n_chars) as bigint) as sum_chars
         |from documents where lang = 'en' group by source"""
         .stripMargin.replace("\n", " "),
+    "q_grouping_sets" -> groupingSetsSql("lineitem"),
     "q_funnel" ->
       """with e as (select user_id, event_type, epoch_ns(ts) // 1000 as us from events),
         |g1 as (select user_id,

@@ -352,13 +352,26 @@ object Dedup {
     val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
       .select(col("doc_id"), size(col("codes")).cast("long").as("n_codes"),
         explode(col("codes")).as("code"))
-    corpus
-      .select(col("doc_id"), col("n_codes"), col("code"),
-        explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
-      .withColumn("pos", expr(bloomPosCase(kHash, mBits)))
-      .join(broadcast(bloom), Seq("pos"), "left")
-      .groupBy("doc_id", "n_codes", "code")
-      .agg(min(coalesce(col("set_bit"), lit(0))).as("all_set"))
+    // probe the kHash positions as kHash BROADCAST joins instead of a
+    // j-explode: no posting-row multiplication, no per-code shuffle — the
+    // corpus side's only exchange is the final map-side-combined per-doc
+    // aggregate. Spark replans the (eval-scan → distinct) build subtree
+    // under each probe join, so the bloom builds 3×; that side is small
+    // by definition (a benchmark eval suite), and a genuinely huge eval
+    // corpus should materialize the position set to a table once instead.
+    val withPos = corpus.select(
+      Seq(col("doc_id"), col("n_codes"), col("code")) ++
+        (0 until kHash).map(j =>
+          expr(s"(${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)")
+            .as(s"p$j")): _*)
+    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
+      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
+        col(s"p$j") === col(s"bp$j"), "left")
+    }
+    probed
+      .withColumn("all_set",
+        (0 until kHash).map(j => col(s"bp$j").isNotNull)
+          .reduce(_ && _).cast("long"))
       .groupBy("doc_id", "n_codes")
       .agg(sum("all_set").as("n_hits"))
       .select(col("doc_id"), col("n_codes"), col("n_hits"),

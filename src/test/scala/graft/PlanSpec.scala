@@ -162,6 +162,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to sort-merge:\n$p")
   }
 
+  test("bloom screen: kHash broadcast probes; corpus postings never hash-shuffle pre-agg") {
+    val p = plan(SparkEntry.queries("decontaminate_bloom")(spark, sf("sf0.001")))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"each of the 3 position probes must be a broadcast join:\n$p")
+    // hash exchanges: one per probe's bloom-build distinct (each bounded
+    // by mBits rows and fed by the SMALL eval side — Spark replans the
+    // build subtree per join) plus the final per-doc aggregate. The
+    // corpus posting list itself flows shuffle-free into the partial agg.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 4, s"expected 3 bloom-build distincts + doc agg:\n$p")
+  }
+
   test("partitioned sink: the read-back scan prunes to the one lang partition") {
     val p = plan(SparkEntry.queries("sink_partitioned")(spark, sf("sf0.001")))
     assert(p.contains("PartitionFilters"), s"expected a partition-pruned scan:\n$p")
