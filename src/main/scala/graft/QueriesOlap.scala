@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventOps, Quantiles}
+import graft.operators.{EventOps, Quantiles, Stats}
 import graft.oracle.Parity
 import graft.oracle.Parity.fpSum
 import graft.sources.Tables
@@ -391,6 +391,27 @@ object QueriesOlap {
         .withColumn("n_next_10m", count(lit(1)).over(w) - 1L)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
+    }),
+    // classical statistics from order-free fixed-point moment sums (the
+    // engines' own corr/covar are partitioning-dependent in the low
+    // bits): per-group Pearson r, OLS fit, Welch t group-vs-rest, and a
+    // chi-square independence test with Wilson–Hilferty + Cody-erfc p.
+    // The price column is pre-scaled by an exact power of two to honor
+    // the fixed-point overflow contract (Stats scaladoc).
+    "stat_corr" -> ((s, dir) =>
+      Stats.corr(Tables.read(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "(l_extendedprice / 1024e0)")),
+    "stat_ols" -> ((s, dir) =>
+      Stats.ols(Tables.read(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "(l_extendedprice / 1024e0)")),
+    "stat_ttest" -> ((s, dir) =>
+      Stats.welchT(Tables.read(s, dir, "lineitem"), "l_returnflag",
+        "l_discount")),
+    "stat_chisq" -> ((s, dir) => {
+      val j = Tables.read(s, dir, "orders").join(
+        Tables.read(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      Stats.chisq(j, "c_mktsegment", "o_orderpriority")
     }),
     // explicit GROUPING SETS lattice (beyond rollup/cube: a hand-picked
     // set of grouping combinations) with grouping() flags disambiguating
@@ -814,6 +835,15 @@ object QueriesOlap {
         |from documents where lang = 'en' group by source"""
         .stripMargin.replace("\n", " "),
     "q_grouping_sets" -> groupingSetsSql("lineitem"),
+    "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",
+      "l_quantity", "(l_extendedprice / 1024e0)"),
+    "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",
+      "l_quantity", "(l_extendedprice / 1024e0)"),
+    "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
+    "stat_chisq" -> Stats.chisqSql(
+      "select c_mktsegment, o_orderpriority from orders " +
+        "join customer on o_custkey = c_custkey",
+      "c_mktsegment", "o_orderpriority"),
     "q_funnel" ->
       """with e as (select user_id, event_type, epoch_ns(ts) // 1000 as us from events),
         |g1 as (select user_id,

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.oracle.Parity
+import graft.oracle.Parity.{Dialect, DuckD, SparkD, fpSum, q9}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classical statistics beyond the MWU pipeline — Pearson correlation,
+  * per-group OLS regression, Welch's t (group-vs-rest), and a chi-square
+  * independence test — each built Spark-first from ORDER-FREE moment
+  * sums so the whole suite is cross-engine hash-checkable.
+  *
+  * Why not `corr()` / `covar_samp()`: both engines implement them with
+  * order-dependent streaming updates (Welford / pairwise merges), so
+  * their low bits depend on partitioning. Here every moment (Σx, Σx²,
+  * Σxy, …) goes through [[Parity.fpSum]] — per-row fixed-point rounding
+  * to 2^-20, exact BIGINT summation — and the closed-form statistic is
+  * then ONE deterministic double expression over identical inputs.
+  *
+  * Fixed-point overflow contract: fpSum holds while Σ|x|·2^20 < 2^63,
+  * i.e. for second moments max(x²)·n < 2^43 ≈ 8.8e12. Callers pre-scale
+  * each variable by an exact power of two (`xShift`/`yShift`, a LOSSLESS
+  * IEEE operation; correlation is scale-invariant, regression slopes
+  * rescale exactly) to keep max|x| ~ 1e2, good to n ~ 1e8 rows per
+  * aggregate. At 1e12-row scale, raise the shifts (or lower the
+  * fixed-point factor) accordingly — the contract is explicit, not
+  * silently violated: Validation.requireFinite guards the inputs and
+  * DuckDB's HUGEINT sum would flag a Spark wrap as a gate mismatch.
+  *
+  * Scale shape: every statistic is one map-side-combined hash aggregate
+  * over the fact table (+ a broadcast of the 1-row totals for the
+  * group-vs-rest subtraction) — no windows, no second fact pass, no
+  * driver math.
+  */
+object Stats {
+
+  /** Spark/DuckDB spelling of erfc. */
+  private def erfcOf(d: Dialect, x: String): String = d match {
+    case SparkD => s"cody_erfc($x)"
+    case DuckD  => Parity.erfc(x)
+  }
+
+  // ------------------------------------------------------------------
+  // Pearson correlation + OLS, per group
+  // ------------------------------------------------------------------
+
+  /** Shared closed forms over the moment columns n, sx, sy, sxx, syy,
+    * sxy (dn = n as double). */
+  private val dn = "cast(n as double)"
+  private val covN = s"($dn * sxy - sx * sy)" // n²·cov
+  private val varxN = s"($dn * sxx - sx * sx)" // n²·var(x)
+  private val varyN = s"($dn * syy - sy * sy)"
+  // degenerate groups (constant column, n<2) would hit x/0 — IEEE ±inf/
+  // NaN on Spark but NULL on DuckDB — so the guard is spelled in the
+  // shared text and the answer is NULL in both engines (CASE is lazy in
+  // both, the division never runs)
+  private val degenerate = s"(n < 2 or $varxN <= 0e0 or $varyN <= 0e0)"
+  private val corrExpr =
+    s"(case when $degenerate then null else $covN / sqrt($varxN * $varyN) end)"
+  private val slopeExpr = s"($covN / $varxN)"
+  private val slopeSafe =
+    s"(case when $degenerate then null else $slopeExpr end)"
+  private val iceptSafe =
+    s"(case when $degenerate then null else (sy - $slopeExpr * sx) / $dn end)"
+  private val r2Safe =
+    s"(case when $degenerate then null else ($covN * $covN) / ($varxN * $varyN) end)"
+
+  /** Per-group moment sums of two pre-scaled variables. `x`/`y` are
+    * column EXPRESSIONS (shared snippet text — e.g.
+    * `"(l_extendedprice / 1024e0)"`). */
+  private def moments(df: DataFrame, grp: String, x: String, y: String): DataFrame =
+    df.groupBy(col(grp)).agg(
+      count(lit(1)).as("n"),
+      expr(fpSum(x)).as("sx"), expr(fpSum(y)).as("sy"),
+      expr(fpSum(s"($x) * ($x)")).as("sxx"),
+      expr(fpSum(s"($y) * ($y)")).as("syy"),
+      expr(fpSum(s"($x) * ($y)")).as("sxy"))
+
+  private def momentsSql(table: String, grp: String, x: String, y: String): String =
+    s"""select $grp, cast(count(*) as bigint) as n,
+       | ${fpSum(x)} as sx, ${fpSum(y)} as sy,
+       | ${fpSum(s"($x) * ($x)")} as sxx,
+       | ${fpSum(s"($y) * ($y)")} as syy,
+       | ${fpSum(s"($x) * ($y)")} as sxy
+       |from $table group by $grp""".stripMargin.replace("\n", " ")
+
+  /** Per-group Pearson r of y on x. */
+  def corr(df: DataFrame, grp: String, x: String, y: String): DataFrame =
+    moments(df, grp, x, y)
+      .select(col(grp), col("n"), expr(q9(corrExpr)).as("corr9"))
+
+  def corrSql(table: String, grp: String, x: String, y: String): String =
+    s"select $grp, n, ${q9(corrExpr)} as corr9 from (${momentsSql(table, grp, x, y)})"
+
+  /** Per-group simple OLS y = slope·x + icept, with r². */
+  def ols(df: DataFrame, grp: String, x: String, y: String): DataFrame =
+    moments(df, grp, x, y).select(col(grp), col("n"),
+      expr(q9(slopeSafe)).as("slope9"),
+      expr(q9(iceptSafe)).as("icept9"),
+      expr(q9(r2Safe)).as("r2_9"))
+
+  def olsSql(table: String, grp: String, x: String, y: String): String =
+    s"select $grp, n, ${q9(slopeSafe)} as slope9, ${q9(iceptSafe)} as icept9, " +
+      s"${q9(r2Safe)} as r2_9 from (${momentsSql(table, grp, x, y)})"
+
+  // ------------------------------------------------------------------
+  // Welch's t, group vs rest
+  // ------------------------------------------------------------------
+
+  // rest moments by exact subtraction (fixed-point sums are dyadic
+  // rationals: nt−n, st−s, sst−ss are EXACT — and so are the ≤|groups|
+  // -row sums that build the totals), then Welch on the shared closed
+  // form. p is the large-sample two-sided normal approximation —
+  // erfc(|t|/√2) — not Student's t (no incomplete beta in either SQL
+  // dialect); with the smallest group in the thousands the difference
+  // is below the 1e-9 output grid. Documented, not hidden.
+  private def welchCols(d: Dialect): Seq[String] = {
+    val m1 = "(s1 / cast(n as double))"
+    val m2 = "((st - s1) / cast(nt - n as double))"
+    val v1 = "((ss1 - s1 * s1 / cast(n as double)) / cast(n - 1 as double))"
+    val v2 = "(((sst - ss1) - (st - s1) * (st - s1) / cast(nt - n as double)) " +
+      "/ cast(nt - n - 1 as double))"
+    val a = s"($v1 / cast(n as double))"
+    val b = s"($v2 / cast(nt - n as double))"
+    val se2 = s"($a + $b)"
+    // degenerate shapes (a group of <2, a rest of <2, both sides
+    // constant) would divide by zero — NULL in the shared text, both
+    // engines (lazy CASE; and the DuckDB least-ignores-NULL trap never
+    // fires because p's guard short-circuits first)
+    val guard = s"(n < 2 or nt - n < 2 or $se2 <= 0e0)"
+    val t = s"(case when $guard then null else ($m1 - $m2) / sqrt($se2) end)"
+    val dof = s"(case when $guard then null else ($se2 * $se2) " +
+      s"/ (($a * $a) / cast(n - 1 as double) " +
+      s"+ ($b * $b) / cast(nt - n - 1 as double)) end)"
+    val p = s"(case when $guard then null " +
+      s"else least(1e0, ${erfcOf(d, s"(abs(($m1 - $m2) / sqrt($se2)) / sqrt(2e0))")}) end)"
+    Seq("grp", "n", "cast(nt - n as bigint) as n_rest",
+      s"${q9(t)} as t9", s"${q9(dof)} as dof9", s"${q9(p)} as p9")
+  }
+
+  /** Welch's t of each group against the rest of the corpus (the MWU
+    * pipeline's group-vs-rest contract, parametric edition). `x` is a
+    * pre-scaled column expression (see the overflow contract above). */
+  def welchT(df: DataFrame, grp: String, x: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val g = df.groupBy(col(grp).as("grp")).agg(
+      count(lit(1)).as("n"),
+      expr(fpSum(x)).as("s1"),
+      expr(fpSum(s"($x) * ($x)")).as("ss1"))
+    val tot = g.agg(sum("n").cast("long").as("nt"),
+      sum("s1").cast("double").as("st"), sum("ss1").cast("double").as("sst"))
+    g.crossJoin(broadcast(tot)).selectExpr(welchCols(SparkD): _*)
+  }
+
+  def welchTSql(table: String, grp: String, x: String): String =
+    s"""with g as (select $grp as grp, cast(count(*) as bigint) as n,
+       |  ${fpSum(x)} as s1, ${fpSum(s"($x) * ($x)")} as ss1
+       | from $table group by $grp),
+       |n2 as (select cast(sum(n) as bigint) as nt,
+       |  cast(sum(s1) as double) as st, cast(sum(ss1) as double) as sst
+       | from g)
+       |select ${welchCols(DuckD).mkString(", ")} from g, n2"""
+      .stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
+  // Chi-square independence test (contingency table + Wilson–Hilferty)
+  // ------------------------------------------------------------------
+
+  // χ² = Σ_cells (o−e)²/e with e = rowSum·colSum/n. The cell terms are
+  // doubles, so the CROSS-CELL sum goes through fpSum too (a ~dozens-row
+  // aggregate, but order still matters for bit-equality). The upper-tail
+  // p uses the Wilson–Hilferty cube-root normal approximation — the
+  // cube root spelled exp(ln(r)/3) so both engines evaluate the same
+  // transcendental path (their exp/ln agree bit-for-bit on these ranges,
+  // as the Cody-erfc and logprob gates already establish).
+  private def chisqCols(d: Dialect): Seq[String] = {
+    val r = "(chi2 / cast(k as double))"
+    val cbrtR = s"(case when chi2 = 0e0 then 0e0 else exp(ln($r) / 3e0) end)"
+    val z = s"(($cbrtR - (1e0 - 2e0 / (9e0 * cast(k as double)))) " +
+      s"/ sqrt(2e0 / (9e0 * cast(k as double))))"
+    // k = 0 (a single-category margin) has no test — NULL in both engines
+    val zSafe = s"(case when k = 0 then null else $z end)"
+    val pSafe = s"(case when k = 0 then null " +
+      s"else least(1e0, (5e-1 * ${erfcOf(d, s"($z / sqrt(2e0))")})) end)"
+    Seq("n_total", "k", s"${q9("chi2")} as chi2_9", s"${q9(zSafe)} as z9",
+      s"${q9(pSafe)} as p9")
+  }
+
+  /** Chi-square test of independence between two categorical columns.
+    * One fact aggregate (the contingency cells), two tiny margin aggs
+    * broadcast back onto the ≤|A|·|B|-row cell relation, one fpSum. */
+  def chisq(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum("o").cast("long").as("na"))
+    val cols_ = cells.groupBy("b").agg(sum("o").cast("long").as("nb"))
+    val tot = cells.agg(sum("o").cast("long").as("n_total"),
+      (countDistinct("a") - 1).cast("long").as("ka"),
+      (countDistinct("b") - 1).cast("long").as("kb"))
+    val terms = cells.join(broadcast(rows), "a").join(broadcast(cols_), "b")
+      .crossJoin(broadcast(tot))
+      .selectExpr("n_total", "(ka * kb) as k",
+        "(cast(o as double) - cast(na as double) * cast(nb as double) " +
+          "/ cast(n_total as double)) as d",
+        "(cast(na as double) * cast(nb as double) / cast(n_total as double)) as e")
+    terms.groupBy("n_total", "k")
+      .agg(expr(fpSum("(d * d) / e")).as("chi2"))
+      .selectExpr(chisqCols(SparkD): _*)
+  }
+
+  def chisqSql(joined: String, aCol: String, bCol: String): String =
+    s"""with cells as (select $aCol as a, $bCol as b,
+       |  cast(count(*) as bigint) as o from ($joined) group by 1, 2),
+       |rows_ as (select a, cast(sum(o) as bigint) as na from cells group by a),
+       |cols_ as (select b, cast(sum(o) as bigint) as nb from cells group by b),
+       |tot as (select cast(sum(o) as bigint) as n_total,
+       |  cast(count(distinct a) - 1 as bigint) as ka,
+       |  cast(count(distinct b) - 1 as bigint) as kb from cells),
+       |terms as (select n_total, (ka * kb) as k,
+       |  (cast(o as double) - cast(na as double) * cast(nb as double)
+       |   / cast(n_total as double)) as d,
+       |  (cast(na as double) * cast(nb as double) / cast(n_total as double)) as e
+       | from cells join rows_ on cells.a = rows_.a
+       |  join cols_ on cells.b = cols_.b, tot),
+       |s as (select n_total, k, ${fpSum("(d * d) / e")} as chi2
+       | from terms group by n_total, k)
+       |select ${chisqCols(DuckD).mkString(", ")} from s"""
+      .stripMargin.replace("\n", " ")
+}

@@ -446,6 +446,43 @@ class OperatorsSpec extends SparkSpec {
     assert(c.forall(x => x.getLong(1) == 0L && x.getDouble(3) == 42.0))
   }
 
+  test("stats: corr/ols recover a perfect linear relation") {
+    val df = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
+      .toDF("grp", "x", "y")
+    val c = Stats.corr(df, "grp", "x", "y").collect()(0)
+    assert(c.getLong(1) == 100L && math.abs(c.getDouble(2) - 1.0) < 1e-5)
+    val o = Stats.ols(df, "grp", "x", "y").collect()(0)
+    assert(math.abs(o.getDouble(2) - 3.0) < 1e-4, s"slope ${o.getDouble(2)}")
+    assert(math.abs(o.getDouble(3) - 7.0) < 1e-2, s"icept ${o.getDouble(3)}")
+    assert(math.abs(o.getDouble(4) - 1.0) < 1e-5, s"r2 ${o.getDouble(4)}")
+    // constant x: guarded NULL, not IEEE noise
+    val const = (1 to 10).map(i => ("g", 5.0, i.toDouble)).toDF("grp", "x", "y")
+    assert(Stats.corr(const, "grp", "x", "y").collect()(0).isNullAt(2))
+  }
+
+  test("stats: welch t separates shifted groups, p near zero") {
+    val df = ((1 to 900).map(i => ("big", 10.0 + i % 3)) ++
+      (1 to 100).map(i => ("small", 20.0 + i % 3))).toDF("grp", "x")
+    val r = Stats.welchT(df, "grp", "x").collect()
+      .map(x => x.getString(0) -> x).toMap
+    val tSmall = r("small").getDouble(3)
+    assert(tSmall > 50.0, s"small group mean is 10 higher; t=$tSmall")
+    assert(r("small").getDouble(5) == 0.0, "p underflows to exactly 0")
+    assert(r("small").getLong(1) == 100L && r("small").getLong(2) == 900L)
+  }
+
+  test("stats: chi-square near-null for independent, huge for dependent") {
+    val indep = (0 until 300).map(i => (s"a${i % 2}", s"b${i / 2 % 2}"))
+      .toDF("u", "v")
+    val ri = Stats.chisq(indep, "u", "v").collect()(0)
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(4) > 0.9,
+      s"balanced table: chi2=${ri.getDouble(2)} p=${ri.getDouble(4)}")
+    val dep = (0 until 300).map(i => (s"a${i % 3}", s"b${i % 3}")).toDF("u", "v")
+    val rd = Stats.chisq(dep, "u", "v").collect()(0)
+    assert(rd.getDouble(2) > 100.0 && rd.getDouble(4) < 1e-6,
+      s"diagonal table: chi2=${rd.getDouble(2)} p=${rd.getDouble(4)}")
+  }
+
   test("l2 normalize: unit output norms, zero vectors excluded") {
     val emb = Seq(
       (0L, Array.tabulate(64)(i => (i + 1) * 0.25f), 0L),

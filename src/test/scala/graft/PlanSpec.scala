@@ -174,6 +174,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 4, s"expected 3 bloom-build distincts + doc agg:\n$p")
   }
 
+  test("stat_corr: all six moments ride ONE map-side-combined aggregate") {
+    val p = plan(SparkEntry.queries("stat_corr")(spark, sf("sf0.001")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected a single group-by exchange:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+  }
+
   test("partitioned sink: the read-back scan prunes to the one lang partition") {
     val p = plan(SparkEntry.queries("sink_partitioned")(spark, sf("sf0.001")))
     assert(p.contains("PartitionFilters"), s"expected a partition-pruned scan:\n$p")
