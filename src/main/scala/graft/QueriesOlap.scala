@@ -140,6 +140,16 @@ object QueriesOlap {
     // (mwu_checkpoint) and per-group CSV sink (mwu_sink) this puts every
     // sink format inside the oracle gate; doubles survive via Jackson's
     // shortest-round-trip rendering
+    // ORC sink round-trip (same hourly agg, same oracle): with parquet
+    // (checkpoint), CSV (per-group sink), JSON and bucketed tables this
+    // closes the format matrix; ORC is binary so doubles round-trip
+    // bit-exactly without the shortest-string dance
+    "q_orc_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val agg = EventOps.hourly(Tables.read(s, dir, "events"))
+      agg.write.mode("overwrite").orc(tmp)
+      s.read.schema(agg.schema).orc(tmp)
+    }),
     "q_json_sink" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
       val agg = EventOps.hourly(Tables.read(s, dir, "events"))
@@ -162,6 +172,10 @@ object QueriesOlap {
     // Structured Streaming hourly agg — stream/batch differential: the
     // oracle is the BATCH hourly SQL
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir)),
+    // streaming fixed-bin value histogram per hour (drift monitoring);
+    // state bounded by hours×bins, oracle = identical batch aggregate
+    "stream_histogram" -> ((s, dir) =>
+      graft.streaming.EventStream.runHistogramOnce(s, dir)),
     // streaming dropDuplicates state — oracle is the batch distinct count
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir)),
     // stream-static broadcast enrichment join — oracle is the batch join
@@ -659,11 +673,17 @@ object QueriesOlap {
          |order by revenue desc, l_orderkey asc limit 10""".stripMargin.replace("\n", " "),
     "q_events_window" -> EventOps.hourlySql(),
     "q_json_sink" -> EventOps.hourlySql(),
+    "q_orc_sink" -> EventOps.hourlySql(),
     "q_events_json" -> EventOps.propStatsSql(),
     "q_sessions" -> sessionsOracle,
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
+    "stream_histogram" ->
+      s"""select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
+         | ${graft.streaming.EventStream.histBinExpr} as bin,
+         | cast(count(*) as bigint) as n
+         |from events group by 1, 2""".stripMargin.replace("\n", " "),
     "stream_dedup" ->
       """select event_type, cast(count(distinct user_id) as bigint) as n_distinct_users
         |from events group by event_type""".stripMargin.replace("\n", " "),

@@ -178,4 +178,29 @@ object EventStream {
     * parquet — used by Verify/Bench. */
   def runOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "stream", "complete", hourlyAgg)
+
+  /** Fixed-bin expression shared with the batch oracle: [0,512) in 16
+    * equi-width bins = an exact power-of-two division (floor(v/32),
+    * clamped), so bin assignment is bit-deterministic in both engines.
+    * Fixed bounds are the streaming contract — a stream has no two-pass
+    * min/max; out-of-range values clamp into the edge bins. */
+  val histBinExpr: String =
+    "greatest(0, least(15, cast(floor(value / 32e0) as bigint)))"
+
+  /** Streaming windowed value histogram — the distribution-drift monitor
+    * every training-data ingest runs: per tumbling hour, event counts per
+    * fixed value bin. State is bounded by hours×bins regardless of
+    * stream volume. Batch oracle = the identical aggregate. */
+  def histogramAgg(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"),
+        expr(histBinExpr).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(w.start) div 1000000").as("hour_epoch"),
+        col("bin"), col("n"))
+
+  def runHistogramOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "hist", "complete", histogramAgg)
 }
