@@ -223,7 +223,12 @@ object QueriesLlm {
     // √n weights, membership by id-hash threshold — the multilingual
     // corpus-mixing pass, deterministic member set
     "sample_temperature" -> ((s, dir) =>
-      Sampling.temperature(Tables.read(s, dir, "documents")))
+      Sampling.temperature(Tables.read(s, dir, "documents"))),
+    // Efraimidis–Spirakis weighted sampling without replacement (weight =
+    // doc length): global top-k by ln(u)/w with hash-derived u — the
+    // reproducible weighted pick every curriculum/mixing pipeline needs
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weighted(Tables.read(s, dir, "documents")))
   )
 
   /** 80/10/10 split from the last decimal digit of the id hash — shared
@@ -399,6 +404,7 @@ object QueriesLlm {
     "text_pii" -> TextOps.piiSql(),
     "sample_stratified" -> Sampling.stratifiedSql(),
     "sample_temperature" -> Sampling.temperatureSql(),
+    "sample_weighted" -> Sampling.weightedSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

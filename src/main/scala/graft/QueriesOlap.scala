@@ -406,6 +406,11 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     }),
+    // blocked fuzzy self-join (entity resolution): last-token blocking +
+    // Levenshtein ≤ 3 over distinct part names — candidate generation is
+    // linear in block sizes, never all-pairs
+    "fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.TextOps.fuzzyPairs(Tables.read(s, dir, "part"), "p_name")),
     // classical statistics from order-free fixed-point moment sums (the
     // engines' own corr/covar are partitioning-dependent in the low
     // bits): per-group Pearson r, OLS fit, Welch t group-vs-rest, and a
@@ -855,6 +860,7 @@ object QueriesOlap {
         |from documents where lang = 'en' group by source"""
         .stripMargin.replace("\n", " "),
     "q_grouping_sets" -> groupingSetsSql("lineitem"),
+    "fuzzy_pairs" -> graft.operators.TextOps.fuzzyPairsSql("part", "p_name"),
     "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",

@@ -98,6 +98,47 @@ object Sampling {
       "(sqrt(cast(n_docs as double)) / wsum) / cast(n_docs as double))"
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: each
+    * document draws key = ln(u)/w (u uniform from its id hash, w its
+    * weight); the global top-k by key IS a weighted sample without
+    * replacement — and because u is the CW hash, the member set is
+    * reproducible across runs, partitionings and engines. Weight =
+    * n_chars + 1 (the +1 keeps empty documents drawable rather than
+    * dividing by zero). Two-phase top-k like [[stratified]]: any global
+    * top-k row is top-k within its own partition, so the partition-local
+    * prune is lossless. */
+  def weighted(docs: DataFrame, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hashed = docs.selectExpr("doc_id", "lang",
+      "cast(n_chars + 1 as bigint) as w", s"${esKey(hSpark)} as key")
+    val local = hashed
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("key").desc, col("doc_id").asc)))
+      .filter(col("lrn") <= k)
+      .drop("pid", "lrn")
+    local
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("w"),
+        expr(Parity.q9("key")).as("key9"), col("rn"))
+  }
+
+  /** ln(u)/w with u = (h+1)/CwMod ∈ (0, 1] — shared snippet text. */
+  private def esKey(h: String): String =
+    s"(ln((cast(($h) as double) + 1e0) / ${Parity.CwMod}e0) " +
+      "/ cast(n_chars + 1 as double))"
+
+  /** DuckDB mirror of [[weighted]] (one-phase spelling). */
+  def weightedSql(k: Int = 100, table: String = "documents"): String =
+    s"""select doc_id, lang, w, ${Parity.q9("key")} as key9, rn from (
+       | select doc_id, lang, w, key,
+       |  row_number() over (order by key desc, doc_id asc) as rn
+       | from (select doc_id, lang, cast(n_chars + 1 as bigint) as w,
+       |   ${esKey(hDuck)} as key from $table))
+       |where rn <= $k""".stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[temperature]]. */
   def temperatureSql(frac: Double = 0.5, table: String = "documents"): String =
     s"""with counts as (select lang, cast(count(*) as bigint) as n_docs

@@ -523,4 +523,44 @@ object TextOps {
   /** DuckDB mirror of [[piiRedact]]. */
   def piiSql(table: String = "documents"): String =
     s"select ${piiSelects(DuckD).mkString(", ")} from $table"
+
+  // -------------------------------------------------------------------
+  // Fuzzy string matching (entity resolution)
+  // -------------------------------------------------------------------
+
+  /** Blocked fuzzy self-join over DISTINCT names: block on the last
+    * token (the entity's head noun) plus a length-difference filter, then
+    * score candidates with Levenshtein — an integer metric with identical
+    * semantics in both engines. Blocking keeps candidate generation
+    * linear in block sizes, never all-pairs: the 100 TB shape is a
+    * hash-partitioned self-join on the block key, and a skewed block
+    * (one very common head noun) is exactly the AQE skew-join case. */
+  def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int = 3): DataFrame = {
+    val names = df.selectExpr(s"$nameCol as name").distinct()
+      .selectExpr("name", "split(name, ' ') as ws")
+      .selectExpr("name", "element_at(ws, size(ws)) as blk",
+        "length(name) as len")
+    val a = names.select(col("name").as("name_a"), col("blk"),
+      col("len").as("len_a"))
+    val b = names.select(col("name").as("name_b"), col("blk"),
+      col("len").as("len_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+
+  /** DuckDB mirror of [[fuzzyPairs]]. */
+  def fuzzyPairsSql(table: String, nameCol: String, maxDist: Int = 3): String =
+    s"""with names as (select distinct $nameCol as name from $table),
+       |nb as (select name, string_split(name, ' ') as ws from names),
+       |nn as (select name, ws[len(ws)] as blk, length(name) as len from nb)
+       |select a.name as name_a, b.name as name_b,
+       | cast(levenshtein(a.name, b.name) as bigint) as dist
+       |from nn a join nn b on a.blk = b.blk
+       |where a.name < b.name and abs(a.len - b.len) <= $maxDist
+       | and levenshtein(a.name, b.name) <= $maxDist"""
+      .stripMargin.replace("\n", " ")
 }

@@ -413,6 +413,41 @@ class OperatorsSpec extends SparkSpec {
       "member set must not depend on the input partitioning")
   }
 
+  test("weighted sampling: heavy docs overrepresented, partition-invariant") {
+    // 500 docs of weight ~1 and 50 of weight ~10000: the top-100 sample
+    // should be dominated by the heavy docs (P(light in top-k) tiny)
+    val docs = ((0L until 500L).map(i => (i, "en", 1L)) ++
+      (500L until 550L).map(i => (i, "de", 10000L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = Sampling.weighted(docs, k = 60).collect()
+    assert(r.length == 60)
+    val heavy = r.count(_.getLong(2) == 10001L)
+    assert(heavy == 50, s"all 50 heavy docs must be drawn (got $heavy)")
+    // ranks are 1..k and keys non-increasing
+    assert(r.map(_.getLong(4)).sorted.toSeq == (1L to 60L).toSeq)
+    val keys = r.sortBy(_.getLong(4)).map(_.getDouble(3)).toSeq
+    assert(keys == keys.sorted.reverse, "keys must be non-increasing in rank")
+    val rep = Sampling.weighted(docs.repartition(17), k = 60).collect()
+      .map(x => (x.getLong(0), x.getLong(4))).sortBy(_._2).toSeq
+    assert(rep == r.map(x => (x.getLong(0), x.getLong(4))).sortBy(_._2).toSeq,
+      "sample must not depend on input partitioning")
+  }
+
+  test("fuzzy pairs: within-block near names match, cross-block never") {
+    val parts = Seq("hot rod", "hot rodz", "red gear", "rex gear", "blue gear")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("p_partkey", "p_name")
+    val r = TextOps.fuzzyPairs(parts, "p_name").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r.contains(("red gear", "rex gear", 1L)))
+    // lev("blue gear", "red gear") = 4 > maxDist — same block, filtered out
+    assert(!r.exists(p => p._1 == "blue gear" && p._2 == "red gear"))
+    // "hot rod" vs "hot rodz" differ by one insert; blocks differ
+    // ("rod" vs "rodz") so the blocked join must NOT pair them
+    assert(!r.exists(p => p._1 == "hot rod" && p._2 == "hot rodz"))
+    // nothing pairs across gear/rod blocks
+    assert(r.forall(p => p._1.split(" ").last == p._2.split(" ").last))
+  }
+
   test("temperature resampling: low-resource langs upweighted, rates sane") {
     val docs = ((0L until 900L).map(i => (i, "t", "big")) ++
       (900L until 1000L).map(i => (i, "t", "small")))
