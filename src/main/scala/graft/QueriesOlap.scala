@@ -406,6 +406,13 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000000000").as("ts_sec"), col("n_next_10m"))
     }),
+    // PageRank over the part co-purchase graph: 5 power iterations as
+    // pure dataflow (join + fpSum aggregate per round, localCheckpoint
+    // per round so lineage stays flat); oracle = the identical iteration
+    // unrolled as materialized CTEs
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey"))),
     // blocked fuzzy self-join (entity resolution): last-token blocking +
     // Levenshtein ≤ 3 over distinct part names — candidate generation is
     // linear in block sizes, never all-pairs
@@ -861,6 +868,7 @@ object QueriesOlap {
         .stripMargin.replace("\n", " "),
     "q_grouping_sets" -> groupingSetsSql("lineitem"),
     "fuzzy_pairs" -> graft.operators.TextOps.fuzzyPairsSql("part", "p_name"),
+    "graph_pagerank" -> graft.operators.Graph.pageRankSql(),
     "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.oracle.Parity
+import graft.oracle.Parity.{fpSum, q9}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics, Spark-first: PageRank over the part
+  * co-purchase graph (parts that appear in the same order are
+  * neighbors). The iteration is the classic dataflow spelling — no graph
+  * library, no driver-side adjacency: each round is one join (ranks onto
+  * edges) plus one aggregate (contributions per destination), i.e. two
+  * hash shuffles over edge-partitioned data, which is exactly how it
+  * runs at 1000-executor scale.
+  *
+  * Determinism: each round's contribution sum goes through
+  * [[Parity.fpSum]] (per-row 2^-20 fixed point, exact BIGINT sum), so
+  * rank vectors are bit-identical under any partitioning — and the
+  * DuckDB oracle can replay the SAME iteration unrolled as materialized
+  * CTEs (the `dedup_groups` trick; plain CTEs would inline and
+  * re-evaluate the edge build exponentially).
+  *
+  * Spark-loop gotcha encoded here: each round `localCheckpoint()`s the
+  * rank frame — without it the lineage doubles per iteration and the
+  * optimizer re-plans the whole history.
+  */
+object Graph {
+
+  /** Damping 0.85 spelled as exponent-form literals (Parity trap). */
+  private val D = "85e-2"
+  private val OneMinusD = "15e-2"
+
+  /** PageRank over part co-purchase: fixed `iters` power iterations,
+    * top-`topK` parts by rank. Per-order pair fan-out is bounded by the
+    * basket size (≤13² here; a retail-scale basket cap is the standard
+    * guard). Single-item orders contribute no edges, so isolated parts
+    * are not graph nodes — documented contract, same in the oracle. */
+  def pageRank(lineitem: DataFrame, iters: Int = 5, topK: Int = 20): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edges pre-joined with out-degrees once, HASH-PARTITIONED ON src and
+    // materialized: every iteration's rank join then reuses this layout
+    // and exchanges only the node-sized rank vector — the edge table
+    // (the big side at 100 TB) never moves again
+    val we = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    // the rank frames stay UNmaterialized: each round references the
+    // previous one exactly once, so lineage grows linearly (unlike the
+    // self-referencing label-propagation loop, which must checkpoint per
+    // round) and all `iters` rounds pipeline into one DAG whose only big
+    // leaf is the materialized edge table
+    var r = deg.crossJoin(broadcast(nn))
+      .selectExpr("src as node", "(1e0 / cast(nn as double)) as r")
+    for (_ <- 1 to iters) {
+      r = we.join(r, col("src") === col("node"))
+        .selectExpr("dst", "(r / cast(deg as double)) as c")
+        .groupBy("dst").agg(expr(fpSum("c")).as("s"))
+        .crossJoin(broadcast(nn))
+        .selectExpr("dst as node",
+          s"($OneMinusD / cast(nn as double) + $D * s) as r")
+    }
+    r.crossJoin(broadcast(nn))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("r").desc, col("node").asc)).cast("long"))
+      .filter(col("rn") <= topK)
+      .selectExpr("node", "cast(nn as bigint) as n_nodes",
+        s"${q9("r")} as rank9", "rn")
+  }
+
+  /** DuckDB mirror of [[pageRank]]: the identical iteration unrolled as
+    * MATERIALIZED CTEs. */
+  def pageRankSql(table: String = "lineitem", iters: Int = 5,
+                  topK: Int = 20): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i as (select dst, ${fpSum("(r / cast(deg as double))")} as s
+         | from we join $prev on we.src = $prev.node group by dst),
+         |r$i as materialized (select dst as node,
+         | ($OneMinusD / cast(nn as double) + $D * s) as r from c$i, n)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""with op as materialized (select distinct l_orderkey as ok,
+       |  l_partkey as p from $table),
+       |edges as materialized (select distinct a.p as src, b.p as dst
+       | from op a join op b on a.ok = b.ok and a.p <> b.p),
+       |deg as materialized (select src, cast(count(*) as bigint) as deg
+       | from edges group by src),
+       |n as (select cast(count(*) as bigint) as nn from deg),
+       |we as materialized (select edges.src, dst, deg
+       | from edges join deg on edges.src = deg.src),
+       |r0 as materialized (select src as node, (1e0 / cast(nn as double)) as r
+       | from deg, n),
+       |$rounds
+       |select node, cast(nn as bigint) as n_nodes, ${q9("r")} as rank9, rn
+       |from (select node, nn, r,
+       |  row_number() over (order by r desc, node asc) as rn
+       | from r$iters, n)
+       |where rn <= $topK""".stripMargin.replace("\n", " ")
+  }
+}

@@ -448,6 +448,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall(p => p._1.split(" ").last == p._2.split(" ").last))
   }
 
+  test("pagerank: ring is uniform, star centre dominates, ranks sum to ~1") {
+    // 4-cycle of co-purchases: a-b, b-c, c-d, d-a → perfectly symmetric,
+    // every node deg 2 → uniform rank 1/4
+    val ring = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (3L, 13L), (4L, 13L), (4L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val rr = Graph.pageRank(ring, iters = 5, topK = 10).collect()
+    assert(rr.length == 4 && rr.forall(x => math.abs(x.getDouble(2) - 0.25) < 1e-6))
+    // star: centre 100 co-purchased with 6 leaves (leaves only know the
+    // centre) → centre's rank strictly dominates
+    val star = (0 until 6).flatMap(i =>
+      Seq((i.toLong, 100L), (i.toLong, 200L + i)))
+      .toDF("l_orderkey", "l_partkey")
+    val rs = Graph.pageRank(star, iters = 5, topK = 10).collect()
+    assert(rs.head.getLong(0) == 100L, "centre must rank first")
+    assert(rs.head.getDouble(2) > 2 * rs(1).getDouble(2))
+    val total = rs.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"ranks ≈ a distribution (got $total)")
+  }
+
   test("temperature resampling: low-resource langs upweighted, rates sane") {
     val docs = ((0L until 900L).map(i => (i, "t", "big")) ++
       (900L until 1000L).map(i => (i, "t", "small")))
