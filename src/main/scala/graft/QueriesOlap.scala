@@ -398,6 +398,17 @@ object QueriesOlap {
         .agg(count(lit(1)).as("n_items"),
           expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"))
     }),
+    // relative-standing windows: percent_rank + cume_dist of each
+    // event's value within its type — both are exact integer ratios
+    // (rank−1)/(n−1) and n_le/n, so bit-deterministic in both engines
+    "q_events_cume" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.read(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
     "q_events_range" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
         .rangeBetween(Window.currentRow, 600L * 1000000000L)
@@ -928,6 +939,13 @@ object QueriesOlap {
          |from supplier join rev on s_suppkey = supplier_no
          |where total_revenue = (select max(total_revenue) from rev)"""
         .stripMargin.replace("\n", " "),
+    "q_events_cume" ->
+      """select event_id, event_type, value,
+        | percent_rank() over (partition by event_type
+        |  order by value asc, event_id asc) as pr,
+        | cume_dist() over (partition by event_type
+        |  order by value asc, event_id asc) as cd
+        |from events""".stripMargin.replace("\n", " "),
     "q_events_range" ->
       """select event_id, user_id, tsn // 1000000000 as ts_sec,
         | cast(n_next_10m as bigint) as n_next_10m

@@ -32,6 +32,7 @@ object ScaleStress {
     if (args.headOption.contains("dedupdegen")) { dedupDegenStress(args.drop(1)); return }
     if (args.headOption.contains("decontam")) { decontamStress(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomStress(args.drop(1)); return }
+    if (args.headOption.contains("graph")) { graphStress(args.drop(1)); return }
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,6 +191,30 @@ object ScaleStress {
     val out = Dedup.decontaminateBloom(blown, evalEvery = 3).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"decontaminate_bloom","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** PageRank scale leg: R disjoint copies of the co-purchase graph
+    * (order AND part keys shifted per replica) — R× nodes and edges with
+    * identical structure, so per-edge throughput should hold flat if the
+    * iteration really exchanges only the node-sized rank vector.
+    * `sbt "runMain graft.ScaleStress graph [replicas]"` */
+  private def graphStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val blown = li.select(col("l_orderkey"), col("l_partkey"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("l_orderkey") * replicas + col("r")).as("l_orderkey"),
+        (col("l_partkey") + col("r") * 10000000L).as("l_partkey"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.Graph.pageRank(blown, topK = 20).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nodes = out.head.getLong(1)
+    println(f"""{"stress":"graph_pagerank","replicas":$replicas,"nodes":$nodes,"sec":$sec%.2f,"nodes_per_sec":${(nodes / sec).toLong}}""")
     spark.stop()
   }
 

@@ -448,6 +448,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall(p => p._1.split(" ").last == p._2.split(" ").last))
   }
 
+  test("stats outputs are bit-identical across shuffle partitionings (fpSum contract)") {
+    val li = graft.sources.Tables.read(spark, sf("sf0.001"), "lineitem")
+    val runs = Seq(1, 4, 13).map { p =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try {
+        val c = Stats.corr(li.repartition(p), "l_returnflag",
+          "l_quantity", "(l_extendedprice / 1024e0)").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+        val t = Stats.welchT(li.repartition(p), "l_returnflag", "l_discount")
+          .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(5)))
+          .sortBy(_._1).toSeq
+        (c, t)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(runs.distinct.size == 1,
+      "moment-sum statistics must not depend on partitioning")
+  }
+
   test("pagerank: ring is uniform, star centre dominates, ranks sum to ~1") {
     // 4-cycle of co-purchases: a-b, b-c, c-d, d-a → perfectly symmetric,
     // every node deg 2 → uniform rank 1/4
