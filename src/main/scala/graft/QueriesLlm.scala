@@ -228,7 +228,11 @@ object QueriesLlm {
     // doc length): global top-k by ln(u)/w with hash-derived u — the
     // reproducible weighted pick every curriculum/mixing pipeline needs
     "sample_weighted" -> ((s, dir) =>
-      Sampling.weighted(Tables.read(s, dir, "documents")))
+      Sampling.weighted(Tables.read(s, dir, "documents"))),
+    // PMI collocations: phrase discovery before tokenizer training —
+    // bigram⋈vocab hash joins, fixed-point ln scores, two-phase top-k
+    "text_pmi" -> ((s, dir) =>
+      TextOps.pmiTop(Tables.read(s, dir, "documents")))
   )
 
   /** 80/10/10 split from the last decimal digit of the id hash — shared
@@ -405,6 +409,7 @@ object QueriesLlm {
     "sample_stratified" -> Sampling.stratifiedSql(),
     "sample_temperature" -> Sampling.temperatureSql(),
     "sample_weighted" -> Sampling.weightedSql(),
+    "text_pmi" -> TextOps.pmiTopSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

@@ -562,6 +562,98 @@ object QueriesOlap {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
+    // TPC-H Q8 shape: a nation's market share of one region's revenue
+    // per order year — the fact resolves BOTH endpoints (customer side
+    // gates the region, supplier side labels the competitor), and the
+    // share is a conditional-fpSum ratio; supplier/customer join with no
+    // hints (SF-proportional — AQE decides), nation/region broadcast
+    "q_market_share" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = Tables.read(s, dir, "nation")
+      val r = Tables.read(s, dir, "region").filter(col("r_name") === "AMERICA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+          col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(
+          expr(fpSum("case when supp_nation = 'NATION_1' then l_extendedprice * (1e0 - l_discount) else 0e0 end"))
+            .as("nation_volume"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+    }),
+    // TPC-H Q10 shape: returned-item revenue — one-quarter orders join
+    // the 'R'-flagged fact, per-customer rollup carries the nation label
+    // through the aggregate, global top-20 by lost revenue
+    "q_returned" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.read(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.read(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    // TPC-H Q21 topology: suppliers who were the SOLE late supplier on a
+    // multi-supplier order. The reference shape is a double correlated
+    // subquery (EXISTS another supplier / NOT EXISTS another late one);
+    // the scale-correct Spark rendering is one per-(order, supplier)
+    // aggregate plus order-level windows SHARING that shuffle's
+    // partitioning — the fact shuffles once on l_orderkey, then once
+    // more key-sized on the supplier rollup; top-10 by orderBy+limit
+    "q_waiting" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val o = Tables.read(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("interval 30 days")).cast("int"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max("late").as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      val credited = perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum("late").over(w))
+        .filter(col("late") === 1 && col("n_late") === 1 && col("n_supp") > 1)
+      val counts = credited.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey").asc)
+        .limit(10)
+      counts.join(Tables.read(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+    // CDC latest-row-per-key compaction: each user's most recent event —
+    // row_number over (ts desc, event_id desc) = 1, which Spark executes
+    // as WindowGroupLimit (per-partition running top-1, no full sort
+    // materialization); the upsert-log → current-state pass
+    "q_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.read(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type"), expr("ts div 1000").as("us"), col("value"))
+    }),
     // TPC-H Q15 shape: per-supplier revenue for one quarter, then keep
     // the max-revenue supplier(s) — the aggregate-then-self-max pattern;
     // the max is a 1-row broadcast, supplier joins post-aggregation so
@@ -928,6 +1020,58 @@ object QueriesOlap {
          |  when u_key is null then 'carry' else 'update' end as action
          |from customer full outer join changes on c_custkey = u_key"""
         .stripMargin.replace("\n", " "),
+    "q_market_share" -> {
+      val nat = fpSum("case when n2.n_name = 'NATION_1' then l_extendedprice * (1e0 - l_discount) else 0e0 end")
+      val tot = fpSum("l_extendedprice * (1e0 - l_discount)")
+      s"""select cast(year(o_orderdate) as bigint) as y,
+         | $nat as nation_volume, $tot as total_volume,
+         | $nat / $tot as mkt_share
+         |from lineitem
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         | join nation n1 on c_nationkey = n1.n_nationkey
+         | join region on n1.n_regionkey = r_regionkey
+         | join supplier on l_suppkey = s_suppkey
+         | join nation n2 on s_nationkey = n2.n_nationkey
+         |where r_name = 'AMERICA'
+         |group by 1""".stripMargin.replace("\n", " ")
+    },
+    "q_returned" ->
+      s"""select c_custkey, c_name, c_acctbal, n_name,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue
+         |from lineitem
+         | join orders on l_orderkey = o_orderkey
+         | join customer on o_custkey = c_custkey
+         | join nation on c_nationkey = n_nationkey
+         |where l_returnflag = 'R'
+         | and o_orderdate >= timestamp '1997-01-01'
+         | and o_orderdate < timestamp '1997-07-01'
+         |group by c_custkey, c_name, c_acctbal, n_name
+         |order by revenue desc, c_custkey asc limit 20"""
+        .stripMargin.replace("\n", " "),
+    "q_waiting" ->
+      """with ps as (select l_orderkey, l_suppkey,
+        |  max(case when l_shipdate > o_orderdate + interval 30 day
+        |    then 1 else 0 end) as late
+        | from lineitem join orders on l_orderkey = o_orderkey
+        | group by l_orderkey, l_suppkey),
+        |cr as (select l_suppkey from (
+        |  select l_suppkey, late,
+        |   count(*) over (partition by l_orderkey) as n_supp,
+        |   sum(late) over (partition by l_orderkey) as n_late
+        |  from ps) where late = 1 and n_late = 1 and n_supp > 1),
+        |cn as (select l_suppkey, cast(count(*) as bigint) as numwait
+        | from cr group by l_suppkey
+        | order by numwait desc, l_suppkey asc limit 10)
+        |select s_suppkey, s_name, numwait
+        |from cn join supplier on l_suppkey = s_suppkey"""
+        .stripMargin.replace("\n", " "),
+    "q_latest" ->
+      """select user_id, event_id as last_event_id, event_type,
+        | epoch_ns(ts) // 1000 as us, value
+        |from (select *, row_number() over (partition by user_id
+        |  order by epoch_ns(ts) desc, event_id desc) as rn from events)
+        |where rn = 1""".stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       s"""with rev as (select l_suppkey as supplier_no,
          |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue

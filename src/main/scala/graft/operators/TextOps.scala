@@ -563,4 +563,73 @@ object TextOps {
        |where a.name < b.name and abs(a.len - b.len) <= $maxDist
        | and levenshtein(a.name, b.name) <= $maxDist"""
       .stripMargin.replace("\n", " ")
+
+  /** Shared fixed-point PMI expression: ln of the bigram/independence
+    * probability ratio in 1e-9 BIGINT units (same rationale as
+    * [[unigramLogProb]]: ln may differ by 1 ulp between engines and
+    * decimal doubles don't sum exactly, so every comparison and the
+    * top-k order live on the integer grid). Identical text runs in both
+    * engines — the division/multiplication ORDER is part of the
+    * contract. */
+  private def pmiUnits: String =
+    "cast(floor(ln((cast(c_xy as double) / cast(n_bi as double)) / " +
+      "((cast(c1 as double) / cast(n_uni as double)) * " +
+      "(cast(c2 as double) / cast(n_uni as double)))) * 1.0e9 + 5e-1) as bigint)"
+
+  /** PMI collocation mining — the phrase-discovery pass of a corpus
+    * pipeline (find "New York"-style units worth merging before
+    * tokenizer training): count unigrams and adjacent bigrams, join the
+    * bigram table to the vocabulary twice (hash joins on the token —
+    * the standard corpus-scale shuffle, never a broadcast: the
+    * vocabulary is data-proportional), score
+    * PMI = ln(p(xy) / (p(x)·p(y))), keep bigrams seen ≥ `minCount`
+    * times, return the global top-`k`. The top-k is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition top-k, merge of
+    * k-row heads), the two-phase shape that never sorts the full
+    * candidate set. Ties broken by the bigram text, so the cut is
+    * deterministic. */
+  def pmiTop(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val words = docs.select(expr("split(trim(text), ' ')").as("words"))
+    val uni = words.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    // sequence(1, 0) in Spark steps DOWNWARD — filter single-token docs
+    // before the generator (DuckDB's generate_series(1, 0) is just empty)
+    val bi = words.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          | i -> struct(element_at(words, i) as w1,
+          |   element_at(words, i + 1) as w2))"""
+          .stripMargin.replace("\n", " "))).as("b"))
+      .select("b.w1", "b.w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val nBi = bi.agg(sum("c_xy").as("n_bi"))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("w1"), col("w2"), col("c_xy"), expr(pmiUnits).as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[pmiTop]]. */
+  def pmiTopSql(minCount: Int = 5, k: Int = 20,
+      table: String = "documents"): String =
+    s"""with ws as (select string_split(trim(text), ' ') as words from $table),
+       |uni as (select unnest(words) as w from ws),
+       |vocab as (select w, cast(count(*) as bigint) as c from uni group by w),
+       |nu as (select cast(sum(c) as bigint) as n_uni from vocab),
+       |bi0 as (select words[i] as w1, words[i + 1] as w2 from
+       |  (select words, unnest(generate_series(1, len(words) - 1)) as i from ws)),
+       |bi as (select w1, w2, cast(count(*) as bigint) as c_xy
+       |  from bi0 group by w1, w2),
+       |nb as (select cast(sum(c_xy) as bigint) as n_bi from bi)
+       |select w1, w2, c_xy, $pmiUnits as pmi_fp
+       |from bi
+       | join (select w as w1, c as c1 from vocab) using (w1)
+       | join (select w as w2, c as c2 from vocab) using (w2), nb, nu
+       |where c_xy >= $minCount
+       |order by pmi_fp desc, w1 asc, w2 asc limit $k"""
+      .stripMargin.replace("\n", " ")
 }

@@ -202,6 +202,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_latest: latest-row-per-key runs through WindowGroupLimit, not a full sort") {
+    val p = plan(SparkEntry.queries("q_latest")(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      s"rn = 1 must push a per-partition running top-1:\n$p")
+  }
+
+  test("q_waiting: the order-level windows share the per-(order,supplier) agg shuffle") {
+    val p = plan(SparkEntry.queries("q_waiting")(spark, sf("sf0.001")))
+    // the fact moves once onto l_orderkey (agg + both windows), then the
+    // key-sized supplier rollup moves once; the top-10 is a
+    // TakeOrderedAndProject, never a global sort of the counts
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be two-phase:\n$p")
+  }
+
+  test("text_pmi: global top-k is TakeOrderedAndProject (never a full candidate sort)") {
+    val p = plan(SparkEntry.queries("text_pmi")(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
