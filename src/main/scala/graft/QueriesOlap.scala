@@ -654,6 +654,25 @@ object QueriesOlap {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type"), expr("ts div 1000").as("us"), col("value"))
     }),
+    // trailing-window anomaly score: each event's z-score against the
+    // SAME USER's prior hour — the drift/outlier monitor of an event
+    // pipeline. Moments ride order-free fixed-point sums over a RANGE
+    // frame that ends at 1 ns BEFORE the current row: the frame is a
+    // pure function of the timestamp values (ties in ts can never
+    // reorder a double accumulation — there are no doubles to
+    // accumulate), and z is computed from exact-integer ratios, so the
+    // output is bit-deterministic under any partitioning
+    "q_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
+        .rangeBetween(-3600L * 1000000000L, -1L)
+      Tables.read(s, dir, "events")
+        .withColumn("v_fp", expr("cast(floor(value * 1024e0 + 5e-1) as bigint)"))
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("s1", sum("v_fp").over(w))
+        .withColumn("s2", sum(expr("v_fp * v_fp")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_prior"),
+          expr(anomalyZ).as("z"))
+    }),
     // TPC-H Q15 shape: per-supplier revenue for one quarter, then keep
     // the max-revenue supplier(s) — the aggregate-then-self-max pattern;
     // the max is a 1-row broadcast, supplier joins post-aggregation so
@@ -685,6 +704,18 @@ object QueriesOlap {
        |from $table
        |group by grouping sets ((l_returnflag, l_linestatus),
        | (l_returnflag), ())""".stripMargin.replace("\n", " ")
+
+  /** Shared z-score text for q_anomaly: mean and E[x²] are ratios of
+    * exact integers (fixed-point sums from the window), variance is one
+    * subtraction of identical doubles, sqrt is IEEE-exact in both
+    * engines. NULL when the prior window has < 2 events or zero
+    * variance. */
+  private val anomalyZ: String = {
+    val mean = "((cast(s1 as double) / 1024e0) / cast(n_prior as double))"
+    val ex2 = "((cast(s2 as double) / 1048576e0) / cast(n_prior as double))"
+    s"case when n_prior >= 2 and ($ex2 - $mean * $mean) > 0e0 " +
+      s"then (value - $mean) / sqrt($ex2 - $mean * $mean) else null end"
+  }
 
   /** Q19-style OR-of-ANDs residual, shared text (integer bounds on a
     * double column compare identically in both engines). */
@@ -1065,6 +1096,18 @@ object QueriesOlap {
         | order by numwait desc, l_suppkey asc limit 10)
         |select s_suppkey, s_name, numwait
         |from cn join supplier on l_suppkey = s_suppkey"""
+        .stripMargin.replace("\n", " "),
+    "q_anomaly" ->
+      s"""select event_id, user_id, n_prior, $anomalyZ as z
+         |from (
+         | select event_id, user_id, value,
+         |  count(*) over w as n_prior,
+         |  sum(v_fp) over w as s1,
+         |  sum(v_fp * v_fp) over w as s2
+         | from (select event_id, user_id, value, epoch_ns(ts) as tsn,
+         |   cast(floor(value * 1024e0 + 5e-1) as bigint) as v_fp from events)
+         | window w as (partition by user_id order by tsn asc
+         |  range between 3600000000000 preceding and 1 preceding))"""
         .stripMargin.replace("\n", " "),
     "q_latest" ->
       """select user_id, event_id as last_event_id, event_type,
