@@ -232,7 +232,11 @@ object QueriesLlm {
     // PMI collocations: phrase discovery before tokenizer training —
     // bigram⋈vocab hash joins, fixed-point ln scores, two-phase top-k
     "text_pmi" -> ((s, dir) =>
-      TextOps.pmiTop(Tables.read(s, dir, "documents")))
+      TextOps.pmiTop(Tables.read(s, dir, "documents"))),
+    // cross-document duplicated-span fraction — the exact-substring
+    // dedup signal; only duplicated fingerprints join back
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.read(s, dir, "documents")))
   )
 
   /** 80/10/10 split from the last decimal digit of the id hash — shared
@@ -410,6 +414,7 @@ object QueriesLlm {
     "sample_temperature" -> Sampling.temperatureSql(),
     "sample_weighted" -> Sampling.weightedSql(),
     "text_pmi" -> TextOps.pmiTopSql(),
+    "dedup_spans" -> Dedup.dupSpansSql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

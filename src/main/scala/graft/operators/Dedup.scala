@@ -483,6 +483,54 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[lineDedup]]. */
+  /** Cross-document duplicated-span fraction — the exact-substring dedup
+    * signal (the "dedup training data" pass at shingle resolution, vs
+    * [[lineDedup]]'s disjoint lines and TextOps.repetition's INTRA-doc
+    * n-grams): every sliding word `n`-gram is fingerprinted, grams seen
+    * in MORE THAN ONE DOCUMENT are marked, and each document reports the
+    * fraction of its grams that are cross-doc duplicated. Scale shape:
+    * (fp, doc) distinct + per-fp aggregate move fingerprints only, and
+    * only the duplicated fingerprints (the small survivor set, same
+    * argument as [[lineDedup]]) join back onto the gram stream — AQE
+    * picks broadcast when that side is small. Docs shorter than `n`
+    * tokens have no grams and are excluded (documented contract, same in
+    * the oracle). */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), expr(
+        s"explode(transform(sequence(1, size(words) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(words, i, $n)))))").as("fp"))
+    val crossDup = grams.select("fp", "doc_id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+    grams.join(crossDup, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** DuckDB mirror of [[dupSpans]]. */
+  def dupSpansSql(n: Int = 5, table: String = "documents"): String =
+    s"""with d as (select doc_id, string_split(trim(text), ' ') as words
+       |  from $table),
+       |g as (select doc_id,
+       |  md5(array_to_string(list_slice(words, i, i + ${n - 1}), ' ')) as fp
+       | from (select doc_id, words,
+       |   unnest(generate_series(1, len(words) - ${n - 1})) as i
+       |  from d where len(words) >= $n)),
+       |x as (select fp, cast(count(distinct doc_id) as bigint) as nd
+       | from g group by fp having count(distinct doc_id) > 1)
+       |select doc_id, cast(count(*) as bigint) as n_grams,
+       | cast(sum(case when nd is not null then 1 else 0 end) as bigint) as n_dup,
+       | cast(sum(case when nd is not null then 1 else 0 end) as double)
+       |  / cast(count(*) as double) as dup_frac
+       |from g left join x on g.fp = x.fp
+       |group by doc_id""".stripMargin.replace("\n", " ")
+
   def lineDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
     s"""with d as (select doc_id, string_split(trim(text), ' ') as words from $table),
        |l as (select doc_id, i as line_idx,
