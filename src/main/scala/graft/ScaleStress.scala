@@ -34,6 +34,7 @@ object ScaleStress {
     if (args.headOption.contains("bloom")) { bloomStress(args.drop(1)); return }
     if (args.headOption.contains("graph")) { graphStress(args.drop(1)); return }
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
+    if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -255,6 +256,32 @@ object ScaleStress {
     val pairs = Dedup.minHashPairs(blown, numHashes = 16, bands = 4, threshold = 0.5).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"dedup_minhash","replicas":$replicas,"docs":$n,"base_docs":$base,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Duplicated-span stress — deliberately ADVERSARIAL: replicating every
+    * document M× makes almost every gram cross-doc duplicated, so the
+    * "only duplicated fingerprints join back" small-side argument is at
+    * its worst (the survivor set ≈ the full gram universe). The run
+    * shows the op degrades to a plain shuffle join and still completes —
+    * AQE just stops broadcasting the survivor side.
+    *
+    * `sbt "runMain graft.ScaleStress spans [replicas]"` */
+  private def spansStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"), col("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val res = Dedup.dupSpans(blown)
+    val rows = res.count()
+    val allDup = res.filter(col("n_dup") === col("n_grams")).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"dedup_spans","replicas":$replicas,"docs":$n,"out_rows":$rows,"all_dup_docs":$allDup,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 }
