@@ -183,6 +183,10 @@ object QueriesOlap {
     // stateful sessionization (flatMapGroupsWithState) — closed sessions
     // equal the batch sessions minus each user's open tail
     "stream_sessions" -> ((s, dir) => graft.streaming.EventStream.runSessionsOnce(s, dir)),
+    // stateful trailing-window anomaly scoring — the streaming twin of
+    // q_anomaly, custom per-user fixed-point state; full stream/batch
+    // differential (shares the batch oracle row-for-row)
+    "stream_anomaly" -> ((s, dir) => graft.streaming.EventStream.runAnomalyOnce(s, dir)),
     // calendar rollup: year/month extraction (o_orderdate is NTZ — both
     // engines extract the same naive calendar fields)
     "q_calendar" -> ((s, dir) =>
@@ -717,6 +721,22 @@ object QueriesOlap {
       s"then (value - $mean) / sqrt($ex2 - $mean * $mean) else null end"
   }
 
+  /** Shared oracle for q_anomaly AND stream_anomaly (the stream/batch
+    * differential: the stateful streaming path must reproduce the batch
+    * window bit-for-bit). */
+  private lazy val anomalySql: String =
+    s"""select event_id, user_id, n_prior, $anomalyZ as z
+       |from (
+       | select event_id, user_id, value,
+       |  count(*) over w as n_prior,
+       |  sum(v_fp) over w as s1,
+       |  sum(v_fp * v_fp) over w as s2
+       | from (select event_id, user_id, value, epoch_ns(ts) as tsn,
+       |   cast(floor(value * 1024e0 + 5e-1) as bigint) as v_fp from events)
+       | window w as (partition by user_id order by tsn asc
+       |  range between 3600000000000 preceding and 1 preceding))"""
+      .stripMargin.replace("\n", " ")
+
   /** Q19-style OR-of-ANDs residual, shared text (integer bounds on a
     * double column compare identically in both engines). */
   private val disjunctiveArms =
@@ -1097,18 +1117,8 @@ object QueriesOlap {
         |select s_suppkey, s_name, numwait
         |from cn join supplier on l_suppkey = s_suppkey"""
         .stripMargin.replace("\n", " "),
-    "q_anomaly" ->
-      s"""select event_id, user_id, n_prior, $anomalyZ as z
-         |from (
-         | select event_id, user_id, value,
-         |  count(*) over w as n_prior,
-         |  sum(v_fp) over w as s1,
-         |  sum(v_fp * v_fp) over w as s2
-         | from (select event_id, user_id, value, epoch_ns(ts) as tsn,
-         |   cast(floor(value * 1024e0 + 5e-1) as bigint) as v_fp from events)
-         | window w as (partition by user_id order by tsn asc
-         |  range between 3600000000000 preceding and 1 preceding))"""
-        .stripMargin.replace("\n", " "),
+    "q_anomaly" -> anomalySql,
+    "stream_anomaly" -> anomalySql,
     "q_latest" ->
       """select user_id, event_id as last_event_id, event_type,
         | epoch_ns(ts) // 1000 as us, value

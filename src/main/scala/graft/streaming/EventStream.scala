@@ -179,6 +179,74 @@ object EventStream {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "stream", "complete", hourlyAgg)
 
+  // ---- stateful trailing-window anomaly scoring ------------------------
+
+  case class AnEv(user_id: Long, event_id: Long, ts: Long, value: Double)
+  case class AnState(tss: Seq[Long], vfps: Seq[Long])
+  case class AnOut(event_id: Long, user_id: Long, n_prior: Long,
+                   z: Option[Double])
+
+  /** Streaming twin of the batch `q_anomaly` query: each event z-scored
+    * against the SAME user's prior hour, with the trailing window kept as
+    * custom per-user state (flatMapGroupsWithState). The state is the
+    * fixed-point event buffer of the last hour only — pruned to
+    * max(ts)−1h after every batch, so state size is bounded by each
+    * user's event rate, never their history.
+    *
+    * Bit parity with the batch plan: the buffer holds the SAME
+    * floor(value·2^10) integers the batch window sums, the frame is the
+    * same [cur−1h, cur−1ns] interval (ties at the current timestamp
+    * excluded on both paths), and z is computed with the identical
+    * IEEE operation order — so stream output hash-matches the batch
+    * oracle exactly. Like [[sessionizeStream]], exact equality is the
+    * in-order-delivery differential contract (one AvailableNow batch
+    * here); a production deploy pairs this with a watermark. */
+  def anomalyStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    def fn(key: Long, events: Iterator[AnEv], state: GroupState[AnState]): Iterator[AnOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+      var buf = state.getOption
+        .map(s => s.tss.zip(s.vfps).toVector).getOrElse(Vector.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnOut]
+      sorted.foreach { e =>
+        val lo = e.ts - hourNs
+        buf = buf.dropWhile(_._1 < lo)
+        val frame = buf.filter(_._1 < e.ts)
+        val n = frame.size
+        val z: Option[Double] = if (n >= 2) {
+          var s1 = 0L; var s2 = 0L
+          frame.foreach { p => s1 += p._2; s2 += p._2 * p._2 }
+          val mean = (s1.toDouble / 1024.0) / n.toDouble
+          val ex2 = (s2.toDouble / 1048576.0) / n.toDouble
+          val v = ex2 - mean * mean
+          if (v > 0) Some((e.value - mean) / math.sqrt(v)) else None
+        } else None
+        out += AnOut(e.event_id, key, n.toLong, z)
+        buf = buf :+ ((e.ts, math.floor(e.value * 1024.0 + 0.5).toLong))
+      }
+      if (buf.nonEmpty) {
+        val keepLo = buf.last._1 - hourNs
+        val kept = buf.dropWhile(_._1 < keepLo)
+        state.update(AnState(kept.map(_._1), kept.map(_._2)))
+      }
+      out.iterator
+    }
+    stream.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[AnEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[anomalyStream]] — shares the batch q_anomaly
+    * oracle (full stream/batch differential: every row, bit-exact). */
+  def runAnomalyOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "anom", "append", anomalyStream)
+      .select(col("event_id"), col("user_id"), col("n_prior"), col("z"))
+
   /** Fixed-bin expression shared with the batch oracle: [0,512) in 16
     * equi-width bins = an exact power-of-two division (floor(v/32),
     * clamped), so bin assignment is bit-deterministic in both engines.

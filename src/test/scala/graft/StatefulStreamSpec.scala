@@ -98,4 +98,37 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == closed)
   }
+
+  test("stateful anomaly scorer reproduces the batch window bit-for-bit, incl. across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sfDir = sf("sf0.001")
+    // split the events MID-USER across two micro-batches: the second
+    // batch's frames must pull fixed-point state carried from the first
+    val all = Tables.read(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._3, t._2))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val qn = "anom_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.anomalyStream(
+        input.toDF().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn)
+      .select("event_id", "n_prior", "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val batch = SparkEntry.queries("q_anomaly")(spark, sfDir)
+      .select("event_id", "n_prior", "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
 }
