@@ -677,6 +677,29 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"), col("n_prior"),
           expr(anomalyZ).as("z"))
     }),
+    // range-clustered sorted layout: lineitem rewritten
+    // repartitionByRange + sortWithinPartitions on ship date, then a
+    // date-range query over the result. The time-series layout story at
+    // 100 TB: range partitioning clusters each date into few files and
+    // the in-file sort tightens parquet row-group min/max bounds, so a
+    // date-bounded scan prunes to a sliver of the table (the same
+    // motivation as Z-ordering, in one dimension). The aggregate is
+    // layout-independent — that's what makes it oracle-checkable
+    "sink_sorted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sort_").toString
+      Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_shipdate") >= lit("1997-06-01") &&
+          col("l_shipdate") < lit("1997-09-01"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_items"),
+          expr(fpSum("l_extendedprice")).as("revenue"),
+          sum("l_quantity").as("sum_qty"))
+    }),
     // TPC-H Q15 shape: per-supplier revenue for one quarter, then keep
     // the max-revenue supplier(s) — the aggregate-then-self-max pattern;
     // the max is a 1-row broadcast, supplier joins post-aggregation so
@@ -1015,6 +1038,15 @@ object QueriesOlap {
          | and o_orderdate >= timestamp '1997-01-01'
          | and o_orderdate < timestamp '1998-01-01'
          |group by n_name""".stripMargin.replace("\n", " "),
+    "sink_sorted" ->
+      s"""select cast(month(l_shipdate) as bigint) as m,
+         | cast(count(*) as bigint) as n_items,
+         | ${fpSum("l_extendedprice")} as revenue,
+         | cast(sum(l_quantity) as double) as sum_qty
+         |from lineitem
+         |where l_shipdate >= timestamp '1997-06-01'
+         | and l_shipdate < timestamp '1997-09-01'
+         |group by 1""".stripMargin.replace("\n", " "),
     "sink_partitioned" ->
       """select source, cast(count(*) as bigint) as n_docs,
         | cast(sum(n_chars) as bigint) as sum_chars

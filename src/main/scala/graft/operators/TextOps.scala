@@ -544,12 +544,19 @@ object TextOps {
       col("len").as("len_a"))
     val b = names.select(col("name").as("name_b"), col("blk"),
       col("len").as("len_b"))
+    // THRESHOLDED levenshtein (3-arg form): banded O(k·n) DP with early
+    // exit, returning -1 past the bound — at 100 TB the per-candidate
+    // scoring cost is the whole game, and the band is exact for every
+    // pair that survives. The DuckDB oracle keeps the plain 2-arg
+    // distance (no threshold form there); results agree because the
+    // banded value IS the true distance whenever it's <= maxDist.
     a.join(b, "blk")
       .filter(col("name_a") < col("name_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("name_a", "name_b", "dist")
   }
 
   /** DuckDB mirror of [[fuzzyPairs]]. */

@@ -223,6 +223,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sink_sorted: date filter pushes down to the range-clustered read-back scan") {
+    val p = plan(SparkEntry.queries("sink_sorted")(spark, sf("sf0.001")))
+    // the rewrite happens eagerly inside the query fn; the plan here is
+    // the read-back — its date bounds must reach the parquet scan, where
+    // the sorted layout's tight row-group min/max stats make them prune
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"ship-date bounds must reach the scan:\n$p")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
