@@ -448,6 +448,14 @@ object QueriesOlap {
     "stat_ttest" -> ((s, dir) =>
       Stats.welchT(Tables.read(s, dir, "lineitem"), "l_returnflag",
         "l_discount")),
+    // Poisson bootstrap of the per-group price mean: 32 deterministic
+    // replicates in ONE map-side-combined pass — the scale-out CI
+    // machinery (each row's replicate weights derive from a hash, so no
+    // global resampling pass exists anywhere)
+    "stat_bootstrap" -> ((s, dir) =>
+      Stats.bootstrap(Tables.read(s, dir, "lineitem"), "l_returnflag",
+        "(l_extendedprice / 1024e0)",
+        "concat(cast(l_orderkey as string), '_', cast(l_linenumber as string))")),
     "stat_chisq" -> ((s, dir) => {
       val j = Tables.read(s, dir, "orders").join(
         Tables.read(s, dir, "customer"),
@@ -1060,6 +1068,9 @@ object QueriesOlap {
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
+    "stat_bootstrap" -> Stats.bootstrapSql("lineitem", "l_returnflag",
+      "(l_extendedprice / 1024e0)",
+      "concat(cast(l_orderkey as varchar), '_', cast(l_linenumber as varchar))"),
     "stat_chisq" -> Stats.chisqSql(
       "select c_mktsegment, o_orderpriority from orders " +
         "join customer on o_custkey = c_custkey",

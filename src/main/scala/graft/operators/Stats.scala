@@ -226,4 +226,79 @@ object Stats {
        | from terms group by n_total, k)
        |select ${chisqCols(DuckD).mkString(", ")} from s"""
       .stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
+  // Poisson bootstrap
+  // ------------------------------------------------------------------
+
+  /** Poisson(1) CDF thresholds on the integer hash grid [0, CwMod):
+    * replicate weight k is the count of thresholds at or below the
+    * row's hash — the inverse-CDF draw done entirely in exact int64
+    * comparisons (computed once here, embedded as literals in BOTH
+    * engine texts, so there is no cross-engine double-parsing surface
+    * at all). */
+  private val poissonT: IndexedSeq[Long] = {
+    val e1 = math.exp(-1.0)
+    val fact = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0)
+    (0 to 6).map { k =>
+      ((0 to k).map(i => e1 / fact(i)).sum * Parity.CwMod.toDouble).toLong
+    }
+  }
+
+  /** Weight CASE ladder over an integer-hash expression (shared text). */
+  private def poissonW(u: String): String =
+    (0 to 6).map(k => s"when $u < ${poissonT(k)} then $k")
+      .mkString("(case ", " ", " else 7 end)")
+
+  /** Replicate-b hash of the per-row key hash (shared text): remix the
+    * key with the replicate index, then one Carter-Wegman step. */
+  private def bootU: String =
+    Parity.cwMix(7, "((h * 31 + b) % 1000000007)")
+
+  private val bootMean =
+    "(case when n_eff = 0 then null " +
+      "else (s / 1048576e0) / cast(n_eff as double) end)"
+
+  /** Poisson bootstrap — the distributed confidence-interval machinery:
+    * every row gets a DETERMINISTIC Poisson(1) weight per replicate
+    * (inverse-CDF over a hash of (row key, replicate)), and each
+    * replicate's weighted mean is one fixed-point aggregate. The
+    * spread of the `reps` means IS the sampling distribution of the
+    * group mean — no data movement beyond ONE map-side-combined
+    * aggregate over a reps-times exploded stream that collapses to
+    * groups×reps cells per partition before shuffling (the classic
+    * one-pass bootstrap; resampling n rows with replacement per
+    * replicate would need a global sample — Poisson weights need only
+    * the row itself). `x` follows the fixed-point pre-scale contract
+    * (object scaladoc); `key` is a dialect-specific row-identity
+    * expression. */
+  def bootstrap(df: DataFrame, grp: String, x: String, keySpark: String,
+                reps: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.selectExpr(s"$grp as grp",
+        s"cast(floor(($x) * 1048576e0 + 5e-1) as bigint) as v_fp",
+        s"${Parity.rollingHash(SparkD, keySpark)} as h")
+      .select(col("grp"), col("v_fp"), col("h"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("w", expr(poissonW(bootU)))
+      .groupBy("grp", "b")
+      .agg(sum("w").cast("long").as("n_eff"),
+        sum(expr("w * v_fp")).cast("long").as("s"))
+      .selectExpr("grp", "cast(b as bigint) as b", "n_eff",
+        s"$bootMean as mean_boot")
+  }
+
+  /** DuckDB mirror of [[bootstrap]]. */
+  def bootstrapSql(table: String, grp: String, x: String, keyDuck: String,
+                   reps: Int = 32): String =
+    s"""with base as (select $grp as grp,
+       |  cast(floor(($x) * 1048576e0 + 5e-1) as bigint) as v_fp,
+       |  ${Parity.rollingHashDuck(keyDuck)} as h from $table),
+       |e as (select grp, v_fp, h,
+       |  unnest(generate_series(0, ${reps - 1})) as b from base),
+       |wtd as (select grp, b, v_fp, ${poissonW(bootU)} as w from e),
+       |agg as (select grp, b, cast(sum(w) as bigint) as n_eff,
+       |  cast(sum(w * v_fp) as bigint) as s from wtd group by grp, b)
+       |select grp, cast(b as bigint) as b, n_eff, $bootMean as mean_boot
+       |from agg""".stripMargin.replace("\n", " ")
 }

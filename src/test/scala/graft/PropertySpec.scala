@@ -101,6 +101,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("poisson bootstrap: replicate means bracket the true mean, n_eff ~ n") {
+    val sfDir = sf("sf0.001")
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+    val boot = SparkEntry.queries("stat_bootstrap")(spark, sfDir)
+      .groupBy("grp")
+      .agg(min("mean_boot").as("lo"), max("mean_boot").as("hi"),
+        avg("n_eff").as("avg_n_eff"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val truth = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(avg(expr("l_extendedprice / 1024e0")).as("mu"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    truth.foreach { case (g, (mu, n)) =>
+      val (lo, hi, avgNeff) = boot(g)
+      // 32 replicates straddle the truth on this fixture, and E[n_eff]=n
+      assert(lo <= mu && mu <= hi, s"$g: mean $mu outside [$lo, $hi]")
+      assert(math.abs(avgNeff - n) / n < 0.05,
+        s"$g: avg n_eff $avgNeff far from n $n")
+    }
+  }
+
   test("BH is monotone in p within each group") {
     for ((vals, gs) <- cases(3)) {
       val cells = cellsOf("f", vals, gs)
