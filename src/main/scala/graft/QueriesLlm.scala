@@ -236,8 +236,40 @@ object QueriesLlm {
     // cross-document duplicated-span fraction — the exact-substring
     // dedup signal; only duplicated fingerprints join back
     "dedup_spans" -> ((s, dir) =>
-      Dedup.dupSpans(Tables.read(s, dir, "documents")))
+      Dedup.dupSpans(Tables.read(s, dir, "documents"))),
+    // metadata-filtered vector search: the search universe is restricted
+    // by a predicate on the DOCUMENT side before any distance computes
+    // (pre-filtering — exact recall on the slice, vs post-filtering's
+    // recall loss). The metadata cut is a left-semi join; with the
+    // lang-partitioned layout (sink_partitioned) the same cut is a
+    // directory prune at 100 TB
+    "ann_filtered" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val keep = Tables.read(s, dir, "documents")
+        .filter(col("lang") === "en").select("doc_id")
+      Similarity.cosineTopK(
+        emb.join(keep, col("vec_id") === col("doc_id"), "left_semi"))
+    })
   )
+
+  /** Brute cosine top-k oracle, parameterized by an extra predicate on
+    * the search universe (shared by ann_cosine and the metadata
+    * pre-filtered ann_filtered). */
+  private def annCosineSql(universePred: String): String = {
+    val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
+    val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+    s"""with nn as (select * from (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings)
+       |  where norm > 0e0$universePred),
+       |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+       |  where vec_id % 50 = 0),
+       |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn)
+       |select q_id, n_id, cos, rn from (
+       | select q_id, n_id, cos,
+       |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
+       | from (select q_id, n_id, ($dotQN) / (q_norm * n_norm) as cos
+       |   from q join c on q_id <> n_id))
+       |where rn <= 10""".stripMargin.replace("\n", " ")
+  }
 
   /** 80/10/10 split from the last decimal digit of the id hash — shared
     * text, exact integer arithmetic. */
@@ -477,21 +509,9 @@ object QueriesLlm {
          | from nn a join nn b on a.label = b.label and a.vec_id < b.vec_id)
          |where cos >= 3e-1""".stripMargin.replace("\n", " ")
     },
-    "ann_cosine" -> {
-      val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
-      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
-      s"""with nn as (select * from (select vec_id, embedding, sqrt($dotSelf) as norm from embeddings)
-         |  where norm > 0e0),
-         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
-         |  where vec_id % 50 = 0),
-         |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn)
-         |select q_id, n_id, cos, rn from (
-         | select q_id, n_id, cos,
-         |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
-         | from (select q_id, n_id, ($dotQN) / (q_norm * n_norm) as cos
-         |   from q join c on q_id <> n_id))
-         |where rn <= 10""".stripMargin.replace("\n", " ")
-    },
+    "ann_cosine" -> annCosineSql(""),
+    "ann_filtered" -> annCosineSql(
+      " and vec_id in (select doc_id from documents where lang = 'en')"),
     "text_normalize" ->
       """select doc_id,
         | lower(trim(regexp_replace(text, '  +', ' ', 'g'))) as norm_text,
