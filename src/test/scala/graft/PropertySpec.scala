@@ -101,6 +101,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bootstrap / PMI / anomaly outputs are invariant to shuffle partitioning (1/13)") {
+    // the fixed-point contract for the round's new deterministic ops:
+    // identical bits no matter how the data is partitioned
+    for (q <- Seq("stat_bootstrap", "text_pmi", "q_anomaly")) {
+      def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .collect().map(_.toString).sorted.toSeq
+      val results = Seq("1", "13").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(results(0).nonEmpty, q)
+      assert(results(0) == results(1), s"$q diverged across partitionings")
+    }
+  }
+
   test("poisson bootstrap: replicate means bracket the true mean, n_eff ~ n") {
     val sfDir = sf("sf0.001")
     val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
