@@ -685,6 +685,36 @@ object QueriesOlap {
         .select(col("event_id"), col("user_id"), col("n_prior"),
           expr(anomalyZ).as("z"))
     }),
+    // time-weighted average (TWAP) per user-hour — the telemetry/finance
+    // aggregation where each reading holds until the next one: weight =
+    // milliseconds until the next same-user event, clamped to the hour
+    // boundary (the last reading of an hour extends to its end). All
+    // arithmetic is exact integers — ns timestamps, ms weights,
+    // fixed-point values — so the weighted mean is a ratio of exact
+    // sums; the lead window and the hour aggregate share the user_id
+    // shuffle
+    "q_twap" -> ((s, dir) => {
+      // µs granularity throughout (the q_funnel rule): DuckDB truncates
+      // TIMESTAMP(NANOS) to µs, so sub-µs nanos must never reach the
+      // ordering or the weight arithmetic
+      val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+      Tables.read(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("next_us", lead("tsu", 1).over(w))
+        .withColumn("hour", expr("tsu div 3600000000"))
+        .withColumn("dt_ms", expr(
+          "(least(coalesce(next_us, (hour + 1) * 3600000000), " +
+            "(hour + 1) * 3600000000) - tsu) div 1000"))
+        .withColumn("v_fp", expr("cast(floor(value * 1048576e0 + 5e-1) as bigint)"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          sum("dt_ms").as("held_ms"),
+          sum(expr("v_fp * dt_ms")).as("vw"))
+        .withColumn("twap", expr(
+          "case when held_ms = 0 then null " +
+            "else (vw / 1048576e0) / cast(held_ms as double) end"))
+        .select("user_id", "hour", "n_events", "held_ms", "twap")
+    }),
     // range-clustered sorted layout: lineitem rewritten
     // repartitionByRange + sortWithinPartitions on ship date, then a
     // date-range query over the result. The time-series layout story at
@@ -1162,6 +1192,26 @@ object QueriesOlap {
         .stripMargin.replace("\n", " "),
     "q_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    "q_twap" ->
+      """select user_id, hour, cast(n_events as bigint) as n_events,
+        | cast(held_ms as bigint) as held_ms,
+        | case when held_ms = 0 then null
+        |  else (vw / 1048576e0) / cast(held_ms as double) end as twap
+        |from (
+        | select user_id, hour, count(*) as n_events, sum(dt_ms) as held_ms,
+        |  cast(sum(v_fp * dt_ms) as bigint) as vw
+        | from (
+        |  select user_id, hour,
+        |   (least(coalesce(next_us, (hour + 1) * 3600000000),
+        |     (hour + 1) * 3600000000) - tsu) // 1000 as dt_ms,
+        |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
+        |  from (
+        |   select user_id, value, epoch_ns(ts) // 1000 as tsu,
+        |    epoch_ns(ts) // 3600000000000 as hour,
+        |    lead(epoch_ns(ts) // 1000) over (partition by user_id
+        |      order by epoch_ns(ts) // 1000 asc, event_id asc) as next_us
+        |   from events))
+        | group by user_id, hour)""".stripMargin.replace("\n", " "),
     "q_latest" ->
       """select user_id, event_id as last_event_id, event_type,
         | epoch_ns(ts) // 1000 as us, value
