@@ -237,6 +237,11 @@ object QueriesLlm {
     // dedup signal; only duplicated fingerprints join back
     "dedup_spans" -> ((s, dir) =>
       Dedup.dupSpans(Tables.read(s, dir, "documents"))),
+    // BM25 retrieval scoring for a fixed term set — idf from doc
+    // frequencies (fixed-point ln), exact length normalization, fpSum'd
+    // per-doc scores, two-phase top-k
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.read(s, dir, "documents"))),
     // metadata-filtered vector search: the search universe is restricted
     // by a predicate on the DOCUMENT side before any distance computes
     // (pre-filtering — exact recall on the slice, vs post-filtering's
@@ -447,6 +452,7 @@ object QueriesLlm {
     "sample_weighted" -> Sampling.weightedSql(),
     "text_pmi" -> TextOps.pmiTopSql(),
     "dedup_spans" -> Dedup.dupSpansSql(),
+    "text_bm25" -> TextOps.bm25Sql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",

@@ -571,6 +571,78 @@ object TextOps {
        | and levenshtein(a.name, b.name) <= $maxDist"""
       .stripMargin.replace("\n", " ")
 
+  /** Shared BM25 per-(doc, term) score text over columns idf9 (fixed-
+    * point idf), tf, len, and avglen — k1 = 1.2, b = 0.75 spelled as
+    * exponent-form literals; every input is an exact integer or a ratio
+    * of exact integers, so the double arithmetic is identical in both
+    * engines. */
+  private val bm25Term: String =
+    "((cast(idf9 as double) / 1.0e9) * " +
+      "(cast(tf as double) * 22e-1) / " +
+      "(cast(tf as double) + 12e-1 * (25e-2 + 75e-2 * (cast(len as double) / avglen))))"
+
+  /** BM25 retrieval scoring for a fixed conjunctive-ish term set — the
+    * classic search primitive over the corpus statistics the TF-IDF op
+    * already maintains: idf from doc frequencies (fixed-point ln, same
+    * rationale as [[pmiTop]]; negative for df > N/2 like the textbook
+    * formula — no Lucene-style clamp, documented contract), per-doc
+    * length normalization against the exact average length, top-`k` by
+    * score. Scale shape: one token explode feeding two aggregates (doc
+    * lengths; per-term tf), the tiny per-term df/idf table and the 1-row
+    * totals broadcast back, per-doc score is an fpSum (order-free), and
+    * the global top-k is TakeOrderedAndProject. */
+  def bm25(docs: DataFrame, terms: Seq[String] = Seq("hash", "join", "merge"),
+           k: Int = 10): DataFrame = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val toks = docs.select(col("doc_id"),
+      explode(expr("split(trim(text), ' ')")).as("token"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val totals = lens.agg(count(lit(1)).as("nd"), sum("len").as("tot"))
+    val tf = toks.filter(expr(s"token in $termList"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("token",
+        "cast(floor(ln((cast(nd as double) - cast(df as double) + 5e-1) / " +
+          "(cast(df as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint) as idf9")
+    tf.join(lens, "doc_id")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(totals.selectExpr(
+        "cast(tot as double) / cast(nd as double) as avglen")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        expr(graft.oracle.Parity.fpSum(bm25Term)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[bm25]]. */
+  def bm25Sql(terms: Seq[String] = Seq("hash", "join", "merge"),
+              k: Int = 10, table: String = "documents"): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""with toks as (select doc_id,
+       |  unnest(string_split(trim(text), ' ')) as token from $table),
+       |lens as (select doc_id, cast(count(*) as bigint) as len
+       | from toks group by doc_id),
+       |totals as (select cast(count(*) as bigint) as nd,
+       |  cast(sum(len) as bigint) as tot from lens),
+       |tf as (select doc_id, token, cast(count(*) as bigint) as tf
+       | from toks where token in $termList group by doc_id, token),
+       |dft as (select token,
+       |  cast(floor(ln((cast(nd as double) - cast(df as double) + 5e-1) /
+       |   (cast(df as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint) as idf9
+       | from (select token, cast(count(*) as bigint) as df
+       |   from tf group by token), totals),
+       |av as (select cast(tot as double) / cast(nd as double) as avglen
+       | from totals)
+       |select doc_id, cast(count(*) as bigint) as n_terms,
+       | ${graft.oracle.Parity.fpSum(bm25Term)} as score
+       |from tf join lens using (doc_id) join dft using (token), av
+       |group by doc_id
+       |order by score desc, doc_id asc limit $k"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Shared fixed-point PMI expression: ln of the bigram/independence
     * probability ratio in 1e-9 BIGINT units (same rationale as
     * [[unigramLogProb]]: ln may differ by 1 ulp between engines and
