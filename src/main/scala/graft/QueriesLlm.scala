@@ -174,6 +174,21 @@ object QueriesLlm {
     // that repeat anywhere in the corpus
     "dedup_lines" -> ((s, dir) =>
       Dedup.lineDedup(Tables.read(s, dir, "documents"))),
+    // INTRA-document repeated-line removal (boilerplate stripping): first
+    // occurrence kept, later repeats of the same line dropped, document
+    // reassembled — one exchange total (the doc_id repartition feeds both
+    // the first-occurrence window and the reassembly agg)
+    "dedup_within" -> ((s, dir) =>
+      Dedup.withinDocDedup(Tables.read(s, dir, "documents"))),
+    // distributed BPE merge training: 8 rounds over the frequency-weighted
+    // word vocabulary (corpus touched once; per-round work vocab-sized);
+    // oracle = the identical iteration unrolled as CTEs
+    "bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(Tables.read(s, dir, "documents"))),
+    // token-budget data-mix planner: per-language keep rates from target
+    // parts + realized deterministic sample (id-hash membership)
+    "mix_plan" -> ((s, dir) =>
+      Sampling.mixPlan(Tables.read(s, dir, "documents"))),
     // L2-normalized embeddings in long format (bit-exact: shared chain
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
@@ -430,6 +445,9 @@ object QueriesLlm {
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
+    "dedup_within" -> Dedup.withinDocDedupSql(),
+    "bpe_train" -> graft.operators.Bpe.trainSql(),
+    "mix_plan" -> Sampling.mixPlanSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),

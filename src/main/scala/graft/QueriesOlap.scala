@@ -115,6 +115,19 @@ object QueriesOlap {
           expr(Parity.q6("percentile(l_extendedprice, 75e-2)")).as("p75"),
           expr(Parity.q6("percentile(l_discount, 5e-1)")).as("p50_disc"))
     }),
+    // TPC-H Q6 shape: the filter-only revenue-delta aggregate — every
+    // predicate (date range, discount band, quantity cap) is scan-level,
+    // so the whole query is a pushed-down parquet scan + one partial
+    // agg; PlanSpec asserts the PushedFilters line. Discount comparisons
+    // are exact double compares on identical parquet values
+    "q_forecast" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= expr("2e-2") && col("l_discount") <= expr("8e-2") &&
+          col("l_quantity") < expr("24e0"))
+        .agg(expr(fpSum("l_extendedprice * l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))),
     // TPC-H Q3-shaped: date-filtered 3-way join, global top-10 by revenue
     "q_shipping" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
@@ -178,6 +191,10 @@ object QueriesOlap {
       graft.streaming.EventStream.runHistogramOnce(s, dir)),
     // streaming dropDuplicates state — oracle is the batch distinct count
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir)),
+    // streaming CDC latest-row materialized view (complete-mode max_by,
+    // one state row per key) — shares the batch q_latest oracle
+    "stream_latest" -> ((s, dir) =>
+      graft.streaming.EventStream.runLatestOnce(s, dir)),
     // stream-static broadcast enrichment join — oracle is the batch join
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir)),
     // stateful sessionization (flatMapGroupsWithState) — closed sessions
@@ -715,6 +732,31 @@ object QueriesOlap {
             "else (vw / 1048576e0) / cast(held_ms as double) end"))
         .select("user_id", "hour", "n_events", "held_ms", "twap")
     }),
+    // exponentially-weighted moving average over each user's last 8
+    // events, decay 1/2 — the trailing-feature op of event feature
+    // engineering. Weights are POWERS OF TWO over fixed-point values, so
+    // numerator and denominator are exact BIGINTs (no float-order
+    // dependence); the 8 lags share one window spec → one shuffle + one
+    // sort. ewma = (Σ 2^(7-k)·v_fp[i-k]) / (Σ 2^(7-k) present) / 2^20,
+    // missing history simply drops terms (first events average over a
+    // shorter tail)
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu").asc, col("event_id").asc)
+      val withLags = (1 until 8).foldLeft(
+        Tables.read(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("v_fp", expr("cast(floor(value * 1048576e0 + 5e-1) as bigint)"))
+          .withColumn("l0", col("v_fp"))) {
+        (df, k) => df.withColumn(s"l$k", lag(col("v_fp"), k).over(w))
+      }
+      val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+      val den = (0 until 8).map(k => s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
+      withLags
+        .withColumn("ewma", expr(
+          s"cast(($num) as double) / cast(($den) as double) / 1048576e0"))
+        .select(col("user_id"), col("event_id"), col("tsu").as("us"), col("ewma"))
+    }),
     // range-clustered sorted layout: lineitem rewritten
     // repartitionByRange + sortWithinPartitions on ship date, then a
     // date-range query over the result. The time-series layout story at
@@ -781,6 +823,15 @@ object QueriesOlap {
     s"case when n_prior >= 2 and ($ex2 - $mean * $mean) > 0e0 " +
       s"then (value - $mean) / sqrt($ex2 - $mean * $mean) else null end"
   }
+
+  /** Shared oracle for q_latest AND stream_latest (batch WindowGroupLimit
+    * vs complete-mode max_by state — the same view either way). */
+  private lazy val latestSql: String =
+    """select user_id, event_id as last_event_id, event_type,
+      | epoch_ns(ts) // 1000 as us, value
+      |from (select *, row_number() over (partition by user_id
+      |  order by epoch_ns(ts) desc, event_id desc) as rn from events)
+      |where rn = 1""".stripMargin.replace("\n", " ")
 
   /** Shared oracle for q_anomaly AND stream_anomaly (the stream/batch
     * differential: the stateful streaming path must reproduce the batch
@@ -1212,12 +1263,31 @@ object QueriesOlap {
         |      order by epoch_ns(ts) // 1000 asc, event_id asc) as next_us
         |   from events))
         | group by user_id, hour)""".stripMargin.replace("\n", " "),
-    "q_latest" ->
-      """select user_id, event_id as last_event_id, event_type,
-        | epoch_ns(ts) // 1000 as us, value
-        |from (select *, row_number() over (partition by user_id
-        |  order by epoch_ns(ts) desc, event_id desc) as rn from events)
-        |where rn = 1""".stripMargin.replace("\n", " "),
+    "q_latest" -> latestSql,
+    "stream_latest" -> latestSql,
+    "q_forecast" ->
+      s"""select ${fpSum("l_extendedprice * l_discount")} as revenue,
+         | cast(count(*) as bigint) as n_rows
+         |from lineitem
+         |where l_shipdate >= timestamp '1997-01-01'
+         | and l_shipdate < timestamp '1998-01-01'
+         | and l_discount >= 2e-2 and l_discount <= 8e-2
+         | and l_quantity < 24e0""".stripMargin.replace("\n", " "),
+    "q_ewma" -> {
+      val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+      val den = (0 until 8).map(k =>
+        s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
+      val lags = (1 until 8).map(k =>
+        s"lag(v_fp, $k) over (partition by user_id order by tsu asc, event_id asc) as l$k")
+        .mkString(", ")
+      s"""select user_id, event_id, tsu as us,
+         | cast(($num) as double) / cast(($den) as double) / 1048576e0 as ewma
+         |from (
+         | select user_id, event_id, tsu, v_fp as l0, $lags
+         | from (select user_id, event_id, epoch_ns(ts) // 1000 as tsu,
+         |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
+         |  from events) b) w""".stripMargin.replace("\n", " ")
+    },
     "q_top_supplier" ->
       s"""with rev as (select l_suppkey as supplier_no,
          |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue

@@ -35,6 +35,7 @@ object ScaleStress {
     if (args.headOption.contains("graph")) { graphStress(args.drop(1)); return }
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
+    if (args.headOption.contains("bpe")) { bpeStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -282,6 +283,30 @@ object ScaleStress {
     val allDup = res.filter(col("n_dup") === col("n_grams")).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"dedup_spans","replicas":$replicas,"docs":$n,"out_rows":$rows,"all_dup_docs":$allDup,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** BPE stress: replicate the corpus M× (fresh doc_ids, SAME texts) and
+    * train. The claim under test is the distributed-BPE scale shape —
+    * after the one corpus pass that builds the frequency-weighted word
+    * vocab, every merge round runs on the (unchanged) vocabulary — so
+    * wall-clock should grow far sublinearly in M: only the initial word
+    * count touches the blown-up corpus. */
+  private def bpeStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val rounds = if (args.length > 1) args(1).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"), col("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val res = graft.operators.Bpe.train(blown, rounds)
+    val rows = res.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"bpe_train","replicas":$replicas,"rounds":$rounds,"docs":$n,"merges":$rows,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 }

@@ -482,7 +482,54 @@ object Dedup {
           .as("kept_fp"))
   }
 
-  /** DuckDB mirror of [[lineDedup]]. */
+  /** INTRA-document repeated-line removal — the boilerplate-stripping
+    * sibling of [[lineDedup]]: within each document, a line that repeats
+    * an earlier line of the SAME document is removed (first occurrence
+    * kept — the classic "strip repeated nav/boilerplate blocks" pass;
+    * TextOps.repetition MEASURES this signal, this op applies it). Lines
+    * are the same fixed-token windows as [[lineDedup]].
+    *
+    * Scale design: one exchange total. The explicit `repartition(doc_id)`
+    * hash-partitions on doc_id, which satisfies the clustered
+    * distribution of BOTH the (doc_id, fp) first-occurrence window and
+    * the per-doc reassembly aggregate, so neither inserts another
+    * shuffle (PlanSpec asserts the single exchange). All work is
+    * per-document — embarrassingly parallel at any corpus size. */
+  def withinDocDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "fp").orderBy("line_idx")
+    docs
+      .select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(
+        s"explode(transform(sequence(0, cast((size(words) + ${lineTokens - 1}) div $lineTokens as int) - 1), " +
+          s"i -> struct(cast(i as bigint) as line_idx, " +
+          s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"))
+      .select(col("doc_id"), col("l.line_idx").as("line_idx"), col("l.line").as("line"))
+      .withColumn("fp", md5(col("line")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        expr("md5(concat_ws(' ', transform(array_sort(" +
+          "collect_list(case when rn = 1 then struct(line_idx, line) end)), x -> x.line)))")
+          .as("kept_fp"))
+  }
+
+  /** DuckDB mirror of [[withinDocDedup]]. */
+  def withinDocDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
+    s"""with d as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |l as (select doc_id, i as line_idx,
+       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
+       | from (select doc_id, words,
+       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+       |r as (select doc_id, line_idx, line,
+       |  row_number() over (partition by doc_id, md5(line) order by line_idx) as rn from l)
+       |select doc_id, cast(count(*) as bigint) as n_lines,
+       | cast(sum(case when rn > 1 then 1 else 0 end) as bigint) as n_removed,
+       | md5(coalesce(string_agg(case when rn = 1 then line end, ' ' order by line_idx), '')) as kept_fp
+       |from r group by doc_id""".stripMargin.replace("\n", " ")
+
   /** Cross-document duplicated-span fraction — the exact-substring dedup
     * signal (the "dedup training data" pass at shingle resolution, vs
     * [[lineDedup]]'s disjoint lines and TextOps.repetition's INTRA-doc

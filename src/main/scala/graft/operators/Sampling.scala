@@ -139,6 +139,76 @@ object Sampling {
        |   ${esKey(hDuck)} as key from $table))
        |where rn <= $k""".stripMargin.replace("\n", " ")
 
+  /** Target mix weights in parts-per-1024 (integers so every rate
+    * computation stays in exact BIGINT arithmetic; Σ = 1024). A language
+    * outside the table gets 0 parts → sampled out, deterministically. */
+  val mixParts: Seq[(String, Int)] =
+    Seq("de" -> 154, "en" -> 358, "es" -> 154, "fr" -> 205, "zh" -> 153)
+
+  private val partsExpr =
+    mixParts.map { case (lg, p) => s"when '$lg' then $p" }
+      .mkString("(case lang ", " ", " else 0 end)")
+
+  private def mixHash(h: String) = s"(${Parity.cwMix(45, h)} % 1048576)"
+
+  /** Data-mix planner: given per-language target weights and a total
+    * token budget, compute each language's keep rate and realize the
+    * sample — the "hit the training-mix spec" pass that turns a raw
+    * multilingual crawl into a budgeted mixture. Rate threshold
+    * t_l = min(2^20, budget·parts_l·2^20 / (1024·tokens_l)) is pure
+    * BIGINT arithmetic; a document survives iff its id-hash mod 2^20
+    * falls under t_l, so the member set (not just the counts) is
+    * reproducible across runs, partitionings and engines. Returns the
+    * per-language plan + realized sample audit: doc/token totals, parts,
+    * threshold, sampled doc/token counts.
+    *
+    * Scale shape: one map-side-combinable token aggregate per lang, the
+    * few-row rate table broadcast back onto the corpus, one final agg —
+    * the corpus never shuffles (the [[temperature]] shape with a token
+    * budget instead of a √n target). */
+  def mixPlan(docs: DataFrame, budgetTokens: Long = 100000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.selectExpr("doc_id", "lang",
+      "cast(size(split(trim(text), ' ')) as bigint) as n_tok",
+      s"${mixHash("rolling_hash(cast(doc_id as string))")} as u")
+    val totals = toks.groupBy("lang")
+      .agg(sum("n_tok").as("tok_total"), count(lit(1)).as("n_docs"))
+    val rates = totals
+      .withColumn("parts", expr(partsExpr))
+      .withColumn("t_fp", expr(
+        s"least(1048576, (cast($budgetTokens as bigint) * parts * 1048576) div (1024 * tok_total))"))
+    val sampled = toks
+      .join(broadcast(rates.select("lang", "t_fp")), Seq("lang"))
+      .filter(col("u") < col("t_fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("n_tok").as("tok_sampled"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("tok_total"),
+        col("parts").cast("long").as("parts"), col("t_fp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
+  }
+
+  /** DuckDB mirror of [[mixPlan]]. */
+  def mixPlanSql(budgetTokens: Long = 100000L, table: String = "documents"): String =
+    s"""with t as (select doc_id, lang,
+       |  cast(len(string_split(trim(text), ' ')) as bigint) as n_tok,
+       |  ${mixHash(Parity.rollingHashDuck("cast(doc_id as varchar)"))} as u from $table),
+       |tot as (select lang, cast(sum(n_tok) as bigint) as tok_total,
+       |  cast(count(*) as bigint) as n_docs from t group by lang),
+       |rates as (select lang, n_docs, tok_total, parts,
+       |  least(1048576, (cast($budgetTokens as bigint) * parts * 1048576) // (1024 * tok_total)) as t_fp
+       | from (select tot.*, $partsExpr as parts from tot) tp),
+       |samp as (select t.lang, cast(count(*) as bigint) as n_sampled,
+       |  cast(sum(n_tok) as bigint) as tok_sampled
+       | from t join rates on t.lang = rates.lang where t.u < rates.t_fp
+       | group by t.lang)
+       |select rates.lang, n_docs, tok_total, cast(parts as bigint) as parts,
+       | cast(t_fp as bigint) as t_fp,
+       | coalesce(n_sampled, 0) as n_sampled, coalesce(tok_sampled, 0) as tok_sampled
+       |from rates left join samp on rates.lang = samp.lang"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[temperature]]. */
   def temperatureSql(frac: Double = 0.5, table: String = "documents"): String =
     s"""with counts as (select lang, cast(count(*) as bigint) as n_docs

@@ -271,4 +271,26 @@ object EventStream {
 
   def runHistogramOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "hist", "complete", histogramAgg)
+
+  /** Streaming CDC compaction — the continuously-maintained
+    * latest-row-per-key materialized view (the batch `q_latest`
+    * WindowGroupLimit, kept incrementally): a complete-mode `max_by`
+    * aggregate whose state is exactly one row per key, updated as events
+    * arrive. (ts, event_id) is a unique ordering key, so the winner —
+    * and therefore the whole view — is deterministic and shares
+    * `q_latest`'s oracle. State is bounded by the key cardinality, the
+    * same bound the batch window's final exchange pays. */
+  def latestRow(stream: DataFrame): DataFrame =
+    stream
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("event_type"), col("m.us").as("us"),
+        col("m.value").as("value"))
+
+  def runLatestOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "latest", "complete", latestRow)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Bpe, Dedup, Sampling}
+
+/** Specs for the tokenizer-training / curation ops added this round:
+  * BPE merge learning, intra-document line dedup, the data-mix planner,
+  * and the EWMA feature — hand fixtures plus partition invariance. */
+class BpeMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("bpe: exact merge sequence on the classic toy corpus") {
+    // words: abab ×2, cd ×1. Round 1: (a,b) freq 4 (2 per word × cnt 2);
+    // round 2: (ab,ab) freq 2 — requires the second replace pass to fix
+    // the odd-run stagger " ab a b " → " ab ab "; round 3: (c,d) freq 1;
+    // round 4: pair universe empty → no row (both engines agree).
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, rounds = 4)
+      .orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", 4L, "ab"),
+      (2L, "ab", "ab", 2L, "abab"),
+      (3L, "c", "d", 1L, "cd")))
+  }
+
+  test("bpe: merge freqs are non-increasing across rounds on real data") {
+    // merging can only reveal pairs whose count is bounded by the merged
+    // pair's count, and old pair counts only shrink — so the trained
+    // sequence is monotone. (The cross-engine gate checks exactness; this
+    // pins the invariant that makes the training order meaningful.)
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val freqs = Bpe.train(docs, rounds = 6).orderBy("round")
+      .select("freq").as[Long].collect()
+    assert(freqs.length == 6)
+    assert(freqs.sliding(2).forall(w => w(0) >= w(1)), freqs.toSeq)
+  }
+
+  test("within-doc dedup removes later repeats, keeps first occurrence") {
+    val block = (1 to 10).map(i => s"w$i").mkString(" ")   // one 10-token line
+    val tail = "t1 t2 t3"
+    val docs = Seq(
+      (1L, s"$block $block $tail"), // line 1 repeats line 0 → removed
+      (2L, tail)                    // single short line, nothing removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.withinDocDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, md5(s"$block $tail")),
+      (2L, 1L, 0L, md5(tail))))
+  }
+
+  test("mix plan: thresholds realize the budget arithmetic, sample within totals") {
+    val plan = Sampling.mixPlan(
+      graft.sources.Tables.read(spark, sf("sf0.001"), "documents"),
+      budgetTokens = 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(plan.nonEmpty)
+    val partsOf = Sampling.mixParts.toMap
+    plan.foreach { case (lang, nDocs, tokTotal, parts, tFp, nSampled, tokSampled) =>
+      assert(parts == partsOf.getOrElse(lang, 0).toLong, lang)
+      val expected = math.min(1048576L, 10000L * parts * 1048576L / (1024L * tokTotal))
+      assert(tFp == expected, s"$lang threshold")
+      assert(nSampled <= nDocs && tokSampled <= tokTotal, lang)
+      // a language with a full-keep threshold samples everything
+      if (tFp == 1048576L) assert(nSampled == nDocs && tokSampled == tokTotal, lang)
+    }
+  }
+
+  test("bpe / mix plan / within-doc dedup / ewma are partition-invariant (1 vs 13)") {
+    for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma")) {
+      def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .collect().map(_.toString).sorted.toSeq
+      val results = Seq("1", "13").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(results(0).nonEmpty, q)
+      assert(results(0) == results(1), s"$q diverged across partitionings")
+    }
+  }
+
+  test("streaming latest-row view equals the batch WindowGroupLimit compaction") {
+    val stream = graft.streaming.EventStream.runLatestOnce(spark, sf("sf0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("q_latest")(spark, sf("sf0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+}

@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
   }
 
+  test("q_forecast (Q6): every predicate reaches the parquet scan") {
+    // default maxMetadataStringLength=100 truncates the PushedFilters
+    // line before the predicates under test
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    val p = try plan(SparkEntry.queries("q_forecast")(spark, sf("sf0.001")))
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert(p.contains("PushedFilters:"), p)
+    for (f <- Seq("GreaterThanOrEqual(l_discount,0.02)",
+      "LessThanOrEqual(l_discount,0.08)", "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"missing pushed filter $f:\n$p")
+  }
+
+  test("within-doc dedup: ONE exchange feeds both the window and the reassembly agg") {
+    val p = plan(graft.operators.Dedup.withinDocDedup(
+      Tables.read(spark, sf("sf0.001"), "documents")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
   test("star join broadcasts the dimension tables") {
     val p = plan(SparkEntry.queries("q_join_revenue")(spark, sf("sf0.001")))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
