@@ -185,6 +185,10 @@ object QueriesLlm {
     // oracle = the identical iteration unrolled as CTEs
     "bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.train(Tables.read(s, dir, "documents"))),
+    // tokenizer ENCODE with the trained merges: per-doc word + post-merge
+    // token counts via a corpus⋈vocab join (AQE broadcasts while small)
+    "bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encode(Tables.read(s, dir, "documents"))),
     // token-budget data-mix planner: per-language keep rates from target
     // parts + realized deterministic sample (id-hash membership)
     "mix_plan" -> ((s, dir) =>
@@ -447,6 +451,7 @@ object QueriesLlm {
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),
+    "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "text_chunk" -> TextOps.chunkSql(),

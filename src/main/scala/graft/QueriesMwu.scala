@@ -46,6 +46,13 @@ object QueriesMwu {
     "(cast(floor(log2(1e0 + value) * 1048576e0 + 5e-1) as bigint) / 1048576e0)"
 
   /** Spark side of the stats chain, built from the library operators. */
+  /** Effect-size snippets over (u1, n1, n2) — shared text, pure IEEE ops
+    * on exact operands (u1 dyadic, n1/n2 integers): bit-equal without
+    * quantization. NULL u1 (NaN-poisoned feature) propagates NULL. */
+  private val effectCles = "(u1 / (cast(n1 as double) * cast(n2 as double)))"
+  private val effectRrb =
+    "(1e0 - (2e0 * u1) / (cast(n1 as double) * cast(n2 as double)))"
+
   private def statsDf(s: SparkSession, dir: String): DataFrame = {
     val cells = liCells(s, dir)
     MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
@@ -112,6 +119,15 @@ object QueriesMwu {
     "mwu_u" -> ((s, dir) =>
       MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir))))
         .select("feature_id", "grp", "n1", "n2", "u1", "u2", "u_max")),
+    // effect sizes from U: rank-biserial r and the common-language effect
+    // size (probability of superiority). u1 is an exact dyadic rational
+    // and each op is a single IEEE divide/subtract on identical operands,
+    // so no quantization is needed
+    "mwu_effect" -> ((s, dir) =>
+      MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(liCells(s, dir))))
+        .withColumn("cles", expr(effectCles))
+        .withColumn("r_rb", expr(effectRrb))
+        .select("feature_id", "grp", "n1", "n2", "cles", "r_rb")),
     // M2 tie-corrected z (+ sigma)
     "mwu_z" -> ((s, dir) =>
       statsDf(s, dir).select("feature_id", "grp", "n1", "n", "tie_term", "u1", "sigma", "z")),
@@ -352,6 +368,15 @@ object QueriesMwu {
          |select feature_id, grp, n1, cast(n - n1 as bigint) as n2,
          | $u1 as u1, $u2 as u2, greatest($u1, $u2) as u_max
          |from rs""".stripMargin.replace("\n", " ")
+    },
+    "mwu_effect" -> {
+      val u1 = "(rank_sum - cast(n1 as double) * (cast(n1 as double) + 1.0) / 2.0)"
+      s"""with cells as ($cellsSql),
+         |ranked as (${Ranking.ranksSql("select * from cells")}),
+         |rs as (${MwuAgg.rankSumsSql("select * from ranked")})
+         |select feature_id, grp, n1, n2, $effectCles as cles, $effectRrb as r_rb
+         |from (select feature_id, grp, n1, cast(n - n1 as bigint) as n2,
+         |  $u1 as u1 from rs) b""".stripMargin.replace("\n", " ")
     },
     "mwu_z" ->
       (s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +

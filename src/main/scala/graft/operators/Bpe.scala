@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed byte-pair-encoding merge training — the tokenizer-training
-  * pass of an LLM data pipeline, expressed as vocabulary-sized dataflow.
+/** Distributed byte-pair-encoding — tokenizer TRAINING and ENCODING as
+  * vocabulary-sized dataflow (the tokenizer loop of an LLM data
+  * pipeline).
   *
   * Classic BPE (Sennrich et al. 2016, public): start from words split
   * into characters, repeatedly merge the most frequent adjacent symbol
@@ -13,7 +14,9 @@ import org.apache.spark.sql.functions._
   * iteration runs on the word VOCABULARY weighted by frequency — at
   * 100 TB the corpus is touched once and the per-round working set is
   * vocab-sized (millions of rows, not trillions), shuffling only
-  * (pair, count) aggregates.
+  * (pair, count) aggregates. Encoding then joins the corpus word stream
+  * against the trained word→symbols map — AQE broadcasts it while it
+  * fits, shuffle-joins beyond that.
   *
   * Determinism contract (what makes this oracle-checkable cross-engine):
   *   - words = `[a-z]+` runs of the lowercased text (ASCII-only, so no
@@ -44,64 +47,107 @@ object Bpe {
     "replace(replace(repr, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' ')), " +
       "concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))"
 
+  private def wordVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    .groupBy("word").agg(count(lit(1)).as("cnt"))
+    .selectExpr("word", "cnt", s"$reprSpark as repr")
+
+  /** One training round: (winning merge, vocab with the merge applied). */
+  private def step(w: DataFrame): (DataFrame, DataFrame) = {
+    val top = w
+      .select(col("cnt"), expr("split(trim(repr), ' ')").as("s"))
+      .filter(expr("size(s) >= 2"))
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(s) - 1), " +
+          "i -> struct(element_at(s, i) as lhs, element_at(s, i + 1) as rhs))")).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+      .localCheckpoint()
+    val applied = w.crossJoin(broadcast(top.select("lhs", "rhs")))
+      .selectExpr("word", "cnt", s"$mergeExpr as repr")
+      .localCheckpoint()
+    (top, applied)
+  }
+
   /** Train `rounds` merges over `docs(text)`. Returns one row per round:
     * (round, lhs, rhs, freq, token). If the pair universe drains before
     * `rounds` (toy corpora), later rounds emit nothing — identically in
     * the oracle (an empty argmax empties the cross join). */
   def train(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    val words = docs
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .selectExpr("cnt", s"$reprSpark as repr")
-
-    var w = words.localCheckpoint()
+    var w = wordVocab(docs).localCheckpoint()
     val merges = (1 to rounds).map { k =>
-      val top = w
-        .select(col("cnt"), expr("split(trim(repr), ' ')").as("s"))
-        .filter(expr("size(s) >= 2"))
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) as lhs, element_at(s, i + 1) as rhs))")).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("cnt").as("freq"))
-        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1)
-        .localCheckpoint()
-      if (k < rounds)
-        w = w.crossJoin(broadcast(top.select("lhs", "rhs")))
-          .selectExpr("cnt", s"$mergeExpr as repr")
-          .localCheckpoint()
+      val (top, applied) = step(w)
+      w = applied
       top.select(lit(k.toLong).as("round"), col("lhs"), col("rhs"), col("freq"))
     }
     merges.reduce(_.union(_))
       .withColumn("token", concat(col("lhs"), col("rhs")))
   }
 
-  /** DuckDB mirror: the identical iteration unrolled as CTEs (the
-    * [[Graph.pageRank]] oracle pattern). */
-  def trainSql(rounds: Int = 8, table: String = "documents"): String = {
+  /** The trained word→symbols map after `rounds` merges. */
+  def vocab(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    var w = wordVocab(docs).localCheckpoint()
+    for (_ <- 1 to rounds) w = step(w)._2
+    w
+  }
+
+  /** ENCODE the corpus with the trained tokenizer: per document, the
+    * word count and the post-merge token (symbol) count — the
+    * token-budget accounting every training-mix plan needs at the real
+    * tokenizer's granularity, not whitespace's. The corpus word stream
+    * joins the vocab map on `word`; no hint, so AQE broadcasts a small
+    * vocab and degrades to a shuffle join when the vocabulary outgrows
+    * it. Documents with no `[a-z]+` word have no tokens and are absent
+    * (the oracle's unnest of an empty list agrees). */
+  def encode(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val v = vocab(docs, rounds)
+      .selectExpr("word", "cast(size(split(trim(repr), ' ')) as bigint) as n_sym")
+    docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(v, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
+  }
+
+  /** Shared CTE prefix: v (word counts), w0 (char split), then per round
+    * k the pair counts p_k, winner m_k, and applied vocab w_k. */
+  private def ctePrefix(rounds: Int, table: String): String = {
     val sb = new StringBuilder
     sb ++= s"with v as (select word, cast(count(*) as bigint) as cnt from " +
       s"(select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word from $table) t " +
       "group by word), "
-    sb ++= "w0 as (select cnt, concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) as repr from v)"
+    sb ++= "w0 as (select word, cnt, concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) as repr from v)"
     for (k <- 1 to rounds) {
       sb ++= s", p$k as (select s[i] as lhs, s[i + 1] as rhs, cast(sum(cnt) as bigint) as freq " +
         s"from (select cnt, s, unnest(generate_series(1, len(s) - 1)) as i " +
         s"from (select cnt, string_split(trim(repr), ' ') as s from w${k - 1}) t1 " +
         "where len(s) >= 2) t2 group by 1, 2)"
       sb ++= s", m$k as (select lhs, rhs, freq from p$k order by freq desc, lhs asc, rhs asc limit 1)"
-      if (k < rounds)
-        sb ++= s", w$k as (select cnt, " +
-          "replace(replace(repr, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' '), " +
-          "' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') as repr " +
-          s"from w${k - 1} cross join m$k)"
+      sb ++= s", w$k as (select word, cnt, " +
+        "replace(replace(repr, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' '), " +
+        "' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') as repr " +
+        s"from w${k - 1} cross join m$k)"
     }
-    sb ++= " select round, lhs, rhs, freq, lhs||rhs as token from ("
-    sb ++= (1 to rounds)
-      .map(k => s"select cast($k as bigint) as round, lhs, rhs, freq from m$k")
-      .mkString(" union all ")
-    sb ++= ") u"
     sb.toString
   }
+
+  /** DuckDB mirror of [[train]]: the identical iteration unrolled as
+    * CTEs (the [[Graph.pageRank]] oracle pattern). */
+  def trainSql(rounds: Int = 8, table: String = "documents"): String =
+    ctePrefix(rounds, table) +
+      " select round, lhs, rhs, freq, lhs||rhs as token from (" +
+      (1 to rounds)
+        .map(k => s"select cast($k as bigint) as round, lhs, rhs, freq from m$k")
+        .mkString(" union all ") + ") u"
+
+  /** DuckDB mirror of [[encode]]. */
+  def encodeSql(rounds: Int = 8, table: String = "documents"): String =
+    ctePrefix(rounds, table) +
+      s", dw as (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as word from $table)" +
+      s", vs as (select word, cast(len(string_split(trim(repr), ' ')) as bigint) as n_sym from w$rounds)" +
+      " select doc_id, cast(count(*) as bigint) as n_words, cast(sum(n_sym) as bigint) as n_tokens" +
+      " from dw join vs on dw.word = vs.word group by doc_id"
 }

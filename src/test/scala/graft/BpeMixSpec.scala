@@ -27,6 +27,15 @@ class BpeMixSpec extends SparkSpec {
       (3L, "c", "d", 1L, "cd")))
   }
 
+  test("bpe: encode counts post-merge symbols with the trained vocab") {
+    // after 2 rounds the merges are (a,b) then (ab,ab): "abab" is ONE
+    // symbol, "cd" still two → 3 words, 1+1+2 = 4 tokens
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 4L)))
+  }
+
   test("bpe: merge freqs are non-increasing across rounds on real data") {
     // merging can only reveal pairs whose count is bounded by the merged
     // pair's count, and old pair counts only shrink — so the trained
