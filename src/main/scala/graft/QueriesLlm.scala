@@ -197,6 +197,17 @@ object QueriesLlm {
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
       Similarity.l2Normalize(Tables.read(s, dir, "embeddings"))),
+    // product-quantization ENCODE: per-vector code assignments against
+    // the fixed deterministic codebook (8 subvectors × 16 codewords) —
+    // the stored representation a 100 TB vector store scans
+    "emb_pq_codes" -> ((s, dir) =>
+      graft.operators.Pq.codes(Tables.read(s, dir, "embeddings"))),
+    // PQ asymmetric-distance top-k: exact query subvectors vs corpus
+    // CODES (m bytes/vec instead of 4·dim — the memory-bandwidth scale
+    // path; composes with IVF cells for IVF-PQ). Whole pipeline
+    // hash-checked because the codebook is a fixed literal grid
+    "ann_pq" -> ((s, dir) =>
+      graft.operators.Pq.adcTopK(Tables.read(s, dir, "embeddings"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -454,6 +465,8 @@ object QueriesLlm {
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
+    "emb_pq_codes" -> graft.operators.Pq.codesSql(),
+    "ann_pq" -> graft.operators.Pq.adcSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),

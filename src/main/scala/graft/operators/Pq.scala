@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.oracle.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-bandwidth scale path for
+  * vector search (Jégou et al. 2011, public): split each `dim`-d vector
+  * into `m` subvectors, quantize each against a per-subspace codebook of
+  * `ksub` codewords, and answer queries with asymmetric distance
+  * computation (ADC): exact query subvectors against the corpus CODES —
+  * per-query work reads `m` bytes per corpus vector instead of `4·dim`,
+  * a 32× scan-bandwidth cut here, and the code table is what a
+  * 100 TB deployment stores and scans (composing with the IVF cell prune
+  * of [[Similarity.ivfTopK]] gives the classic IVF-PQ layout).
+  *
+  * Cross-engine determinism (unlike trained-k-means PQ, this whole
+  * pipeline is oracle-checkable): the codebook is a FIXED deterministic
+  * grid — dyadic-rational literals generated from the Carter-Wegman walk
+  * ([[Parity.cwParams]]) and embedded in both engines' text — and every
+  * distance is an explicit left-associated chain of IEEE ops on
+  * identical operands ([[Parity.dot]] discipline), so code assignments,
+  * ADC distances, and the top-k order are bit-identical in Spark and
+  * DuckDB. Encode runs as a typed mapPartitions kernel (the
+  * [[Similarity.lshBuckets]] precedent: a fixed numeric kernel beats a
+  * thousand-node codegen expression), with the JVM loop accumulating in
+  * the exact order the spelled-out SQL chain does (`0.0 + t1 ≡ t1`).
+  *
+  * Vectors must have exactly `dim` elements; others are excluded by the
+  * shared `size(embedding) = dim` predicate (documented contract, same
+  * text both engines).
+  */
+object Pq {
+
+  val dim: Int = Similarity.dim // 64
+  val m = 8                     // subvectors
+  val dsub: Int = dim / m       // dims per subvector
+  val ksub = 16                 // codewords per subspace
+
+  /** codebook(j)(c)(d): dyadic rationals in (-0.25, 0.25) — k/4096 from
+    * the CW walk (the power-of-two denominator makes every literal
+    * round-trip exactly into a double). The ±2σ span matches the
+    * synthetic embeddings' value distribution (σ ≈ 0.125); a real
+    * deployment would train the codebook (per-subspace k-means), which
+    * is exactly the library-internal step [[Similarity.ivfTopK]] models
+    * — here the grid stays FIXED so the entire encode+ADC pipeline is
+    * oracle-checkable. */
+  val codebook: Array[Array[Array[Double]]] = {
+    val mod = Parity.CwMod
+    Array.tabulate(m) { j =>
+      val (a, b) = Parity.cwParams(100 + j)
+      Array.tabulate(ksub) { c =>
+        Array.tabulate(dsub) { d =>
+          val idx = (c * dsub + d + 1).toLong
+          (((idx * a + b) % mod) % 2047L - 1023L) / 4096.0
+        }
+      }
+    }
+  }
+
+  /** Left-associated ||x_j - C[j][c]||² for one subvector, matching the
+    * spelled SQL chain bit-for-bit. */
+  private def subDist(v: Array[Float], j: Int, c: Int): Double = {
+    val cw = codebook(j)(c)
+    var s = 0.0
+    var d = 0
+    while (d < dsub) {
+      val t = v(j * dsub + d).toDouble - cw(d)
+      s += t * t
+      d += 1
+    }
+    s
+  }
+
+  /** First-minimum argmin over the `ksub` codewords (ties → lowest code,
+    * the same winner as the oracle's `case least(...) when ...` text). */
+  private def assign(v: Array[Float], j: Int): Int = {
+    var best = 0
+    var bestD = subDist(v, j, 0)
+    var c = 1
+    while (c < ksub) {
+      val dc = subDist(v, j, c)
+      if (dc < bestD) { best = c; bestD = dc }
+      c += 1
+    }
+    best
+  }
+
+  /** ENCODE: per vector, the `m` code assignments (vec_id, c0..c7) —
+    * the stored representation a PQ deployment scans. Embarrassingly
+    * parallel, no shuffle. */
+  def codes(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .filter(size(col("embedding")) === dim)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
+          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
+          assign(v, 6).toLong, assign(v, 7).toLong)
+      })
+      .toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+  }
+
+  /** ADC top-k: every `queryEvery`-th vector queries the quantized
+    * corpus. The per-query subspace distance tables (m·ksub doubles) are
+    * a driver-built broadcast-sized closure constant (the k-means
+    * centroid-collect precedent); the corpus streams through the kernel
+    * once emitting (q_id, n_id, dist), and top-k is the two-phase
+    * per-query window ([[Sampling.stratified]] pattern) — no corpus
+    * shuffle before the k-pruned survivors. */
+  def adcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb
+      .filter(size(col("embedding")) === dim)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val queries = vecs.filter(_._1 % queryEvery == 0).collect().sortBy(_._1)
+    val qIds = queries.map(_._1)
+    // dq(q)(j)(c) — exact same chain arithmetic as assign/subDist
+    val dq = queries.map { case (_, qv) =>
+      Array.tabulate(m)(j => Array.tabulate(ksub)(c => subDist(qv, j, c)))
+    }
+    val pairs = vecs.mapPartitions(_.flatMap { case (id, v) =>
+      val code = Array.tabulate(m)(j => assign(v, j))
+      qIds.indices.iterator.collect {
+        case qi if qIds(qi) != id =>
+          val t = dq(qi)
+          var s = 0.0
+          var j = 0
+          while (j < m) { s += t(j)(code(j)); j += 1 }
+          (qIds(qi), id, s)
+      }
+    }).toDF("q_id", "n_id", "dist")
+    val local = pairs
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("q_id", "pid").orderBy(col("dist").asc, col("n_id").asc)))
+      .filter(col("lrn") <= k)
+      .drop("pid", "lrn")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  /** `(e_i - cw_d)²` chain for subvector j, codeword c, over element
+    * columns e1..e64. */
+  private def chain(j: Int, c: Int): String = {
+    val terms = (0 until dsub).map { d =>
+      val e = s"e${j * dsub + d + 1}"
+      val l = s"(${Parity.lit(codebook(j)(c)(d))})"
+      s"(($e - $l) * ($e - $l))"
+    }
+    terms.reduce((a, b) => s"($a + $b)")
+  }
+
+  private def extractCols: String =
+    (1 to dim).map(i => s"list_extract(embedding, $i) as e$i").mkString(", ")
+
+  private def distCols: String =
+    (0 until m).flatMap(j => (0 until ksub).map(c => s"${chain(j, c)} as d_${j}_$c"))
+      .mkString(", ")
+
+  /** `case least(d_j_0..d_j_15) when d_j_0 then 0 ... end` — the first
+    * equal match wins, i.e. lowest code on ties. */
+  private def argmin(j: Int): String = {
+    val ds = (0 until ksub).map(c => s"d_${j}_$c")
+    val whens = (0 until ksub).map(c => s"when d_${j}_$c then $c").mkString(" ")
+    s"cast(case least(${ds.mkString(", ")}) $whens end as bigint)"
+  }
+
+  private def codesCte(table: String): String =
+    s"ce as (select vec_id, $extractCols from $table where len(embedding) = $dim), " +
+      s"cd as (select vec_id, $distCols from ce), " +
+      s"codes as (select vec_id, ${(0 until m).map(j => s"${argmin(j)} as c$j").mkString(", ")} from cd)"
+
+  /** DuckDB mirror of [[codes]]. */
+  def codesSql(table: String = "embeddings"): String =
+    s"with ${codesCte(table)} select * from codes"
+
+  /** DuckDB mirror of [[adcTopK]]. */
+  def adcSql(k: Int = 10, queryEvery: Int = 50, table: String = "embeddings"): String = {
+    val lookup = (0 until m).map { j =>
+      val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
+      s"(case c$j $whens end)"
+    }.reduce((a, b) => s"($a + $b)")
+    s"""with ${codesCte(table)},
+       |qe as (select vec_id as q_id, $extractCols from $table
+       |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
+       |qd as (select q_id, $distCols from qe),
+       |pairs as (select q_id, vec_id as n_id, $lookup as dist
+       |  from codes cross join qd where q_id <> vec_id),
+       |ranked as (select q_id, n_id, dist,
+       |  row_number() over (partition by q_id order by dist asc, n_id asc) as rn
+       | from pairs)
+       |select q_id, n_id, dist, rn from ranked where rn <= $k"""
+      .stripMargin.replace("\n", " ")
+  }
+}
