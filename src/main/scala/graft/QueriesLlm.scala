@@ -38,6 +38,10 @@ object QueriesLlm {
     // per-document token statistics
     "text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))),
+    // feature-hashing vectorizer: tokens → 256 fixed slots, sparse
+    // long-format counts (classifier featurization with no vocabulary)
+    "text_hash_features" -> ((s, dir) =>
+      TextOps.hashFeatures(Tables.read(s, dir, "documents"))),
     // composite quality score over the stats
     "text_quality" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))
@@ -532,6 +536,7 @@ object QueriesLlm {
          |select ${TextOps.langIdSelects(DuckD).mkString(", ")} from documents))"""
         .stripMargin.replace("\n", " "),
     "text_stats" -> statsDuck,
+    "text_hash_features" -> TextOps.hashFeaturesSql(),
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
          | ${TextOps.qualityExpr} as quality

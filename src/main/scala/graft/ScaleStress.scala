@@ -36,6 +36,7 @@ object ScaleStress {
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
     if (args.headOption.contains("bpe")) { bpeStress(args.drop(1)); return }
+    if (args.headOption.contains("pq")) { pqStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -307,6 +308,29 @@ object ScaleStress {
     val rows = res.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"bpe_train","replicas":$replicas,"rounds":$rounds,"docs":$n,"merges":$rows,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** PQ stress: replicate the corpus M× (fresh vec_ids that keep the
+    * query set fixed — new ids are ≡ 1 mod queryEvery) and run encode +
+    * ADC. Claim under test: per-vector cost is constant — encode is one
+    * kernel pass, ADC adds m lookups per (query, vector) with no corpus
+    * shuffle before the k-pruned survivors — so throughput (vec/s) holds
+    * or improves as the corpus grows. */
+  private def pqStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val n0 = emb.count()
+    val blown = emb.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"), col("embedding"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Pq.adcTopK(blown, k = 10, queryEvery = 50 * replicas).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"ann_pq","replicas":$replicas,"vecs":$n,"out_rows":$rows,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 }

@@ -711,4 +711,30 @@ object TextOps {
        |where c_xy >= $minCount
        |order by pmi_fp desc, w1 asc, w2 asc limit $k"""
       .stripMargin.replace("\n", " ")
+
+  /** Feature-hashing vectorizer (the hashing trick, public):
+    * every token hashes into one of `buckets` fixed feature slots and
+    * the document becomes a sparse count vector — the featurization a
+    * cheap quality/topic classifier consumes at corpus scale, with NO
+    * vocabulary to build, broadcast, or keep consistent across runs.
+    * Long-format output (doc_id, bucket, cnt); the CW mix spreads the
+    * short-token codes across slots. One explode + one map-side-combined
+    * aggregate — the only shuffle is (doc, bucket)-sized. */
+  def hashFeatures(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      .select(col("doc_id"),
+        expr(s"(${graft.oracle.Parity.cwMix(52, "rolling_hash(tok)")} % $buckets) as bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB mirror of [[hashFeatures]]. */
+  def hashFeaturesSql(buckets: Int = 256, table: String = "documents"): String =
+    s"""select doc_id,
+       | (${graft.oracle.Parity.cwMix(52, graft.oracle.Parity.rollingHashDuck("tok"))} % $buckets) as bucket,
+       | cast(count(*) as bigint) as cnt
+       |from (select doc_id, unnest(string_split(trim(text), ' ')) as tok from $table) t
+       |group by 1, 2""".stripMargin.replace("\n", " ")
 }
