@@ -195,6 +195,11 @@ object QueriesOlap {
     // one state row per key) — shares the batch q_latest oracle
     "stream_latest" -> ((s, dir) =>
       graft.streaming.EventStream.runLatestOnce(s, dir)),
+    // stateful streaming EWMA (last-7 fixed-point buffer per user, the
+    // smallest state of the stateful patterns) — shares the batch
+    // q_ewma oracle bit-for-bit
+    "stream_ewma" -> ((s, dir) =>
+      graft.streaming.EventStream.runEwmaOnce(s, dir)),
     // stream-static broadcast enrichment join — oracle is the batch join
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir)),
     // stateful sessionization (flatMapGroupsWithState) — closed sessions
@@ -833,6 +838,24 @@ object QueriesOlap {
       |  order by epoch_ns(ts) desc, event_id desc) as rn from events)
       |where rn = 1""".stripMargin.replace("\n", " ")
 
+  /** Shared oracle for q_ewma AND stream_ewma (batch lag windows vs
+    * last-7 streaming state — identical exact-integer arithmetic). */
+  private lazy val ewmaSql: String = {
+    val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
+    val lags = (1 until 8).map(k =>
+      s"lag(v_fp, $k) over (partition by user_id order by tsu asc, event_id asc) as l$k")
+      .mkString(", ")
+    s"""select user_id, event_id, tsu as us,
+       | cast(($num) as double) / cast(($den) as double) / 1048576e0 as ewma
+       |from (
+       | select user_id, event_id, tsu, v_fp as l0, $lags
+       | from (select user_id, event_id, epoch_ns(ts) // 1000 as tsu,
+       |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
+       |  from events) b) w""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared oracle for q_anomaly AND stream_anomaly (the stream/batch
     * differential: the stateful streaming path must reproduce the batch
     * window bit-for-bit). */
@@ -1273,21 +1296,8 @@ object QueriesOlap {
          | and l_shipdate < timestamp '1998-01-01'
          | and l_discount >= 2e-2 and l_discount <= 8e-2
          | and l_quantity < 24e0""".stripMargin.replace("\n", " "),
-    "q_ewma" -> {
-      val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
-      val den = (0 until 8).map(k =>
-        s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
-      val lags = (1 until 8).map(k =>
-        s"lag(v_fp, $k) over (partition by user_id order by tsu asc, event_id asc) as l$k")
-        .mkString(", ")
-      s"""select user_id, event_id, tsu as us,
-         | cast(($num) as double) / cast(($den) as double) / 1048576e0 as ewma
-         |from (
-         | select user_id, event_id, tsu, v_fp as l0, $lags
-         | from (select user_id, event_id, epoch_ns(ts) // 1000 as tsu,
-         |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
-         |  from events) b) w""".stripMargin.replace("\n", " ")
-    },
+    "q_ewma" -> ewmaSql,
+    "stream_ewma" -> ewmaSql,
     "q_top_supplier" ->
       s"""with rev as (select l_suppkey as supplier_no,
          |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue

@@ -272,6 +272,64 @@ object EventStream {
   def runHistogramOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "hist", "complete", histogramAgg)
 
+  case class EwEv(user_id: Long, event_id: Long, ts: Long, value: Double)
+  case class EwState(vfps: Seq[Long])
+  case class EwOut(user_id: Long, event_id: Long, us: Long, ewma: Double)
+
+  /** Streaming twin of the batch `q_ewma` query: per-user EWMA (decay
+    * 1/2) over the last 8 events, kept as custom state. The state is
+    * exactly the last 7 fixed-point values per user — bounded by the
+    * key cardinality times a constant, the smallest state of any of the
+    * stateful patterns here.
+    *
+    * Bit parity with the batch window plan: the buffer holds the SAME
+    * floor(value·2^20+0.5) integers the batch lags read, events are
+    * processed in the batch's (µs, event_id) order, and the
+    * numerator/denominator are the same exact BIGSums divided in the
+    * identical IEEE order — so the stream output hash-matches the batch
+    * oracle row for row. In-order-delivery contract as
+    * [[anomalyStream]]. */
+  def ewmaStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def fn(key: Long, events: Iterator[EwEv], state: GroupState[EwState]): Iterator[EwOut] = {
+      // batch ordering is (tsu = ts div 1000, event_id) — sort at µs
+      // resolution, NOT ns, so µs ties break by event_id as the window
+      // spec does
+      val sorted = events.toSeq.sortBy(e => (e.ts / 1000L, e.event_id))
+      var buf = state.getOption.map(_.vfps.toVector).getOrElse(Vector.empty)
+      val out = sorted.map { e =>
+        val vfp = math.floor(e.value * 1048576.0 + 0.5).toLong
+        // lag k → weight 2^(7-k): current 128, most recent prior 64, …
+        var num = vfp * 128L
+        var den = 128L
+        var k = 1
+        while (k <= 7 && k <= buf.size) {
+          val w = 1L << (7 - k)
+          num += buf(buf.size - k) * w
+          den += w
+          k += 1
+        }
+        buf = (buf :+ vfp).takeRight(7)
+        EwOut(key, e.event_id, e.ts / 1000L, num.toDouble / den.toDouble / 1048576.0)
+      }
+      state.update(EwState(buf))
+      out.iterator
+    }
+    stream.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[EwEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[ewmaStream]] — shares the batch q_ewma
+    * oracle. */
+  def runEwmaOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "ewma", "append", ewmaStream)
+      .select(col("user_id"), col("event_id"), col("us"), col("ewma"))
+
   /** Streaming CDC compaction — the continuously-maintained
     * latest-row-per-key materialized view (the batch `q_latest`
     * WindowGroupLimit, kept incrementally): a complete-mode `max_by`

@@ -131,4 +131,35 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.size == batch.size)
     assert(streamed == batch)
   }
+
+  test("stateful EWMA reproduces the batch lag windows bit-for-bit, incl. across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sfDir = sf("sf0.001")
+    // split MID-USER: second-batch EWMAs must read the last-7 buffer
+    // carried from the first batch
+    val all = Tables.read(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._3, t._2))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val qn = "ewma_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.ewmaStream(
+        input.toDF().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn)
+      .select("event_id", "us", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("q_ewma")(spark, sfDir)
+      .select("event_id", "us", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
 }
