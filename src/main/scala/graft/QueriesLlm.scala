@@ -42,6 +42,11 @@ object QueriesLlm {
     // long-format counts (classifier featurization with no vocabulary)
     "text_hash_features" -> ((s, dir) =>
       TextOps.hashFeatures(Tables.read(s, dir, "documents"))),
+    // logistic-regression TRAINING over the hashed features (full-batch
+    // GD in pure dataflow; fpSum margins/gradients, q9'd sigmoid) —
+    // oracle = the identical 3 iterations unrolled as CTEs
+    "lr_train" -> ((s, dir) =>
+      graft.operators.Classifier.lrTrain(Tables.read(s, dir, "documents"))),
     // composite quality score over the stats
     "text_quality" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))
@@ -537,6 +542,7 @@ object QueriesLlm {
         .stripMargin.replace("\n", " "),
     "text_stats" -> statsDuck,
     "text_hash_features" -> TextOps.hashFeaturesSql(),
+    "lr_train" -> graft.operators.Classifier.lrTrainSql(),
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
          | ${TextOps.qualityExpr} as quality

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.oracle.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression training over hashed text features —
+  * the quality/language classifier a curation pipeline trains IN the
+  * engine (the fastText-style linear model over
+  * [[TextOps.hashFeatures]] slots), expressed as full-batch gradient
+  * descent in pure dataflow.
+  *
+  * Scale shape per iteration: the sparse feature stream joins the
+  * broadcast weight vector (bucket-count rows — 256 here, a few million
+  * for a big hash space; AQE shuffle-joins past broadcast size), one
+  * doc-sized aggregate forms margins, one bucket-sized aggregate forms
+  * the gradient, and the weight update is a map over the weight vector.
+  * Nothing collects to the driver; iteration lineage is flattened with
+  * `localCheckpoint` (the [[Graph.pageRank]]/[[Bpe]] discipline).
+  *
+  * Cross-engine determinism (oracle = the identical iterations unrolled
+  * as CTEs): both per-doc margins and per-bucket gradients ride
+  * [[Parity.fpSum]] (order-free exact BIGINT sums); the sigmoid's `exp`
+  * is the one transcendental, so probabilities are quantized to the 1e-9
+  * grid ([[Parity.q9]]) before they enter the gradient — the same
+  * discipline as the p-value chain. Labels, counts, and the learning
+  * rate are exact dyadics, so the weight trajectory is bit-identical in
+  * both engines (modulo the documented ~1e-7 q9 flip risk per value).
+  */
+object Classifier {
+
+  /** sigmoid, q9-quantized — shared text over a `margin` column. */
+  private val pExpr = Parity.q9("1e0 / (1e0 + exp(-margin))")
+
+  /** Train `iters` full-batch GD steps of P(lang = 'en' | hashed tokens);
+    * returns the final weight vector (bucket, w9) with w9 on the q9 grid
+    * for a stable dump. */
+  def lrTrain(docs: DataFrame, buckets: Int = 256, iters: Int = 3,
+              lrNum: Int = 1, lrDen: Int = 2): DataFrame = {
+    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
+    val labels = docs.selectExpr("doc_id",
+      "case when lang = 'en' then 1e0 else 0e0 end as y")
+    val nDocs = docs.count()
+    var w = feats.select(col("bucket")).distinct()
+      .withColumn("w", expr("0e0")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val margins = feats.join(broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(expr(Parity.fpSum("w * cnt")).as("margin"))
+      val probs = margins.join(labels, "doc_id")
+        .selectExpr("doc_id", s"$pExpr as p", "y")
+      val grad = feats.join(probs, "doc_id")
+        .groupBy("bucket")
+        .agg(expr(Parity.fpSum("(p - y) * cnt")).as("g"))
+      w = w.join(grad, "bucket")
+        .selectExpr("bucket",
+          s"(w - ($lrNum / ${lrDen}e0) * (g / ${nDocs}e0)) as w")
+        .localCheckpoint()
+    }
+    w.selectExpr("bucket", s"${Parity.q9("w")} as w9")
+  }
+
+  /** DuckDB mirror of [[lrTrain]] — the unrolled iteration. */
+  def lrTrainSql(buckets: Int = 256, iters: Int = 3,
+                 lrNum: Int = 1, lrDen: Int = 2,
+                 table: String = "documents"): String = {
+    val sb = new StringBuilder
+    sb ++= s"with f as (${TextOps.hashFeaturesSql(buckets, table)}), "
+    sb ++= s"lab as (select doc_id, case when lang = 'en' then 1e0 else 0e0 end as y from $table), "
+    sb ++= s"nd as (select cast(count(*) as bigint) as n_docs from $table), "
+    sb ++= "w0 as (select distinct bucket, 0e0 as w from f)"
+    for (k <- 1 to iters) {
+      sb ++= s", m$k as (select doc_id, ${Parity.fpSum("w * cnt")} as margin " +
+        s"from f join w${k - 1} using (bucket) group by doc_id)"
+      sb ++= s", p$k as (select doc_id, $pExpr as p, y " +
+        s"from m$k join lab using (doc_id))"
+      sb ++= s", g$k as (select bucket, ${Parity.fpSum("(p - y) * cnt")} as g " +
+        s"from f join p$k using (doc_id) group by bucket)"
+      sb ++= s", w$k as (select bucket, " +
+        s"(w - ($lrNum / ${lrDen}e0) * (g / (cast(n_docs as double) + 0e0))) as w " +
+        s"from w${k - 1} join g$k using (bucket) cross join nd)"
+    }
+    sb ++= s" select bucket, ${Parity.q9("w")} as w9 from w$iters"
+    sb.toString
+  }
+}

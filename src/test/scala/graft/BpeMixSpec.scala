@@ -80,8 +80,27 @@ class BpeMixSpec extends SparkSpec {
     }
   }
 
-  test("bpe / mix plan / within-doc dedup / ewma are partition-invariant (1 vs 13)") {
-    for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma")) {
+  test("lr training separates a separable toy corpus (signed weights, falling loss)") {
+    import graft.operators.{Classifier, TextOps}
+    val docs = ((1 to 10).map(i => (i.toLong, "foo foo foo", "en")) ++
+      (11 to 20).map(i => (i.toLong, "bar bar bar", "de")))
+      .toDF("doc_id", "text", "lang")
+    val buckets = TextOps.hashFeatures(docs).select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (bFoo, bBar) = (buckets(1L), buckets(11L))
+    assert(bFoo != bBar, "toy tokens collided; pick different tokens")
+    val w = Classifier.lrTrain(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 'en' docs contain only foo → its weight rises; 'de' only bar → falls
+    assert(w(bFoo) > 0.0 && w(bBar) < 0.0, w.toString)
+    // one more iteration strictly improves the fit on separable data
+    val w5 = Classifier.lrTrain(docs, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w5(bFoo) > w(bFoo) && w5(bBar) < w(bBar), (w, w5).toString)
+  }
+
+  test("bpe / mix plan / within-doc dedup / ewma / lr are partition-invariant (1 vs 13)") {
+    for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma", "lr_train")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .collect().map(_.toString).sorted.toSeq
       val results = Seq("1", "13").map { p =>
