@@ -217,6 +217,10 @@ object QueriesLlm {
     // hash-checked because the codebook is a fixed literal grid
     "ann_pq" -> ((s, dir) =>
       graft.operators.Pq.adcTopK(Tables.read(s, dir, "embeddings"))),
+    // IVF-PQ: fixed-quantizer cell prune + ADC re-rank over codes — the
+    // trillion-scale layout (scan only probed buckets, m bytes/candidate)
+    "ann_ivfpq" -> ((s, dir) =>
+      graft.operators.Pq.ivfAdcTopK(Tables.read(s, dir, "embeddings"))),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -476,6 +480,7 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
+    "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),

@@ -176,14 +176,113 @@ object Pq {
     s"cast(case least(${ds.mkString(", ")}) $whens end as bigint)"
   }
 
-  private def codesCte(table: String): String =
-    s"ce as (select vec_id, $extractCols from $table where len(embedding) = $dim), " +
-      s"cd as (select vec_id, $distCols from ce), " +
-      s"codes as (select vec_id, ${(0 until m).map(j => s"${argmin(j)} as c$j").mkString(", ")} from cd)"
+  /** `src` must expose (vec_id, embedding [, extra keys named in
+    * `keep`]); emits ce/cd/codes CTEs carrying vec_id + keep. */
+  private def codesCte(src: String, keep: String = ""): String =
+    s"ce as (select vec_id$keep, $extractCols from ($src) s0), " +
+      s"cd as (select vec_id$keep, $distCols from ce), " +
+      s"codes as (select vec_id$keep, ${(0 until m).map(j => s"${argmin(j)} as c$j").mkString(", ")} from cd)"
 
   /** DuckDB mirror of [[codes]]. */
   def codesSql(table: String = "embeddings"): String =
-    s"with ${codesCte(table)} select * from codes"
+    s"with ${codesCte(s"select vec_id, embedding from $table where len(embedding) = $dim")} " +
+      "select * from codes"
+
+  /** IVF-PQ: the classic trillion-scale ANN layout — the fixed-quantizer
+    * IVF cell prune ([[Similarity.labelProbes]]) narrows candidates to
+    * each query's `nprobe` cells, then ADC over PQ codes re-ranks them.
+    * At 100 TB the code table is stored bucketed by cell id, a query
+    * reads only its probed buckets, and each candidate costs m bytes —
+    * both the scan volume AND the per-candidate bandwidth are pruned.
+    * Probe assignments and query distance tables are tiny driver-built
+    * closure constants (centroid-collect precedent); the corpus streams
+    * through one kernel pass; top-k is the two-phase per-query window.
+    * Candidate universe matches `ann_ivf_label` (norm > 0 vectors) so
+    * the two re-rankers are directly comparable. */
+  def ivfAdcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                 nprobe: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probed: Map[Long, Set[Long]] =
+      Similarity.labelProbes(emb, queryEvery, nprobe)
+        .select("q_id", "cl").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
+    val vecs = Similarity.withNorm(emb).filter(col("norm") > 0.0)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
+        col("label").cast("long"))
+      .as[(Long, Array[Float], Long)]
+    val queries = vecs.filter(_._1 % queryEvery == 0).collect().sortBy(_._1)
+    val qIds = queries.map(_._1)
+    val qCells = queries.map(q => probed.getOrElse(q._1, Set.empty[Long]))
+    val dq = queries.map { case (_, qv, _) =>
+      Array.tabulate(m)(j => Array.tabulate(ksub)(c => subDist(qv, j, c)))
+    }
+    val pairs = vecs.mapPartitions(_.flatMap { case (id, v, cl) =>
+      lazy val code = Array.tabulate(m)(j => assign(v, j))
+      qIds.indices.iterator.collect {
+        case qi if qIds(qi) != id && qCells(qi).contains(cl) =>
+          val t = dq(qi)
+          var s = 0.0
+          var j = 0
+          while (j < m) { s += t(j)(code(j)); j += 1 }
+          (qIds(qi), id, s)
+      }
+    }).toDF("q_id", "n_id", "dist")
+    val local = pairs
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("q_id", "pid").orderBy(col("dist").asc, col("n_id").asc)))
+      .filter(col("lrn") <= k)
+      .drop("pid", "lrn")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB mirror of [[ivfAdcTopK]] — the `ann_ivf_label` probe CTEs
+    * composed with the PQ code CTEs and the ADC lookup. */
+  def ivfAdcSql(k: Int = 10, queryEvery: Int = 50, nprobe: Int = 3,
+                table: String = "embeddings"): String = {
+    val dotSelf = Parity.dot(Parity.DuckD, "embedding", "embedding", dim)
+    val dotCC = Parity.dot(Parity.DuckD, "centroid", "centroid", dim)
+    val dotQC = Parity.dot(Parity.DuckD, "q_emb", "centroid", dim)
+    val lookup = (0 until m).map { j =>
+      val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
+      s"(case c$j $whens end)"
+    }.reduce((a, b) => s"($a + $b)")
+    s"""with cg as (select cast(label as bigint) as cl, i as d,
+       |  cast(count(*) as bigint) as n,
+       |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
+       | from $table, generate_series(1, $dim) t(i) group by cl, i),
+       |cent as (select cl, list(cv order by d) as centroid from
+       |  (select cl, d, vs / cast(n as double) as cv from cg) group by cl),
+       |cn as (select * from (select cl, centroid, sqrt($dotCC) as c_norm from cent)
+       |  where c_norm > 0e0),
+       |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
+       |   sqrt($dotSelf) as norm from $table) where norm > 0e0),
+       |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+       |  where vec_id % $queryEvery = 0),
+       |probes as (select q_id, cl from (
+       |  select q.q_id, cn.cl,
+       |   row_number() over (partition by q.q_id
+       |     order by ($dotQC) / (q.q_norm * cn.c_norm) desc, cn.cl asc) as pr
+       |  from q cross join cn) where pr <= $nprobe),
+       |${codesCte("select vec_id, cl, embedding from nn", ", cl")},
+       |qe as (select q_id, $extractCols from
+       |  (select q_id, q_emb as embedding from q) s1),
+       |qd as (select q_id, $distCols from qe),
+       |pairs as (select p.q_id, codes.vec_id as n_id, $lookup as dist
+       | from probes p
+       |  join codes on p.cl = codes.cl and p.q_id <> codes.vec_id
+       |  join qd on qd.q_id = p.q_id),
+       |ranked as (select q_id, n_id, dist,
+       |  cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
+       | from pairs)
+       |select q_id, n_id, dist, rn from ranked where rn <= $k"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** DuckDB mirror of [[adcTopK]]. */
   def adcSql(k: Int = 10, queryEvery: Int = 50, table: String = "embeddings"): String = {
@@ -191,7 +290,7 @@ object Pq {
       val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
       s"(case c$j $whens end)"
     }.reduce((a, b) => s"($a + $b)")
-    s"""with ${codesCte(table)},
+    s"""with ${codesCte(s"select vec_id, embedding from $table where len(embedding) = $dim")},
        |qe as (select vec_id as q_id, $extractCols from $table
        |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
        |qd as (select q_id, $distCols from qe),

@@ -169,6 +169,27 @@ object Similarity {
     * at 100 TB), only probed cells are scanned. */
   def ivfLabelTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
                    nprobe: Int = 3): DataFrame = {
+    val n = withNorm(emb).filter(col("norm") > 0.0)
+    val probes = labelProbes(emb, queryEvery, nprobe)
+    val cand = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"), col("label").cast("long").as("cl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    probes.join(cand, Seq("cl")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "cos", "rn")
+  }
+
+  /** The probe stage of the fixed-quantizer IVF: per-label fixed-point-
+    * mean centroids, each query's `nprobe` nearest cells by centroid
+    * cosine. Returns (q_id, q_emb, q_norm, cl) — one row per probed
+    * cell. Shared by [[ivfLabelTopK]] (exact re-rank) and
+    * [[Pq.ivfAdcTopK]] (ADC re-rank — the IVF-PQ layout). */
+  def labelProbes(emb: DataFrame, queryEvery: Int = 50,
+                  nprobe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cells = emb.select(col("label").cast("long").as("cl"),
         explode(expr(s"sequence(1, $dim)")).as("d"), col("embedding"))
@@ -190,22 +211,12 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("c_cos").desc, col("cl").asc)
-    val probes = q.crossJoin(cNorm)
+    q.crossJoin(cNorm)
       .withColumn("c_cos", expr(Parity.dot(SparkD, "q_emb", "centroid", dim)) /
         (col("q_norm") * col("c_norm")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select("q_id", "q_emb", "q_norm", "cl")
-    val cand = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col("norm").as("n_norm"), col("label").cast("long").as("cl"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    probes.join(cand, Seq("cl")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) /
-        (col("q_norm") * col("n_norm")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("q_id", "n_id", "cos", "rn")
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage/

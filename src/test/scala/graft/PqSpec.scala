@@ -46,8 +46,27 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.10, s"recall $recall")
   }
 
+  test("ivf-pq: results stay inside probed cells and agree with flat ADC distances") {
+    val probed = graft.operators.Similarity.labelProbes(emb)
+      .select("q_id", "cl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val ivfpq = Pq.ivfAdcTopK(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    // every hit comes from a cell its query probed
+    ivfpq.foreach { case ((q, n), _) =>
+      assert(probed.contains((q, labels(n))), s"($q,$n) outside probed cells") }
+    // the ADC distance is the same number flat PQ computes for that pair
+    val flat = Pq.adcTopK(emb, k = 500).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivfpq.foreach { case (key, d) =>
+      flat.get(key).foreach(fd => assert(fd == d, s"$key dist mismatch")) }
+  }
+
   test("pq codes + adc are partition-invariant (1 vs 13)") {
-    for (q <- Seq("emb_pq_codes", "ann_pq")) {
+    for (q <- Seq("emb_pq_codes", "ann_pq", "ann_ivfpq")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .collect().map(_.toString).sorted.toSeq
       val results = Seq("1", "13").map { p =>
