@@ -18,7 +18,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("mwu_markers", "q_join_revenue", "dedup_minhash", "ann_cosine",
-        "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join")
+        "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join",
+        "bpe_train", "ann_ivfpq", "lr_train", "dedup_within")
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

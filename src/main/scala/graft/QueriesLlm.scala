@@ -47,6 +47,9 @@ object QueriesLlm {
     // oracle = the identical 3 iterations unrolled as CTEs
     "lr_train" -> ((s, dir) =>
       graft.operators.Classifier.lrTrain(Tables.read(s, dir, "documents"))),
+    // scoring audit with the trained model: per-lang prediction counts
+    "lr_score" -> ((s, dir) =>
+      graft.operators.Classifier.lrScore(Tables.read(s, dir, "documents"))),
     // composite quality score over the stats
     "text_quality" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))
@@ -548,6 +551,7 @@ object QueriesLlm {
     "text_stats" -> statsDuck,
     "text_hash_features" -> TextOps.hashFeaturesSql(),
     "lr_train" -> graft.operators.Classifier.lrTrainSql(),
+    "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
          | ${TextOps.qualityExpr} as quality

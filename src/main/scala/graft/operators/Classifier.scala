@@ -60,10 +60,31 @@ object Classifier {
     w.selectExpr("bucket", s"${Parity.q9("w")} as w9")
   }
 
-  /** DuckDB mirror of [[lrTrain]] — the unrolled iteration. */
-  def lrTrainSql(buckets: Int = 256, iters: Int = 3,
-                 lrNum: Int = 1, lrDen: Int = 2,
-                 table: String = "documents"): String = {
+  /** SCORE the corpus with the trained model: per-language confusion
+    * counts (n_docs, predicted-positive, true-positive-at-0.5) — the
+    * audit a curation rollout reads before trusting the filter. One more
+    * margin pass with the final weights; thresholding at 1/2 is an exact
+    * compare on the q9 grid. Documents with no features have no margin
+    * and are excluded (same inner join in the oracle). */
+  def lrScore(docs: DataFrame, buckets: Int = 256, iters: Int = 3): DataFrame = {
+    val feats = TextOps.hashFeatures(docs, buckets)
+    val w = lrTrain(docs, buckets, iters)
+    val margins = feats.join(broadcast(w.withColumnRenamed("w9", "w")), "bucket")
+      .groupBy("doc_id")
+      .agg(expr(Parity.fpSum("w * cnt")).as("margin"))
+    margins
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .selectExpr("lang", s"$pExpr as p")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("case when p > 5e-1 then 1 else 0 end")).as("n_pred_en"))
+      .withColumn("is_en", expr("case when lang = 'en' then 1 else 0 end").cast("long"))
+  }
+
+  /** Shared CTE chain: features f, labels, doc count, and the unrolled
+    * weight iteration w0..w`iters`. */
+  private def lrCtes(buckets: Int, iters: Int, lrNum: Int, lrDen: Int,
+                     table: String): String = {
     val sb = new StringBuilder
     sb ++= s"with f as (${TextOps.hashFeaturesSql(buckets, table)}), "
     sb ++= s"lab as (select doc_id, case when lang = 'en' then 1e0 else 0e0 end as y from $table), "
@@ -80,7 +101,27 @@ object Classifier {
         s"(w - ($lrNum / ${lrDen}e0) * (g / (cast(n_docs as double) + 0e0))) as w " +
         s"from w${k - 1} join g$k using (bucket) cross join nd)"
     }
-    sb ++= s" select bucket, ${Parity.q9("w")} as w9 from w$iters"
     sb.toString
   }
+
+  /** DuckDB mirror of [[lrScore]]. */
+  def lrScoreSql(buckets: Int = 256, iters: Int = 3,
+                 table: String = "documents"): String =
+    lrCtes(buckets, iters, 1, 2, table) +
+      s", wf as (select bucket, ${Parity.q9("w")} as w from w$iters)" +
+      s", sm as (select doc_id, ${Parity.fpSum("w * cnt")} as margin " +
+      "from f join wf using (bucket) group by doc_id)" +
+      s", sp as (select lang, $pExpr as p " +
+      s"from sm join (select doc_id, lang from $table) d using (doc_id))" +
+      " select lang, cast(count(*) as bigint) as n_docs, " +
+      "cast(sum(case when p > 5e-1 then 1 else 0 end) as bigint) as n_pred_en, " +
+      "cast(case when lang = 'en' then 1 else 0 end as bigint) as is_en " +
+      "from sp group by lang"
+
+  /** DuckDB mirror of [[lrTrain]] — the unrolled iteration. */
+  def lrTrainSql(buckets: Int = 256, iters: Int = 3,
+                 lrNum: Int = 1, lrDen: Int = 2,
+                 table: String = "documents"): String =
+    lrCtes(buckets, iters, lrNum, lrDen, table) +
+      s" select bucket, ${Parity.q9("w")} as w9 from w$iters"
 }
