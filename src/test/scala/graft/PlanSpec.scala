@@ -160,6 +160,21 @@ class PlanSpec extends SparkSpec {
     assert(rn >= 2, s"expected the local (lang,pid) prune + final window (got $rn):\n$p")
   }
 
+  test("mix plan broadcasts the rate table; only lang aggregates shuffle") {
+    val p = plan(SparkEntry.queries("mix_plan")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), s"rate thresholds must broadcast onto the corpus:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= exchanges - 1, s"expected map-side combine before the lang shuffles:\n$p")
+  }
+
+  test("hash features: one exchange, map-side combined") {
+    val p = plan(graft.operators.TextOps.hashFeatures(
+      Tables.read(spark, sf("sf0.001"), "documents")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count"), s"expected map-side combine before the (doc,bucket) shuffle:\n$p")
+  }
+
   test("temperature resampling broadcasts the rate table; the corpus never shuffles") {
     val p = plan(SparkEntry.queries("sample_temperature")(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n$p")

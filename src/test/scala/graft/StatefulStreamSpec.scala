@@ -132,6 +132,51 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("checkpoint restart: a stopped-and-restarted stateful query recovers state exactly once") {
+    // the fault-tolerance contract a cluster deploy relies on: run the
+    // stateful EWMA over HALF the events to a parquet sink with a
+    // checkpoint, STOP the query (simulating a crash/redeploy), drop the
+    // second half into the source, restart from the SAME checkpoint —
+    // the union of both runs' emissions must equal the batch answer
+    // exactly (state recovered, no duplicates, no gaps)
+    import spark.implicits._
+    val sfDir = sf("sf0.001")
+    val all = Tables.read(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._3, t._2))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ck_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rst_out_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_rst_src_").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id bigint, event_id bigint, ts bigint, value double")
+    def stage(rows: Seq[(Long, Long, Long, Double)], part: String): Unit =
+      rows.toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$part")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+      val q = EventStream.ewmaStream(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(b1.toSeq, "p1")
+    runOnce() // first run: half the events, then "crash"
+    stage(b2.toSeq, "p2")
+    runOnce() // restart from the same checkpoint
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "us", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length == streamed.toSet.size, "duplicate emissions after restart")
+    val batch = SparkEntry.queries("q_ewma")(spark, sfDir)
+      .select("event_id", "us", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.toSet == batch)
+  }
+
   test("stateful EWMA reproduces the batch lag windows bit-for-bit, incl. across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
