@@ -136,6 +136,13 @@ object Pq {
           (qIds(qi), id, s)
       }
     }).toDF("q_id", "n_id", "dist")
+    perQueryTopK(pairs, k)
+  }
+
+  /** Two-phase per-query top-k by (dist asc, n_id asc) — the
+    * [[Sampling.stratified]] pattern: the partition-local prune is
+    * lossless, so the per-query sort runs over ≤ partitions·k rows. */
+  private def perQueryTopK(pairs: DataFrame, k: Int): DataFrame = {
     val local = pairs
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(
@@ -229,16 +236,7 @@ object Pq {
           (qIds(qi), id, s)
       }
     }).toDF("q_id", "n_id", "dist")
-    val local = pairs
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy("q_id", "pid").orderBy(col("dist").asc, col("n_id").asc)))
-      .filter(col("lrn") <= k)
-      .drop("pid", "lrn")
-    local
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
-      .filter(col("rn") <= k)
+    perQueryTopK(pairs, k)
   }
 
   /** DuckDB mirror of [[ivfAdcTopK]] — the `ann_ivf_label` probe CTEs
