@@ -737,31 +737,9 @@ object QueriesOlap {
             "else (vw / 1048576e0) / cast(held_ms as double) end"))
         .select("user_id", "hour", "n_events", "held_ms", "twap")
     }),
-    // exponentially-weighted moving average over each user's last 8
-    // events, decay 1/2 — the trailing-feature op of event feature
-    // engineering. Weights are POWERS OF TWO over fixed-point values, so
-    // numerator and denominator are exact BIGINTs (no float-order
-    // dependence); the 8 lags share one window spec → one shuffle + one
-    // sort. ewma = (Σ 2^(7-k)·v_fp[i-k]) / (Σ 2^(7-k) present) / 2^20,
-    // missing history simply drops terms (first events average over a
-    // shorter tail)
-    "q_ewma" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("tsu").asc, col("event_id").asc)
-      val withLags = (1 until 8).foldLeft(
-        Tables.read(s, dir, "events")
-          .withColumn("tsu", expr("ts div 1000"))
-          .withColumn("v_fp", expr("cast(floor(value * 1048576e0 + 5e-1) as bigint)"))
-          .withColumn("l0", col("v_fp"))) {
-        (df, k) => df.withColumn(s"l$k", lag(col("v_fp"), k).over(w))
-      }
-      val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
-      val den = (0 until 8).map(k => s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
-      withLags
-        .withColumn("ewma", expr(
-          s"cast(($num) as double) / cast(($den) as double) / 1048576e0"))
-        .select(col("user_id"), col("event_id"), col("tsu").as("us"), col("ewma"))
-    }),
+    // exponentially-weighted moving average (EventOps.ewma — power-of-two
+    // weights over fixed-point values, exact BIGINT num/den, one shuffle)
+    "q_ewma" -> ((s, dir) => EventOps.ewma(Tables.read(s, dir, "events"))),
     // range-clustered sorted layout: lineitem rewritten
     // repartitionByRange + sortWithinPartitions on ship date, then a
     // date-range query over the result. The time-series layout story at

@@ -37,6 +37,8 @@ object ScaleStress {
     if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
     if (args.headOption.contains("bpe")) { bpeStress(args.drop(1)); return }
     if (args.headOption.contains("pq")) { pqStress(args.drop(1)); return }
+    if (args.headOption.contains("events")) { eventsStress(args.drop(1)); return }
+    if (args.headOption.contains("lr")) { lrStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -331,6 +333,53 @@ object ScaleStress {
     val rows = graft.operators.Pq.adcTopK(blown, k = 10, queryEvery = 50 * replicas).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"ann_pq","replicas":$replicas,"vecs":$n,"out_rows":$rows,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Events-window stress: replicate the event stream M× with FRESH
+    * user_ids (per-user history length stays constant — the realistic
+    * growth axis: more users, not longer histories) and run the EWMA lag
+    * chain. Claim under test: per-user window partitions are constant-
+    * sized, the 8 lags share one shuffle+sort, so throughput (events/s)
+    * holds or improves as users multiply. */
+  private def eventsStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val events = graft.sources.Tables.read(spark, sfDir, "events")
+    val blown = events.select(col("event_id"), col("ts"), col("value"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"),
+        col("user_id"))
+      .select((col("user_id") * replicas + col("r")).as("user_id"),
+        (col("event_id") * replicas + col("r")).as("event_id"),
+        col("ts"), col("value"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val rows = graft.operators.EventOps.ewma(blown).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"q_ewma","replicas":$replicas,"events":$n,"out_rows":$rows,"sec":$sec%.2f,"events_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** LR-training stress: replicate the corpus M× (fresh doc_ids) and run
+    * the 3-iteration full-batch GD. Claim under test: per-iteration cost
+    * is one pass over the sparse feature stream plus bucket-sized
+    * aggregates, so docs/s holds or improves as the corpus grows (the
+    * weight vector and gradients stay 256 rows at any scale). */
+  private def lrStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"), col("lang"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        col("text"), col("lang"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Classifier.lrTrain(blown).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"lr_train","replicas":$replicas,"docs":$n,"weights":$rows,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 }

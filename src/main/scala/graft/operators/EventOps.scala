@@ -178,4 +178,32 @@ object EventOps {
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), min("ts").as("ts_min"), max("ts").as("ts_max"))
   }
+
+  /** Exponentially-weighted moving average over each user's last 8
+    * events, decay 1/2 — the trailing-feature op of event feature
+    * engineering. Weights are POWERS OF TWO over fixed-point values, so
+    * numerator and denominator are exact BIGINTs (no float-order
+    * dependence); the 8 lags share one window spec → one shuffle + one
+    * sort. ewma = (Σ 2^(7-k)·v_fp[i-k]) / (Σ 2^(7-k) present) / 2^20;
+    * missing history drops terms (first events average a shorter tail).
+    * The streaming twin is [[graft.streaming.EventStream.ewmaStream]]. */
+  def ewma(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val withLags = (1 until 8).foldLeft(
+      events
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("v_fp", expr("cast(floor(value * 1048576e0 + 5e-1) as bigint)"))
+        .withColumn("l0", col("v_fp"))) {
+      (df, k) => df.withColumn(s"l$k", lag(col("v_fp"), k).over(w))
+    }
+    val num = (0 until 8).map(k => s"coalesce(l$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"case when l$k is not null then ${1L << (7 - k)} else 0 end").mkString(" + ")
+    withLags
+      .withColumn("ewma", expr(
+        s"cast(($num) as double) / cast(($den) as double) / 1048576e0"))
+      .select(col("user_id"), col("event_id"), col("tsu").as("us"), col("ewma"))
+  }
 }
