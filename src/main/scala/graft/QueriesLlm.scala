@@ -38,6 +38,10 @@ object QueriesLlm {
     // per-document token statistics
     "text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))),
+    // per-doc character Shannon entropy — the compression-ratio quality
+    // signal (fixed-point log2 terms, codepoint-exact counts)
+    "text_entropy" -> ((s, dir) =>
+      TextOps.charEntropy(Tables.read(s, dir, "documents"))),
     // feature-hashing vectorizer: tokens → 256 fixed slots, sparse
     // long-format counts (classifier featurization with no vocabulary)
     "text_hash_features" -> ((s, dir) =>
@@ -550,6 +554,7 @@ object QueriesLlm {
         .stripMargin.replace("\n", " "),
     "text_stats" -> statsDuck,
     "text_hash_features" -> TextOps.hashFeaturesSql(),
+    "text_entropy" -> TextOps.charEntropySql(),
     "lr_train" -> graft.operators.Classifier.lrTrainSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "text_quality" ->

@@ -712,6 +712,47 @@ object TextOps {
        |order by pmi_fp desc, w1 asc, w2 asc limit $k"""
       .stripMargin.replace("\n", " ")
 
+  /** Per-document character Shannon entropy — the compression-ratio
+    * stand-in quality signal (near-zero = repeated filler, near-log2 of
+    * the alphabet = random junk; natural text sits in a narrow band).
+    * Both engines' `length`/`substring` count codepoints, counts and
+    * ratios are exact, and the `log2` terms ride [[Parity.fpSum]], so
+    * the score is deterministic (the usual ~per-term ulp flip risk).
+    * Empty documents have no distribution and are excluded by the shared
+    * `length >= 1` predicate. Two map-side-combined aggregates; shuffle
+    * volume is (doc × distinct-char)-sized. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val term = "(cast(c as double) / cast(len as double)) * " +
+      "log2(cast(c as double) / cast(len as double))"
+    docs
+      .filter(expr("length(text) >= 1"))
+      .select(col("doc_id"), expr("length(text)").cast("long").as("len"),
+        explode(expr("transform(sequence(1, cast(length(text) as int)), " +
+          "i -> substring(text, i, 1))")).as("ch"))
+      .groupBy("doc_id", "len", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        expr(s"(0e0 - ${graft.oracle.Parity.fpSum(term)}) as entropy"))
+      .select(col("doc_id"), col("len").as("n_chars_e"),
+        col("n_distinct_chars"), col("entropy"))
+  }
+
+  /** DuckDB mirror of [[charEntropy]]. */
+  def charEntropySql(table: String = "documents"): String = {
+    val term = "(cast(c as double) / cast(len as double)) * " +
+      "log2(cast(c as double) / cast(len as double))"
+    s"""with d as (select doc_id, text, cast(length(text) as bigint) as len
+       |  from $table where length(text) >= 1),
+       |ix as (select doc_id, text, len, unnest(generate_series(1, len)) as i from d),
+       |cnt as (select doc_id, len, substring(text, i, 1) as ch,
+       |  cast(count(*) as bigint) as c from ix group by 1, 2, 3)
+       |select doc_id, len as n_chars_e,
+       | cast(count(*) as bigint) as n_distinct_chars,
+       | (0e0 - ${graft.oracle.Parity.fpSum(term)}) as entropy
+       |from cnt group by doc_id, len""".stripMargin.replace("\n", " ")
+  }
+
   /** Feature-hashing vectorizer (the hashing trick, public):
     * every token hashes into one of `buckets` fixed feature slots and
     * the document becomes a sparse count vector — the featurization a
