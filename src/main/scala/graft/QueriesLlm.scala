@@ -190,6 +190,10 @@ object QueriesLlm {
     // that repeat anywhere in the corpus
     "dedup_lines" -> ((s, dir) =>
       Dedup.lineDedup(Tables.read(s, dir, "documents"))),
+    // incremental dedup: today's shard vs the historical fingerprint
+    // index + within-batch keeper — per-doc kept/dup_history/dup_batch
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incremental(Tables.read(s, dir, "documents"))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -481,6 +485,7 @@ object QueriesLlm {
     "sketch_heavy" -> TextOps.cmsHeavySql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),
+    "dedup_incremental" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),

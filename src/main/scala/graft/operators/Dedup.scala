@@ -530,6 +530,46 @@ object Dedup {
        | md5(coalesce(string_agg(case when rn = 1 then line end, ' ' order by line_idx), '')) as kept_fp
        |from r group by doc_id""".stripMargin.replace("\n", " ")
 
+  /** INCREMENTAL dedup — the production shape: a new shard (today's
+    * crawl) deduplicates against the fingerprint index of everything
+    * already ingested, plus within itself (first occurrence kept).
+    * Every incoming document gets a verdict: `kept`, `dup_history`
+    * (fingerprint already in the index), or `dup_batch` (an earlier
+    * incoming doc has the same fingerprint).
+    *
+    * Scale shape: the history side ships ONLY distinct fingerprints
+    * (16-byte md5s, no text), the join keys on fp, and AQE picks the
+    * strategy — for a day-sized increment against a corpus-sized index
+    * the fp join shuffles both sides hash-partitioned, and a bloom
+    * prescreen ([[decontaminateBloom]]'s pattern) can cut the history
+    * probe further. The within-batch keeper is a min-per-fp window over
+    * the (small) incoming shard. Here the "history" is the deterministic
+    * 4/5 of documents by id, the increment the remaining 1/5. */
+  def incremental(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val hist = docs.filter(expr("doc_id % 5 < 4"))
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("seen", lit(1L))
+    docs.filter(expr("doc_id % 5 >= 4"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("keeper", min("doc_id").over(w))
+      .join(hist, Seq("fp"), "left")
+      .selectExpr("doc_id", "fp",
+        "case when seen is not null then 'dup_history' " +
+          "when doc_id <> keeper then 'dup_batch' else 'kept' end as status")
+  }
+
+  /** DuckDB mirror of [[incremental]]. */
+  def incrementalSql(table: String = "documents"): String =
+    s"""with h as (select distinct md5(text) as fp, 1 as seen from $table
+       |  where doc_id % 5 < 4),
+       |inc as (select doc_id, md5(text) as fp from $table where doc_id % 5 >= 4),
+       |k as (select doc_id, fp, min(doc_id) over (partition by fp) as keeper from inc)
+       |select doc_id, k.fp,
+       | case when seen is not null then 'dup_history'
+       |  when doc_id <> keeper then 'dup_batch' else 'kept' end as status
+       |from k left join h on k.fp = h.fp""".stripMargin.replace("\n", " ")
+
   /** Cross-document duplicated-span fraction — the exact-substring dedup
     * signal (the "dedup training data" pass at shingle resolution, vs
     * [[lineDedup]]'s disjoint lines and TextOps.repetition's INTRA-doc
