@@ -596,6 +596,25 @@ object QueriesOlap {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
+    // small-files compaction: a fragmented table (32 shard files — the
+    // streaming-ingest debris every lakehouse accumulates) rewritten
+    // into 4 right-sized files with coalesce (no shuffle: file merge is
+    // a read-side concat), then queried. The aggregate is layout-
+    // independent (that's what makes it oracle-checkable); the file-count
+    // drop itself is asserted in OperatorsSpec
+    "sink_compact" -> ((s, dir) => {
+      val frag = java.nio.file.Files.createTempDirectory("graft_frag_").toString
+      val compact = java.nio.file.Files.createTempDirectory("graft_comp_").toString
+      Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4)
+        .write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), expr(fpSum("l_quantity")).as("sum_qty"))
+    }),
     // TPC-H Q8 shape: a nation's market share of one region's revenue
     // per order year — the fact resolves BOTH endpoints (customer side
     // gates the region, supplier side labels the competitor), and the
@@ -1143,6 +1162,10 @@ object QueriesOlap {
         |from documents where lang = 'en' group by source"""
         .stripMargin.replace("\n", " "),
     "q_grouping_sets" -> groupingSetsSql("lineitem"),
+    "sink_compact" ->
+      s"""select l_returnflag, cast(count(*) as bigint) as n,
+         | ${fpSum("l_quantity")} as sum_qty
+         |from lineitem group by l_returnflag""".stripMargin.replace("\n", " "),
     "fuzzy_pairs" -> graft.operators.TextOps.fuzzyPairsSql("part", "p_name"),
     "graph_pagerank" -> graft.operators.Graph.pageRankSql(),
     "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",

@@ -567,6 +567,20 @@ class OperatorsSpec extends SparkSpec {
     val s = r.groupBy("vec_id").agg(sum($"nv" * $"nv").as("s")).collect()
     s.foreach(x => assert(math.abs(x.getDouble(1) - 1.0) < 1e-12))
   }
+
+  test("compaction collapses a fragmented table to the target file count, same rows") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_fragspec_").toString
+    val compact = java.nio.file.Files.createTempDirectory("graft_compspec_").toString
+    val src = graft.sources.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    def parts(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts(frag) == 32)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    assert(parts(compact) == 4, s"expected 4 compacted files, got ${parts(compact)}")
+    assert(spark.read.parquet(compact).count() == src.count())
+  }
 }
 
 object TestOpsHelper {
