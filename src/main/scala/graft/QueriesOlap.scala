@@ -759,6 +759,24 @@ object QueriesOlap {
     // exponentially-weighted moving average (EventOps.ewma — power-of-two
     // weights over fixed-point values, exact BIGINT num/den, one shuffle)
     "q_ewma" -> ((s, dir) => EventOps.ewma(Tables.read(s, dir, "events"))),
+    // last-touch attribution: every purchase credited to the same user's
+    // most recent PRIOR click — the IGNORE NULLS last_value window (the
+    // one frame primitive the rest of the surface doesn't exercise);
+    // integer ids and µs epochs only, so no float surface at all
+    "q_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.read(s, dir, "events")
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("click_id",
+          last(expr("case when event_type = 'click' then event_id end"), ignoreNulls = true).over(w))
+        .withColumn("click_us",
+          last(expr("case when event_type = 'click' then ts div 1000 end"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tsu").as("purchase_us"), col("click_id"), col("click_us"))
+    }),
     // range-clustered sorted layout: lineitem rewritten
     // repartitionByRange + sortWithinPartitions on ship date, then a
     // date-range query over the result. The time-series layout story at
@@ -1299,6 +1317,19 @@ object QueriesOlap {
          | and l_quantity < 24e0""".stripMargin.replace("\n", " "),
     "q_ewma" -> ewmaSql,
     "stream_ewma" -> ewmaSql,
+    "q_last_touch" ->
+      """select user_id, event_id as purchase_id, tsu as purchase_us,
+        | click_id, click_us
+        |from (select user_id, event_id, event_type, tsu,
+        |  last_value(case when event_type = 'click' then event_id end ignore nulls)
+        |   over (partition by user_id order by tsu asc, event_id asc
+        |    rows between unbounded preceding and 1 preceding) as click_id,
+        |  last_value(case when event_type = 'click' then tsu end ignore nulls)
+        |   over (partition by user_id order by tsu asc, event_id asc
+        |    rows between unbounded preceding and 1 preceding) as click_us
+        | from (select user_id, event_id, event_type,
+        |   epoch_ns(ts) // 1000 as tsu from events) b) w
+        |where event_type = 'purchase'""".stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       s"""with rev as (select l_suppkey as supplier_no,
          |  ${fpSum("l_extendedprice * (1e0 - l_discount)")} as total_revenue
