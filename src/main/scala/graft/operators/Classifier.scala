@@ -35,12 +35,11 @@ object Classifier {
   /** Train `iters` full-batch GD steps of P(lang = 'en' | hashed tokens);
     * returns the final weight vector (bucket, w9) with w9 on the q9 grid
     * for a stable dump. */
-  def lrTrain(docs: DataFrame, buckets: Int = 256, iters: Int = 3,
-              lrNum: Int = 1, lrDen: Int = 2): DataFrame = {
-    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
-    val labels = docs.selectExpr("doc_id",
-      "case when lang = 'en' then 1e0 else 0e0 end as y")
-    val nDocs = docs.count()
+  /** The GD loop over a prepared (checkpointed) feature stream — shared
+    * by [[lrTrain]] and [[lrScore]] so scoring never pays a second
+    * tokenize+hash pass over the corpus. */
+  private def trainOnFeats(feats: DataFrame, labels: DataFrame, nDocs: Long,
+                           iters: Int, lrNum: Int, lrDen: Int): DataFrame = {
     var w = feats.select(col("bucket")).distinct()
       .withColumn("w", expr("0e0")).localCheckpoint()
     for (_ <- 1 to iters) {
@@ -57,7 +56,17 @@ object Classifier {
           s"(w - ($lrNum / ${lrDen}e0) * (g / ${nDocs}e0)) as w")
         .localCheckpoint()
     }
-    w.selectExpr("bucket", s"${Parity.q9("w")} as w9")
+    w
+  }
+
+  private def labelsOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "case when lang = 'en' then 1e0 else 0e0 end as y")
+
+  def lrTrain(docs: DataFrame, buckets: Int = 256, iters: Int = 3,
+              lrNum: Int = 1, lrDen: Int = 2): DataFrame = {
+    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
+    trainOnFeats(feats, labelsOf(docs), docs.count(), iters, lrNum, lrDen)
+      .selectExpr("bucket", s"${Parity.q9("w")} as w9")
   }
 
   /** SCORE the corpus with the trained model: per-language confusion
@@ -67,9 +76,10 @@ object Classifier {
     * compare on the q9 grid. Documents with no features have no margin
     * and are excluded (same inner join in the oracle). */
   def lrScore(docs: DataFrame, buckets: Int = 256, iters: Int = 3): DataFrame = {
-    val feats = TextOps.hashFeatures(docs, buckets)
-    val w = lrTrain(docs, buckets, iters)
-    val margins = feats.join(broadcast(w.withColumnRenamed("w9", "w")), "bucket")
+    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
+    val w = trainOnFeats(feats, labelsOf(docs), docs.count(), iters, 1, 2)
+      .selectExpr("bucket", s"${Parity.q9("w")} as w")
+    val margins = feats.join(broadcast(w), "bucket")
       .groupBy("doc_id")
       .agg(expr(Parity.fpSum("w * cnt")).as("margin"))
     margins

@@ -458,9 +458,12 @@ object Dedup {
     * carries ONLY duplicated hashes (cnt > 1), which after exact-dedup is
     * a small fraction of the corpus, so AQE can broadcast it; document
     * text itself shuffles once, keyed by doc_id, for the reassembly. */
-  def lineDedup(docs: DataFrame, lineTokens: Int = 10,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lines = docs
+  /** Fixed-token "lines" of every document: (idCol, line_idx, line, fp).
+    * The one line-windowing rule shared by [[lineDedup]] and
+    * [[withinDocDedup]] (and mirrored once in [[linesCteSql]]). */
+  private def tokenLines(docs: DataFrame, lineTokens: Int,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
       .select(col(idCol), expr(s"split(trim($textCol), ' ')").as("words"))
       .select(col(idCol), expr(
         s"explode(transform(sequence(0, cast((size(words) + ${lineTokens - 1}) div $lineTokens as int) - 1), " +
@@ -468,6 +471,19 @@ object Dedup {
           s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"))
       .select(col(idCol), col("l.line_idx").as("line_idx"), col("l.line").as("line"))
       .withColumn("fp", md5(col("line")))
+
+  /** `d`/`l` CTE pair producing the identical lines in DuckDB. */
+  private def linesCteSql(lineTokens: Int, table: String): String =
+    s"""d as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |l as (select doc_id, i as line_idx,
+       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
+       | from (select doc_id, words,
+       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d))"""
+      .stripMargin
+
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = tokenLines(docs, lineTokens, textCol, idCol)
     val dupFps = lines.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
     lines.join(dupFps, Seq("fp"), "left")
@@ -498,15 +514,7 @@ object Dedup {
   def withinDocDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "fp").orderBy("line_idx")
-    docs
-      .select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
-        s"explode(transform(sequence(0, cast((size(words) + ${lineTokens - 1}) div $lineTokens as int) - 1), " +
-          s"i -> struct(cast(i as bigint) as line_idx, " +
-          s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"))
-      .select(col("doc_id"), col("l.line_idx").as("line_idx"), col("l.line").as("line"))
-      .withColumn("fp", md5(col("line")))
+    tokenLines(docs.repartition(col("doc_id")), lineTokens)
       .withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -518,11 +526,7 @@ object Dedup {
 
   /** DuckDB mirror of [[withinDocDedup]]. */
   def withinDocDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
-    s"""with d as (select doc_id, string_split(trim(text), ' ') as words from $table),
-       |l as (select doc_id, i as line_idx,
-       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
-       | from (select doc_id, words,
-       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+    s"""with ${linesCteSql(lineTokens, table)},
        |r as (select doc_id, line_idx, line,
        |  row_number() over (partition by doc_id, md5(line) order by line_idx) as rn from l)
        |select doc_id, cast(count(*) as bigint) as n_lines,
@@ -619,11 +623,7 @@ object Dedup {
        |group by doc_id""".stripMargin.replace("\n", " ")
 
   def lineDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
-    s"""with d as (select doc_id, string_split(trim(text), ' ') as words from $table),
-       |l as (select doc_id, i as line_idx,
-       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
-       | from (select doc_id, words,
-       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+    s"""with ${linesCteSql(lineTokens, table)},
        |lf as (select doc_id, line_idx, line, md5(line) as fp from l),
        |dups as (select fp, cast(count(*) as bigint) as cnt from lf
        |  group by fp having count(*) > 1)

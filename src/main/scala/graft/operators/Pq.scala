@@ -185,6 +185,14 @@ object Pq {
 
   /** `src` must expose (vec_id, embedding [, extra keys named in
     * `keep`]); emits ce/cd/codes CTEs carrying vec_id + keep. */
+  /** ADC distance: left-associated sum of per-subvector code lookups —
+    * the association order is parity-load-bearing and shared by adcSql,
+    * ivfAdcSql, and the JVM kernels. */
+  private val adcLookup: String = (0 until m).map { j =>
+    val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
+    s"(case c$j $whens end)"
+  }.reduce((a, b) => s"($a + $b)")
+
   private def codesCte(src: String, keep: String = ""): String =
     s"ce as (select vec_id$keep, $extractCols from ($src) s0), " +
       s"cd as (select vec_id$keep, $distCols from ce), " +
@@ -210,12 +218,18 @@ object Pq {
                  nprobe: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val embF = emb.filter(size(col("embedding")) === dim)
     val probed: Map[Long, Set[Long]] =
-      Similarity.labelProbes(emb, queryEvery, nprobe)
+      Similarity.labelProbes(embF, queryEvery, nprobe)
         .select("q_id", "cl").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, cls) => q -> cls.map(_._2).toSet }
-    val vecs = Similarity.withNorm(emb).filter(col("norm") > 0.0)
+    // norm > 0 alone does NOT exclude short vectors (a self-dot has
+    // equal lengths, so chain_dot returns a finite norm) — the kernel
+    // needs the explicit dim guard of the Pq contract, so the WHOLE
+    // pipeline (centroids, probes, candidates) runs on the dim-filtered
+    // table, mirrored in the oracle's cg/nn CTEs
+    val vecs = Similarity.withNorm(embF).filter(col("norm") > 0.0)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
         col("label").cast("long"))
       .as[(Long, Array[Float], Long)]
@@ -246,20 +260,17 @@ object Pq {
     val dotSelf = Parity.dot(Parity.DuckD, "embedding", "embedding", dim)
     val dotCC = Parity.dot(Parity.DuckD, "centroid", "centroid", dim)
     val dotQC = Parity.dot(Parity.DuckD, "q_emb", "centroid", dim)
-    val lookup = (0 until m).map { j =>
-      val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
-      s"(case c$j $whens end)"
-    }.reduce((a, b) => s"($a + $b)")
-    s"""with cg as (select cast(label as bigint) as cl, i as d,
+    s"""with tf as (select * from $table where len(embedding) = $dim),
+       |cg as (select cast(label as bigint) as cl, i as d,
        |  cast(count(*) as bigint) as n,
        |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
-       | from $table, generate_series(1, $dim) t(i) group by cl, i),
+       | from tf, generate_series(1, $dim) t(i) group by cl, i),
        |cent as (select cl, list(cv order by d) as centroid from
        |  (select cl, d, vs / cast(n as double) as cv from cg) group by cl),
        |cn as (select * from (select cl, centroid, sqrt($dotCC) as c_norm from cent)
        |  where c_norm > 0e0),
        |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
-       |   sqrt($dotSelf) as norm from $table) where norm > 0e0),
+       |   sqrt($dotSelf) as norm from tf) where norm > 0e0),
        |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
        |  where vec_id % $queryEvery = 0),
        |probes as (select q_id, cl from (
@@ -271,7 +282,7 @@ object Pq {
        |qe as (select q_id, $extractCols from
        |  (select q_id, q_emb as embedding from q) s1),
        |qd as (select q_id, $distCols from qe),
-       |pairs as (select p.q_id, codes.vec_id as n_id, $lookup as dist
+       |pairs as (select p.q_id, codes.vec_id as n_id, $adcLookup as dist
        | from probes p
        |  join codes on p.cl = codes.cl and p.q_id <> codes.vec_id
        |  join qd on qd.q_id = p.q_id),
@@ -284,15 +295,11 @@ object Pq {
 
   /** DuckDB mirror of [[adcTopK]]. */
   def adcSql(k: Int = 10, queryEvery: Int = 50, table: String = "embeddings"): String = {
-    val lookup = (0 until m).map { j =>
-      val whens = (0 until ksub).map(c => s"when $c then d_${j}_$c").mkString(" ")
-      s"(case c$j $whens end)"
-    }.reduce((a, b) => s"($a + $b)")
     s"""with ${codesCte(s"select vec_id, embedding from $table where len(embedding) = $dim")},
        |qe as (select vec_id as q_id, $extractCols from $table
        |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
        |qd as (select q_id, $distCols from qe),
-       |pairs as (select q_id, vec_id as n_id, $lookup as dist
+       |pairs as (select q_id, vec_id as n_id, $adcLookup as dist
        |  from codes cross join qd where q_id <> vec_id),
        |ranked as (select q_id, n_id, dist,
        |  row_number() over (partition by q_id order by dist asc, n_id asc) as rn

@@ -151,6 +151,17 @@ object Sampling {
 
   private def mixHash(h: String) = s"(${Parity.cwMix(45, h)} % 1048576)"
 
+  /** Threshold t_l = min(2^20, ⌊budget·parts_l·2^20 / (1024·tokens_l)⌋),
+    * overflow-safely: the saturation case is decided BEFORE any scaling
+    * multiply (budget·parts ≥ 1024·tokens ⇔ the rate would cap at 1),
+    * and the residual product budget·parts·1024 stays under 2^63 for
+    * budgets to ~8.8e15 tokens (vs ~8.8e12 for the naive ·2^20 form —
+    * which Spark would WRAP silently while DuckDB throws). `idiv` is the
+    * dialect's integer division ('div' / '//'). */
+  private def tFpExpr(budget: Long, idiv: String): String =
+    s"(case when cast($budget as bigint) * parts >= 1024 * tok_total then 1048576 " +
+      s"else (cast($budget as bigint) * parts * 1024) $idiv tok_total end)"
+
   /** Data-mix planner: given per-language target weights and a total
     * token budget, compute each language's keep rate and realize the
     * sample — the "hit the training-mix spec" pass that turns a raw
@@ -175,8 +186,7 @@ object Sampling {
       .agg(sum("n_tok").as("tok_total"), count(lit(1)).as("n_docs"))
     val rates = totals
       .withColumn("parts", expr(partsExpr))
-      .withColumn("t_fp", expr(
-        s"least(1048576, (cast($budgetTokens as bigint) * parts * 1048576) div (1024 * tok_total))"))
+      .withColumn("t_fp", expr(tFpExpr(budgetTokens, "div")))
     val sampled = toks
       .join(broadcast(rates.select("lang", "t_fp")), Seq("lang"))
       .filter(col("u") < col("t_fp"))
@@ -197,7 +207,7 @@ object Sampling {
        |tot as (select lang, cast(sum(n_tok) as bigint) as tok_total,
        |  cast(count(*) as bigint) as n_docs from t group by lang),
        |rates as (select lang, n_docs, tok_total, parts,
-       |  least(1048576, (cast($budgetTokens as bigint) * parts * 1048576) // (1024 * tok_total)) as t_fp
+       |  ${tFpExpr(budgetTokens, "//")} as t_fp
        | from (select tot.*, $partsExpr as parts from tot) tp),
        |samp as (select t.lang, cast(count(*) as bigint) as n_sampled,
        |  cast(sum(n_tok) as bigint) as tok_sampled

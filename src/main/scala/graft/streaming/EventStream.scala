@@ -288,7 +288,12 @@ object EventStream {
     * numerator/denominator are the same exact BIGSums divided in the
     * identical IEEE order — so the stream output hash-matches the batch
     * oracle row for row. In-order-delivery contract as
-    * [[anomalyStream]]. */
+    * [[anomalyStream]], at µs RESOLUTION: events must arrive across
+    * micro-batches in (ts div 1000, event_id) order — a µs-tied pair
+    * split across batches in raw-ns order could reach the buffer
+    * reversed relative to the batch window (the specs split on the µs
+    * key for exactly this reason); a production deploy pairs this with
+    * a watermark-bounded reorder buffer. */
   def ewmaStream(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession

@@ -144,7 +144,7 @@ class StatefulStreamSpec extends SparkSpec {
     val all = Tables.read(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy(t => (t._3, t._2))
+      .sortBy(t => (t._3 / 1000L, t._2)) // µs order: the batch window sorts by (ts div 1000, event_id)
     val (b1, b2) = all.splitAt(all.length / 2)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ck_").toString
     val out = java.nio.file.Files.createTempDirectory("graft_rst_out_").toString
@@ -187,7 +187,7 @@ class StatefulStreamSpec extends SparkSpec {
     val all = Tables.read(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy(t => (t._3, t._2))
+      .sortBy(t => (t._3 / 1000L, t._2)) // µs order: the batch window sorts by (ts div 1000, event_id)
     val (b1, b2) = all.splitAt(all.length / 2)
     val input = MemoryStream[(Long, Long, Long, Double)]
     val qn = "ewma_" + java.util.UUID.randomUUID.toString.replace("-", "")
