@@ -65,6 +65,22 @@ class PqSpec extends SparkSpec {
       flat.get(key).foreach(fd => assert(fd == d, s"$key dist mismatch")) }
   }
 
+  test("pq: malformed (short) embeddings are excluded, never crash the kernels") {
+    import org.apache.spark.sql.functions._
+    // a 32-element non-zero vector: its SELF-dot has equal lengths, so a
+    // norm>0 filter alone would pass it into the kernel (the bug class
+    // the dim guard closes)
+    val short = spark.range(1).select(
+      lit(999999L).cast("int").as("vec_id"),
+      expr("transform(sequence(1, 32), i -> cast(1e0 as float))").as("embedding"),
+      lit(0).as("label"))
+    val poisoned = emb.union(short)
+    val codes = Pq.codes(poisoned)
+    assert(codes.filter(codes("vec_id") === 999999L).count() == 0)
+    val hits = Pq.ivfAdcTopK(poisoned).collect()
+    assert(hits.nonEmpty && !hits.exists(_.getLong(1) == 999999L))
+  }
+
   test("pq codes + adc are partition-invariant (1 vs 13)") {
     for (q <- Seq("emb_pq_codes", "ann_pq", "ann_ivfpq")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
