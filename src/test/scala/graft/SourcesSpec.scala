@@ -21,6 +21,27 @@ class SourcesSpec extends SparkSpec {
     assert(json == rows, "json round-trip")
   }
 
+  test("schema evolution: mergeSchema unifies old and new shard layouts") {
+    // the ingestion reality of a long-lived corpus: yesterday's shards
+    // lack the column today's pipeline adds. mergeSchema must surface
+    // the union schema with NULLs for the missing column, and a
+    // column-pruned read of only the old columns must not touch the new
+    // one at all
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/day=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "day"))
+    val rows = merged.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some("en")))
+    // old-column projection stays readable without the merged schema
+    assert(spark.read.parquet(dir).select("doc_id", "text").count() == 3)
+  }
+
   test("approximate sketches track exact answers (HLL distinct, KLL quantile)") {
     val li = Tables.read(spark, sf("sf0.01"), "lineitem")
     val r = li.agg(
