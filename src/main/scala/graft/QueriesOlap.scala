@@ -450,6 +450,12 @@ object QueriesOlap {
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.read(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey"))),
+    // triangle counting with degree orientation: each triangle generated
+    // once at its (deg, id)-minimum vertex; wedge fan-out bounded by
+    // out-degree (the hub-proof plan). Exact integer counts
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangles(Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey"))),
     // blocked fuzzy self-join (entity resolution): last-token blocking +
     // Levenshtein ≤ 3 over distinct part names — candidate generation is
     // linear in block sizes, never all-pairs
@@ -1186,6 +1192,7 @@ object QueriesOlap {
          |from lineitem group by l_returnflag""".stripMargin.replace("\n", " "),
     "fuzzy_pairs" -> graft.operators.TextOps.fuzzyPairsSql("part", "p_name"),
     "graph_pagerank" -> graft.operators.Graph.pageRankSql(),
+    "graph_triangles" -> graft.operators.Graph.trianglesSql(),
     "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",
