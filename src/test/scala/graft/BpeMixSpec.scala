@@ -100,7 +100,9 @@ class BpeMixSpec extends SparkSpec {
   }
 
   test("bpe / mix plan / within-doc dedup / ewma / lr are partition-invariant (1 vs 13)") {
-    for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma", "lr_train")) {
+    for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma", "lr_train",
+      "text_entropy", "dedup_incremental", "graph_triangles", "q_last_touch",
+      "lr_score", "bpe_encode")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .collect().map(_.toString).sorted.toSeq
       val results = Seq("1", "13").map { p =>
