@@ -724,11 +724,19 @@ object TextOps {
   def charEntropy(docs: DataFrame): DataFrame = {
     val term = "(cast(c as double) / cast(len as double)) * " +
       "log2(cast(c as double) / cast(len as double))"
+    // chars come from ONE split pass: per-index substring(text, i, 1)
+    // re-seeks from the string start every call (UTF-8 is variable
+    // width), which is O(n²) per document — measured 4.1 s at sf0.1 vs
+    // 0.4 s for split+slice. split-by-empty-regex advances by codepoint
+    // (multibyte text matches the oracle's substring chars; edge-gate
+    // checked); Spark's default limit=-1 keeps a trailing empty token,
+    // removed by the codegen'd slice (a filter LAMBDA here runs
+    // interpreted and costs 2.4 s by itself)
     docs
       .filter(expr("length(text) >= 1"))
       .select(col("doc_id"), expr("length(text)").cast("long").as("len"),
-        explode(expr("transform(sequence(1, cast(length(text) as int)), " +
-          "i -> substring(text, i, 1))")).as("ch"))
+        explode(expr(
+          "slice(split(text, ''), 1, cast(length(text) as int))")).as("ch"))
       .groupBy("doc_id", "len", "ch")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "len")
