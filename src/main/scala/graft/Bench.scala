@@ -34,7 +34,15 @@ object Bench {
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // iterative queries (pageRank, BPE, LR, label propagation) pin
+        // their localCheckpoint RDD blocks in the block manager; left
+        // alone they accumulate across the run and slow later queries
+        // (measured: pass-2 pageRank 20 s vs 11 s isolated). A real
+        // deploy's jobs exit their JVMs; the shared-session bench must
+        // clean up between queries instead.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> sec
       }
     }
     val results = selected.keys.map { name =>
