@@ -142,6 +142,13 @@ object QueriesMwu {
       MwuStats.withBH(p, pCol = "p9", outCol = "p_adj")
         .select("feature_id", "grp", "p9", "p_adj")
     }),
+    // Holm step-DOWN (FWER) next to BH's step-up (FDR): prefix-max of
+    // (m−i+1)·p over the same validity-partitioned order
+    "mwu_holm" -> ((s, dir) => {
+      val p = MwuStats.withP(statsDf(s, dir)).withColumn("p9", expr(q9n("p")))
+      MwuStats.withHolm(p, pCol = "p9", outCol = "p_holm")
+        .select("feature_id", "grp", "p9", "p_holm")
+    }),
     // A4+M4 group means and log2 fold change over fixed-point log1p values
     "mwu_lfc" -> ((s, dir) => {
       val cq = liCells(s, dir).withColumn("value", expr(logQuant))
@@ -387,6 +394,10 @@ object QueriesMwu {
     "mwu_bh" -> {
       s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
         MwuStats.bhSql(p9Duck("feature_id, grp"))
+    },
+    "mwu_holm" -> {
+      s"${mwuOracle("lineitem", "l_returnflag", liFeatures)} " +
+        MwuStats.holmSql(p9Duck("feature_id, grp"))
     },
     "mwu_lfc" -> lfcOracle("lineitem", "l_returnflag", liFeatures),
     "mwu_markers" -> markersOracle,

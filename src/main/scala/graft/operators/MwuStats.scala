@@ -112,6 +112,43 @@ object MwuStats {
       .drop("bh_i", "bh_m", "bh_valid")
   }
 
+  /** Holm step-DOWN correction — the FWER sibling of [[withBH]]'s FDR
+    * step-up: p_holm(i) = min(1, max_{j≤i} (m−j+1)·p_(j)) over the valid
+    * rows in (p, feature_id) order. Same NaN/null exclusion discipline;
+    * prefix-max instead of suffix-min, per-rank factor instead of m/i.
+    * Monotone ≥ the BH value by construction (FWER dominates FDR) —
+    * PropertySpec pins it. */
+  def withHolm(pStats: DataFrame, pCol: String = "p", outCol: String = "p_holm"): DataFrame = {
+    val wOrd = Window.partitionBy("grp", "bh_valid").orderBy(col(pCol), col("feature_id"))
+    val wAll = Window.partitionBy("grp", "bh_valid")
+    val wPrefix = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pStats
+      .withColumn("bh_valid", col(pCol).isNotNull && !isnan(col(pCol)))
+      .withColumn("bh_i", row_number().over(wOrd).cast("long"))
+      .withColumn("bh_m", count(lit(1)).over(wAll))
+      .withColumn(outCol, when(col(pCol).isNull, lit(null).cast("double"))
+        .when(isnan(col(pCol)), lit(Double.NaN))
+        .otherwise(least(lit(1.0),
+          max(col(pCol) * (col("bh_m") - col("bh_i") + 1L).cast("double")).over(wPrefix))))
+      .drop("bh_i", "bh_m", "bh_valid")
+  }
+
+  /** DuckDB mirror of [[withHolm]] (the [[bhSql]] pattern). */
+  def holmSql(pSql: String): String =
+    s"""select feature_id, grp, p9,
+       | case when p9 is null or isnan(p9) then p9 else
+       |  least(1.0, max(p9 * cast(bh_m - bh_i + 1 as double)) over (
+       |   partition by grp, bh_valid order by p9 nulls last, feature_id
+       |   rows between unbounded preceding and current row)) end as p_holm
+       |from (
+       | select feature_id, grp, p9,
+       |  (p9 is not null and not isnan(p9)) as bh_valid,
+       |  cast(row_number() over (partition by grp, (p9 is not null and not isnan(p9))
+       |    order by p9 nulls last, feature_id) as bigint) as bh_i,
+       |  cast(count(*) over (partition by grp, (p9 is not null and not isnan(p9))) as bigint) as bh_m
+       | from ($pSql)
+       |)""".stripMargin.replace("\n", " ")
+
   /** Oracle-SQL: U/z/p over a rankSums⋈tieTerm subquery with columns
     * (feature_id, grp, rank_sum, n1, n, tie_term). p is q9-quantized
     * (exp differs by ulps between libms); everything upstream is exact. */

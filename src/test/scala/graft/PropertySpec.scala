@@ -158,4 +158,21 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Holm (FWER) dominates BH (FDR), both bracket [p, 1]") {
+    for ((vals, gs) <- cases(3)) {
+      val multi = (0 to 2).map(k => cellsOf(s"f$k", vals.map(_ + k * 3), gs))
+        .reduce(_ unionAll _)
+      val p = MwuStats.withP(
+        MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(multi))),
+          MwuAgg.tieTerm(multi)))
+      val joined = MwuStats.withHolm(MwuStats.withBH(p))
+        .select("p", "p_adj", "p_holm").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      joined.foreach { case (raw, bh, holm) =>
+        assert(holm >= bh - 1e-15, s"Holm $holm must dominate BH $bh")
+        assert(bh >= raw - 1e-15 && holm <= 1.0 + 1e-15, s"($raw, $bh, $holm)")
+      }
+    }
+  }
 }
