@@ -40,6 +40,7 @@ object ScaleStress {
     if (args.headOption.contains("events")) { eventsStress(args.drop(1)); return }
     if (args.headOption.contains("lr")) { lrStress(args.drop(1)); return }
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
+    if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -221,6 +222,28 @@ object ScaleStress {
     val sec = (System.nanoTime() - t0) / 1e9
     val nodes = out.head.getLong(1)
     println(f"""{"stress":"graph_pagerank","replicas":$replicas,"nodes":$nodes,"sec":$sec%.2f,"nodes_per_sec":${(nodes / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Triangle stress: `replicas` DISJOINT copies of the co-purchase
+    * graph (offset part ids — same trick as [[graphStress]]). Work
+    * should scale linearly in copies (each copy's wedges are
+    * independent) with fixed per-job overhead amortizing — per-edge
+    * throughput holds or improves. */
+  private def triangleStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val blown = li.select(col("l_orderkey"), col("l_partkey"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("l_orderkey") * replicas + col("r")).as("l_orderkey"),
+        (col("l_partkey") + col("r") * 10000000L).as("l_partkey"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.Graph.triangles(blown, topK = 20).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"graph_triangles","replicas":$replicas,"top1_tri":${out.head.getLong(1)},"sec":$sec%.2f}""")
     spark.stop()
   }
 
