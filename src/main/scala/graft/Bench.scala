@@ -40,8 +40,10 @@ object Bench {
         // alone they accumulate across the run and slow later queries
         // (measured: pass-2 pageRank 20 s vs 11 s isolated). A real
         // deploy's jobs exit their JVMs; the shared-session bench must
-        // clean up between queries instead.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // clean up between queries instead — BLOCKING, so the eviction
+        // work lands outside the next query's timed window.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         name -> sec
       }
     }

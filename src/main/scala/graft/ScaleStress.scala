@@ -243,7 +243,8 @@ object ScaleStress {
     val t0 = System.nanoTime()
     val out = graft.operators.Graph.triangles(blown, topK = 20).collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"stress":"graph_triangles","replicas":$replicas,"top1_tri":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    val top1 = out.headOption.map(_.getLong(1)).getOrElse(0L)
+    println(f"""{"stress":"graph_triangles","replicas":$replicas,"top1_tri":$top1,"sec":$sec%.2f}""")
     spark.stop()
   }
 
@@ -436,7 +437,7 @@ object ScaleStress {
         col("l_extendedprice"))
     val dim = li.select(col("l_orderkey"),
         explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
-      .select(expr("case when l_orderkey % 100 < 50 then cast(0 as bigint) " +
+      .select(expr(s"case when l_orderkey % 100 < $hotPct then cast(0 as bigint) " +
         "else l_orderkey * 100 + r end").as("k"))
       .distinct()
     val n = fact.count()

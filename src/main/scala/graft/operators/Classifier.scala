@@ -32,9 +32,6 @@ object Classifier {
   /** sigmoid, q9-quantized — shared text over a `margin` column. */
   private val pExpr = Parity.q9("1e0 / (1e0 + exp(-margin))")
 
-  /** Train `iters` full-batch GD steps of P(lang = 'en' | hashed tokens);
-    * returns the final weight vector (bucket, w9) with w9 on the q9 grid
-    * for a stable dump. */
   /** The GD loop over a prepared (checkpointed) feature stream — shared
     * by [[lrTrain]] and [[lrScore]] so scoring never pays a second
     * tokenize+hash pass over the corpus. */
@@ -62,6 +59,9 @@ object Classifier {
   private def labelsOf(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "case when lang = 'en' then 1e0 else 0e0 end as y")
 
+  /** Train `iters` full-batch GD steps of P(lang = 'en' | hashed tokens);
+    * returns the final weight vector (bucket, w9) with w9 on the q9 grid
+    * for a stable dump. */
   def lrTrain(docs: DataFrame, buckets: Int = 256, iters: Int = 3,
               lrNum: Int = 1, lrDen: Int = 2): DataFrame = {
     val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()

@@ -183,8 +183,6 @@ object Pq {
     s"cast(case least(${ds.mkString(", ")}) $whens end as bigint)"
   }
 
-  /** `src` must expose (vec_id, embedding [, extra keys named in
-    * `keep`]); emits ce/cd/codes CTEs carrying vec_id + keep. */
   /** ADC distance: left-associated sum of per-subvector code lookups —
     * the association order is parity-load-bearing and shared by adcSql,
     * ivfAdcSql, and the JVM kernels. */
@@ -193,6 +191,8 @@ object Pq {
     s"(case c$j $whens end)"
   }.reduce((a, b) => s"($a + $b)")
 
+  /** `src` must expose (vec_id, embedding [, extra keys named in
+    * `keep`]); emits ce/cd/codes CTEs carrying vec_id + keep. */
   private def codesCte(src: String, keep: String = ""): String =
     s"ce as (select vec_id$keep, $extractCols from ($src) s0), " +
       s"cd as (select vec_id$keep, $distCols from ce), " +
