@@ -63,6 +63,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // the 100 TB scan-reduction feature beyond static pruning: the dim
+    // filter's values prune fact PARTITIONS at runtime. Stage lineitem
+    // hive-partitioned by return flag, join against a dim filtered to
+    // one flag, and assert the fact scan carries a dynamicpruning
+    // subquery in its partition filters.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    // DPP requires a SELECTIVE predicate over a real scan on the dim
+    // side (a literal relation constant-folds into a LocalTableScan and
+    // never qualifies), and the default metadata truncation would cut
+    // the PartitionFilters line before the subquery
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppdim_").toString
+    Seq(("A", "keep"), ("N", "drop"), ("R", "drop"))
+      .toDF("flag", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val fact = spark.read.parquet(dir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .groupBy("tag").count()
+    val p = try plan(joined).toLowerCase
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert(p.contains("dynamicpruning"), s"expected a dynamicpruning partition filter:\n$p")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("star join broadcasts the dimension tables") {
     val p = plan(SparkEntry.queries("q_join_revenue")(spark, sf("sf0.001")))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
