@@ -180,6 +180,20 @@ object QueriesOlap {
     }),
     // per-user trailing-window rolling aggregates (exact dyadic sums)
     "q_user_rolling" -> ((s, dir) => EventOps.rolling(Tables.read(s, dir, "events"))),
+    // NATIVE session windows (session_window) — the declarative twin of
+    // the lag+cumsum q_sessions and the flatMapGroupsWithState stream.
+    // Boundary semantics the edge gate caught: Spark merges TOUCHING
+    // windows (gap == 30min still merges; only gap > 30min splits), and
+    // end = last event + gap — the oracle spells exactly that µs
+    // lag/cumsum arithmetic
+    "q_session_window" -> ((s, dir) =>
+      Tables.read(s, dir, "events")
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(w.start)").as("start_us"),
+          expr("unix_micros(w.end)").as("end_us"), col("n_events"))),
     // sliding event-time windows (1h / 15min)
     "q_events_sliding" -> ((s, dir) => EventOps.sliding(Tables.read(s, dir, "events"))),
     // Structured Streaming hourly agg — stream/batch differential: the
@@ -998,6 +1012,18 @@ object QueriesOlap {
     "q_orc_sink" -> EventOps.hourlySql(),
     "q_events_json" -> EventOps.propStatsSql(),
     "q_sessions" -> sessionsOracle,
+    "q_session_window" ->
+      """with e as (select user_id, event_id, epoch_ns(ts) // 1000 as tsu from events),
+        |m as (select user_id, event_id, tsu,
+        |  case when tsu - lag(tsu) over (partition by user_id
+        |    order by tsu, event_id) > 1800000000 then 1 else 0 end as ns from e),
+        |s as (select user_id, tsu, sum(ns) over (partition by user_id
+        |  order by tsu, event_id
+        |  rows between unbounded preceding and current row) as sid from m)
+        |select user_id, cast(min(tsu) as bigint) as start_us,
+        | cast(max(tsu) + 1800000000 as bigint) as end_us,
+        | cast(count(*) as bigint) as n_events
+        |from s group by user_id, sid""".stripMargin.replace("\n", " "),
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
