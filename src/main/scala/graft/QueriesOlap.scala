@@ -214,6 +214,11 @@ object QueriesOlap {
     // q_ewma oracle bit-for-bit
     "stream_ewma" -> ((s, dir) =>
       graft.streaming.EventStream.runEwmaOnce(s, dir)),
+    // stateful streaming TWAP: one pending reading + three accumulators
+    // per user; hours emit exactly when the first later-hour event
+    // arrives (oracle = batch TWAP restricted to complete hours)
+    "stream_twap" -> ((s, dir) =>
+      graft.streaming.EventStream.runTwapOnce(s, dir)),
     // stream-static broadcast enrichment join — oracle is the batch join
     "stream_join" -> ((s, dir) => graft.streaming.EventStream.runJoinOnce(s, dir)),
     // stateful sessionization (flatMapGroupsWithState) — closed sessions
@@ -873,6 +878,29 @@ object QueriesOlap {
       |  order by epoch_ns(ts) desc, event_id desc) as rn from events)
       |where rn = 1""".stripMargin.replace("\n", " ")
 
+  /** Batch TWAP oracle — also the base of stream_twap's complete-hours
+    * restriction. */
+  private lazy val twapSql: String =
+    """select user_id, hour, cast(n_events as bigint) as n_events,
+      | cast(held_ms as bigint) as held_ms,
+      | case when held_ms = 0 then null
+      |  else (vw / 1048576e0) / cast(held_ms as double) end as twap
+      |from (
+      | select user_id, hour, count(*) as n_events, sum(dt_ms) as held_ms,
+      |  cast(sum(v_fp * dt_ms) as bigint) as vw
+      | from (
+      |  select user_id, hour,
+      |   (least(coalesce(next_us, (hour + 1) * 3600000000),
+      |     (hour + 1) * 3600000000) - tsu) // 1000 as dt_ms,
+      |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
+      |  from (
+      |   select user_id, value, epoch_ns(ts) // 1000 as tsu,
+      |    epoch_ns(ts) // 3600000000000 as hour,
+      |    lead(epoch_ns(ts) // 1000) over (partition by user_id
+      |      order by epoch_ns(ts) // 1000 asc, event_id asc) as next_us
+      |   from events))
+      | group by user_id, hour)""".stripMargin.replace("\n", " ")
+
   /** Shared oracle for q_ewma AND stream_ewma (batch lag windows vs
     * last-7 streaming state — identical exact-integer arithmetic). */
   private lazy val ewmaSql: String = {
@@ -1318,26 +1346,18 @@ object QueriesOlap {
         .stripMargin.replace("\n", " "),
     "q_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
-    "q_twap" ->
-      """select user_id, hour, cast(n_events as bigint) as n_events,
-        | cast(held_ms as bigint) as held_ms,
-        | case when held_ms = 0 then null
-        |  else (vw / 1048576e0) / cast(held_ms as double) end as twap
-        |from (
-        | select user_id, hour, count(*) as n_events, sum(dt_ms) as held_ms,
-        |  cast(sum(v_fp * dt_ms) as bigint) as vw
-        | from (
-        |  select user_id, hour,
-        |   (least(coalesce(next_us, (hour + 1) * 3600000000),
-        |     (hour + 1) * 3600000000) - tsu) // 1000 as dt_ms,
-        |   cast(floor(value * 1048576e0 + 5e-1) as bigint) as v_fp
-        |  from (
-        |   select user_id, value, epoch_ns(ts) // 1000 as tsu,
-        |    epoch_ns(ts) // 3600000000000 as hour,
-        |    lead(epoch_ns(ts) // 1000) over (partition by user_id
-        |      order by epoch_ns(ts) // 1000 asc, event_id asc) as next_us
-        |   from events))
-        | group by user_id, hour)""".stripMargin.replace("\n", " "),
+    "q_twap" -> twapSql,
+    "stream_twap" ->
+      // the stream emits a (user, hour) exactly when a later-hour event
+      // arrives — i.e. the batch TWAP restricted to COMPLETE hours
+      // (user's max event µs past the hour end); the open tail stays in
+      // state (the stream_sessions open-session discipline)
+      s"""select t.user_id, t.hour, t.n_events, t.held_ms, t.twap
+         |from ($twapSql) t
+         |join (select user_id, max(epoch_ns(ts) // 1000) as mx
+         |  from events group by user_id) m on t.user_id = m.user_id
+         |where m.mx >= (t.hour + 1) * 3600000000"""
+        .stripMargin.replace("\n", " "),
     "q_latest" -> latestSql,
     "stream_latest" -> latestSql,
     "q_forecast" ->

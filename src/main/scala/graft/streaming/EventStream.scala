@@ -335,6 +335,72 @@ object EventStream {
     runAvailableNow(spark, sfDir, "ewma", "append", ewmaStream)
       .select(col("user_id"), col("event_id"), col("us"), col("ewma"))
 
+  case class TwEv(user_id: Long, event_id: Long, ts: Long, value: Double)
+  case class TwState(lastTsu: Long, lastVfp: Long, n: Long, heldMs: Long, vw: Long)
+  case class TwOut(user_id: Long, hour: Long, n_events: Long, held_ms: Long,
+                   twap: Option[Double])
+
+  /** Streaming twin of the batch `q_twap` query: per-user-hour
+    * time-weighted average, maintained as custom state. Each reading
+    * holds until the next same-user event, clamped to its own hour
+    * boundary — so an event's contribution is finalized the moment its
+    * successor arrives, and an HOUR is complete (and emitted) exactly
+    * when the first event of a LATER hour arrives. The open tail (the
+    * hour of each user's last event) stays in state, so the oracle is
+    * the batch TWAP restricted to complete hours (max event µs ≥ hour
+    * end) — the open-session discipline of `stream_sessions`.
+    *
+    * Bit parity: the state holds the SAME µs timestamps and
+    * floor(value·2^20) integers the batch lead-window arithmetic uses;
+    * held_ms/vw accumulate as exact longs and the final division runs in
+    * the identical IEEE order. State per user is one pending reading +
+    * three accumulators. In-order contract at µs resolution, as
+    * [[ewmaStream]]. */
+  def twapStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hourUs = 3600000000L
+    def fn(key: Long, events: Iterator[TwEv], state: GroupState[TwState]): Iterator[TwOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts / 1000L, e.event_id))
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwOut]
+      sorted.foreach { e =>
+        val tsu = e.ts / 1000L
+        val vfp = math.floor(e.value * 1048576.0 + 0.5).toLong
+        st match {
+          case None =>
+            st = Some(TwState(tsu, vfp, 0L, 0L, 0L))
+          case Some(s0) =>
+            val prevHour = s0.lastTsu / hourUs
+            val hourEnd = (prevHour + 1L) * hourUs
+            val dtMs = (math.min(tsu, hourEnd) - s0.lastTsu) / 1000L
+            var n = s0.n + 1L
+            var held = s0.heldMs + dtMs
+            var vw = s0.vw + s0.lastVfp * dtMs
+            if (tsu / hourUs > prevHour) {
+              out += TwOut(key, prevHour, n, held,
+                if (held == 0L) None else Some((vw / 1048576.0) / held.toDouble))
+              n = 0L; held = 0L; vw = 0L
+            }
+            st = Some(TwState(tsu, vfp, n, held, vw))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+    stream.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[TwEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[twapStream]]. */
+  def runTwapOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "twap", "append", twapStream)
+      .select(col("user_id"), col("hour"), col("n_events"), col("held_ms"), col("twap"))
+
   /** Streaming CDC compaction — the continuously-maintained
     * latest-row-per-key materialized view (the batch `q_latest`
     * WindowGroupLimit, kept incrementally): a complete-mode `max_by`

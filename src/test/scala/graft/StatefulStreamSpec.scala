@@ -177,6 +177,31 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("stateful TWAP: two micro-batches emit exactly what one batch does (state carry)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val all = Tables.read(spark, sf("sf0.001"), "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._3 / 1000L, t._2)) // µs order (the delivery contract)
+    def run(batches: Seq[Seq[(Long, Long, Long, Double)]]): Set[String] = {
+      val input = MemoryStream[(Long, Long, Long, Double)]
+      val qn = "twap_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = EventStream.twapStream(
+          input.toDF().toDF("user_id", "event_id", "ts", "value"))
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(qn).collect().map(_.toString).toSet
+    }
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val once = run(Seq(all.toSeq))
+    val twice = run(Seq(b1.toSeq, b2.toSeq))
+    assert(once.nonEmpty && once == twice)
+  }
+
   test("stateful EWMA reproduces the batch lag windows bit-for-bit, incl. across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
