@@ -104,6 +104,20 @@ object QueriesOlap {
         .agg(count(lit(1)))
         .na.fill(0L)
     }),
+    // ratio-to-report: each (flag, status) cell's share of its flag's
+    // total — the frameless window-aggregate shape (partition sum, no
+    // ordering). The window runs over ALREADY-AGGREGATED fixed-point
+    // BIGINTs, so the partition sum is exact under any evaluation order
+    // and the share is one IEEE division
+    "q_share" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("sum(cast(floor(l_quantity * 1048576e0 + 5e-1) as bigint))").as("qty_fp"))
+        .withColumn("share", expr("cast(qty_fp as double)") / sum("qty_fp").over(w).cast("double"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("(qty_fp / 1048576e0)").as("sum_qty"), col("share"))
+    }),
     // exact interpolated quantiles per group (Spark percentile ≡ DuckDB
     // quantile_cont up to ulps; q6-quantized)
     "q_percentiles" -> ((s, dir) => {
@@ -1359,6 +1373,12 @@ object QueriesOlap {
          |where m.mx >= (t.hour + 1) * 3600000000"""
         .stripMargin.replace("\n", " "),
     "q_latest" -> latestSql,
+    "q_share" ->
+      """select l_returnflag, l_linestatus, (qty_fp / 1048576e0) as sum_qty,
+        | cast(qty_fp as double) / cast(sum(qty_fp) over (partition by l_returnflag) as double) as share
+        |from (select l_returnflag, l_linestatus,
+        |  cast(sum(cast(floor(l_quantity * 1048576e0 + 5e-1) as bigint)) as bigint) as qty_fp
+        | from lineitem group by 1, 2) a""".stripMargin.replace("\n", " "),
     "stream_latest" -> latestSql,
     "q_forecast" ->
       s"""select ${fpSum("l_extendedprice * l_discount")} as revenue,
