@@ -50,6 +50,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = None
         for c in g.columns:
             a, b = g[c], x[c]
+            # A dtype-kind split (int64 vs float64/object) means DuckDB
+            # returned a type pandas had to coerce (e.g. HUGEINT). The
+            # driver's hash compare does NOT coerce, so treat it as a
+            # failure here too instead of papering over it with astype.
+            if a.dtype.kind in "iu" and b.dtype.kind not in "iu":
+                mismatch = (c, -1, f"dtype {a.dtype}", f"dtype {b.dtype}", len(a))
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 eq = (a.astype("float64").values == b.astype("float64").values) | (
                     a.isna().values & b.isna().values)

@@ -391,11 +391,16 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens", "h", "bin")
   }
 
-  /** DuckDB mirror of [[packBins]]. */
+  /** DuckDB mirror of [[packBins]]. The outer `cast(... as bigint)` on
+    * `bin` is load-bearing: DuckDB's window `sum(BIGINT)` returns HUGEINT
+    * and `//` keeps it, so without the cast `bin` is the suite's one
+    * HUGEINT output column — whose client-side conversion (float64 vs
+    * decimal128) varies across DuckDB versions and broke the driver's
+    * hash compare in round 3 while passing locally. */
   def packBinsSql(budget: Int = 256): String = {
     val h = graft.oracle.Parity.cwMix(33,
       graft.oracle.Parity.rollingHashDuck("cast(doc_id as varchar)"))
-    s"""select doc_id, lang, n_tokens, h, (cum - n_tokens) // $budget as bin from (
+    s"""select doc_id, lang, n_tokens, h, cast((cum - n_tokens) // $budget as bigint) as bin from (
        | select doc_id, lang, n_tokens, h,
        |  sum(n_tokens) over (partition by lang order by h asc, doc_id asc
        |    rows between unbounded preceding and current row) as cum
