@@ -80,10 +80,14 @@ object QueriesLlm {
     // the LSH variant)
     "emb_neardup_exact" -> ((s, dir) =>
       Similarity.nearDupExact(Tables.read(s, dir, "embeddings"), threshold = 0.3)),
-    // IVF approximate top-k — coarse-quantizer scale path (rows-only:
-    // the k-means fit is the one SQL-inexpressible estimator)
+    // IVF approximate top-k — coarse-quantizer scale path. The k-means
+    // fit is the one SQL-inexpressible estimator, so the gate row is the
+    // RECALL PROBE: per-query recall@10 of ivfTopK vs the exact
+    // cosineTopK, thresholded (Similarity.ivfRecall scaladoc) — the
+    // oracle reproduces the query-id set and asserts recall_ok on each,
+    // turning the round-3 rows-only carve-out into a hash-checked signal
     "ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
+      Similarity.ivfRecall(Tables.read(s, dir, "embeddings"), k = 10, queryEvery = 50)),
     // IVF with a FIXED coarse quantizer (label partition = inverted file):
     // identical probe/scan machinery, fully hash-checked — the oracle
     // covers centroid build, nprobe selection, and the cell-pruned rerank
@@ -580,6 +584,16 @@ object QueriesLlm {
          |    / (a.norm * b.norm) as cos
          | from nn a join nn b on a.label = b.label and a.vec_id < b.vec_id)
          |where cos >= 3e-1""".stripMargin.replace("\n", " ")
+    },
+    // ann_ivf's oracle: the exact query-id set (same norm>0 universe and
+    // %50 predicate as annCosineSql) with recall_ok asserted true — the
+    // Spark side computes real per-query recall vs cosineTopK, so a
+    // degenerate k-means index (recall floor breached) reds this row
+    "ann_ivf" -> {
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      s"""select vec_id as q_id, true as recall_ok from
+         | (select vec_id, sqrt($dotSelf) as norm from embeddings)
+         |where norm > 0e0 and vec_id % 50 = 0""".stripMargin.replace("\n", " ")
     },
     "ann_cosine" -> annCosineSql(""),
     "ann_filtered" -> annCosineSql(

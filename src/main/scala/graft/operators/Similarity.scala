@@ -158,6 +158,30 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rn")
   }
 
+  /** Driver-gate recall probe for the k-means IVF: per query, the
+    * fraction of the exact [[cosineTopK]] result that [[ivfTopK]]
+    * recovers, thresholded. The recall VALUE is environment-sensitive —
+    * spark.ml's seeded k-means|| init samples per partition, so a
+    * different input partitioning can shift cell boundaries and move a
+    * borderline neighbor in or out — so the oracle-checked output is the
+    * thresholded boolean (constant `true` for every query id when the
+    * index is healthy), not the raw fraction: the driver's DuckDB oracle
+    * reproduces the exact query-id set and asserts `recall_ok` on each.
+    * A degenerate fit (collapsed cells, broken probe selection) drags
+    * per-query recall below the floor and turns the row red — a real
+    * correctness signal where round 3 had a rows-only carve-out. */
+  def ivfRecall(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                nlist: Int = 16, nprobe: Int = 4,
+                threshold: Double = 0.05): DataFrame = {
+    val exact = cosineTopK(emb, k, queryEvery).select("q_id", "n_id")
+    val approx = ivfTopK(emb, k, queryEvery, nlist, nprobe)
+      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
+      .select(col("q_id"), (col("recall") >= threshold).as("recall_ok"))
+  }
+
   /** IVF with a FIXED coarse quantizer: the label partition is the
     * inverted file (cells = per-label fixed-point-mean centroids), so —
     * unlike the k-means [[ivfTopK]] — every step is SQL-expressible and

@@ -294,6 +294,16 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("ivfRecall gate: one row per query id, all recall_ok at sf0.001") {
+    val emb = graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings")
+    val rows = Similarity.ivfRecall(emb).collect()
+    val nQ = Similarity.withNorm(emb)
+      .filter(org.apache.spark.sql.functions.col("norm") > 0.0)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0).count()
+    assert(rows.length == nQ)
+    assert(rows.forall(_.getBoolean(1)), "a healthy index must clear the recall floor")
+  }
+
   test("sessionize: 30-min gap starts a new session") {
     val h = 3600L * 1000000000L
     val ev = Seq((1L, 0L * h), (1L, h / 4), (1L, 2 * h), (2L, 0L))
