@@ -127,9 +127,15 @@ object QueriesLlm {
         .groupBy(col("label"), col("dim").cast("long").as("dim"))
         .agg(count(lit(1)).as("n"), expr(Parity.fpSum("v")).as("vsum"))
         .withColumn("centroid", col("vsum") / col("n").cast("double"))),
-    // multimodal: binary blob ingestion + partition-parallel (stub) decode
+    // multimodal: REAL image decode — genuine PNG bytes (encoded
+    // in-flight with doc_id-derived dims) parsed by the JDK's actual
+    // codec; the oracle predicts the decoded width/height arithmetically.
+    // n_bytes is excluded: PNG compression may vary across JDK versions
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(s, Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))),
+      Multimodal.decodeMeta(s,
+          Multimodal.pngAssets(s, Tables.read(s, dir, "documents")),
+          Multimodal.imageDecode)
+        .select("doc_id", "width", "height", "channels", "format")),
     // Gopher-style within-document repetition signals
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.read(s, dir, "documents"))),
@@ -155,14 +161,17 @@ object QueriesLlm {
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
-    // multimodal resize plumbing: bounding-box scale of the (stub-decoded)
-    // dimensions — a pure function of byte length, so the typed
-    // mapPartitions path is oracle-checked like meta and frames
+    // multimodal resize: REAL decode → Graphics2D rescale → PNG
+    // re-encode → decode AGAIN, so the checked dims come out of a full
+    // codec round trip over the transformed bytes, not from bookkeeping
     "multimodal_resize" -> ((s, dir) => {
-      val resized = Multimodal.resize(s,
-        Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))
-      resized.toDF().select(col("doc_id"), col("width"), col("height"),
-        expr("cast(octet_length(blob) as bigint)").as("n_bytes"))
+      import s.implicits._
+      val resized = Multimodal.imageResize(s,
+        Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))
+      Multimodal.decodeMeta(s,
+          resized.map(r => Multimodal.Asset(r.doc_id, r.blob)),
+          Multimodal.imageDecode)
+        .select("doc_id", "width", "height", "channels", "format")
     }),
     // multimodal frame sampling: one row per sampled byte-window "frame"
     // (generator explosion over the typed asset Dataset; metadata fully
@@ -651,6 +660,7 @@ object QueriesLlm {
          |from embeddings, generate_series(1, $dim) t(i)
          |group by label, i""".stripMargin.replace("\n", " "),
     "multimodal_resize" ->
+      // source dims are the doc_id-derived PNG dims (Multimodal.pngDims);
       // floor() is explicit: Scala's .toLong truncates (= floor for the
       // positive scaled dims) while DuckDB's cast ROUNDS
       """select doc_id,
@@ -658,18 +668,18 @@ object QueriesLlm {
         |  else greatest(1, cast(floor(cast(w0 as double) * scale) as bigint)) end as width,
         | case when scale >= 1e0 then h0
         |  else greatest(1, cast(floor(cast(h0 as double) * scale) as bigint)) end as height,
-        | cast(n as bigint) as n_bytes
-        |from (select doc_id, n, w0, h0,
-        |  64e0 / cast(greatest(w0, h0) as double) as scale
-        | from (select doc_id, strlen(text) as n,
-        |   cast(64 + strlen(text) % 193 as bigint) as w0,
-        |   cast(64 + (strlen(text) * 7) % 193 as bigint) as h0
+        | cast(3 as bigint) as channels, 'png' as format
+        |from (select doc_id, w0, h0,
+        |  8e0 / cast(greatest(w0, h0) as double) as scale
+        | from (select doc_id,
+        |   cast(1 + doc_id % 13 as bigint) as w0,
+        |   cast(1 + (doc_id * 3) % 11 as bigint) as h0
         |  from documents))""".stripMargin.replace("\n", " "),
     "multimodal_meta" ->
-      """select doc_id, cast(strlen(text) as bigint) as n_bytes,
-        | cast(64 + strlen(text) % 193 as bigint) as width,
-        | cast(64 + (strlen(text) * 7) % 193 as bigint) as height,
-        | cast(3 as bigint) as channels, 'fake' as format
+      """select doc_id,
+        | cast(1 + doc_id % 13 as bigint) as width,
+        | cast(1 + (doc_id * 3) % 11 as bigint) as height,
+        | cast(3 as bigint) as channels, 'png' as format
         |from documents""".stripMargin.replace("\n", " ")
   )
 }

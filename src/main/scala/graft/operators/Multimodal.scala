@@ -5,15 +5,28 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder north star, SURVEY.md §7.6).
   *
-  * Media assets are opaque `binary` columns + typed metadata. The Spark-
-  * side machinery is real — schema, partition-preserving mapPartitions
-  * over a typed Dataset, batch-shaped iteration — while the actual codec
-  * is a STUB (this container has no image/audio libraries): `fakeDecode`
-  * derives deterministic pseudo-metadata from the raw bytes, standing in
-  * for a JNI/FFmpeg/ImageIO call. Swap `decodeFn` for a real decoder to
-  * productionize; the plan shape does not change.
+  * Media assets are opaque `binary` columns + typed metadata. The IMAGE
+  * path is real end-to-end with zero external deps: the JDK ships a PNG/
+  * JPEG/GIF/BMP codec in `javax.imageio`, so [[imageDecode]] parses
+  * actual image bytes (real container header, real pixel raster) and
+  * [[imageResize]] runs a real Graphics2D rescale + PNG re-encode. The
+  * driver-gate queries feed it [[pngAssets]] — genuine PNG bytes encoded
+  * in-flight with doc_id-derived dimensions — so the DuckDB oracle
+  * predicts the decoded width/height arithmetically while the values
+  * themselves come out of a real codec round trip.
+  *
+  * Only the formats the JDK lacks stay stubbed: [[frameSample]] (video
+  * containers) and [[extractFeatures]] (model inference) derive
+  * deterministic stand-ins from the raw bytes, with the real distributed
+  * plumbing (typed Dataset, partition-preserving mapPartitions,
+  * generator explode) around them. [[fakeDecode]] remains the fallback
+  * for non-image payloads.
   */
 object Multimodal {
+
+  // BufferedImage/Graphics2D work headless, but only if AWT never tries
+  // to connect a display — force it before any ImageIO touch
+  System.setProperty("java.awt.headless", "true")
 
   case class Asset(doc_id: Long, blob: Array[Byte])
   case class AssetMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
@@ -32,6 +45,71 @@ object Multimodal {
   def assetsFromDocs(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")).as[Asset]
+  }
+
+  /** Deterministic doc_id-derived image dimensions, shared by the PNG
+    * encoder below and the DuckDB oracle text (`1 + doc_id % 13`,
+    * `1 + (doc_id * 3) % 11`). */
+  private def pngDims(id: Long): (Int, Int) =
+    ((1 + id % 13).toInt, (1 + (id * 3) % 11).toInt)
+
+  /** REAL tiny PNG bytes for a doc id: a BufferedImage with doc_id-
+    * derived dimensions and deterministic pixel content, run through the
+    * JDK's actual PNG encoder. What comes back only decodes because it
+    * is a genuine PNG container. */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id + x * 31L + y * 17L) % 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-media asset source for the driver gate: one genuine PNG per
+    * document, encoded in-flight on the executors (the testdata ships no
+    * media files, and fixture dirs outside the repo are read-only — the
+    * encode IS part of the pipeline, like any ingest job that renders
+    * thumbnails). Byte payloads are NOT oracle-predictable (PNG
+    * compression may differ across JDK versions) but the decoded
+    * metadata is, which is exactly what the gate checks. */
+  def pngAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id => Asset(id, pngBytes(id))))
+  }
+
+  /** REAL decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
+    * JDK): container sniffing picks the reader, the raster gives
+    * width/height/bands. Payloads no JDK reader claims (plain text,
+    * audio, video) fall back to [[fakeDecode]] — the stub survives only
+    * where the JDK genuinely has no codec. */
+  def imageDecode(a: Asset): AssetMeta = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val img = r.read(0)
+            AssetMeta(a.doc_id, a.blob.length.toLong, img.getWidth.toLong,
+              img.getHeight.toLong, img.getRaster.getNumBands.toLong,
+              r.getFormatName.toLowerCase)
+          } finally r.dispose()
+        } else fakeDecode(a)
+      } finally iis.close()
+    } catch { case _: Exception => fakeDecode(a) }
   }
 
   /** Partition-parallel decode: mapPartitions keeps the iterator lazy so a
@@ -59,6 +137,43 @@ object Multimodal {
       val (w, h) = if (scale >= 1.0) (m.width, m.height)
         else (math.max(1L, (m.width * scale).toLong), math.max(1L, (m.height * scale).toLong))
       ResizedAsset(a.doc_id, w, h, a.blob)
+    })
+  }
+
+  /** REAL image resize: decode the blob with the JDK codec, scale into
+    * the `maxSide` bounding box with Graphics2D bilinear interpolation,
+    * and re-encode to PNG — a genuine decode→transform→encode pipeline
+    * stage, partition-parallel, no shuffle. Target dimensions use the
+    * same truncating floor as the stub [[resize]] so the oracle
+    * arithmetic carries over. Non-image blobs pass through unscaled via
+    * the [[fakeDecode]] fallback dims. */
+  def imageResize(spark: SparkSession, assets: Dataset[Asset],
+                  maxSide: Long = 8L): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.blob))
+        catch { case _: Exception => null }
+      if (img == null) {
+        val m = fakeDecode(a)
+        ResizedAsset(a.doc_id, m.width, m.height, a.blob)
+      } else {
+        val (w0, h0) = (img.getWidth, img.getHeight)
+        val scale = maxSide.toDouble / math.max(w0, h0)
+        val (w, h) =
+          if (scale >= 1.0) (w0, h0)
+          else (math.max(1L, (w0 * scale).toLong).toInt,
+            math.max(1L, (h0 * scale).toLong).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedAsset(a.doc_id, w.toLong, h.toLong, bos.toByteArray)
+      }
     })
   }
 

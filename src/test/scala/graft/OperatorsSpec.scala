@@ -339,6 +339,33 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(feats.embedding.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
   }
 
+  test("multimodal real codec: PNG encode → ImageIO decode round trip") {
+    // pngBytes(7): dims from pngDims — w = 1+7%13 = 8, h = 1+21%11 = 11
+    val a = Multimodal.Asset(7L, Multimodal.pngBytes(7L))
+    assert(a.blob.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+      "payload must be a genuine PNG container")
+    val m = Multimodal.imageDecode(a)
+    assert(m.width == 8L && m.height == 11L && m.channels == 3L && m.format == "png")
+    // non-image payload falls back to the documented stub
+    val f = Multimodal.imageDecode(Multimodal.Asset(1L, "not an image".getBytes("UTF-8")))
+    assert(f.format == "fake")
+  }
+
+  test("multimodal real resize: rescaled blob re-decodes at the target dims") {
+    val docs = Seq((7L, "x", "en", "s", 1L), (0L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rz = Multimodal.imageResize(spark, Multimodal.pngAssets(spark, docs))
+      .collect().sortBy(_.doc_id)
+    // doc 0: 1×1 stays (scale >= 1); doc 7: 8×11 → floor(8·8/11)×8 = 5×8
+    assert(rz(0).width == 1L && rz(0).height == 1L)
+    assert(rz(1).width == 5L && rz(1).height == 8L)
+    rz.foreach { r =>
+      val m = Multimodal.imageDecode(Multimodal.Asset(r.doc_id, r.blob))
+      assert(m.format == "png" && m.width == r.width && m.height == r.height,
+        "re-encoded blob must decode at the claimed dimensions")
+    }
+  }
+
   test("CMS heavy hitters: top-k by exact count, estimate never undercounts") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b d e f g"), (3L, "a c c h i j"))
       .toDF("doc_id", "text")
