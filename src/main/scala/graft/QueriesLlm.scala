@@ -241,6 +241,12 @@ object QueriesLlm {
     // hash-checked because the codebook is a fixed literal grid
     "ann_pq" -> ((s, dir) =>
       graft.operators.Pq.adcTopK(Tables.read(s, dir, "embeddings"))),
+    // TRAINED-codebook PQ (per-subspace k-means — the real deployment
+    // path the fixed grid models): k-means is SQL-inexpressible, so the
+    // gate row is the recall probe vs exact L2, thresholded (the ann_ivf
+    // pattern; oracle asserts recall_ok per query id)
+    "ann_pq_trained" -> ((s, dir) =>
+      graft.operators.Pq.trainedRecall(Tables.read(s, dir, "embeddings"))),
     // IVF-PQ: fixed-quantizer cell prune + ADC re-rank over codes — the
     // trillion-scale layout (scan only probed buckets, m bytes/candidate)
     "ann_ivfpq" -> ((s, dir) =>
@@ -505,6 +511,12 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
+    // ann_pq_trained's oracle: the exact query-id set of the PQ search
+    // universe (len = dim, every 50th id) with recall_ok asserted true
+    "ann_pq_trained" ->
+      s"""select vec_id as q_id, true as recall_ok from embeddings
+         |where len(embedding) = ${graft.operators.Pq.dim} and vec_id % 50 = 0"""
+        .stripMargin.replace("\n", " "),
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),

@@ -46,7 +46,9 @@ object Pq {
     * is exactly the library-internal step [[Similarity.ivfTopK]] models
     * — here the grid stays FIXED so the entire encode+ADC pipeline is
     * oracle-checkable. */
-  val codebook: Array[Array[Array[Double]]] = {
+  type Codebook = Array[Array[Array[Double]]]
+
+  val codebook: Codebook = {
     val mod = Parity.CwMod
     Array.tabulate(m) { j =>
       val (a, b) = Parity.cwParams(100 + j)
@@ -59,10 +61,37 @@ object Pq {
     }
   }
 
+  /** Per-subspace k-means-TRAINED codebook — the real PQ deployment step
+    * the fixed grid stands in for (Jégou et al. §III: codebooks are
+    * learned per subquantizer): m independent seeded spark.ml fits, one
+    * per subvector slice. The result is MODEL PARAMETERS — m·ksub·dsub =
+    * 1024 doubles regardless of corpus size — so shipping it into the
+    * encode kernels as a closure constant is broadcast-correct at any
+    * scale (unlike collecting data). Not SQL-expressible, so trained-PQ
+    * queries gate on recall ([[trainedRecall]]) like `ann_ivf`.
+    * Degenerate-corpus guard: below 4·ksub vectors the fit can collapse
+    * (the [[Similarity.ivfTopK]] precedent) — fall back to the fixed
+    * grid, which is always well-formed. */
+  def trainCodebook(emb: DataFrame, seed: Long = 42L): Codebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.filter(size(col("embedding")) === dim)
+    if (base.count() < 4L * ksub) return codebook
+    Array.tabulate(m) { j =>
+      val sub = base.select(array_to_vector(
+        expr(s"transform(slice(embedding, ${j * dsub + 1}, $dsub), x -> cast(x as double))"))
+        .as("v"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol("v").setPredictionCol("c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+  }
+
   /** Left-associated ||x_j - C[j][c]||² for one subvector, matching the
     * spelled SQL chain bit-for-bit. */
-  private def subDist(v: Array[Float], j: Int, c: Int): Double = {
-    val cw = codebook(j)(c)
+  private def subDist(v: Array[Float], j: Int, c: Int,
+                      cb: Codebook = codebook): Double = {
+    val cw = cb(j)(c)
     var s = 0.0
     var d = 0
     while (d < dsub) {
@@ -75,12 +104,12 @@ object Pq {
 
   /** First-minimum argmin over the `ksub` codewords (ties → lowest code,
     * the same winner as the oracle's `case least(...) when ...` text). */
-  private def assign(v: Array[Float], j: Int): Int = {
+  private def assign(v: Array[Float], j: Int, cb: Codebook = codebook): Int = {
     var best = 0
-    var bestD = subDist(v, j, 0)
+    var bestD = subDist(v, j, 0, cb)
     var c = 1
     while (c < ksub) {
-      val dc = subDist(v, j, c)
+      val dc = subDist(v, j, c, cb)
       if (dc < bestD) { best = c; bestD = dc }
       c += 1
     }
@@ -90,7 +119,7 @@ object Pq {
   /** ENCODE: per vector, the `m` code assignments (vec_id, c0..c7) —
     * the stored representation a PQ deployment scans. Embarrassingly
     * parallel, no shuffle. */
-  def codes(emb: DataFrame): DataFrame = {
+  def codes(emb: DataFrame, cb: Codebook = codebook): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
@@ -98,9 +127,9 @@ object Pq {
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
-        (id, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
-          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
-          assign(v, 6).toLong, assign(v, 7).toLong)
+        (id, assign(v, 0, cb).toLong, assign(v, 1, cb).toLong, assign(v, 2, cb).toLong,
+          assign(v, 3, cb).toLong, assign(v, 4, cb).toLong, assign(v, 5, cb).toLong,
+          assign(v, 6, cb).toLong, assign(v, 7, cb).toLong)
       })
       .toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
   }
@@ -111,7 +140,8 @@ object Pq {
     * rows — the query set never passes through the driver, so the shape
     * survives a query set proportional to the corpus (the round-3 fix:
     * the previous version `collect()`ed every query to the driver). */
-  private def queryTables(emb: DataFrame, queryEvery: Int): DataFrame = {
+  private def queryTables(emb: DataFrame, queryEvery: Int,
+                          cb: Codebook = codebook): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
@@ -124,7 +154,7 @@ object Pq {
         var j = 0
         while (j < m) {
           var c = 0
-          while (c < ksub) { dt(j * ksub + c) = subDist(v, j, c); c += 1 }
+          while (c < ksub) { dt(j * ksub + c) = subDist(v, j, c, cb); c += 1 }
           j += 1
         }
         (id, dt)
@@ -149,12 +179,54 @@ object Pq {
     * k-pruned survivors, no driver-side state. The query×corpus product
     * is inherent to the BRUTE-FORCE baseline (like [[Similarity
     * .cosineTopK]]); [[ivfAdcTopK]] is the cell-pruned scale path. */
-  def adcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
-    val pairs = codes(emb)
-      .join(broadcast(queryTables(emb, queryEvery)), col("q_id") =!= col("vec_id"))
+  def adcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+              cb: Codebook = codebook): DataFrame = {
+    val pairs = codes(emb, cb)
+      .join(broadcast(queryTables(emb, queryEvery, cb)), col("q_id") =!= col("vec_id"))
       .withColumn("dist", adcDist)
       .select(col("q_id"), col("vec_id").as("n_id"), col("dist"))
     perQueryTopK(pairs, k)
+  }
+
+  /** Exact L2 top-k over the same universe [[adcTopK]] searches (every
+    * `queryEvery`-th len-dim vector vs all len-dim vectors) — the ground
+    * truth ADC approximates. d² = |a|² + |b|² − 2a·b via the codegen'd
+    * chain_dot; the monotone form is fine for an internal ranking (this
+    * never meets the DuckDB oracle). */
+  def exactL2TopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.filter(size(col("embedding")) === dim)
+      .withColumn("n2", expr("chain_dot(embedding, embedding)"))
+    val q = base.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val c = base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("n2").as("n_n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("dist",
+        col("q_n2") + col("n_n2") - lit(2.0) * expr("chain_dot(q_emb, n_emb)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "dist", "rn")
+  }
+
+  /** Driver-gate recall probe for TRAINED-codebook PQ (the `ann_ivf`
+    * pattern — see [[Similarity.ivfRecall]] for why the oracle checks a
+    * thresholded boolean rather than the environment-sensitive recall
+    * value): per query, the fraction of the exact L2 top-k that ADC over
+    * the k-means codebook recovers, gated at the at-least-one-hit floor.
+    * A collapsed codebook (all codes equal → ADC distances
+    * uninformative) drags queries to zero hits and reds the row. */
+  def trainedRecall(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                    threshold: Double = 0.05): DataFrame = {
+    val cb = trainCodebook(emb)
+    val approx = adcTopK(emb, k, queryEvery, cb)
+      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+    exactL2TopK(emb, k, queryEvery).select("q_id", "n_id")
+      .join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
+      .select(col("q_id"), (col("recall") >= threshold).as("recall_ok"))
   }
 
   /** Two-phase per-query top-k by (dist asc, n_id asc) — the

@@ -46,6 +46,29 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.10, s"recall $recall")
   }
 
+  test("trained codebook: recall vs exact L2 at least matches the fixed grid") {
+    def recallOf(cb: Pq.Codebook): Double = {
+      val exact = Pq.exactL2TopK(emb).select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Pq.adcTopK(emb, cb = cb).select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val fixed = recallOf(Pq.codebook)
+    val trained = recallOf(Pq.trainCodebook(emb))
+    info(s"recall@10 fixed=$fixed trained=$trained")
+    assert(trained >= fixed, s"trained $trained < fixed $fixed")
+    assert(trained >= 0.3, s"trained codebook recall $trained implausibly low")
+    // and the gate query passes everywhere
+    val gate = Pq.trainedRecall(emb).collect()
+    assert(gate.nonEmpty && gate.forall(_.getBoolean(1)))
+  }
+
+  test("trained codebook: degenerate corpus falls back to the fixed grid") {
+    val tiny = emb.limit(10)
+    assert(Pq.trainCodebook(tiny) eq Pq.codebook)
+  }
+
   test("ivf-pq: results stay inside probed cells and agree with flat ADC distances") {
     val probed = graft.operators.Similarity.labelProbes(emb)
       .select("q_id", "cl").collect()
