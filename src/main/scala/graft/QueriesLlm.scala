@@ -207,6 +207,11 @@ object QueriesLlm {
     // index + within-batch keeper — per-doc kept/dup_history/dup_batch
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incremental(Tables.read(s, dir, "documents"))),
+    // bloom-prescreened incremental dedup: constant-size history bloom
+    // gates the fp join; no false negatives ⇒ verdicts identical to
+    // dedup_incremental, proven by sharing its oracle
+    "dedup_incremental_bloom" -> ((s, dir) =>
+      Dedup.incrementalBloom(Tables.read(s, dir, "documents"))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -505,6 +510,8 @@ object QueriesLlm {
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
+    // shared oracle = the bloom prescreen provably changes no verdict
+    "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),

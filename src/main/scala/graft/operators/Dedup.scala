@@ -563,6 +563,57 @@ object Dedup {
           "when doc_id <> keeper then 'dup_batch' else 'kept' end as status")
   }
 
+  /** [[incremental]] with the bloom prescreen its scaladoc promised, now
+    * wired ([[decontaminateBloom]]'s pattern composed into the
+    * incremental join): history fingerprints compress to their set of
+    * set bit positions — at most `mBits` rows, a constant-size broadcast
+    * no matter how large the history index grows — and only
+    * bloom-POSITIVE incoming docs probe the full history fp join; the
+    * bloom-negative rest is certified absent and short-circuits to the
+    * within-batch verdict. Bloom has no false negatives, so the verdicts
+    * are IDENTICAL to [[incremental]] — the driver query shares its
+    * oracle, which is the proof — while the expensive join sees only
+    * certified candidates plus the deterministic false-positive dribble.
+    * At a corpus-sized index / day-sized increment this turns the
+    * history probe from |increment| joined rows into
+    * |true dups| + |false positives|. */
+  def incrementalBloom(docs: DataFrame, mBits: Int = 65536,
+                       kHash: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val hist = docs.filter(expr("doc_id % 5 < 4"))
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("seen", lit(1L))
+    // rolling_hash brings the hex fp into CW range; same j-th mixes as
+    // decontaminateBloom (cwMix(40+j))
+    val bloom = hist
+      .select(expr("rolling_hash(fp)").as("code"),
+        explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+      .select(expr(bloomPosCase(kHash, mBits)).as("pos"))
+      .distinct()
+    val inc = docs.filter(expr("doc_id % 5 >= 4"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("keeper", min("doc_id").over(w))
+      .withColumn("code", expr("rolling_hash(fp)"))
+    val withPos = inc.select(col("doc_id") +: col("fp") +: col("keeper") +:
+      (0 until kHash).map(j =>
+        expr(s"(${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
+    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
+      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
+        col(s"p$j") === col(s"bp$j"), "left")
+    }.withColumn("bloom_pos",
+      (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
+      .select("doc_id", "fp", "keeper", "bloom_pos")
+    val verdict = "case when seen is not null then 'dup_history' " +
+      "when doc_id <> keeper then 'dup_batch' else 'kept' end as status"
+    // only the bloom-positive slice touches the history index
+    probed.filter(col("bloom_pos")).join(hist, Seq("fp"), "left")
+      .selectExpr("doc_id", "fp", verdict)
+      .unionByName(probed.filter(!col("bloom_pos"))
+        .withColumn("seen", lit(null).cast("long"))
+        .selectExpr("doc_id", "fp", verdict))
+  }
+
   /** DuckDB mirror of [[incremental]]. */
   def incrementalSql(table: String = "documents"): String =
     s"""with h as (select distinct md5(text) as fp, 1 as seen from $table

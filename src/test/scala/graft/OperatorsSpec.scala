@@ -339,6 +339,16 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(feats.embedding.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
   }
 
+  test("incremental bloom prescreen: verdicts identical to the exact join") {
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val exact = asSet(graft.operators.Dedup.incremental(docs))
+    val bloomed = asSet(graft.operators.Dedup.incrementalBloom(docs))
+    assert(exact.nonEmpty)
+    assert(bloomed == exact, "bloom prescreen must not change any verdict")
+  }
+
   test("multimodal real codec: PNG encode → ImageIO decode round trip") {
     // pngBytes(7): dims from pngDims — w = 1+7%13 = 8, h = 1+21%11 = 11
     val a = Multimodal.Asset(7L, Multimodal.pngBytes(7L))
