@@ -32,6 +32,7 @@ object ScaleStress {
     if (args.headOption.contains("dedupdegen")) { dedupDegenStress(args.drop(1)); return }
     if (args.headOption.contains("decontam")) { decontamStress(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomStress(args.drop(1)); return }
+    if (args.headOption.contains("decontamskew")) { decontamSkewStress(args.drop(1)); return }
     if (args.headOption.contains("graph")) { graphStress(args.drop(1)); return }
     if (args.headOption.contains("ranks")) { ranksStress(args.drop(1)); return }
     if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
@@ -173,6 +174,40 @@ object ScaleStress {
     val out = Dedup.decontaminateJoin(blown, evalEvery = 3).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"decontaminate_join","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Adversarial HOT-SHINGLE leg for [[Dedup.decontaminateJoin]] — the
+    * documented AQE-skew reliance (Dedup.scala skew note), measured
+    * instead of prose: one boilerplate trigram is prepended to half the
+    * corpus docs and exactly ONE eval doc, so a single join key carries
+    * ~50% of all corpus postings (eval membership stays fixed as the
+    * corpus scales — output stays linear, only the KEY is hot). Run at
+    * two replica counts; per-doc throughput holding ~flat across them is
+    * the proof AQE's skew split bounds the hot task.
+    * `sbt "runMain graft.ScaleStress decontamskew [replicas]"` */
+  private def decontamSkewStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"))
+    // evalEvery=3: doc 0 is the ONE boilerplate-carrying eval doc; every
+    // even-id non-eval doc carries it too (~half the corpus)
+    val hot = blown.select(col("doc_id"),
+      when((col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0) || col("doc_id") === 0,
+        concat(lit("shared boilerplate header "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val n = hot.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.decontaminateJoin(hot, evalEvery = 3).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"decontaminate_skew","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
