@@ -162,7 +162,7 @@ object QueriesMwu {
     // S5/S7 checkpointed pipeline — same answer, rank stage persisted to
     // parquet and re-read (cache-or-compute gate)
     "mwu_checkpoint" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ranks_").toString
+      val tmp = graft.Scratch.dir("graft_ranks_")
       markersDf(s, dir, Some(tmp + "/ranks"))
     }),
     // single-feature pipeline on customer (c_acctbal can be negative — no lfc leg)
@@ -256,7 +256,7 @@ object QueriesMwu {
     // the sink itself sits inside the oracle gate — doubles survive via
     // Java shortest-round-trip formatting
     "mwu_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      val tmp = graft.Scratch.dir("graft_sink_")
       MarkerTable.writePerGroup(markersDf(s, dir), tmp, format = "csv")
       s.read.option("header", "true")
         .schema("grp STRING, gene STRING, u DOUBLE, p_value DOUBLE, " +

@@ -172,13 +172,13 @@ object QueriesOlap {
     // closes the format matrix; ORC is binary so doubles round-trip
     // bit-exactly without the shortest-string dance
     "q_orc_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val tmp = graft.Scratch.dir("graft_orc_")
       val agg = EventOps.hourly(Tables.read(s, dir, "events"))
       agg.write.mode("overwrite").orc(tmp)
       s.read.schema(agg.schema).orc(tmp)
     }),
     "q_json_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val tmp = graft.Scratch.dir("graft_json_")
       val agg = EventOps.hourly(Tables.read(s, dir, "events"))
       Tables.writeJson(agg, tmp)
       Tables.readJson(s, tmp, agg.schema)
@@ -627,7 +627,7 @@ object QueriesOlap {
     // (PartitionFilters, asserted in PlanSpec): the data-layout story
     // that turns a 100 TB full scan into a per-language slice
     "sink_partitioned" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      val tmp = graft.Scratch.dir("graft_part_")
       Tables.read(s, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
@@ -642,8 +642,8 @@ object QueriesOlap {
     // independent (that's what makes it oracle-checkable); the file-count
     // drop itself is asserted in OperatorsSpec
     "sink_compact" -> ((s, dir) => {
-      val frag = java.nio.file.Files.createTempDirectory("graft_frag_").toString
-      val compact = java.nio.file.Files.createTempDirectory("graft_comp_").toString
+      val frag = graft.Scratch.dir("graft_frag_")
+      val compact = graft.Scratch.dir("graft_comp_")
       Tables.read(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity")
         .repartition(32)
@@ -825,7 +825,7 @@ object QueriesOlap {
     // motivation as Z-ordering, in one dimension). The aggregate is
     // layout-independent — that's what makes it oracle-checkable
     "sink_sorted" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sort_").toString
+      val tmp = graft.Scratch.dir("graft_sort_")
       Tables.read(s, dir, "lineitem")
         .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity")
         .repartitionByRange(8, col("l_shipdate"))

@@ -23,7 +23,7 @@ object Smoke {
     println("ENTRY_ROWS=" + e.count())
 
     // checkpoint gate: first run writes, second run must reuse
-    val ck = java.nio.file.Files.createTempDirectory("graft_smoke_ck_").toString + "/ranks"
+    val ck = graft.Scratch.dir("graft_smoke_ck_") + "/ranks"
     val cells = QueriesMwu.liCells(spark, "/root/testdata/sf0.001")
     val cfg = Pipeline.Config(topN = Some(3), checkpointDir = Some(ck))
     val r1 = Pipeline.markerStats(spark, cells, cfg).orderBy("grp", "rk").collect()

@@ -69,12 +69,15 @@ object Classifier {
       .selectExpr("bucket", s"${Parity.q9("w")} as w9")
   }
 
-  /** SCORE the corpus with the trained model: per-language confusion
-    * counts (n_docs, predicted-positive, true-positive-at-0.5) — the
-    * audit a curation rollout reads before trusting the filter. One more
-    * margin pass with the final weights; thresholding at 1/2 is an exact
-    * compare on the q9 grid. Documents with no features have no margin
-    * and are excluded (same inner join in the oracle). */
+  /** SCORE the corpus with the trained model: per-language counts
+    * (n_docs, predicted-positive at the 0.5 threshold, is_en flag) — the
+    * audit a curation rollout reads before trusting the filter. The
+    * confusion cells are read off directly: in the lang='en' row
+    * n_pred_en IS the true-positive count, in every other row it is that
+    * language's false-positive count. One more margin pass with the
+    * final weights; thresholding at 1/2 is an exact compare on the q9
+    * grid. Documents with no features have no margin and are excluded
+    * (same inner join in the oracle). */
   def lrScore(docs: DataFrame, buckets: Int = 256, iters: Int = 3): DataFrame = {
     val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
     val w = trainOnFeats(feats, labelsOf(docs), docs.count(), iters, 1, 2)

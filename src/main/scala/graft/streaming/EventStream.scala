@@ -49,7 +49,7 @@ object EventStream {
     * partitioning-invariant (asserted by the oracle gate). */
   private def runAvailableNow(spark: SparkSession, sfDir: String, prefix: String,
                               mode: String, build: DataFrame => DataFrame): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src_")
+    val src = graft.Scratch.path(s"graft_${prefix}_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       src.resolve("events.parquet"))
