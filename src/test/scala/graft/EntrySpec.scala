@@ -20,7 +20,8 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // the one genuinely SQL-inexpressible op (k-means coarse quantizer)
-    assert(rowsOnly == Set("ann_ivf"), s"unexpected rows-only set: $rowsOnly")
+    // since round 4 even the k-means queries gate through recall-boolean
+    // oracles (ann_ivf, ann_pq_trained) — every query is oracle-checked
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 }
