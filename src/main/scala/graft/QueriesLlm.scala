@@ -252,6 +252,15 @@ object QueriesLlm {
     // pattern; oracle asserts recall_ok per query id)
     "ann_pq_trained" -> ((s, dir) =>
       graft.operators.Pq.trainedRecall(Tables.read(s, dir, "embeddings"))),
+    // two-stage retrieval: PQ-ADC shortlist → exact L2 re-rank of ONLY
+    // the survivors (the production serving pattern; both stages
+    // deterministic, so fully hash-checked end-to-end)
+    "ann_rerank" -> ((s, dir) =>
+      graft.operators.Pq.adcRerank(Tables.read(s, dir, "embeddings"))),
+    // margin-criterion mining (ratio margin over the top-k
+    // neighborhood) — the bitext-mining confidence filter
+    "ann_margin" -> ((s, dir) =>
+      Similarity.marginMine(Tables.read(s, dir, "embeddings"))),
     // IVF-PQ: fixed-quantizer cell prune + ADC re-rank over codes — the
     // trillion-scale layout (scan only probed buckets, m bytes/candidate)
     "ann_ivfpq" -> ((s, dir) =>
@@ -524,6 +533,22 @@ object QueriesLlm {
       s"""select vec_id as q_id, true as recall_ok from embeddings
          |where len(embedding) = ${graft.operators.Pq.dim} and vec_id % 50 = 0"""
         .stripMargin.replace("\n", " "),
+    "ann_rerank" -> graft.operators.Pq.adcRerankSql(),
+    "ann_margin" -> {
+      val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      s"""with nn as (select * from (select vec_id, embedding, sqrt($dotSelf) as norm
+         |  from embeddings) where norm > 0e0),
+         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+         |  where vec_id % 50 = 0),
+         |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn),
+         |topk as (select q_id, n_id, cos from (
+         |  select q_id, n_id, cos,
+         |   row_number() over (partition by q_id order by cos desc, n_id asc) as rn
+         |  from (select q_id, n_id, ($dotQN) / (q_norm * n_norm) as cos
+         |    from q join c on q_id <> n_id)) where rn <= 10),
+         |${Similarity.marginMineSqlTail()}""".stripMargin.replace("\n", " ")
+    },
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),

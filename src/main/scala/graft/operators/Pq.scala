@@ -229,6 +229,64 @@ object Pq {
       .select(col("q_id"), (col("recall") >= threshold).as("recall_ok"))
   }
 
+  /** Two-stage retrieval — the production ANN serving pattern (shortlist
+    * from the compressed index, exact re-rank of the survivors): ADC over
+    * PQ codes prunes the corpus to `shortlist` candidates per query, then
+    * ONLY those rows join back to the full vectors for an exact L2
+    * re-rank to `k`. At 100 TB the expensive exact distance touches
+    * shortlist·|Q| rows instead of N·|Q| — the whole point of the code
+    * table — and the candidate join keys on vec_id (shuffle or broadcast,
+    * AQE's call). Fully oracle-checkable: both stages are deterministic
+    * (the ADC chain + the chain_dot norm identity on identical operands),
+    * so unlike the k-means paths this needs no recall carve-out. */
+  def adcRerank(emb: DataFrame, k: Int = 10, shortlist: Int = 50,
+                queryEvery: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.filter(size(col("embedding")) === dim)
+      .withColumn("n2", expr("chain_dot(embedding, embedding)"))
+    val short = adcTopK(emb, shortlist, queryEvery)
+      .select(col("q_id"), col("n_id"))
+    val cand = base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("n2").as("n_n2"))
+    val q = base.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+    short.join(cand, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("dist",
+        col("q_n2") + col("n_n2") - lit(2.0) * expr("chain_dot(q_emb, n_emb)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "dist", "rn")
+  }
+
+  /** DuckDB mirror of [[adcRerank]]: [[adcSql]]'s CTEs cut at
+    * `shortlist`, joined back to the vectors for the exact re-rank. */
+  def adcRerankSql(k: Int = 10, shortlist: Int = 50, queryEvery: Int = 50,
+                   table: String = "embeddings"): String = {
+    val dotQN = Parity.dot(Parity.DuckD, "q_emb", "n_emb", dim)
+    val dotQQ = Parity.dot(Parity.DuckD, "q_emb", "q_emb", dim)
+    val dotNN = Parity.dot(Parity.DuckD, "n_emb", "n_emb", dim)
+    s"""with ${codesCte(s"select vec_id, embedding from $table where len(embedding) = $dim")},
+       |qe as (select vec_id as q_id, $extractCols from $table
+       |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
+       |qd as (select q_id, $distCols from qe),
+       |pairs as (select q_id, vec_id as n_id, $adcLookup as dist
+       |  from codes cross join qd where q_id <> vec_id),
+       |sl as (select q_id, n_id from (select q_id, n_id, dist,
+       |  row_number() over (partition by q_id order by dist asc, n_id asc) as srn
+       | from pairs) where srn <= $shortlist),
+       |qv as (select vec_id as q_id, embedding as q_emb from $table
+       |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
+       |cv as (select vec_id as n_id, embedding as n_emb from $table
+       |  where len(embedding) = $dim),
+       |rr as (select sl.q_id, sl.n_id,
+       |  (($dotQQ) + ($dotNN) - 2e0 * ($dotQN)) as dist
+       | from sl join qv on sl.q_id = qv.q_id join cv on sl.n_id = cv.n_id)
+       |select q_id, n_id, dist,
+       | cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
+       |from rr qualify rn <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** Two-phase per-query top-k by (dist asc, n_id asc) — the
     * [[Sampling.stratified]] pattern: the partition-local prune is
     * lossless, so the per-query sort runs over ≤ partitions·k rows. */

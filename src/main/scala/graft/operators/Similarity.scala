@@ -243,6 +243,47 @@ object Similarity {
       .select("q_id", "q_emb", "q_norm", "cl")
   }
 
+  /** Margin-criterion candidate mining — the ratio-margin scoring rule
+    * of large-scale parallel-pair mining (Artetxe & Schwenk 2019, public;
+    * the filter behind the big public bitext corpora): a neighbor is a
+    * confident match not when its cosine is high in absolute terms but
+    * when it stands OUT against the query's neighborhood —
+    * margin(x,y) = cos(x,y) / mean(cos of x's top-k). Runs entirely on
+    * the [[cosineTopK]] relation (one extra windowed aggregate sharing
+    * the existing per-query partition, no new shuffle of the corpus).
+    * Cross-engine determinism: the neighborhood mean goes through the
+    * [[Parity.fpSum]] fixed-point window so it is order-free, the margin
+    * divides two bit-identical doubles, and a zero mean (cancelling
+    * cosines) yields NULL in both engines rather than engine-divergent
+    * inf/NaN. */
+  def marginMine(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                 threshold: Double = 1.05): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val meanCos = (sum(expr("cast(floor(cos * 1048576e0 + 5e-1) as bigint)")).over(w)
+      / lit(1048576.0)) / count(lit(1)).over(w).cast("double")
+    cosineTopK(emb, k, queryEvery)
+      .withColumn("mean_cos", meanCos)
+      .withColumn("margin",
+        when(abs(col("mean_cos")) > 0.0, col("cos") / col("mean_cos")))
+      .filter(col("margin") >= threshold)
+      .select("q_id", "n_id", "cos", "margin")
+  }
+
+  /** DuckDB mirror of [[marginMine]] — [[graft.QueriesLlm]] composes it
+    * over the shared brute-cosine CTE text. The explicit bigint cast on
+    * the window sum is load-bearing (DuckDB window sum(BIGINT) returns
+    * HUGEINT — the text_pack lesson). */
+  def marginMineSqlTail(k: Int = 10, threshold: Double = 1.05): String =
+    s"""m as (select q_id, n_id, cos,
+       | (cast(sum(cast(floor(cos * 1048576e0 + 5e-1) as bigint))
+       |    over (partition by q_id) as bigint) / 1048576e0)
+       |  / cast(count(*) over (partition by q_id) as double) as mean_cos
+       | from topk)
+       |select q_id, n_id, cos, margin from (
+       | select q_id, n_id, cos,
+       |  case when abs(mean_cos) > 0e0 then cos / mean_cos end as margin from m)
+       |where margin >= ${Parity.lit(threshold)}""".stripMargin.replace("\n", " ")
+
   /** Symmetric int8 quantization of the embedding column — the storage/
     * bandwidth-reduction op of an embedding pipeline. scale = 127/max|v|
     * (max is order-independent), q = clamp(floor(v·scale + 0.5), ±127) —

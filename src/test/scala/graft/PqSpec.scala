@@ -64,6 +64,19 @@ class PqSpec extends SparkSpec {
     assert(gate.nonEmpty && gate.forall(_.getBoolean(1)))
   }
 
+  test("two-stage rerank: exact re-rank of the ADC shortlist beats flat ADC recall") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Pq.exactL2TopK(emb))
+    val flat = asSet(Pq.adcTopK(emb))
+    val rr = asSet(Pq.adcRerank(emb))
+    val flatR = (exact & flat).size.toDouble / exact.size
+    val rrR = (exact & rr).size.toDouble / exact.size
+    info(s"recall@10 flat=$flatR rerank=$rrR")
+    assert(rrR >= flatR, s"rerank $rrR < flat $flatR")
+    assert(rrR >= 2 * flatR, s"shortlist-50 re-rank should at least double flat ADC recall")
+  }
+
   test("trained codebook: degenerate corpus falls back to the fixed grid") {
     val tiny = emb.limit(10)
     assert(Pq.trainCodebook(tiny) eq Pq.codebook)
