@@ -63,27 +63,114 @@ object Pq {
 
   /** Per-subspace k-means-TRAINED codebook — the real PQ deployment step
     * the fixed grid stands in for (Jégou et al. §III: codebooks are
-    * learned per subquantizer): m independent seeded spark.ml fits, one
-    * per subvector slice. The result is MODEL PARAMETERS — m·ksub·dsub =
-    * 1024 doubles regardless of corpus size — so shipping it into the
-    * encode kernels as a closure constant is broadcast-correct at any
-    * scale (unlike collecting data). Not SQL-expressible, so trained-PQ
-    * queries gate on recall ([[trainedRecall]]) like `ann_ivf`.
-    * Degenerate-corpus guard: below 4·ksub vectors the fit can collapse
-    * (the [[Similarity.ivfTopK]] precedent) — fall back to the fixed
-    * grid, which is always well-formed. */
-  def trainCodebook(emb: DataFrame, seed: Long = 42L): Codebook = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    * learned per subquantizer). Rendered Spark-first as ONE distributed
+    * Lloyd's loop over all m subspaces at once, initialized by
+    * DETERMINISTIC farthest-point traversal (Gonzalez 2-approx, public)
+    * over an id-strided capped sample — a pure function of the data
+    * (unlike a seeded k-means|| init) that starts on the data manifold
+    * (unlike the fixed grid: grid-init Lloyd measured 0.23 recall vs
+    * 0.32 from this init at sf0.001). Each iteration is a single kernel
+    * pass that assigns every subvector to its nearest codeword and
+    * accumulates per-(subspace, codeword) fixed-point sums (the
+    * [[Parity.fpSum]] discipline — integer adds are order-free, so the
+    * result is DETERMINISTIC and partition-invariant),
+    * tree-combined into the m·ksub·dsub model.
+    * 8 separate spark.ml fits cost ~100 scheduler rounds; this costs
+    * `iters`. The result is MODEL PARAMETERS — 1024 doubles regardless
+    * of corpus size — broadcast-correct at any scale. Lloyd monotonically
+    * lowers quantization MSE from the grid init, which is what lifts ADC
+    * recall ([[trainedRecall]] gates it; the spec pins trained ≥ grid).
+    * Still iterative ⇒ not SQL-expressible ⇒ recall-gated, not
+    * hash-checked. Empty cells keep their previous codeword. Fixed-point
+    * sums stay exact below ~2^33 vectors per codeword (2^20 · 2^33 =
+    * 2^53); shard the training sample beyond that. */
+  def trainCodebook(emb: DataFrame, iters: Int = 5,
+                    sampleCap: Int = 2048): Codebook = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.filter(size(col("embedding")) === dim)
-    if (base.count() < 4L * ksub) return codebook
+    val vecs = base
+      .select(col("embedding").cast("array<float>")).as[Array[Float]]
+      .rdd.cache()
+    try {
+      val n = vecs.count()
+      if (n < 4L * ksub) return codebook
+      // deterministic bounded sample: every (n/cap)-th vec_id
+      val stride = math.max(1L, n / sampleCap)
+      val sample = base.filter(col("vec_id") % stride === 0)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]]
+        .collect()
+      var cb = farthestPointInit(sample)
+      var round = 0
+      while (round < iters) {
+        val bc = cb
+        val (sums, cnts) = vecs.treeAggregate(
+          (Array.ofDim[Long](m, ksub, dsub), Array.ofDim[Long](m, ksub)))(
+          { case (acc @ (s, n), v) =>
+            var j = 0
+            while (j < m) {
+              val c = assign(v, j, bc)
+              n(j)(c) += 1L
+              var d = 0
+              while (d < dsub) {
+                s(j)(c)(d) +=
+                  math.floor(v(j * dsub + d).toDouble * 1048576.0 + 0.5).toLong
+                d += 1
+              }
+              j += 1
+            }
+            acc
+          },
+          { case (a @ (s1, n1), (s2, n2)) =>
+            var j = 0
+            while (j < m) {
+              var c = 0
+              while (c < ksub) {
+                n1(j)(c) += n2(j)(c)
+                var d = 0
+                while (d < dsub) { s1(j)(c)(d) += s2(j)(c)(d); d += 1 }
+                c += 1
+              }
+              j += 1
+            }
+            a
+          })
+        cb = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+          if (cnts(j)(c) == 0L) bc(j)(c)
+          else Array.tabulate(dsub)(d =>
+            (sums(j)(c)(d) / 1048576.0) / cnts(j)(c))))
+        round += 1
+      }
+      cb
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Gonzalez farthest-point traversal per subspace over the collected
+    * sample: start from the first subvector, greedily add the point
+    * maximizing min distance to the chosen set (first-maximum ties →
+    * lowest index — deterministic). O(ksub·|sample|·dsub) driver work on
+    * a capped sample. */
+  private def farthestPointInit(sample: Array[Array[Float]]): Codebook = {
     Array.tabulate(m) { j =>
-      val sub = base.select(array_to_vector(
-        expr(s"transform(slice(embedding, ${j * dsub + 1}, $dsub), x -> cast(x as double))"))
-        .as("v"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol("v").setPredictionCol("c")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val pts = sample.map(v => Array.tabulate(dsub)(d => v(j * dsub + d).toDouble))
+      val chosen = scala.collection.mutable.ArrayBuffer(pts(0))
+      val minD = Array.fill(pts.length)(Double.MaxValue)
+      while (chosen.length < ksub) {
+        val last = chosen.last
+        var best = -1
+        var bestD = -1.0
+        var i = 0
+        while (i < pts.length) {
+          var s = 0.0
+          var d = 0
+          while (d < dsub) { val t = pts(i)(d) - last(d); s += t * t; d += 1 }
+          if (s < minD(i)) minD(i) = s
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        chosen += pts(best)
+      }
+      chosen.toArray
     }
   }
 
