@@ -296,6 +296,29 @@ class PlanSpec extends SparkSpec {
       s"ship-date bounds must reach the scan:\n$p")
   }
 
+  test("margin mining adds NO exchange over cosineTopK's per-query partition") {
+    val p = plan(graft.operators.Similarity.marginMine(
+      Tables.read(spark, sf("sf0.001"), "embeddings")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"margin window must ride the existing q_id partition, plan:\n$p")
+  }
+
+  test("incremental bloom prescreen: every probe side broadcasts (no sort-merge)") {
+    val p = plan(graft.operators.Dedup.incrementalBloom(
+      Tables.read(spark, sf("sf0.001"), "documents")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bloom bit positions and history fps must broadcast at this size:\n$p")
+  }
+
+  test("two-stage rerank: candidate joins broadcast, no sort-merge join") {
+    val p = plan(graft.operators.Pq.adcRerank(
+      Tables.read(spark, sf("sf0.001"), "embeddings")))
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist/query sides must broadcast at this size:\n$p")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
