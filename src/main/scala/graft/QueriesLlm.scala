@@ -261,6 +261,10 @@ object QueriesLlm {
     // neighborhood) — the bitext-mining confidence filter
     "ann_margin" -> ((s, dir) =>
       Similarity.marginMine(Tables.read(s, dir, "embeddings"))),
+    // contrastive training pairs: top-1 positive + hard negatives
+    // (ranks 11..15) from one cosineTopK pass — dual-encoder data prep
+    "train_pairs" -> ((s, dir) =>
+      Similarity.trainPairs(Tables.read(s, dir, "embeddings"))),
     // IVF-PQ: fixed-quantizer cell prune + ADC re-rank over codes — the
     // trillion-scale layout (scan only probed buckets, m bytes/candidate)
     "ann_ivfpq" -> ((s, dir) =>
@@ -534,6 +538,25 @@ object QueriesLlm {
          |where len(embedding) = ${graft.operators.Pq.dim} and vec_id % 50 = 0"""
         .stripMargin.replace("\n", " "),
     "ann_rerank" -> graft.operators.Pq.adcRerankSql(),
+    "train_pairs" -> {
+      val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
+      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+      s"""with nn as (select * from (select vec_id, embedding, sqrt($dotSelf) as norm
+         |  from embeddings) where norm > 0e0),
+         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+         |  where vec_id % 50 = 0),
+         |c as (select vec_id as n_id, embedding as n_emb, norm as n_norm from nn),
+         |topk as (select q_id, n_id, cos, rn from (
+         |  select q_id, n_id, cos,
+         |   cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
+         |  from (select q_id, n_id, ($dotQN) / (q_norm * n_norm) as cos
+         |    from q join c on q_id <> n_id)) where rn <= 15)
+         |select p.q_id, p.n_id as pos_id, p.cos as pos_cos,
+         | n.n_id as neg_id, n.cos as neg_cos, n.rn - 10 as slot
+         |from (select * from topk where rn = 1) p
+         |join (select * from topk where rn between 11 and 15) n using (q_id)"""
+        .stripMargin.replace("\n", " ")
+    },
     "ann_margin" -> {
       val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
       val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)

@@ -284,6 +284,28 @@ object Similarity {
        |  case when abs(mean_cos) > 0e0 then cos / mean_cos end as margin from m)
        |where margin >= ${Parity.lit(threshold)}""".stripMargin.replace("\n", " ")
 
+  /** Contrastive training-pair generation with HARD negatives — the
+    * dual-encoder data-prep op (DPR-style retriever training, public):
+    * per anchor, the top-1 neighbor is the positive and ranks
+    * [negFrom, negTo] are the hard negatives (near misses — ranked high
+    * but not nearest — which carry most of the gradient signal random
+    * negatives lack). Everything derives from ONE [[cosineTopK]] pass at
+    * k = negTo; the positive×negative assembly is a self-join on q_id
+    * over k-pruned rows (tiny, broadcast), so no second corpus scan and
+    * no new shuffle of the corpus. Deterministic end-to-end ⇒ fully
+    * hash-checked. */
+  def trainPairs(emb: DataFrame, negFrom: Int = 11, negTo: Int = 15,
+                 queryEvery: Int = 50): DataFrame = {
+    val top = cosineTopK(emb, negTo, queryEvery)
+    val pos = top.filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = top.filter(col("rn").between(negFrom, negTo))
+      .select(col("q_id"), col("n_id").as("neg_id"), col("cos").as("neg_cos"),
+        (col("rn") - negFrom + 1).as("slot"))
+    pos.join(neg, Seq("q_id"))
+      .select("q_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "slot")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage/
     * bandwidth-reduction op of an embedding pipeline. scale = 127/max|v|
     * (max is order-independent), q = clamp(floor(v·scale + 0.5), ±127) —
