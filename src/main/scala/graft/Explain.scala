@@ -19,7 +19,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("mwu_markers", "q_join_revenue", "dedup_minhash", "ann_cosine",
         "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join",
-        "bpe_train", "ann_ivfpq", "lr_train", "dedup_within")
+        "bpe_train", "ann_ivfpq", "lr_train", "dedup_within",
+        "ann_rerank", "ann_margin", "dedup_incremental_bloom")
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
