@@ -182,6 +182,13 @@ object QueriesLlm {
       frames.toDF().select(col("doc_id"), col("frame_idx"), col("offset"),
         expr("cast(octet_length(blob) as bigint)").as("frame_bytes"))
     }),
+    // REAL feature extraction: per-channel color histogram of the
+    // DECODED raster (encode → decode → featurize, all genuine; pixel
+    // content is arithmetic in (doc_id,x,y) so the oracle reproduces
+    // the decoded histogram bit-exactly as integer counts)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.imageHistogram(s,
+        Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
@@ -747,6 +754,26 @@ object QueriesLlm {
         | cast(1 + doc_id % 13 as bigint) as width,
         | cast(1 + (doc_id * 3) % 11 as bigint) as height,
         | cast(3 as bigint) as channels, 'png' as format
-        |from documents""".stripMargin.replace("\n", " ")
+        |from documents""".stripMargin.replace("\n", " "),
+    // the decoded-pixel histogram: pngBytes sets pixel (x,y) of doc d to
+    // (d + 31x + 17y) mod 0xffffff (Multimodal.pngBytes), PNG is
+    // lossless, so the decoded channel values are pure arithmetic.
+    // unnest-chained generate_series: DuckDB's table-function form
+    // rejects lateral column arguments (the chunkSql precedent)
+    "multimodal_features" ->
+      """with dims as (select doc_id,
+        |  cast(1 + doc_id % 13 as bigint) as w,
+        |  cast(1 + (doc_id * 3) % 11 as bigint) as h from documents),
+        |xs as (select doc_id, h, unnest(generate_series(0, w - 1)) as x from dims),
+        |px as (select doc_id,
+        |  (doc_id + x * 31 + y * 17) % 16777215 as val from
+        |  (select doc_id, x, unnest(generate_series(0, h - 1)) as y from xs)),
+        |ch as (select doc_id, 0 as channel, val // 65536 as v from px
+        | union all select doc_id, 1, (val // 256) % 256 from px
+        | union all select doc_id, 2, val % 256 from px)
+        |select doc_id, cast(channel as bigint) as channel,
+        | cast(v // 32 as bigint) as bin, cast(count(*) as bigint) as cnt
+        |from ch group by doc_id, channel, v // 32"""
+        .stripMargin.replace("\n", " ")
   )
 }

@@ -194,9 +194,51 @@ object Multimodal {
     }
   }
 
+  /** REAL feature extraction from DECODED pixels: per-channel 8-bin
+    * color histograms over the actual raster the JDK codec returns — a
+    * classic CV feature, no model required, so unlike [[extractFeatures]]
+    * (which stands in for model inference) nothing here is stubbed. The
+    * [[pngAssets]] pixel content is arithmetic in (doc_id, x, y), so the
+    * DuckDB oracle reproduces the decoded histogram exactly — the gate
+    * proves encode → decode → featurize end-to-end. Long format with
+    * exact integer counts (no float surface at all); non-image payloads
+    * are dropped (no raster → no histogram). Partition-parallel, no
+    * shuffle before the per-doc aggregate-sized output. */
+  def imageHistogram(spark: SparkSession, assets: Dataset[Asset],
+                     bins: Int = 8): DataFrame = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.blob))
+        catch { case _: Exception => null }
+      if (img == null) Iterator.empty
+      else {
+        val width = 256 / bins
+        val cnt = Array.ofDim[Long](3, bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y)
+            cnt(0)(((v >> 16) & 255) / width) += 1L
+            cnt(1)(((v >> 8) & 255) / width) += 1L
+            cnt(2)((v & 255) / width) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        for {
+          c <- (0 until 3).iterator
+          b <- 0 until bins
+          if cnt(c)(b) > 0L
+        } yield (a.doc_id, c.toLong, b.toLong, cnt(c)(b))
+      }
+    }.toDF("doc_id", "channel", "bin", "cnt")
+  }
+
   /** STUB feature extraction: deterministic pseudo-embedding from byte
     * histogram moments (a real implementation runs the vision/audio model
-    * per partition batch). Output schema matches the `embeddings` table. */
+    * per partition batch; [[imageHistogram]] is the REAL no-model
+    * sibling). Output schema matches the `embeddings` table. */
   def extractFeatures(spark: SparkSession, assets: Dataset[Asset],
                       dim: Int = 64): Dataset[Feature] = {
     import spark.implicits._

@@ -376,6 +376,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal histogram: decoded-pixel counts cover every pixel once per channel") {
+    val docs = Seq((7L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = Multimodal.imageHistogram(spark, Multimodal.pngAssets(spark, docs)).collect()
+    // doc 7 decodes at 8×11 → each of the 3 channels histograms 88 pixels
+    val perChannel = h.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(perChannel.keySet == Set(0L, 1L, 2L))
+    assert(perChannel.values.forall(_ == 88L), s"per-channel totals: $perChannel")
+  }
+
   test("CMS heavy hitters: top-k by exact count, estimate never undercounts") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b d e f g"), (3L, "a c c h i j"))
       .toDF("doc_id", "text")
