@@ -54,6 +54,10 @@ object QueriesLlm {
     // scoring audit with the trained model: per-lang prediction counts
     "lr_score" -> ((s, dir) =>
       graft.operators.Classifier.lrScore(Tables.read(s, dir, "documents"))),
+    // calibration audit: per-decile reliability bins (n, positives,
+    // exact fixed-point mean p) — the check before trusting thresholds
+    "lr_calibration" -> ((s, dir) =>
+      graft.operators.Classifier.lrCalibration(Tables.read(s, dir, "documents"))),
     // composite quality score over the stats
     "text_quality" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))
@@ -649,6 +653,7 @@ object QueriesLlm {
     "text_entropy" -> TextOps.charEntropySql(),
     "lr_train" -> graft.operators.Classifier.lrTrainSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
+    "lr_calibration" -> graft.operators.Classifier.lrCalibrationSql(),
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
          | ${TextOps.qualityExpr} as quality

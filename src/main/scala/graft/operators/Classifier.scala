@@ -131,6 +131,48 @@ object Classifier {
       "cast(case when lang = 'en' then 1 else 0 end as bigint) as is_en " +
       "from sp group by lang"
 
+  /** Calibration audit of the trained model — the reliability diagram a
+    * curation rollout checks before trusting thresholded probabilities:
+    * predictions bucketed into deciles of p, with per-decile document
+    * count, positive count, and exact fixed-point mean predicted p. A
+    * well-calibrated model has mean_p ≈ positive rate per decile; a
+    * collapsed or over-confident model shows up immediately. One more
+    * margin pass over the shared checkpointed feature stream (no second
+    * tokenize), aggregate-sized output. Deciles are exact integer math
+    * on the q9-gridded p (`floor(p·10)` capped at 9); mean_p goes
+    * through [[Parity.fpSum]] so the double aggregate is order-free. */
+  def lrCalibration(docs: DataFrame, buckets: Int = 256, iters: Int = 3): DataFrame = {
+    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
+    val w = trainOnFeats(feats, labelsOf(docs), docs.count(), iters, 1, 2)
+      .selectExpr("bucket", s"${Parity.q9("w")} as w")
+    feats.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(expr(Parity.fpSum("w * cnt")).as("margin"))
+      .join(labelsOf(docs), "doc_id")
+      .selectExpr(s"$pExpr as p", "y")
+      .selectExpr("least(cast(floor(p * 1e1) as bigint), 9) as decile", "p", "y")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(y as bigint)")).as("n_pos"),
+        expr(Parity.fpSum("p")).as("sum_p"))
+      .withColumn("mean_p", col("sum_p") / col("n_docs").cast("double"))
+      .select("decile", "n_docs", "n_pos", "mean_p")
+  }
+
+  /** DuckDB mirror of [[lrCalibration]]. */
+  def lrCalibrationSql(buckets: Int = 256, iters: Int = 3,
+                       table: String = "documents"): String =
+    lrCtes(buckets, iters, 1, 2, table) +
+      s", wf as (select bucket, ${Parity.q9("w")} as w from w$iters)" +
+      s", sm as (select doc_id, ${Parity.fpSum("w * cnt")} as margin " +
+      "from f join wf using (bucket) group by doc_id)" +
+      s", sp as (select $pExpr as p, y from sm join lab using (doc_id))" +
+      ", dc as (select least(cast(floor(p * 1e1) as bigint), 9) as decile, p, y from sp)" +
+      " select decile, cast(count(*) as bigint) as n_docs, " +
+      "cast(sum(cast(y as bigint)) as bigint) as n_pos, " +
+      s"(${Parity.fpSum("p")} / cast(count(*) as double)) as mean_p " +
+      "from dc group by decile"
+
   /** DuckDB mirror of [[lrTrain]] — the unrolled iteration. */
   def lrTrainSql(buckets: Int = 256, iters: Int = 3,
                  lrNum: Int = 1, lrDen: Int = 2,
