@@ -38,6 +38,7 @@ object ScaleStress {
     if (args.headOption.contains("spans")) { spansStress(args.drop(1)); return }
     if (args.headOption.contains("bpe")) { bpeStress(args.drop(1)); return }
     if (args.headOption.contains("pq")) { pqStress(args.drop(1)); return }
+    if (args.headOption.contains("pqtrain")) { pqTrainStress(args.drop(1)); return }
     if (args.headOption.contains("events")) { eventsStress(args.drop(1)); return }
     if (args.headOption.contains("lr")) { lrStress(args.drop(1)); return }
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
@@ -393,6 +394,29 @@ object ScaleStress {
     val rows = graft.operators.Pq.adcTopK(blown, k = 10, queryEvery = 50 * replicas).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"ann_pq","replicas":$replicas,"vecs":$n,"out_rows":$rows,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Lloyd-training stress: replicate embeddings M× and time
+    * [[graft.operators.Pq.trainCodebook]] alone — each iteration is one
+    * treeAggregate kernel pass emitting a model-sized partial per
+    * partition, so per-vector throughput should hold ~flat as the corpus
+    * grows (the init sample stays capped by construction).
+    * `sbt "runMain graft.ScaleStress pqtrain [replicas]"` */
+  private def pqTrainStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val blown = emb.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"), col("embedding"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val cb = graft.operators.Pq.trainCodebook(blown)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nCw = cb.map(_.length).sum
+    println(f"""{"stress":"pq_train","replicas":$replicas,"vecs":$n,"codewords":$nCw,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
