@@ -285,6 +285,12 @@ object QueriesLlm {
     // is oracle-checked (alongside the exact count it approximates)
     "sketch_distinct" -> ((s, dir) =>
       TextOps.kmvDistinct(Tables.read(s, dir, "documents"))),
+    // HyperLogLog cardinality sketch over the same 3-gram universe —
+    // m=1024 register maxes (merge = register-wise max at any scale);
+    // the harmonic sum is exact dyadic arithmetic, so even the estimate
+    // hash-checks with no quantization
+    "sketch_hll" -> ((s, dir) =>
+      graft.operators.Hll.hllDistinct(Tables.read(s, dir, "documents"))),
     // reproducible train/val/test assignment by id hash — the split every
     // training pipeline needs to be STABLE across runs and engines: no
     // rand(), no row order dependence, pure per-row arithmetic
@@ -530,6 +536,7 @@ object QueriesLlm {
         .stripMargin.replace("\n", " ")
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
+    "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),

@@ -385,6 +385,18 @@ class OperatorsSpec extends SparkSpec {
     assert(perChannel.values.forall(_ == 88L), s"per-channel totals: $perChannel")
   }
 
+  test("HLL sketch: two-regime estimate within 10% of exact per language") {
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val rows = graft.operators.Hll.hllDistinct(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(3)
+      assert(math.abs(est - exact) / math.max(exact, 1.0) <= 0.10,
+        s"${r.getString(0)}: exact=$exact est=$est")
+    }
+  }
+
   test("CMS heavy hitters: top-k by exact count, estimate never undercounts") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b d e f g"), (3L, "a c c h i j"))
       .toDF("doc_id", "text")
