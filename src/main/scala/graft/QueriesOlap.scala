@@ -856,6 +856,106 @@ object QueriesOlap {
       Tables.read(s, dir, "supplier")
         .join(top, col("s_suppkey") === col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
+    }),
+    // Q2 shape: min-cost supplier per part within a region — the
+    // correlated-min-with-lookup-chain topology, rendered as one
+    // per-part window over the (part, supplier) min unit price. Unit
+    // price is one IEEE division on identical operands; min is
+    // order-free; ties break on suppkey. Nation/region dims broadcast.
+    "q_min_cost" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .filter(col("l_quantity") > 0.0)
+      val sup = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      val parts = Tables.read(s, dir, "part")
+        .filter(col("p_size") < 10).select("p_partkey")
+      val perSupp = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("min_cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+        .orderBy(col("min_cost").asc, col("s_suppkey").asc)
+      perSupp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+    // Q11 shape: groups kept by comparison against a GLOBAL scalar —
+    // per-part shipped value > 1.5× the mean part value (SF-invariant,
+    // unlike Q11's absolute fraction: at 10× the parts each holds ~1/10
+    // the share). Both sides are fixed-point sums over the same rows, so
+    // part sums add up to the total exactly and the threshold compare is
+    // deterministic; the 1-row total broadcasts.
+    "q_important_parts" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity")
+      val perPart = li.groupBy("l_partkey")
+        .agg(expr(fpSum("l_extendedprice * l_quantity")).as("part_value"))
+      val total = li.agg(expr(fpSum("l_extendedprice * l_quantity")).as("total_value"),
+        countDistinct("l_partkey").as("n_parts"))
+      perPart.join(broadcast(total),
+        col("part_value") > col("total_value") / col("n_parts").cast("double") * 1.5)
+        .select("l_partkey", "part_value")
+    }),
+    // Q16 shape: per-(brand, size) distinct-supplier counts with a
+    // NOT-IN exclusion list on both dimensions (excluded brand, and the
+    // "complaint" suppliers as a broadcast anti-join)
+    "q_parts_suppliers" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val parts = Tables.read(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13")
+        .select("p_partkey", "p_brand", "p_size")
+      val bad = Tables.read(s, dir, "supplier")
+        .filter(col("s_name").endsWith("7")).select("s_suppkey")
+      li.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+    // Q20 shape: the nested semi-join chain — suppliers who DOMINATE
+    // some part (shipped > 30% of its 1997 volume). Per-(part, supp)
+    // and per-part quantities are exact integer fixed-point sums; the
+    // qualifying pairs semi-join back to the supplier dim.
+    "q_excess_suppliers" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      val perPair = li.groupBy("l_partkey", "l_suppkey")
+        .agg(expr(fpSum("l_quantity")).as("supp_qty"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(expr(fpSum("l_quantity")).as("part_qty"))
+      val dominant = perPair.join(perPart,
+        col("l_partkey") === col("pk") &&
+          col("supp_qty") > col("part_qty") * 0.3)
+        .select("l_suppkey").distinct()
+      Tables.read(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+    // Q22 shape: rich-but-inactive segmentation — customers above the
+    // positive-balance average (global scalar from exact fixed-point
+    // sum/count) with NO urgent orders (anti join against the filtered
+    // order subset — every synthetic customer has SOME order, so the
+    // unfiltered anti-join would be vacuously empty), grouped by a
+    // substring "country code" of the name. One broadcast scalar + one
+    // anti join.
+    "q_inactive_rich" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "customer")
+        .withColumn("code", expr("substring(c_name, length(c_name) - 1, 2)"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((expr(fpSum("c_acctbal")) /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val urgent = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_cust"), expr(fpSum("c_acctbal")).as("total_bal"))
     })
   )
 
@@ -1429,6 +1529,60 @@ object QueriesOlap {
         |  count(*) over (partition by user_id order by tsn asc
         |    range between current row and 600000000000 following) - 1 as n_next_10m
         | from (select event_id, user_id, epoch_ns(ts) as tsn from events))"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+    "q_min_cost" ->
+      """select p_partkey, s_suppkey, s_name, min_cost from (
+        | select p_partkey, s_suppkey, s_name, min_cost,
+        |  row_number() over (partition by p_partkey
+        |   order by min_cost asc, s_suppkey asc) as rn
+        | from (
+        |  select p_partkey, s_suppkey, s_name,
+        |   min(l_extendedprice / l_quantity) as min_cost
+        |  from lineitem
+        |  join supplier on l_suppkey = s_suppkey
+        |  join nation on s_nationkey = n_nationkey
+        |  join region on n_regionkey = r_regionkey and r_name = 'EUROPE'
+        |  join part on l_partkey = p_partkey and p_size < 10
+        |  where l_quantity > 0e0
+        |  group by p_partkey, s_suppkey, s_name))
+        |where rn = 1""".stripMargin.replace("\n", " "),
+    "q_important_parts" ->
+      s"""with t as (select ${fpSum("l_extendedprice * l_quantity")} as total_value,
+         |  cast(count(distinct l_partkey) as bigint) as n_parts from lineitem),
+         |p as (select l_partkey, ${fpSum("l_extendedprice * l_quantity")} as part_value
+         |  from lineitem group by l_partkey)
+         |select l_partkey, part_value from p, t
+         |where part_value > total_value / cast(n_parts as double) * 15e-1"""
+        .stripMargin.replace("\n", " "),
+    "q_parts_suppliers" ->
+      """select p_brand, p_size, cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+        |from lineitem
+        |join part on l_partkey = p_partkey and p_brand <> 'Brand#13'
+        |where l_suppkey not in (select s_suppkey from supplier where s_name like '%7')
+        |group by p_brand, p_size""".stripMargin.replace("\n", " "),
+    "q_excess_suppliers" ->
+      s"""with li as (select l_partkey, l_suppkey, l_quantity from lineitem
+         |  where l_shipdate >= timestamp '1997-01-01'
+         |   and l_shipdate < timestamp '1998-01-01'),
+         |pair as (select l_partkey, l_suppkey, ${fpSum("l_quantity")} as supp_qty
+         |  from li group by l_partkey, l_suppkey),
+         |pp as (select l_partkey as pk, ${fpSum("l_quantity")} as part_qty
+         |  from li group by l_partkey)
+         |select s_suppkey, s_name from supplier
+         |where s_suppkey in (
+         | select distinct l_suppkey from pair join pp on l_partkey = pk
+         | where supp_qty > part_qty * 3e-1)""".stripMargin.replace("\n", " "),
+    "q_inactive_rich" ->
+      s"""with c as (select c_custkey, c_acctbal,
+         |  substring(c_name, length(c_name) - 1, 2) as code from customer),
+         |a as (select ${fpSum("c_acctbal")} / cast(count(*) as double) as avg_bal
+         |  from customer where c_acctbal > 0e0)
+         |select code, cast(count(*) as bigint) as n_cust,
+         | ${fpSum("c_acctbal")} as total_bal
+         |from c, a
+         |where c_acctbal > avg_bal
+         | and not exists (select 1 from orders
+         |   where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+         |group by code""".stripMargin.replace("\n", " ")
   )
 }
