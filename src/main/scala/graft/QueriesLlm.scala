@@ -145,6 +145,11 @@ object QueriesLlm {
       TextOps.repetition(Tables.read(s, dir, "documents"))),
     // per-document top-3 tokens by TF-IDF (quantized idf, deterministic
     // tie-break)
+    // sparse inverted-index retrieval: TF-IDF posting-list join with
+    // document-frequency stop-term pruning — the term-at-a-time twin of
+    // the dense ann_* paths; score sums are fixed-point, fully hash-checked
+    "sparse_retrieval" -> ((s, dir) =>
+      TextOps.sparseRetrieval(Tables.read(s, dir, "documents"))),
     "tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
     // benchmark decontamination: best eval-set match by word-3-gram
@@ -602,6 +607,7 @@ object QueriesLlm {
         | from documents)""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
+    "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
     "tfidf_top" -> TextOps.tfIdfSql(),
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,

@@ -440,6 +440,82 @@ object TextOps {
        | from (select doc_id, string_split(trim(text), ' ') as words from documents))"""
       .stripMargin.replace("\n", " ")
 
+  /** Sparse TF-IDF retrieval via the POSTING-LIST join — the inverted-
+    * index counterpart of the dense ANN paths (`ann_*`): score(q, d) =
+    * Σ over shared tokens of tfidf_q · tfidf_d, computed term-at-a-time
+    * by joining the query docs' postings to the corpus postings ON THE
+    * TOKEN. The scale-bearing choices: stop-terms are pruned by document
+    * frequency (dfq·10 > N → dropped — an exact integer compare; hot
+    * tokens would otherwise make the posting join quadratic, the same
+    * hot-key argument as decontaminateJoin), the score sum goes through
+    * [[graft.oracle.Parity.fpSum]] (order-free), and top-k is the
+    * per-query window. At 100 TB the posting table is the stored
+    * index, bucketed by token; a query reads only its terms' postings. */
+  def sparseRetrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // posting unit = word 3-gram, not unigram: the synthetic corpus has
+    // a 31-token vocabulary (every unigram is a stop word by any df
+    // cut), while its 3-gram universe is thousands-wide per language —
+    // the kmvDistinct precedent. Real deployments pick the unit the
+    // same way: whatever makes postings selective.
+    val toks = docs
+      .select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3)))")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
+    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("dfq"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val postings = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      .filter(col("dfq") * 10 <= col("nn"))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("n_tok").cast("double")) *
+          expr(graft.oracle.Parity.q9(
+            "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")))
+      .select("doc_id", "token", "tfidf")
+    val q = postings.filter(col("doc_id") % queryEvery === 0)
+      .select(col("doc_id").as("q_id"), col("token"), col("tfidf").as("q_w"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    q.join(postings, "token").filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(expr(graft.oracle.Parity.fpSum("q_w * tfidf")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "doc_id", "score", "rk")
+  }
+
+  /** DuckDB mirror of [[sparseRetrieval]]. */
+  def sparseRetrievalSql(k: Int = 10, queryEvery: Int = 50,
+                         table: String = "documents"): String = {
+    val idf = graft.oracle.Parity.q9(
+      "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
+    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |toks as (select doc_id, unnest(list_transform(
+       |   generate_series(1, greatest(len(words) - 2, 1)),
+       |   i -> array_to_string(list_slice(words, i, i + 2), ' '))) as token from doc),
+       |tf as (select doc_id, token, count(*) as c,
+       |  sum(count(*)) over (partition by doc_id) as n_tok
+       |  from toks group by doc_id, token),
+       |dfreq as (select token, count(distinct doc_id) as dfq from toks group by token),
+       |n as (select count(*) as nn from $table),
+       |postings as (select doc_id, tf.token as token,
+       |  (cast(c as double) / cast(n_tok as double)) * $idf as tfidf
+       | from tf join dfreq on tf.token = dfreq.token, n
+       | where dfq * 10 <= nn),
+       |q as (select doc_id as q_id, token, tfidf as q_w from postings
+       |  where doc_id % $queryEvery = 0),
+       |sc as (select q_id, p.doc_id as doc_id,
+       |  ${graft.oracle.Parity.fpSum("q_w * tfidf")} as score
+       | from q join postings p using (token) where q_id <> p.doc_id
+       | group by q_id, p.doc_id)
+       |select q_id, doc_id, score, rk from (
+       | select q_id, doc_id, score,
+       |  cast(row_number() over (partition by q_id order by score desc, doc_id asc) as bigint) as rk
+       | from sc)
+       |where rk <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[tfIdfTop]]. */
   def tfIdfSql(k: Int = 3): String = {
     val idf = graft.oracle.Parity.q9(

@@ -97,6 +97,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("sparse retrieval: shared distinctive grams match; corpus-wide grams pruned") {
+    // Every doc opens with the same 3 words, so the gram "zz qq ww" has
+    // df = N and must be stop-pruned (df*10 > N); doc 1 additionally
+    // shares the distinctive "alpha beta gamma" span with the query
+    // doc 0 (doc_id % 50 == 0), the filler docs share nothing else.
+    val docs = (Seq(
+      (0L, "zz qq ww alpha beta gamma"),
+      (1L, "zz qq ww alpha beta gamma tail1 tail2")) ++
+      (2L to 21L).map(i => (i, s"zz qq ww u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    val hits = TextOps.sparseRetrieval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.forall(_._1 == 0L))          // only doc 0 is a query
+    assert(hits.map(_._2).toSeq == Seq(1L))  // stop-gram matches pruned away
+    assert(hits.head._3 > 0.0)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),
