@@ -150,6 +150,11 @@ object QueriesLlm {
     // the dense ann_* paths; score sums are fixed-point, fully hash-checked
     "sparse_retrieval" -> ((s, dir) =>
       TextOps.sparseRetrieval(Tables.read(s, dir, "documents"))),
+    // hybrid dense+sparse retrieval: reciprocal-rank fusion of ann_cosine
+    // and sparse_retrieval — rank-only arithmetic, fully hash-checked
+    "hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(
+        Tables.read(s, dir, "documents"), Tables.read(s, dir, "embeddings"))),
     "tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
     // benchmark decontamination: best eval-set match by word-3-gram
@@ -608,6 +613,22 @@ object QueriesLlm {
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
+    "hybrid_rrf" ->
+      s"""with dense as (select q_id, n_id as doc_id, rn as dense_rk
+         |  from (${annCosineSql("")})),
+         |sparse as (select q_id, doc_id, rk as sparse_rk
+         |  from (${TextOps.sparseRetrievalSql()})),
+         |f as (select coalesce(d.q_id, s.q_id) as q_id,
+         |  coalesce(d.doc_id, s.doc_id) as doc_id, dense_rk, sparse_rk,
+         |  coalesce(1e0 / (60 + dense_rk), 0e0)
+         |    + coalesce(1e0 / (60 + sparse_rk), 0e0) as rrf
+         | from dense d full outer join sparse s
+         |   on d.q_id = s.q_id and d.doc_id = s.doc_id)
+         |select q_id, doc_id, dense_rk, sparse_rk, rrf, rn from (
+         | select q_id, doc_id, dense_rk, sparse_rk, rrf,
+         |  cast(row_number() over (partition by q_id order by rrf desc, doc_id asc) as bigint) as rn
+         | from f)
+         |where rn <= 10""".stripMargin.replace("\n", " "),
     "tfidf_top" -> TextOps.tfIdfSql(),
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,

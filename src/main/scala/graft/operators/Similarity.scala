@@ -375,6 +375,40 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+    * of the dense cosine top-k ([[cosineTopK]] over `embeddings`) and the
+    * sparse posting-list top-k ([[TextOps.sparseRetrieval]] over
+    * `documents`) — the standard two-tower RAG retrieval shape. Score =
+    * Σ over lists of 1/(k0 + rank), absent list contributes 0. Fusion is
+    * rank-only (never compares raw cosine against TF-IDF scores), so the
+    * arithmetic is two exact integer-denominator divisions and one
+    * addition — bit-deterministic cross-engine with no quantization.
+    * The q_id universe is the UNION of both retrievers' query sets (a
+    * zero-vector query can still retrieve sparsely, an all-stop-gram doc
+    * densely) via the full outer join.
+    *
+    * Scale: both inputs are already top-k-bounded relations (≤ k rows
+    * per query), so the fusion join is tiny regardless of corpus size —
+    * all the heavy lifting stays in the two retrievers, which keep
+    * their own 100 TB paths (IVF for dense, bucketed postings for
+    * sparse). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = 10,
+                queryEvery: Int = 50, k0: Int = 60): DataFrame = {
+    val dense = cosineTopK(emb, k, queryEvery)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rn").as("dense_rk"))
+    val sparse = TextOps.sparseRetrieval(docs, k, queryEvery)
+      .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("dense_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("sparse_rk")), lit(0.0)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "doc_id", "dense_rk", "sparse_rk", "rrf", "rn")
+  }
+
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
     * true cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {

@@ -114,6 +114,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits.head._3 > 0.0)
   }
 
+  test("hybrid RRF: a both-list doc out-fuses a dense-only top-1") {
+    // Sparse side: doc 1 is the only sparse hit for query 0 (the
+    // sparse-retrieval fixture). Dense side: doc 2 is the exact dense
+    // top-1 (identical vector), doc 1 dense rank 2. RRF must put doc 1
+    // first: 1/61 + 1/62 > 1/61.
+    val docs = (Seq(
+      (0L, "zz qq ww alpha beta gamma"),
+      (1L, "zz qq ww alpha beta gamma tail1 tail2")) ++
+      (2L to 21L).map(i => (i, s"zz qq ww u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    def vec(main: Float, second: Float, axis: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = main; a(axis) = second; a
+    }
+    val emb = (Seq(
+      0L -> vec(1f, 0f, 1),      // query
+      2L -> vec(1f, 0f, 1),      // dense cos 1.0
+      1L -> vec(0.9f, 0.5f, 1)) ++ // dense cos ~0.87
+      (3L to 21L).map(i => i -> vec(0f, 1f, (i % 60 + 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val fused = Similarity.hybridRrf(docs, emb).collect()
+      .filter(_.getLong(0) == 0L)
+      .sortBy(_.getLong(5))
+      .map(r => (r.getLong(1), r.get(2), r.get(3), r.getDouble(4)))
+    assert(fused.head._1 == 1L)                    // both-list doc wins
+    assert(fused.head._4 == 1.0 / 62 + 1.0 / 61)   // dense rank 2 + sparse rank 1
+    assert(fused(1)._1 == 2L && fused(1)._3 == null) // dense-only runner-up
+    assert(fused(1)._4 == 1.0 / 61)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),
