@@ -35,6 +35,10 @@ object QueriesLlm {
     // iteration unrolled as CTEs — deterministic converged or not)
     "dedup_groups" -> ((s, dir) =>
       Dedup.clusterLabels(Dedup.minHashPairs(Tables.read(s, dir, "documents")))),
+    // quality-aware canonical selection: per near-dup cluster keep the
+    // highest-quality member, not the smallest id
+    "dedup_canonical" -> ((s, dir) =>
+      Dedup.canonical(Tables.read(s, dir, "documents"))),
     // per-document token statistics
     "text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))),
@@ -417,6 +421,26 @@ object QueriesLlm {
   private def statsDuck =
     s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
 
+  /** DuckDB mirror of [[Dedup.clusterLabels]] over the MinHash pairs —
+    * 8 rounds of min-label propagation unrolled as CTEs. Every CTE is
+    * MATERIALIZED: each l_i references l_{i-1} twice, so inlining would
+    * re-evaluate the MinHash pipeline 2^8 times. */
+  private def dedupGroupsDuck: String = {
+    val lp = (1 to 8).map { i =>
+      val prev = s"l${i - 1}"
+      s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
+        s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
+        "group by id)"
+    }.mkString(", ")
+    s"""with pairs as materialized ($minhashDuck),
+       |edges as materialized (select doc_a as src, doc_b as dst from pairs
+       |  union all select doc_b as src, doc_a as dst from pairs),
+       |l0 as materialized (select id, id as lbl from
+       |  (select doc_a as id from pairs union select doc_b as id from pairs)),
+       |$lp
+       |select id as doc_id, lbl as cluster_id from l8""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[Dedup.minHashPairs]] — word-3-gram shingles →
     * rolling-hash codes → 16 CW minhashes → 4 band buckets → bucket join
     * → exact Jaccard on the code sets. Every constant is interpolated
@@ -644,23 +668,16 @@ object QueriesLlm {
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "dedup_minhash" -> minhashDuck,
-    "dedup_groups" -> {
-      // every CTE is MATERIALIZED: each l_i references l_{i-1} twice, so
-      // inlining would re-evaluate the MinHash pipeline 2^8 times
-      val lp = (1 to 8).map { i =>
-        val prev = s"l${i - 1}"
-        s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
-          s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
-          "group by id)"
-      }.mkString(", ")
-      s"""with pairs as materialized ($minhashDuck),
-         |edges as materialized (select doc_a as src, doc_b as dst from pairs
-         |  union all select doc_b as src, doc_a as dst from pairs),
-         |l0 as materialized (select id, id as lbl from
-         |  (select doc_a as id from pairs union select doc_b as id from pairs)),
-         |$lp
-         |select id as doc_id, lbl as cluster_id from l8""".stripMargin.replace("\n", " ")
-    },
+    "dedup_groups" -> dedupGroupsDuck,
+    "dedup_canonical" ->
+      s"""with labels as materialized ($dedupGroupsDuck),
+         |q as (select doc_id, ${TextOps.qualityExpr} as quality from ($statsDuck)),
+         |j as (select cluster_id, l.doc_id as doc_id, quality
+         |  from labels l join q using (doc_id))
+         |select cluster_id, doc_id, quality, (rk = 1) as is_canonical from (
+         | select cluster_id, doc_id, quality,
+         |  row_number() over (partition by cluster_id order by quality desc, doc_id asc) as rk
+         | from j)""".stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashDuck,
     "emb_neardup" -> embNeardupDuck,
     "dedup_exact" ->

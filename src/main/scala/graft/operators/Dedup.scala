@@ -265,6 +265,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Quality-aware canonical selection: for every near-dup cluster
+    * ([[minHashPairs]] → [[clusterLabels]]), keep the HIGHEST-QUALITY
+    * member ([[TextOps.qualityExpr]]), not an arbitrary one — the policy
+    * real curation pipelines want (dropping the clean copy because a
+    * boilerplate-ridden near-dup had a smaller id loses data quality).
+    * Ties break on min doc_id. Output: every clustered doc with its
+    * cluster, quality and an `is_canonical` flag (downstream keeps
+    * canonical rows plus all unclustered docs).
+    *
+    * Scale: quality is a per-doc map-side projection; the join and the
+    * per-cluster window run on the pair-relation-sized label table, not
+    * the corpus — same physics as [[clusterLabels]]. */
+  def canonical(docs: DataFrame): DataFrame = {
+    val labels = clusterLabels(minHashPairs(docs))
+    val q = TextOps.stats(docs)
+      .withColumn("quality", expr(TextOps.qualityExpr))
+      .select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    labels.join(q, "doc_id")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select("cluster_id", "doc_id", "quality", "is_canonical")
+  }
+
   /** Inverted-index decontamination — same answers as [[decontaminate]],
     * different physics: when the eval side is a large held-out corpus
     * (not a benchmark-sized table) it cannot broadcast, so both sides

@@ -143,6 +143,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fused(1)._4 == 1.0 / 61)
   }
 
+  test("canonical selection keeps the highest-quality cluster member, not min id") {
+    // Three near-dups: identical trimmed text (identical shingles → one
+    // cluster), but doc 11 carries trailing spaces — same tokens, larger
+    // n_chars, so a strictly higher quality score than min-id doc 10.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (10L, base, "en", "web"),
+      (11L, base + " " * 60, "en", "web"),
+      (12L, base, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Dedup.canonical(docs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.keySet == Set(10L, 11L, 12L))
+    assert(rows.values.map(_._1).toSet.size == 1)   // one cluster
+    assert(rows(11L)._2 > rows(10L)._2)             // padding → higher quality
+    assert(rows(11L)._3 && !rows(10L)._3 && !rows(12L)._3)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),
