@@ -43,6 +43,7 @@ object ScaleStress {
     if (args.headOption.contains("lr")) { lrStress(args.drop(1)); return }
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
     if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
+    if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -152,6 +153,36 @@ object ScaleStress {
     val expected = nDocs.toLong * (nDocs - 1) / 2
     println(f"""{"stress":"dedup_degenerate","docs":$nDocs,"pairs":$pairs,"expected":$expected,"sec":$sec%.2f}""")
     assert(pairs == expected, s"degenerate clique must yield all pairs: $pairs != $expected")
+    spark.stop()
+  }
+
+  /** Posting-join leg for [[graft.operators.TextOps.sparseRetrieval]]:
+    * replicate the corpus M× with mutated tails while holding the QUERY
+    * COUNT fixed (queryEvery scales with M; replica ids are
+    * d·M + r, so id % (50·M) == 0 selects exactly the original query
+    * docs). Replication multiplies every gram's document frequency and
+    * the corpus size together, so the df·10 ≤ N stop cut keeps the same
+    * gram set — per-query cost grows only with MATCHED postings (linear
+    * in the corpus), never |Q|×N. Per-doc throughput ~flat across two
+    * replica counts is the proof.
+    * `sbt "runMain graft.ScaleStress sparse [replicas]"` */
+  private def sparseStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = graft.operators.TextOps
+      .sparseRetrieval(blown, k = 10, queryEvery = 50 * replicas).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"sparse_retrieval","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
