@@ -159,6 +159,10 @@ object QueriesLlm {
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(
         Tables.read(s, dir, "documents"), Tables.read(s, dir, "embeddings"))),
+    // kNN majority-vote weak labeling over the dense retriever, with the
+    // leave-one-out accuracy flag
+    "knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.read(s, dir, "embeddings"))),
     "tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
     // benchmark decontamination: best eval-set match by word-3-gram
@@ -653,6 +657,19 @@ object QueriesLlm {
          |  cast(row_number() over (partition by q_id order by rrf desc, doc_id asc) as bigint) as rn
          | from f)
          |where rn <= 10""".stripMargin.replace("\n", " "),
+    "knn_classify" ->
+      s"""with nbrs as (select q_id, n_id from (${annCosineSql("")})),
+         |votes as (select q_id, label, count(*) as votes
+         |  from nbrs join embeddings on n_id = vec_id
+         |  group by q_id, label),
+         |win as (select q_id, label, votes,
+         |  row_number() over (partition by q_id order by votes desc, label asc) as rk
+         | from votes)
+         |select w.q_id as q_id, cast(w.label as bigint) as pred_label, votes,
+         |  cast(e.label as bigint) as true_label,
+         |  (w.label = e.label) as is_correct
+         |from win w join embeddings e on w.q_id = e.vec_id
+         |where rk = 1""".stripMargin.replace("\n", " "),
     "tfidf_top" -> TextOps.tfIdfSql(),
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,

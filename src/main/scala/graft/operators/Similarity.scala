@@ -409,6 +409,32 @@ object Similarity {
       .select("q_id", "doc_id", "dense_rk", "sparse_rk", "rrf", "rn")
   }
 
+  /** kNN majority-vote classification: each query vector takes the
+    * modal label of its [[cosineTopK]] neighbors (ties: most votes, then
+    * smallest label) — the standard weak-labeling / label-propagation
+    * shape for annotating an unlabeled slice from a labeled corpus.
+    * Emits the query's own label and an `is_correct` flag, so the same
+    * relation doubles as the leave-one-out accuracy audit.
+    *
+    * Scale: votes aggregate the top-k-bounded neighbor relation (≤ k
+    * rows/query) and the label side is a two-column projection of the
+    * corpus — the vote join shuffles only (q_id, label, count) tuples,
+    * never embeddings; the heavy lifting stays in the retriever with
+    * its own IVF scale path. */
+  def knnClassify(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = cosineTopK(emb, k, queryEvery)
+      .join(lbl.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("label").cast("long").as("pred_label"), col("votes"),
+        col("true_label").cast("long").as("true_label"),
+        (col("label") === col("true_label")).as("is_correct"))
+  }
+
   /** LSH-pruned near-duplicate pairs: same-bucket candidates filtered by
     * true cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95, bits: Int = 12): DataFrame = {

@@ -161,6 +161,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(11L)._3 && !rows(10L)._3 && !rows(12L)._3)
   }
 
+  test("knn classify: majority label wins, vote ties break to smallest label") {
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y; a
+    }
+    // query 0 (label 1) + exactly 10 neighbors: 5 vote label 2, 5 vote
+    // label 1 → 5-5 tie → pred 1 (smallest), is_correct
+    val emb = ((0L, vec(1f, 0f), 1) +:
+      (1L to 5L).map(i => (i, vec(1f, i * 0.01f), 2)) ++:
+      (6L to 10L).map(i => (i, vec(1f, i * 0.01f), 1)).toSeq)
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(emb).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 1L)   // tie → min label
+    assert(row.getLong(2) == 5L && row.getBoolean(4))
+    // 6-vs-4 split: majority label 2 wins outright
+    val emb2 = ((0L, vec(1f, 0f), 1) +:
+      (1L to 6L).map(i => (i, vec(1f, i * 0.01f), 2)) ++:
+      (7L to 10L).map(i => (i, vec(1f, i * 0.01f), 1)).toSeq)
+      .toDF("vec_id", "embedding", "label")
+    val row2 = Similarity.knnClassify(emb2).collect().head
+    assert(row2.getLong(1) == 2L && row2.getLong(2) == 6L && !row2.getBoolean(4))
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),

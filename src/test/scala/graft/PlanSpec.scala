@@ -319,6 +319,30 @@ class PlanSpec extends SparkSpec {
       s"shortlist/query sides must broadcast at this size:\n$p")
   }
 
+  test("sparse retrieval: df/count side-tables broadcast; no cartesian posting join") {
+    val p = plan(graft.operators.TextOps.sparseRetrieval(
+      Tables.read(spark, sf("sf0.001"), "documents")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"the posting join must be an equi-join on the token, never all-pairs:\n$p")
+  }
+
+  test("hybrid RRF fuses with a full outer join over top-k-bounded inputs") {
+    val p = plan(graft.operators.Similarity.hybridRrf(
+      Tables.read(spark, sf("sf0.001"), "documents"),
+      Tables.read(spark, sf("sf0.001"), "embeddings")))
+    assert(p.contains("FullOuter"),
+      s"fusion must union the two retrievers' query universes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn classify: label-vote joins broadcast at this size (no sort-merge)") {
+    val p = plan(graft.operators.Similarity.knnClassify(
+      Tables.read(spark, sf("sf0.001"), "embeddings")))
+    assert(!p.contains("SortMergeJoin"),
+      s"votes and label projections are tiny; they must broadcast:\n$p")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
