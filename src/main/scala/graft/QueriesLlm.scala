@@ -163,6 +163,10 @@ object QueriesLlm {
     // leave-one-out accuracy flag
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.read(s, dir, "embeddings"))),
+    // SemDeDup: embedding-space near-dup clusters, keep one
+    // representative per cluster
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.read(s, dir, "embeddings"))),
     "tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
     // benchmark decontamination: best eval-set match by word-3-gram
@@ -425,24 +429,40 @@ object QueriesLlm {
   private def statsDuck =
     s"select ${TextOps.statsSelects(DuckD).mkString(", ")} from documents"
 
-  /** DuckDB mirror of [[Dedup.clusterLabels]] over the MinHash pairs —
-    * 8 rounds of min-label propagation unrolled as CTEs. Every CTE is
-    * MATERIALIZED: each l_i references l_{i-1} twice, so inlining would
-    * re-evaluate the MinHash pipeline 2^8 times. */
-  private def dedupGroupsDuck: String = {
+  /** DuckDB mirror of [[Dedup.clusterLabels]] over any (doc_a, doc_b)
+    * pair relation — 8 rounds of min-label propagation unrolled as CTEs.
+    * Every CTE is MATERIALIZED: each l_i references l_{i-1} twice, so
+    * inlining would re-evaluate the pair pipeline 2^8 times. */
+  private def labelPropDuck(pairsSql: String): String = {
     val lp = (1 to 8).map { i =>
       val prev = s"l${i - 1}"
       s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
         s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
         "group by id)"
     }.mkString(", ")
-    s"""with pairs as materialized ($minhashDuck),
+    s"""with pairs as materialized ($pairsSql),
        |edges as materialized (select doc_a as src, doc_b as dst from pairs
        |  union all select doc_b as src, doc_a as dst from pairs),
        |l0 as materialized (select id, id as lbl from
        |  (select doc_a as id from pairs union select doc_b as id from pairs)),
        |$lp
        |select id as doc_id, lbl as cluster_id from l8""".stripMargin.replace("\n", " ")
+  }
+
+  /** [[labelPropDuck]] over the MinHash near-dup pairs (`dedup_groups`). */
+  private def dedupGroupsDuck: String = labelPropDuck(minhashDuck)
+
+  /** DuckDB mirror of [[Similarity.nearDupExact]] at threshold 0.3. */
+  private def embNeardupExactDuck: String = {
+    val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+    s"""with nn as (select * from (select vec_id, label, embedding, sqrt($dotSelf) as norm
+       |  from embeddings) where norm > 0e0)
+       |select label, id_a, id_b, cos from (
+       | select a.label as label, a.vec_id as id_a, b.vec_id as id_b,
+       |  (${Parity.dot(DuckD, "a.embedding", "b.embedding", dim)})
+       |    / (a.norm * b.norm) as cos
+       | from nn a join nn b on a.label = b.label and a.vec_id < b.vec_id)
+       |where cos >= 3e-1""".stripMargin.replace("\n", " ")
   }
 
   /** DuckDB mirror of [[Dedup.minHashPairs]] — word-3-gram shingles →
@@ -730,17 +750,14 @@ object QueriesLlm {
       """select doc_id, md5(trim(text)) as fingerprint,
         | cast(strlen(text) as bigint) as n_bytes
         |from documents""".stripMargin.replace("\n", " "),
-    "emb_neardup_exact" -> {
-      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
-      s"""with nn as (select * from (select vec_id, label, embedding, sqrt($dotSelf) as norm
-         |  from embeddings) where norm > 0e0)
-         |select label, id_a, id_b, cos from (
-         | select a.label as label, a.vec_id as id_a, b.vec_id as id_b,
-         |  (${Parity.dot(DuckD, "a.embedding", "b.embedding", dim)})
-         |    / (a.norm * b.norm) as cos
-         | from nn a join nn b on a.label = b.label and a.vec_id < b.vec_id)
-         |where cos >= 3e-1""".stripMargin.replace("\n", " ")
-    },
+    "emb_neardup_exact" -> embNeardupExactDuck,
+    "semantic_dedup" ->
+      s"""with labels as materialized (${labelPropDuck(
+              s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
+         |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
+         | select cluster_id, doc_id,
+         |  row_number() over (partition by cluster_id order by doc_id asc) as rk
+         | from labels)""".stripMargin.replace("\n", " "),
     // ann_ivf's oracle: the exact query-id set (same norm>0 universe and
     // %50 predicate as annCosineSql) with recall_ok asserted true — the
     // Spark side computes real per-query recall vs cosineTopK, so a

@@ -409,6 +409,33 @@ object Similarity {
       .select("q_id", "doc_id", "dense_rk", "sparse_rk", "rrf", "rn")
   }
 
+  /** Semantic deduplication — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-space near-duplicates are clustered
+    * and one representative per cluster is kept, removing paraphrases
+    * and re-encodings exact text dedup cannot see. Rendering here:
+    * block by the coarse cell ([[nearDupExact]]'s label blocking — at
+    * scale the IVF cell assignment), take exact within-cell cosine ≥
+    * threshold pairs, collapse to clusters with
+    * [[Dedup.clusterLabels]] min-label propagation, keep the min-id
+    * member (deterministic; the paper keeps the centroid-farthest — a
+    * one-line orderBy swap once a trained centroid column exists).
+    * Output: every clustered vector with its cluster and an
+    * `is_keeper` flag; unclustered vectors are implicitly kept.
+    *
+    * Scale: pair generation is quadratic only within a cell (the IVF
+    * partitioning bounds cell size), propagation and the keeper window
+    * run on the pair-relation-sized label table — the corpus
+    * embeddings never reshuffle after cell assignment. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = nearDupExact(emb, threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("doc_id").asc)
+    Dedup.clusterLabels(pairs)
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .select(col("cluster_id"), col("doc_id").as("vec_id"), col("is_keeper"))
+  }
+
   /** kNN majority-vote classification: each query vector takes the
     * modal label of its [[cosineTopK]] neighbors (ties: most votes, then
     * smallest label) — the standard weak-labeling / label-propagation

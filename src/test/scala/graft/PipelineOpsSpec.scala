@@ -185,6 +185,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row2.getLong(1) == 2L && row2.getLong(2) == 6L && !row2.getBoolean(4))
   }
 
+  test("semantic dedup: similar-embedding cluster keeps min id, dissimilar stays out") {
+    def vec(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y; a
+    }
+    val emb = Seq(
+      (7L, vec(1f, 0.01f), 0),   // near-dup of 5 and 6
+      (5L, vec(1f, 0f), 0),
+      (6L, vec(1f, 0.02f), 0),
+      (9L, vec(0f, 1f), 0))      // orthogonal: below threshold, unclustered
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.semanticDedup(emb).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getBoolean(2))).toMap
+    assert(rows.keySet == Set(5L, 6L, 7L))
+    assert(rows.values.map(_._1).toSet == Set(5L))  // one cluster, labeled by min id
+    assert(rows(5L)._2 && !rows(6L)._2 && !rows(7L)._2)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),
