@@ -147,8 +147,6 @@ object QueriesLlm {
     // Gopher-style within-document repetition signals
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables.read(s, dir, "documents"))),
-    // per-document top-3 tokens by TF-IDF (quantized idf, deterministic
-    // tie-break)
     // sparse inverted-index retrieval: TF-IDF posting-list join with
     // document-frequency stop-term pruning — the term-at-a-time twin of
     // the dense ann_* paths; score sums are fixed-point, fully hash-checked
@@ -167,6 +165,8 @@ object QueriesLlm {
     // representative per cluster
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.read(s, dir, "embeddings"))),
+    // per-document top-3 tokens by TF-IDF (quantized idf, deterministic
+    // tie-break)
     "tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTop(Tables.read(s, dir, "documents"))),
     // benchmark decontamination: best eval-set match by word-3-gram

@@ -157,26 +157,62 @@ object TextOps {
   def repetition(docs: DataFrame): DataFrame =
     docs.selectExpr(repetitionSelects(SparkD): _*)
 
-  /** Per-document top-k tokens by TF-IDF. tf is an exact ratio; idf goes
-    * through ln (1-ulp divergence risk) so it is q9-quantized BEFORE the
-    * product — identical operands make the product bit-equal, and the
-    * top-k window tie-breaks on the token for a deterministic order.
-    * Plan shape: one explode, two hash aggregates, a broadcast-sized df
-    * join (vocabulary rows), one per-doc window. */
-  def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** q9-quantized idf snippet shared by every TF-IDF consumer (idf goes
+    * through ln — a 1-ulp divergence risk — so it is quantized BEFORE
+    * any product; identical operands make the products bit-equal). */
+  private val idfQ9: String = graft.oracle.Parity.q9(
+    "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
+
+  /** Shared TF-IDF posting builder: tokenize with `tokenExpr`, count tf
+    * per (doc, token), derive document frequency FROM the tf relation
+    * (tf has exactly one row per (doc, token), so `count(*)` over it is
+    * the df — one corpus tokenization, no second explode), attach the
+    * corpus count and the quantized idf.
+    *
+    * `dfCap` > 0 keeps a token only while dfq·dfCap ≤ N (stop cut);
+    * `broadcastDf` — broadcast the df table ONLY for closed token
+    * universes (unigram vocabularies); open universes (word n-grams)
+    * grow with the corpus and must meet tf in a token-keyed equi-join
+    * instead. Emits (doc_id, token, c, n_tok, dfq, nn, tfidf). */
+  private def tfidfPostings(docs: DataFrame, tokenExpr: String,
+                            dfCap: Int, broadcastDf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      explode(expr("split(trim(text), ' ')")).as("token"))
+    val toks = docs.select(col("doc_id"), explode(expr(tokenExpr)).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
       .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
-    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("dfq"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfq"))
     val n = docs.agg(count(lit(1)).as("nn"))
+    val joined = tf.join(if (broadcastDf) broadcast(dfreq) else dfreq, "token")
+      .crossJoin(broadcast(n))
+    val cut = if (dfCap > 0) joined.filter(col("dfq") * dfCap <= col("nn")) else joined
+    cut.withColumn("tfidf",
+      (col("c").cast("double") / col("n_tok").cast("double")) * expr(idfQ9))
+  }
+
+  /** DuckDB mirror of [[tfidfPostings]] — the CTE chain up to a
+    * `postings` relation; compose with a final select. */
+  private def tfidfPostingsCtes(toksSelect: String, table: String,
+                                dfCutPred: String): String =
+    s"""toks as ($toksSelect),
+       |tf as (select doc_id, token, count(*) as c,
+       |  sum(count(*)) over (partition by doc_id) as n_tok
+       |  from toks group by doc_id, token),
+       |dfreq as (select token, count(*) as dfq from tf group by token),
+       |n as (select count(*) as nn from $table),
+       |postings as (select doc_id, tf.token as token,
+       |  (cast(c as double) / cast(n_tok as double)) * $idfQ9 as tfidf
+       | from tf join dfreq on tf.token = dfreq.token, n$dfCutPred)""".stripMargin
+
+  /** Per-document top-k tokens by TF-IDF. tf is an exact ratio; idf is
+    * q9-quantized before the product ([[idfQ9]]), and the top-k window
+    * tie-breaks on the token for a deterministic order. Plan shape: one
+    * explode, two hash aggregates, a broadcast df join (unigram
+    * vocabulary — a CLOSED universe, so the broadcast is bounded), one
+    * per-doc window. */
+  def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        (col("c").cast("double") / col("n_tok").cast("double")) *
-          expr(graft.oracle.Parity.q9(
-            "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")))
+    tfidfPostings(docs, "split(trim(text), ' ')", dfCap = 0, broadcastDf = true)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("doc_id", "token", "tfidf", "rk")
@@ -457,22 +493,13 @@ object TextOps {
     // a 31-token vocabulary (every unigram is a stop word by any df
     // cut), while its 3-gram universe is thousands-wide per language —
     // the kmvDistinct precedent. Real deployments pick the unit the
-    // same way: whatever makes postings selective.
-    val toks = docs
-      .select(col("doc_id"), expr("split(trim(text), ' ')").as("words"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(words) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(words, i, 3)))")).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
-    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("dfq"))
-    val n = docs.agg(count(lit(1)).as("nn"))
-    val postings = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
-      .filter(col("dfq") * 10 <= col("nn"))
-      .withColumn("tfidf",
-        (col("c").cast("double") / col("n_tok").cast("double")) *
-          expr(graft.oracle.Parity.q9(
-            "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")))
+    // same way: whatever makes postings selective. An OPEN token
+    // universe grows with the corpus, so broadcastDf=false: the df
+    // table meets tf in a token-keyed equi-join.
+    val postings = tfidfPostings(docs,
+      "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(split(trim(text), ' '), i, 3)))",
+      dfCap = 10, broadcastDf = false)
       .select("doc_id", "token", "tfidf")
     val q = postings.filter(col("doc_id") % queryEvery === 0)
       .select(col("doc_id").as("q_id"), col("token"), col("tfidf").as("q_w"))
@@ -488,21 +515,12 @@ object TextOps {
   /** DuckDB mirror of [[sparseRetrieval]]. */
   def sparseRetrievalSql(k: Int = 10, queryEvery: Int = 50,
                          table: String = "documents"): String = {
-    val idf = graft.oracle.Parity.q9(
-      "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
-    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from $table),
-       |toks as (select doc_id, unnest(list_transform(
-       |   generate_series(1, greatest(len(words) - 2, 1)),
-       |   i -> array_to_string(list_slice(words, i, i + 2), ' '))) as token from doc),
-       |tf as (select doc_id, token, count(*) as c,
-       |  sum(count(*)) over (partition by doc_id) as n_tok
-       |  from toks group by doc_id, token),
-       |dfreq as (select token, count(distinct doc_id) as dfq from toks group by token),
-       |n as (select count(*) as nn from $table),
-       |postings as (select doc_id, tf.token as token,
-       |  (cast(c as double) / cast(n_tok as double)) * $idf as tfidf
-       | from tf join dfreq on tf.token = dfreq.token, n
-       | where dfq * 10 <= nn),
+    val toks =
+      s"""select doc_id, unnest(list_transform(
+         |   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
+         |   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' '))) as token
+         | from $table""".stripMargin
+    s"""with ${tfidfPostingsCtes(toks, table, " where dfq * 10 <= nn")},
        |q as (select doc_id as q_id, token, tfidf as q_w from postings
        |  where doc_id % $queryEvery = 0),
        |sc as (select q_id, p.doc_id as doc_id,
@@ -518,20 +536,12 @@ object TextOps {
 
   /** DuckDB mirror of [[tfIdfTop]]. */
   def tfIdfSql(k: Int = 3): String = {
-    val idf = graft.oracle.Parity.q9(
-      "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
-    s"""with toks as (select doc_id, unnest(string_split(trim(text), ' ')) as token from documents),
-       |tf as (select doc_id, token, count(*) as c,
-       |  sum(count(*)) over (partition by doc_id) as n_tok
-       |  from toks group by doc_id, token),
-       |dfreq as (select token, count(distinct doc_id) as dfq from toks group by token),
-       |n as (select count(*) as nn from documents)
+    val toks = "select doc_id, unnest(string_split(trim(text), ' ')) as token from documents"
+    s"""with ${tfidfPostingsCtes(toks, "documents", "")}
        |select doc_id, token, tfidf, rk from (
        | select doc_id, token, tfidf,
        |  cast(row_number() over (partition by doc_id order by tfidf desc, token asc) as bigint) as rk
-       | from (select tf.doc_id, tf.token,
-       |   (cast(c as double) / cast(n_tok as double)) * $idf as tfidf
-       |   from tf join dfreq on tf.token = dfreq.token, n))
+       | from postings)
        |where rk <= $k""".stripMargin.replace("\n", " ")
   }
 

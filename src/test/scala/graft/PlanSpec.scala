@@ -319,12 +319,17 @@ class PlanSpec extends SparkSpec {
       s"shortlist/query sides must broadcast at this size:\n$p")
   }
 
-  test("sparse retrieval: df/count side-tables broadcast; no cartesian posting join") {
+  test("sparse retrieval: token-keyed equi-joins only, df table never hint-forced") {
     val p = plan(graft.operators.TextOps.sparseRetrieval(
       Tables.read(spark, sf("sf0.001"), "documents")))
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"),
       s"the posting join must be an equi-join on the token, never all-pairs:\n$p")
+    // the word-3-gram df table is an OPEN universe (grows with the
+    // corpus): it meets tf keyed on the token — the planner may still
+    // broadcast it at THIS size by its own estimate, but nothing in the
+    // operator forces it (the only hinted broadcast is the 1-row count)
+    assert("Exchange hashpartitioning\\(token".r.findFirstIn(p).isDefined,
+      s"df/posting joins must hash on the token:\n$p")
   }
 
   test("hybrid RRF fuses with a full outer join over top-k-bounded inputs") {
