@@ -170,38 +170,52 @@ object TextOps {
     * corpus count and the quantized idf.
     *
     * `dfCap` > 0 keeps a token only while dfq·dfCap ≤ N (stop cut);
-    * `broadcastDf` — broadcast the df table ONLY for closed token
-    * universes (unigram vocabularies); open universes (word n-grams)
-    * grow with the corpus and must meet tf in a token-keyed equi-join
-    * instead. Emits (doc_id, token, c, n_tok, dfq, nn, tfidf). */
+    * `broadcastDf` — for CLOSED token universes (unigram vocabularies)
+    * df is a vocabulary-sized sub-aggregate broadcast back onto tf (tf
+    * never moves). For OPEN universes (word n-grams, growing with the
+    * corpus) df is a count window over tf partitioned by the token —
+    * one pass, no second relation, and the token exchange it introduces
+    * is exactly the partitioning a downstream posting join reuses.
+    * Emits (doc_id, token, c, n_tok, dfq, nn, tfidf). */
   private def tfidfPostings(docs: DataFrame, tokenExpr: String,
                             dfCap: Int, broadcastDf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(expr(tokenExpr)).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
       .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfq"))
-    val n = docs.agg(count(lit(1)).as("nn"))
-    val joined = tf.join(if (broadcastDf) broadcast(dfreq) else dfreq, "token")
-      .crossJoin(broadcast(n))
+    val withDf =
+      if (broadcastDf) {
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfq"))
+        tf.join(broadcast(dfreq), "token")
+      } else tf.withColumn("dfq", count(lit(1)).over(Window.partitionBy("token")))
+    val joined = withDf.crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
     val cut = if (dfCap > 0) joined.filter(col("dfq") * dfCap <= col("nn")) else joined
     cut.withColumn("tfidf",
       (col("c").cast("double") / col("n_tok").cast("double")) * expr(idfQ9))
   }
 
   /** DuckDB mirror of [[tfidfPostings]] — the CTE chain up to a
-    * `postings` relation; compose with a final select. */
+    * `postings` relation; compose with a final select. `windowDf`
+    * mirrors `broadcastDf = false` (df as a count window over tf). */
   private def tfidfPostingsCtes(toksSelect: String, table: String,
-                                dfCutPred: String): String =
+                                dfCutPred: String,
+                                windowDf: Boolean = false): String = {
+    val dfCtes =
+      if (windowDf)
+        "tfd as (select *, count(*) over (partition by token) as dfq from tf)"
+      else
+        """dfreq as (select token, count(*) as dfq from tf group by token),
+          |tfd as (select tf.*, dfq from tf join dfreq on tf.token = dfreq.token)""".stripMargin
     s"""toks as ($toksSelect),
        |tf as (select doc_id, token, count(*) as c,
        |  sum(count(*)) over (partition by doc_id) as n_tok
        |  from toks group by doc_id, token),
-       |dfreq as (select token, count(*) as dfq from tf group by token),
+       |$dfCtes,
        |n as (select count(*) as nn from $table),
-       |postings as (select doc_id, tf.token as token,
+       |postings as (select doc_id, token,
        |  (cast(c as double) / cast(n_tok as double)) * $idfQ9 as tfidf
-       | from tf join dfreq on tf.token = dfreq.token, n$dfCutPred)""".stripMargin
+       | from tfd, n$dfCutPred)""".stripMargin
+  }
 
   /** Per-document top-k tokens by TF-IDF. tf is an exact ratio; idf is
     * q9-quantized before the product ([[idfQ9]]), and the top-k window
@@ -520,7 +534,7 @@ object TextOps {
          |   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
          |   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' '))) as token
          | from $table""".stripMargin
-    s"""with ${tfidfPostingsCtes(toks, table, " where dfq * 10 <= nn")},
+    s"""with ${tfidfPostingsCtes(toks, table, " where dfq * 10 <= nn", windowDf = true)},
        |q as (select doc_id as q_id, token, tfidf as q_w from postings
        |  where doc_id % $queryEvery = 0),
        |sc as (select q_id, p.doc_id as doc_id,
