@@ -44,6 +44,7 @@ object ScaleStress {
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
     if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
+    if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -183,6 +184,34 @@ object ScaleStress {
       .sparseRetrieval(blown, k = 10, queryEvery = 50 * replicas).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"sparse_retrieval","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Cell-quadratic containment leg for
+    * [[graft.operators.Similarity.semanticDedup]]: replicate the
+    * embedding table M× into DISJOINT cells (replica r gets label
+    * base·M + r), so the corpus grows M× while every cell keeps its
+    * original size — the exact situation the cell blocking is for.
+    * Within-cell pair work per cell is constant ⇒ total wall-clock
+    * should grow ~linearly in M (flat vec/s), even though the pair
+    * predicate is quadratic inside a cell.
+    * `sbt "runMain graft.ScaleStress semdedup [replicas]"` */
+  private def semDedupStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val blown = emb.select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"),
+        col("embedding"),
+        (col("label") * replicas + col("r")).cast("int").as("label"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = graft.operators.Similarity.semanticDedup(blown).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"semantic_dedup","replicas":$replicas,"vecs":$n,"out_rows":$out,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
