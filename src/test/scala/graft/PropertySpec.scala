@@ -54,6 +54,27 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("retrieval family is invariant to shuffle partitioning (1/4/13)") {
+    // sparse scores ride fpSum, RRF is rank-only arithmetic, semantic
+    // dedup is min-label propagation — none may depend on partition
+    // count or intra-partition order
+    def run(): Seq[String] = {
+      val sparse = SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001"))
+        .orderBy("q_id", "rk").collect().map(_.toString).toSeq
+      val rrf = SparkEntry.queries("hybrid_rrf")(spark, sf("sf0.001"))
+        .orderBy("q_id", "rn").collect().map(_.toString).toSeq
+      val sem = SparkEntry.queries("semantic_dedup")(spark, sf("sf0.001"))
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      sparse ++ rrf ++ sem
+    }
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
   test("aggregated rank sums are bit-equal to per-cell rank sums (incl. NaN poisoning)") {
     for ((vals, gs) <- cases(4)) {
       val cells = cellsOf("f", vals, gs)
