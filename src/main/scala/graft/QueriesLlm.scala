@@ -152,6 +152,9 @@ object QueriesLlm {
     // the dense ann_* paths; score sums are fixed-point, fully hash-checked
     "sparse_retrieval" -> ((s, dir) =>
       TextOps.sparseRetrieval(Tables.read(s, dir, "documents"))),
+    // query-by-example BM25 over the same 3-gram posting index
+    "bm25_retrieval" -> ((s, dir) =>
+      TextOps.bm25Retrieval(Tables.read(s, dir, "documents"))),
     // hybrid dense+sparse retrieval: reciprocal-rank fusion of ann_cosine
     // and sparse_retrieval — rank-only arithmetic, fully hash-checked
     "hybrid_rrf" -> ((s, dir) =>
@@ -661,6 +664,7 @@ object QueriesLlm {
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
+    "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "hybrid_rrf" ->
       s"""with dense as (select q_id, n_id as doc_id, rn as dense_rk
          |  from (${annCosineSql("")})),

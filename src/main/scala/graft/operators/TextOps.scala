@@ -157,6 +157,20 @@ object TextOps {
   def repetition(docs: DataFrame): DataFrame =
     docs.selectExpr(repetitionSelects(SparkD): _*)
 
+  /** Word-3-gram tokenizer, Spark side — the OPEN posting universe the
+    * retrieval family shares (unigrams degenerate to stop words on a
+    * small vocabulary; the kmvDistinct precedent). */
+  private val gram3Spark: String =
+    "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(trim(text), ' '), i, 3)))"
+
+  /** DuckDB twin of [[gram3Spark]] as a `(doc_id, token)` select. */
+  private def gram3DuckToks(table: String): String =
+    s"""select doc_id, unnest(list_transform(
+       |   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
+       |   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' '))) as token
+       | from $table""".stripMargin
+
   /** q9-quantized idf snippet shared by every TF-IDF consumer (idf goes
     * through ln — a 1-ulp divergence risk — so it is quantized BEFORE
     * any product; identical operands make the products bit-equal). */
@@ -510,10 +524,7 @@ object TextOps {
     // same way: whatever makes postings selective. An OPEN token
     // universe grows with the corpus, so broadcastDf=false: the df
     // table meets tf in a token-keyed equi-join.
-    val postings = tfidfPostings(docs,
-      "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)), " +
-        "i -> concat_ws(' ', slice(split(trim(text), ' '), i, 3)))",
-      dfCap = 10, broadcastDf = false)
+    val postings = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
       .select("doc_id", "token", "tfidf")
     val q = postings.filter(col("doc_id") % queryEvery === 0)
       .select(col("doc_id").as("q_id"), col("token"), col("tfidf").as("q_w"))
@@ -529,12 +540,8 @@ object TextOps {
   /** DuckDB mirror of [[sparseRetrieval]]. */
   def sparseRetrievalSql(k: Int = 10, queryEvery: Int = 50,
                          table: String = "documents"): String = {
-    val toks =
-      s"""select doc_id, unnest(list_transform(
-         |   generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
-         |   i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' '))) as token
-         | from $table""".stripMargin
-    s"""with ${tfidfPostingsCtes(toks, table, " where dfq * 10 <= nn", windowDf = true)},
+    s"""with ${tfidfPostingsCtes(gram3DuckToks(table), table,
+            " where dfq * 10 <= nn", windowDf = true)},
        |q as (select doc_id as q_id, token, tfidf as q_w from postings
        |  where doc_id % $queryEvery = 0),
        |sc as (select q_id, p.doc_id as doc_id,
@@ -747,6 +754,68 @@ object TextOps {
        |order by score desc, doc_id asc limit $k"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** Query-by-example BM25 retrieval over the word-3-gram posting
+    * universe — [[bm25]]'s ranking function lifted from a fixed term
+    * set to every-doc-as-query (the [[sparseRetrieval]] harness with
+    * BM25's saturated tf + length normalization in place of TF-IDF):
+    * score(q, d) = Σ over shared grams of idf·sat(tf_d, len_d). The
+    * idf is the textbook fixed-point ln((N − df + ½)/(df + ½))
+    * ([[bm25Term]] verbatim), document frequency is the count window
+    * over tf (open universe — no broadcast), stop grams are cut at
+    * df·10 > N (which also keeps the idf positive), scores are fpSum'd,
+    * top-k per query. Same 100 TB shape as [[sparseRetrieval]]: the
+    * posting table is the stored index, bucketed by token. */
+  def bm25Retrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(expr(gram3Spark)).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("len", sum("tf").over(Window.partitionBy("doc_id")))
+      .withColumn("dfq", count(lit(1)).over(Window.partitionBy("token")))
+    val totals = tf.agg(countDistinct("doc_id").as("nd"), sum("tf").as("tot"))
+    val postings = tf.crossJoin(broadcast(totals))
+      .filter(col("dfq") * 10 <= col("nd"))
+      .withColumn("idf9", expr(
+        "cast(floor(ln((cast(nd as double) - cast(dfq as double) + 5e-1) / " +
+          "(cast(dfq as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint)"))
+      .withColumn("avglen", expr("cast(tot as double) / cast(nd as double)"))
+    val q = postings.filter(col("doc_id") % queryEvery === 0)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    q.join(postings, "token").filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(expr(graft.oracle.Parity.fpSum(bm25Term)).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "doc_id", "score", "rk")
+  }
+
+  /** DuckDB mirror of [[bm25Retrieval]]. */
+  def bm25RetrievalSql(k: Int = 10, queryEvery: Int = 50,
+                       table: String = "documents"): String =
+    s"""with toks as (${gram3DuckToks(table)}),
+       |tf as (select doc_id, token, count(*) as tf,
+       |  sum(count(*)) over (partition by doc_id) as len
+       |  from toks group by doc_id, token),
+       |tfd as (select *, count(*) over (partition by token) as dfq from tf),
+       |totals as (select cast(count(distinct doc_id) as bigint) as nd,
+       |  cast(sum(tf) as bigint) as tot from tf),
+       |postings as (select doc_id, token, tf, len,
+       |  cast(floor(ln((cast(nd as double) - cast(dfq as double) + 5e-1) /
+       |   (cast(dfq as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint) as idf9,
+       |  cast(tot as double) / cast(nd as double) as avglen
+       | from tfd, totals where dfq * 10 <= nd),
+       |q as (select doc_id as q_id, token from postings
+       |  where doc_id % $queryEvery = 0),
+       |sc as (select q_id, p.doc_id as doc_id,
+       |  ${graft.oracle.Parity.fpSum(bm25Term)} as score
+       | from q join postings p using (token) where q_id <> p.doc_id
+       | group by q_id, p.doc_id)
+       |select q_id, doc_id, score, rk from (
+       | select q_id, doc_id, score,
+       |  cast(row_number() over (partition by q_id order by score desc, doc_id asc) as bigint) as rk
+       | from sc)
+       |where rk <= $k""".stripMargin.replace("\n", " ")
 
   /** Shared fixed-point PMI expression: ln of the bigram/independence
     * probability ratio in 1e-9 BIGINT units (same rationale as

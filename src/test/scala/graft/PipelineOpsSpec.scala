@@ -202,6 +202,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(5L)._2 && !rows(6L)._2 && !rows(7L)._2)
   }
 
+  test("bm25 retrieval: equal-tf match ranks the shorter document first") {
+    // docs 1 and 2 both share exactly the gram "alpha beta gamma" with
+    // query 0 at tf 1; doc 1 is 3 grams long, doc 2 is 10 — BM25's
+    // length normalization must rank doc 1 first. The universal "zz qq
+    // ww" opener (33 of 35 docs) is df-pruned.
+    val docs = (Seq(
+      (0L, "zz qq ww alpha beta gamma"),
+      (1L, "alpha beta gamma s1 s2"),
+      (2L, "alpha beta gamma t1 t2 t3 t4 t5 t6 t7 t8 t9")) ++
+      (3L to 34L).map(i => (i, s"zz qq ww u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    val hits = TextOps.bm25Retrieval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(hits.forall(_._1 == 0L))
+    assert(hits.map(_._2).toSeq == Seq(1L, 2L))   // shorter match first
+    assert(hits.head._3 > hits(1)._3 && hits(1)._3 > 0.0)
+  }
+
   test("minhash CW signature: identical code sets give identical band values") {
     val docs = Seq(
       (1L, "one two three four five six seven"),

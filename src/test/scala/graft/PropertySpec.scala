@@ -63,9 +63,11 @@ class PropertySpec extends SparkSpec {
         .orderBy("q_id", "rk").collect().map(_.toString).toSeq
       val rrf = SparkEntry.queries("hybrid_rrf")(spark, sf("sf0.001"))
         .orderBy("q_id", "rn").collect().map(_.toString).toSeq
+      val bm25 = SparkEntry.queries("bm25_retrieval")(spark, sf("sf0.001"))
+        .orderBy("q_id", "rk").collect().map(_.toString).toSeq
       val sem = SparkEntry.queries("semantic_dedup")(spark, sf("sf0.001"))
         .orderBy("vec_id").collect().map(_.toString).toSeq
-      sparse ++ rrf ++ sem
+      sparse ++ rrf ++ bm25 ++ sem
     }
     val results = Seq("1", "4", "13").map { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)
