@@ -265,6 +265,10 @@ object QueriesLlm {
       graft.operators.Bpe.encode(Tables.read(s, dir, "documents"))),
     // token-budget data-mix planner: per-language keep rates from target
     // parts + realized deterministic sample (id-hash membership)
+    // deterministic global training-order shuffle: CW-scrambled shard +
+    // within-shard position, reproducible across runs/partitionings
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.corpusShuffle(Tables.read(s, dir, "documents"))),
     "mix_plan" -> ((s, dir) =>
       Sampling.mixPlan(Tables.read(s, dir, "documents"))),
     // L2-normalized embeddings in long format (bit-exact: shared chain
@@ -607,6 +611,7 @@ object QueriesLlm {
     "bpe_train" -> graft.operators.Bpe.trainSql(),
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),
+    "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),

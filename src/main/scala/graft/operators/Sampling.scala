@@ -22,6 +22,35 @@ object Sampling {
   private def hDuck =
     Parity.cwMix(33, Parity.rollingHashDuck("cast(doc_id as varchar)"))
 
+  /** Deterministic global corpus shuffle — the training-order export
+    * every pipeline runs before writing shards: shard = h mod nShards
+    * and pos = rank of h within the shard, where h is the CW affine
+    * scramble of the doc id (a bijection mod p, so within-shard order is
+    * tie-free and NOT correlated with ingestion order). No `rand()`:
+    * the permutation is reproducible across runs, partitionings and
+    * engines — resuming a training job re-derives the exact order.
+    *
+    * Scale: one hash partition by shard and a within-shard sort — i.e.
+    * exactly the physical layout `write.partitionBy(shard)` wants; no
+    * global sort ever happens. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h").asc)
+    docs.select(col("doc_id"),
+        expr(Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")).as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "h", "pos")
+  }
+
+  /** DuckDB mirror of [[corpusShuffle]]. */
+  def corpusShuffleSql(nShards: Int = 8, table: String = "documents"): String = {
+    val h = Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")
+    s"""select doc_id, shard, h,
+       | cast(row_number() over (partition by shard order by h asc) as bigint) as pos
+       |from (select doc_id, $h as h, ($h) % $nShards as shard from $table)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Stratified sample: the k hash-smallest documents of EVERY language —
     * equal representation per stratum no matter how skewed the corpus.
     *

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-2 training-pipeline operators: repetition signals, TF-IDF,
@@ -218,6 +218,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits.forall(_._1 == 0L))
     assert(hits.map(_._2).toSeq == Seq(1L, 2L))   // shorter match first
     assert(hits.head._3 > hits(1)._3 && hits(1)._3 > 0.0)
+  }
+
+  test("corpus shuffle: per-shard positions are 1..n, order decorrelated from ids") {
+    val docs = (0L to 199L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = Sampling.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))  // (doc_id, shard, pos)
+    assert(rows.length == 200 && rows.map(_._1).distinct.length == 200)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      // tie-free dense positions within each shard (the CW scramble is a
+      // bijection mod p, so no two docs share an h)
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // the permutation must not be the identity order: within some shard,
+    // position order differs from doc_id order
+    val monotone = rows.groupBy(_._2).values.forall { m =>
+      val byPos = m.sortBy(_._3).map(_._1).toSeq
+      byPos == byPos.sorted
+    }
+    assert(!monotone, "shuffle must decorrelate training order from ingestion ids")
   }
 
   test("minhash CW signature: identical code sets give identical band values") {
