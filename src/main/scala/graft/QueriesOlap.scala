@@ -889,13 +889,21 @@ object QueriesOlap {
     // unlike Q11's absolute fraction: at 10× the parts each holds ~1/10
     // the share). Both sides are fixed-point sums over the same rows, so
     // part sums add up to the total exactly and the threshold compare is
-    // deterministic; the 1-row total broadcasts.
+    // deterministic; the 1-row total broadcasts. The summand (price·qty,
+    // ~5e6/row — the largest-magnitude global sum in the suite) is
+    // pre-scaled by 2^14 per the fpSum overflow contract: without it the
+    // 2^20-scaled total passes Long range near SF1, where Spark's
+    // sum(bigint) wraps silently while DuckDB sums in HUGEINT. Scaled,
+    // the fixed-point total stays exact to ~SF1000; both the /2^14 and
+    // the multiply-back are exact power-of-two IEEE ops on identical
+    // operands in both engines.
     "q_important_parts" -> ((s, dir) => {
+      val sval = "(l_extendedprice * l_quantity / 16384e0)"
       val li = Tables.read(s, dir, "lineitem")
         .select("l_partkey", "l_extendedprice", "l_quantity")
       val perPart = li.groupBy("l_partkey")
-        .agg(expr(fpSum("l_extendedprice * l_quantity")).as("part_value"))
-      val total = li.agg(expr(fpSum("l_extendedprice * l_quantity")).as("total_value"),
+        .agg(expr(s"(${fpSum(sval)} * 16384e0)").as("part_value"))
+      val total = li.agg(expr(s"(${fpSum(sval)} * 16384e0)").as("total_value"),
         countDistinct("l_partkey").as("n_parts"))
       perPart.join(broadcast(total),
         col("part_value") > col("total_value") / col("n_parts").cast("double") * 1.5)
@@ -1546,14 +1554,16 @@ object QueriesOlap {
         |  where l_quantity > 0e0
         |  group by p_partkey, s_suppkey, s_name))
         |where rn = 1""".stripMargin.replace("\n", " "),
-    "q_important_parts" ->
-      s"""with t as (select ${fpSum("l_extendedprice * l_quantity")} as total_value,
+    "q_important_parts" -> {
+      val sval = "(l_extendedprice * l_quantity / 16384e0)"
+      s"""with t as (select (${fpSum(sval)} * 16384e0) as total_value,
          |  cast(count(distinct l_partkey) as bigint) as n_parts from lineitem),
-         |p as (select l_partkey, ${fpSum("l_extendedprice * l_quantity")} as part_value
+         |p as (select l_partkey, (${fpSum(sval)} * 16384e0) as part_value
          |  from lineitem group by l_partkey)
          |select l_partkey, part_value from p, t
          |where part_value > total_value / cast(n_parts as double) * 15e-1"""
-        .stripMargin.replace("\n", " "),
+        .stripMargin.replace("\n", " ")
+    },
     "q_parts_suppliers" ->
       """select p_brand, p_size, cast(count(distinct l_suppkey) as bigint) as supplier_cnt
         |from lineitem

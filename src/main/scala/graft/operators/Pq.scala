@@ -66,7 +66,7 @@ object Pq {
     * learned per subquantizer). Rendered Spark-first as ONE distributed
     * Lloyd's loop over all m subspaces at once, initialized by
     * DETERMINISTIC farthest-point traversal (Gonzalez 2-approx, public)
-    * over an id-strided capped sample — a pure function of the data
+    * over a hash-smallest rank-bounded sample — a pure function of the data
     * (unlike a seeded k-means|| init) that starts on the data manifold
     * (unlike the fixed grid: grid-init Lloyd measured 0.23 recall vs
     * 0.32 from this init at sf0.001). Each iteration is a single kernel
@@ -95,11 +95,35 @@ object Pq {
     try {
       val n = vecs.count()
       if (n < 4L * ksub) return codebook
-      // deterministic bounded sample: every (n/cap)-th vec_id
-      val stride = math.max(1L, n / sampleCap)
-      val sample = base.filter(col("vec_id") % stride === 0)
-        .select(col("embedding").cast("array<float>")).as[Array[Float]]
-        .collect()
+      // deterministic bounded sample: the sampleCap hash-smallest rows
+      // (CW mix of the id ≈ uniform pick), RANK-bounded — an id-stride
+      // predicate assumes dense ids: clustered ids over-collect past the
+      // driver cap and sparse ids starve the init. Two-phase top-k (the
+      // [[Sampling.stratified]] pattern): the partition-local prune is
+      // lossless, so the global sort sees ≤ partitions·cap rows.
+      val hashed = base.select(col("vec_id"), col("embedding"),
+        expr(Parity.cwMix(61, s"(vec_id % ${Parity.CwMod})")).as("h"))
+      val local = hashed
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("h").asc, col("vec_id").asc)))
+        .filter(col("lrn") <= sampleCap)
+        .drop("pid", "lrn")
+      // MEMBERSHIP is hash-based; the collected ORDER is by vec_id, so
+      // farthestPointInit's deterministic start (pts(0)) is the lowest
+      // sampled id, independent of partitioning and of the hash walk
+      val sample = local
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("h").asc, col("vec_id").asc)))
+        .filter(col("rn") <= sampleCap)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(_._2)
+      // realized-sample guard: the n-row precheck counts the corpus, not
+      // the sample — farthestPointInit needs ksub distinct picks, so an
+      // under-filled sample falls back to the fixed grid rather than
+      // crashing (empty) or collapsing codewords (sub-ksub)
+      if (sample.length < ksub) return codebook
       var cb = farthestPointInit(sample)
       var round = 0
       while (round < iters) {
@@ -268,8 +292,13 @@ object Pq {
     * .cosineTopK]]); [[ivfAdcTopK]] is the cell-pruned scale path. */
   def adcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
               cb: Codebook = codebook): DataFrame = {
+    // no broadcast hint: the query relation is N/queryEvery — corpus-
+    // proportional, so a forced broadcast OOMs executors at scale. The
+    // planner broadcasts it while its estimate is small and falls back
+    // to a partitioned nested-loop otherwise (the mwu_orders precedent:
+    // never hint an unbounded relation).
     val pairs = codes(emb, cb)
-      .join(broadcast(queryTables(emb, queryEvery, cb)), col("q_id") =!= col("vec_id"))
+      .join(queryTables(emb, queryEvery, cb), col("q_id") =!= col("vec_id"))
       .withColumn("dist", adcDist)
       .select(col("q_id"), col("vec_id").as("n_id"), col("dist"))
     perQueryTopK(pairs, k)
@@ -307,13 +336,26 @@ object Pq {
   def trainedRecall(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
                     threshold: Double = 0.05): DataFrame = {
     val cb = trainCodebook(emb)
+    // the q_id universe is built INDEPENDENTLY of the exact top-k (same
+    // predicate as the oracle text): a query with zero eligible
+    // neighbors would otherwise vanish from the groupBy while the
+    // oracle still predicts its row — guaranteed row-count red on a
+    // degenerate dataset. Zero exact neighbors ⇒ nothing to recall ⇒
+    // vacuously ok (both engines agree by construction).
+    val universe = emb.filter(size(col("embedding")) === dim)
+      .filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").cast("long").as("q_id"))
     val approx = adcTopK(emb, k, queryEvery, cb)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
-    exactL2TopK(emb, k, queryEvery).select("q_id", "n_id")
+    val perQ = exactL2TopK(emb, k, queryEvery).select("q_id", "n_id")
       .join(approx, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
-      .select(col("q_id"), (col("recall") >= threshold).as("recall_ok"))
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
+    universe.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_exact"), lit(0L)) === 0L ||
+          col("recall") >= threshold).as("recall_ok"))
   }
 
   /** Two-stage retrieval — the production ANN serving pattern (shortlist

@@ -32,9 +32,14 @@ object Sampling {
     *
     * Scale: one hash partition by shard and a within-shard sort — i.e.
     * exactly the physical layout `write.partitionBy(shard)` wants; no
-    * global sort ever happens. */
+    * global sort ever happens.
+    *
+    * The within-shard order is (h, doc_id): h alone is a bijection only
+    * below CwMod (~1e9) — two ids congruent mod p share h, and the op
+    * explicitly targets corpora beyond that, so doc_id breaks the tie
+    * to keep the permutation deterministic at any cardinality. */
   def corpusShuffle(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy(col("h").asc)
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
     docs.select(col("doc_id"),
         expr(Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")).as("h"))
       .withColumn("shard", col("h") % nShards)
@@ -46,7 +51,7 @@ object Sampling {
   def corpusShuffleSql(nShards: Int = 8, table: String = "documents"): String = {
     val h = Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")
     s"""select doc_id, shard, h,
-       | cast(row_number() over (partition by shard order by h asc) as bigint) as pos
+       | cast(row_number() over (partition by shard order by h asc, doc_id asc) as bigint) as pos
        |from (select doc_id, $h as h, ($h) % $nShards as shard from $table)"""
       .stripMargin.replace("\n", " ")
   }

@@ -173,13 +173,25 @@ object Similarity {
   def ivfRecall(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
                 nlist: Int = 16, nprobe: Int = 4,
                 threshold: Double = 0.05): DataFrame = {
+    // the q_id universe is built INDEPENDENTLY of the exact top-k (same
+    // norm>0 ∧ %queryEvery predicate as the oracle text): a query with
+    // zero eligible neighbors would otherwise vanish from the groupBy
+    // while the oracle still predicts its row. Zero exact neighbors ⇒
+    // nothing to recall ⇒ vacuously ok in both engines.
+    val universe = withNorm(emb).filter(col("norm") > 0.0)
+      .filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"))
     val exact = cosineTopK(emb, k, queryEvery).select("q_id", "n_id")
     val approx = ivfTopK(emb, k, queryEvery, nlist, nprobe)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
-    exact.join(approx, Seq("q_id", "n_id"), "left")
+    val perQ = exact.join(approx, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
-      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
-      .select(col("q_id"), (col("recall") >= threshold).as("recall_ok"))
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
+    universe.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_exact"), lit(0L)) === 0L ||
+          col("recall") >= threshold).as("recall_ok"))
   }
 
   /** IVF with a FIXED coarse quantizer: the label partition is the
