@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   *   - pair counts are exact integers; the merge winner is the
   *     lexicographically-least (lhs, rhs) among maximal counts;
   *   - a word's symbol state is a single-space-joined string with
-  *     leading/trailing sentinels (" l o w "), and a merge is applied as
-  *     TWO `replace(' lhs rhs ', ' lhsrhs ')` passes. `replace` scans
-  *     left-to-right non-overlapping in both engines; the second pass
-  *     catches the odd-run stagger (" a a a a " → " aa a a " → " aa aa ")
-  *     so runs up to length 5 merge exactly as leftmost-first BPE; longer
-  *     same-symbol runs may keep a trailing unmerged pair for one round —
-  *     a documented approximation applied identically in both engines.
+  *     leading/trailing sentinels (" l o w "), and a merge is applied
+  *     EXACTLY leftmost-first via the doubled-separator trick: double
+  *     every space, replace " lhs  rhs " with " lhsrhs ", undouble.
+  *     `replace` scans left-to-right non-overlapping in both engines,
+  *     and because the doubled delimiter lends one space to each of two
+  *     adjacent matches, the scan resumes exactly at the next symbol
+  *     boundary — no stagger: " a a a a a a a " merges to
+  *     " aa aa aa a ", precisely what reference BPE's regex-sub apply
+  *     produces on arbitrary-length same-symbol runs.
   *
   * Each round materializes via `localCheckpoint` to keep the iteration's
   * lineage flat (same discipline as [[Graph.pageRank]]); the 1-row
@@ -43,9 +45,18 @@ object Bpe {
     * backreference `$1` (Java regex), DuckDB `\1` with the 'g' flag. */
   private val reprSpark = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
 
+  /** Leftmost-first merge: the 5-char pattern " lhs rhs " would CONSUME
+    * the shared delimiter and stagger the scan past the next occurrence
+    * (" a a a a " → " aa a a "). Doubling the separators first makes
+    * every delimiter two spaces; the pattern takes one space from each
+    * side, the replacement restores them, and the leftover space of a
+    * shared delimiter starts the next match — an exact emulation of
+    * reference BPE's non-overlapping regex sub. All result delimiters
+    * are exactly two spaces, so the final undouble restores the
+    * single-space form losslessly. */
   private val mergeExpr =
-    "replace(replace(repr, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' ')), " +
-      "concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))"
+    "replace(replace(replace(repr, ' ', '  '), " +
+      "concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')), '  ', ' ')"
 
   private def wordVocab(docs: DataFrame): DataFrame = docs
     .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
@@ -127,8 +138,8 @@ object Bpe {
         "where len(s) >= 2) t2 group by 1, 2)"
       sb ++= s", m$k as (select lhs, rhs, freq from p$k order by freq desc, lhs asc, rhs asc limit 1)"
       sb ++= s", w$k as (select word, cnt, " +
-        "replace(replace(repr, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' '), " +
-        "' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') as repr " +
+        "replace(replace(replace(repr, ' ', '  '), " +
+        "' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' '), '  ', ' ') as repr " +
         s"from w${k - 1} cross join m$k)"
     }
     sb.toString

@@ -14,9 +14,8 @@ class BpeMixSpec extends SparkSpec {
 
   test("bpe: exact merge sequence on the classic toy corpus") {
     // words: abab ×2, cd ×1. Round 1: (a,b) freq 4 (2 per word × cnt 2);
-    // round 2: (ab,ab) freq 2 — requires the second replace pass to fix
-    // the odd-run stagger " ab a b " → " ab ab "; round 3: (c,d) freq 1;
-    // round 4: pair universe empty → no row (both engines agree).
+    // round 2: (ab,ab) freq 2; round 3: (c,d) freq 1; round 4: pair
+    // universe empty → no row (both engines agree).
     val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
     val got = Bpe.train(docs, rounds = 4)
       .orderBy("round")
@@ -25,6 +24,22 @@ class BpeMixSpec extends SparkSpec {
       (1L, "a", "b", 4L, "ab"),
       (2L, "ab", "ab", 2L, "abab"),
       (3L, "c", "d", 1L, "cd")))
+  }
+
+  test("bpe: same-symbol runs >5 merge exactly leftmost-first (reference apply)") {
+    // reference BPE applies a merge rule left-to-right non-overlapping
+    // (Sennrich learn_bpe's regex sub): a^7 --(a,a)--> "aa aa aa a" —
+    // NOT the staggered "aa a aa aa" a shared-delimiter replace yields.
+    val docs = Seq((1L, "aaaaaaa")).toDF("doc_id", "text")
+    val v1 = Bpe.vocab(docs, rounds = 1).select("repr").as[String].collect().head
+    assert(v1 == " aa aa aa a ", s"got '$v1'")
+    // and the trained sequence follows: round 2 merges the doubled pair
+    // (aa,aa) freq 2 over [aa,aa,aa,a]; round 3 the count-1 tie between
+    // (aaaa,aa) and (aa,a) breaks to the lexicographically-least lhs
+    val got = Bpe.train(docs, rounds = 3).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 6L), (2L, "aa", "aa", 2L), (3L, "aa", "a", 1L)))
   }
 
   test("bpe: encode counts post-merge symbols with the trained vocab") {
