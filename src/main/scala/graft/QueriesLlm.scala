@@ -271,6 +271,13 @@ object QueriesLlm {
       Sampling.corpusShuffle(Tables.read(s, dir, "documents"))),
     "mix_plan" -> ((s, dir) =>
       Sampling.mixPlan(Tables.read(s, dir, "documents"))),
+    // the COMPOSED curation pipeline: quality/lang filter → exact dedup
+    // → line dedup → bloom decontamination → mix plan → deterministic
+    // shuffle → packing, every stage over the previous stage's
+    // survivors, one declarative plan (PlanSpec pins the composition
+    // adds no exchange beyond the stages' own)
+    "pipeline_curate" -> ((s, dir) =>
+      graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"))),
     // L2-normalized embeddings in long format (bit-exact: shared chain
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
@@ -612,6 +619,7 @@ object QueriesLlm {
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "mix_plan" -> Sampling.mixPlanSql(),
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
+    "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.oracle.Parity
+import graft.oracle.Parity.{DuckD, SparkD}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END curation pipeline — every stage of the training-data
+  * prep chain COMPOSED into one dataflow, the way a real 100 TB user
+  * runs them (each stage is individually gate-checked elsewhere; the
+  * composition is where accidental extra exchanges and recomputed
+  * prefixes hide):
+  *
+  *   documents
+  *     → quality + language filter      (curate_filter's scoring)
+  *     → exact dedup, min-id keeper     (dedup_exact semantics)
+  *     → cross-doc line dedup           (dedup_lines: globally duplicated
+  *                                       10-token lines removed; a doc's
+  *                                       token budget shrinks to its
+  *                                       surviving lines)
+  *     → bloom decontamination          (decontaminate_bloom: drop docs
+  *                                       whose eval-shingle hit fraction
+  *                                       reaches `contamMax`)
+  *     → mix plan                       (mix_plan thresholds over the
+  *                                       POST-dedup token counts)
+  *     → deterministic corpus shuffle   (corpus_shuffle: shard + pos)
+  *     → sequence packing               (text_pack bins, filled in the
+  *                                       SHUFFLE order h — the training
+  *                                       order — rather than pack's
+  *                                       standalone hash)
+  *
+  * COMPOSITION SHAPE — the load-bearing design. A naive chain of the
+  * standalone stages branches the survivor relation at every
+  * aggregate-and-join-back (line-fp counts, bloom fractions, mix rates),
+  * and because Spark recomputes non-identical subtrees, each branch
+  * doubles the whole upstream prefix: the first cut of this pipeline
+  * planned 36 parquet scans. The composed form is LINEAR instead:
+  *
+  *   - line-fp multiplicity is a COUNT WINDOW over the line relation
+  *     (one fp-keyed exchange in-stream) rather than an aggregate joined
+  *     back — the [[TextOps.sparseRetrieval]] open-universe df pattern;
+  *   - `lang` rides the line relation, so after the line stage the
+  *     pipeline never needs document text again and nothing joins back
+  *     to a text-bearing prefix;
+  *   - the bloom verdict is computed ONCE off the raw scan, not off the
+  *     survivor prefix: hit_frac is per-document INTRINSIC (corpus
+  *     shingles vs the eval filter — no cross-corpus term), so gating
+  *     c3 survivors on it is semantically identical and the contam
+  *     branch's prefix is a table scan, not the pipeline;
+  *   - mix-plan totals are a per-lang SUM WINDOW (no rate-table join),
+  *     and the pack window rides the SAME lang partitioning — filter
+  *     preserves distribution, so packing adds a sort but no exchange;
+  *   - the shard/pos window is the one remaining repartition, and it is
+  *     exactly the `write.partitionBy(shard)` layout the export wants.
+  *
+  * Every corpus-sized exchange is attributable to one stage (PlanSpec
+  * pins composed ≤ Σ standalone), nothing collects, and nothing
+  * corpus-proportional broadcasts (bloom positions ≤ mBits, parts/t_fp
+  * are row-local expressions).
+  *
+  * Cross-engine determinism: every stage reuses the exact shared-text
+  * discipline its standalone query proved (md5 fingerprints, CW hashes,
+  * integer token arithmetic, fixed-point thresholds), so the composed
+  * output — member set AND shard/pos/bin assignment — hash-checks
+  * against one DuckDB CTE chain at every dataset.
+  */
+object Curation {
+
+  /** Run the composed pipeline. Returns one row per SURVIVING document:
+    * (doc_id, lang, n_tokens, h, shard, pos, bin) where n_tokens is the
+    * post-line-dedup token count the mix/pack stages budget with. */
+  def pipeline(docs: DataFrame, evalEvery: Int = 97, qualityMin: Double = 0.5,
+               lineTokens: Int = 10, mBits: Int = 65536, kHash: Int = 3,
+               contamMax: Double = 0.5, budgetTokens: Long = 20000L,
+               nShards: Int = 8, binBudget: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+
+    // stage 1 (row-local): quality + language-consistency filter
+    val scored = docs
+      .filter(col("doc_id") % evalEvery =!= 0)
+      .selectExpr("text" +:
+        (TextOps.statsSelects(SparkD) ++ TextOps.langIdSelects(SparkD).drop(2)): _*)
+      .withColumn("quality", expr(TextOps.qualityExpr))
+      .withColumn("pred_lang", expr(TextOps.langPredExpr))
+    val c1 = scored
+      .filter(col("quality") >= qualityMin && col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "text")
+
+    // stage 2: exact dedup — keep the min-id copy of each distinct text
+    // (a window, not an agg+join: the relation flows straight through)
+    val c2 = c1
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "lang", "text")
+
+    // stage 3: cross-doc line dedup over the survivors — fp multiplicity
+    // via a count window on the line relation (conservative rule: ALL
+    // copies of a repeated line go); the per-doc reassembly keeps lang so
+    // text never has to be joined back. All-boilerplate docs drop out.
+    val lines = Dedup.tokenLines(c2, lineTokens, carry = Seq("lang"))
+    val c3 = lines
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("fp")))
+      .groupBy("doc_id")
+      .agg(max("lang").as("lang"),
+        sum(when(col("cnt") === 1,
+          expr("cast(size(split(line, ' ')) as bigint)")).otherwise(0L)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+
+    // stage 4: bloom decontamination — decontaminate_bloom's constant-
+    // size screen, computed off the RAW candidate scan (hit_frac is
+    // per-doc intrinsic vs the eval set, so gating survivors on it is
+    // identical — and the branch never recomputes the pipeline prefix)
+    val evalSh = Dedup.withShingleCodes(docs.filter(col("doc_id") % evalEvery === 0))
+    val bloom = evalSh.select(explode(col("codes")).as("code"))
+      .select(col("code"), explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+      .select(expr(Dedup.bloomPosCase(kHash, mBits)).as("pos"))
+      .distinct()
+    val corpus = Dedup
+      .withShingleCodes(docs.filter(col("doc_id") % evalEvery =!= 0))
+      .select(col("doc_id"), size(col("codes")).cast("long").as("n_codes"),
+        explode(col("codes")).as("code"))
+    val withPos = corpus.select(
+      Seq(col("doc_id"), col("n_codes"), col("code")) ++
+        (0 until kHash).map(j =>
+          expr(s"(${Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
+    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
+      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
+        col(s"p$j") === col(s"bp$j"), "left")
+    }
+    val contam = probed
+      .withColumn("all_set",
+        (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _).cast("long"))
+      .groupBy("doc_id", "n_codes")
+      .agg(sum("all_set").as("n_hits"))
+      .select(col("doc_id"),
+        (col("n_hits").cast("double") / col("n_codes").cast("double")).as("hit_frac"))
+    val c4 = c3.join(contam, Seq("doc_id"))
+      .filter(col("hit_frac") < contamMax)
+      .select("doc_id", "lang", "n_tokens")
+
+    // stage 5: mix plan over the post-dedup token counts — per-lang
+    // totals as a sum window (no rate-table branch), threshold and
+    // membership row-local
+    val c5 = c4
+      .withColumn("tok_total", sum("n_tokens").over(Window.partitionBy("lang")))
+      .withColumn("parts", expr(Sampling.partsExpr))
+      .withColumn("t_fp", expr(Sampling.tFpExpr(budgetTokens, "div")))
+      .withColumn("u", expr(Sampling.mixHash("rolling_hash(cast(doc_id as string))")))
+      .filter(col("u") < col("t_fp"))
+      .select("doc_id", "lang", "n_tokens")
+
+    // stages 6+7: contiguous-fill packing per lang in the SHUFFLE order
+    // (h, doc_id) — rides the stage-5 lang partitioning, no new exchange
+    // — then the deterministic shard/pos export layout
+    val wPack = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShard = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    c5.withColumn("h", expr(Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("cum", sum("n_tokens").over(wPack))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $binBudget"))
+      .withColumn("pos", row_number().over(wShard).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "h", "shard", "pos", "bin")
+  }
+
+  /** DuckDB mirror of [[pipeline]] — the stages' oracle texts composed
+    * as one CTE chain over the same survivor universes. */
+  def pipelineSql(evalEvery: Int = 97, qualityMin: Double = 0.5,
+                  lineTokens: Int = 10, mBits: Int = 65536, kHash: Int = 3,
+                  contamMax: Double = 0.5, budgetTokens: Long = 20000L,
+                  nShards: Int = 8, binBudget: Int = 256,
+                  table: String = "documents"): String = {
+    val combined = (TextOps.statsSelects(DuckD) ++ TextOps.langIdSelects(DuckD).drop(2))
+      .mkString(", ")
+    val rh = Parity.rollingHashDuck("s")
+    val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
+    val pc = Dedup.bloomPosCase(kHash, mBits)
+    val h9 = Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")
+    val u = Sampling.mixHash(Parity.rollingHashDuck("cast(doc_id as varchar)"))
+    s"""with st as (select text, $combined from $table where doc_id % $evalEvery <> 0),
+       |c1 as (select doc_id, lang, text from (
+       |  select doc_id, lang, text, ${TextOps.qualityExpr} as quality,
+       |   ${TextOps.langPredExpr} as pred_lang from st)
+       | where quality >= ${Parity.lit(qualityMin)} and pred_lang = lang),
+       |c2 as (select doc_id, lang, text from (
+       |  select doc_id, lang, text, min(doc_id) over (partition by md5(text)) as keeper
+       |  from c1) where doc_id = keeper),
+       |d as (select doc_id, lang, string_split(trim(text), ' ') as words from c2),
+       |l as (select doc_id, lang, i as line_idx,
+       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
+       | from (select doc_id, lang, words,
+       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+       |lc as (select doc_id, lang, line,
+       |  count(*) over (partition by md5(line)) as cnt from l),
+       |c3 as (select * from (
+       |  select doc_id, max(lang) as lang,
+       |   cast(sum(case when cnt = 1 then len(string_split(line, ' ')) else 0 end) as bigint) as n_tokens
+       |  from lc group by doc_id) where n_tokens > 0),
+       |ed as (select doc_id, string_split(trim(text), ' ') as words from $table
+       |  where doc_id % $evalEvery = 0),
+       |esh as (select list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from ed),
+       |bloom as (select distinct $pc as pos from
+       |  (select unnest(codes) as code from esh) ev, generate_series(0, ${kHash - 1}) t(j)),
+       |cd as (select doc_id, string_split(trim(text), ' ') as words from $table
+       |  where doc_id % $evalEvery <> 0),
+       |csh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from cd),
+       |corp as (select doc_id, cast(len(codes) as bigint) as n_codes,
+       |  unnest(codes) as code from csh),
+       |pr as (select doc_id, n_codes, code, $pc as pos
+       |  from corp, generate_series(0, ${kHash - 1}) t(j)),
+       |hh as (select doc_id, n_codes, code,
+       |  min(case when b.pos is not null then 1 else 0 end) as all_set
+       | from pr left join bloom b on pr.pos = b.pos
+       | group by doc_id, n_codes, code),
+       |contam as (select doc_id,
+       |  cast(sum(all_set) as double) / cast(n_codes as double) as hit_frac
+       | from hh group by doc_id, n_codes),
+       |c4 as (select c3.doc_id, c3.lang, c3.n_tokens from c3 join contam using (doc_id)
+       | where hit_frac < ${Parity.lit(contamMax)}),
+       |c5 as (select doc_id, lang, n_tokens from (
+       |  select *, ${Sampling.tFpExpr(budgetTokens, "//")} as t_fp from (
+       |   select m.*, ${Sampling.partsExpr} as parts from (
+       |    select doc_id, lang, n_tokens,
+       |     cast(sum(n_tokens) over (partition by lang) as bigint) as tok_total from c4) m) mp)
+       | where $u < t_fp),
+       |s6 as (select doc_id, lang, n_tokens, $h9 as h, ($h9) % $nShards as shard from c5)
+       |select doc_id, lang, n_tokens, h, shard,
+       | cast(row_number() over (partition by shard order by h asc, doc_id asc) as bigint) as pos,
+       | cast((cum - n_tokens) // $binBudget as bigint) as bin
+       |from (select *, sum(n_tokens) over (partition by lang order by h asc, doc_id asc
+       |  rows between unbounded preceding and current row) as cum from s6)"""
+      .stripMargin.replace("\n", " ")
+  }
+}

@@ -343,7 +343,7 @@ object Dedup {
 
   /** Shared Carter-Wegman bloom-position text: hash j of a shingle code,
     * modulo the filter width (same text both engines, like the CMS grid). */
-  private def bloomPosCase(kHash: Int, mBits: Int): String = {
+  private[operators] def bloomPosCase(kHash: Int, mBits: Int): String = {
     val arms = (0 until kHash)
       .map(j => s"when $j then (${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)")
       .mkString(" ")
@@ -485,19 +485,22 @@ object Dedup {
   /** Fixed-token "lines" of every document: (idCol, line_idx, line, fp).
     * The one line-windowing rule shared by [[lineDedup]] and
     * [[withinDocDedup]] (and mirrored once in [[linesCteSql]]). */
-  private def tokenLines(docs: DataFrame, lineTokens: Int,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  private[operators] def tokenLines(docs: DataFrame, lineTokens: Int,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
     docs
-      .select(col(idCol), expr(s"split(trim($textCol), ' ')").as("words"))
-      .select(col(idCol), expr(
+      .select(col(idCol) +: c :+ expr(s"split(trim($textCol), ' ')").as("words"): _*)
+      .select(col(idCol) +: c :+ expr(
         s"explode(transform(sequence(0, cast((size(words) + ${lineTokens - 1}) div $lineTokens as int) - 1), " +
           s"i -> struct(cast(i as bigint) as line_idx, " +
-          s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"))
-      .select(col(idCol), col("l.line_idx").as("line_idx"), col("l.line").as("line"))
+          s"concat_ws(' ', slice(words, i * $lineTokens + 1, $lineTokens)) as line)))").as("l"): _*)
+      .select(col(idCol) +: c :+ col("l.line_idx").as("line_idx") :+ col("l.line").as("line"): _*)
       .withColumn("fp", md5(col("line")))
+  }
 
   /** `d`/`l` CTE pair producing the identical lines in DuckDB. */
-  private def linesCteSql(lineTokens: Int, table: String): String =
+  private[operators] def linesCteSql(lineTokens: Int, table: String): String =
     s"""d as (select doc_id, string_split(trim(text), ' ') as words from $table),
        |l as (select doc_id, i as line_idx,
        |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line

@@ -179,11 +179,11 @@ object Sampling {
   val mixParts: Seq[(String, Int)] =
     Seq("de" -> 154, "en" -> 358, "es" -> 154, "fr" -> 205, "zh" -> 153)
 
-  private val partsExpr =
+  private[operators] val partsExpr =
     mixParts.map { case (lg, p) => s"when '$lg' then $p" }
       .mkString("(case lang ", " ", " else 0 end)")
 
-  private def mixHash(h: String) = s"(${Parity.cwMix(45, h)} % 1048576)"
+  private[operators] def mixHash(h: String) = s"(${Parity.cwMix(45, h)} % 1048576)"
 
   /** Threshold t_l = min(2^20, ⌊budget·parts_l·2^20 / (1024·tokens_l)⌋),
     * overflow-safely: the saturation case is decided BEFORE any scaling
@@ -192,7 +192,7 @@ object Sampling {
     * budgets to ~8.8e15 tokens (vs ~8.8e12 for the naive ·2^20 form —
     * which Spark would WRAP silently while DuckDB throws). `idiv` is the
     * dialect's integer division ('div' / '//'). */
-  private def tFpExpr(budget: Long, idiv: String): String =
+  private[operators] def tFpExpr(budget: Long, idiv: String): String =
     s"(case when cast($budget as bigint) * parts >= 1024 * tok_total then 1048576 " +
       s"else (cast($budget as bigint) * parts * 1024) $idiv tok_total end)"
 

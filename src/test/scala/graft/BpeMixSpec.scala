@@ -117,7 +117,7 @@ class BpeMixSpec extends SparkSpec {
   test("bpe / mix plan / within-doc dedup / ewma / lr are partition-invariant (1 vs 13)") {
     for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma", "lr_train",
       "text_entropy", "dedup_incremental", "graph_triangles", "q_last_touch",
-      "lr_score", "bpe_encode")) {
+      "lr_score", "bpe_encode", "pipeline_curate")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .collect().map(_.toString).sorted.toSeq
       val results = Seq("1", "13").map { p =>
@@ -127,6 +127,32 @@ class BpeMixSpec extends SparkSpec {
       assert(results(0).nonEmpty, q)
       assert(results(0) == results(1), s"$q diverged across partitionings")
     }
+  }
+
+  test("pipeline_curate: composition is consistent with its stage queries") {
+    val dir = sf("sf0.001")
+    // (doc_id, lang, n_tokens, h, shard, pos, bin)
+    val out = SparkEntry.queries("pipeline_curate")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // survivors pass the standalone curate filter, and eval ids are out
+    val keeps = SparkEntry.queries("curate_filter")(spark, dir)
+      .filter("keep").select("doc_id").as[Long].collect().toSet
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keeps), (ids -- keeps).toSeq.sorted.take(5).toString)
+    assert(!ids.exists(_ % 97 == 0))
+    // post-line-dedup token budget never exceeds the raw token count
+    val raw = graft.sources.Tables.read(spark, dir, "documents")
+      .selectExpr("doc_id", "cast(size(split(trim(text), ' ')) as bigint) as n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(2) <= raw(r.getLong(0)), r.toString))
+    // shard positions are a dense 1..n ranking per shard
+    out.groupBy(_.getLong(4)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq) }
+    // bins fill contiguously per lang in training (h, doc_id) order
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val bins = rows.sortBy(r => (r.getLong(3), r.getLong(0))).map(_.getLong(6)).toSeq
+      assert(bins.head == 0L, bins.toString)
+      assert(bins.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)), bins.toString) }
   }
 
   test("streaming latest-row view equals the batch WindowGroupLimit compaction") {

@@ -348,6 +348,21 @@ class PlanSpec extends SparkSpec {
       s"votes and label projections are tiny; they must broadcast:\n$p")
   }
 
+  test("pipeline_curate: composition adds no exchange beyond its stages' plans") {
+    // the composed curation chain must stay ONE declarative plan whose
+    // exchanges are each attributable to a stage — composition through
+    // checkpoints/collects would break this, and an accidental repartition
+    // between stages would push the count past the standalone union.
+    // (curate_filter's plan already contains the exact-dedup aggregate,
+    // so dedup_exact is not double-counted.)
+    def exch(q: String): Int = "Exchange".r.findAllIn(
+      plan(SparkEntry.queries(q)(spark, sf("sf0.001")))).length
+    val stages = Seq("curate_filter", "dedup_lines", "decontaminate_bloom",
+      "mix_plan", "corpus_shuffle", "text_pack").map(exch).sum
+    val composed = exch("pipeline_curate")
+    assert(composed <= stages, s"composed=$composed > stage union=$stages")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
