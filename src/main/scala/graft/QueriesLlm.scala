@@ -202,15 +202,14 @@ object QueriesLlm {
           Multimodal.imageDecode)
         .select("doc_id", "width", "height", "channels", "format")
     }),
-    // multimodal frame sampling: one row per sampled byte-window "frame"
-    // (generator explosion over the typed asset Dataset; metadata fully
-    // derivable from byte length → oracle-checked)
-    "multimodal_frames" -> ((s, dir) => {
-      val frames = Multimodal.frameSample(s,
-        Multimodal.assetsFromDocs(s, Tables.read(s, dir, "documents")))
-      frames.toDF().select(col("doc_id"), col("frame_idx"), col("offset"),
-        expr("cast(octet_length(blob) as bigint)").as("frame_bytes"))
-    }),
+    // REAL multi-frame codec sampling: animated GIFs encoded in-flight,
+    // frames enumerated and every 2nd one DECODED through the JDK
+    // reader; the oracle predicts per-frame dims + frame count from the
+    // encode parameters while the values come out of a genuine
+    // multi-frame container round trip
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.gifFrameSample(s,
+        Multimodal.gifAssets(s, Tables.read(s, dir, "documents"))).toDF()),
     // REAL feature extraction: per-channel color histogram of the
     // DECODED raster (encode → decode → featurize, all genuine; pixel
     // content is arithmetic in (doc_id,x,y) so the oracle reproduces
@@ -668,11 +667,16 @@ object QueriesLlm {
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),
+    // the encode parameters (gifBytes/gifFrameCount/pngDims) predict the
+    // decoded reality: n_frames = 1 + id % 8, dims = (1 + id % 13,
+    // 1 + 3·id % 11), sampled indices 0,2,… ≤ id % 8
     "multimodal_frames" ->
-      """select doc_id, cast(i as bigint) as frame_idx, cast(i * 256 as bigint) as offset,
-        | cast(least(strlen(text), i * 256 + 256) - i * 256 as bigint) as frame_bytes
-        |from (select doc_id, text,
-        |  unnest(generate_series(0, cast(least(8, greatest(1, strlen(text) // 256)) as bigint) - 1)) as i
+      """select doc_id, cast(i as bigint) as frame_idx,
+        | cast(1 + doc_id % 8 as bigint) as n_frames,
+        | cast(1 + doc_id % 13 as bigint) as width,
+        | cast(1 + (doc_id * 3) % 11 as bigint) as height
+        |from (select doc_id,
+        |  unnest(generate_series(0, cast(doc_id % 8 as bigint), 2)) as i
         | from documents)""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",

@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * predicts the decoded width/height arithmetically while the values
   * themselves come out of a real codec round trip.
   *
-  * Only the formats the JDK lacks stay stubbed: [[frameSample]] (video
-  * containers) and [[extractFeatures]] (model inference) derive
-  * deterministic stand-ins from the raw bytes, with the real distributed
-  * plumbing (typed Dataset, partition-preserving mapPartitions,
-  * generator explode) around them. [[fakeDecode]] remains the fallback
-  * for non-image payloads.
+  * Frame sampling is real too: [[gifFrameSample]] enumerates and
+  * selectively decodes the frames of in-flight-encoded animated GIFs
+  * ([[gifAssets]]) — a genuine multi-frame container walked with
+  * `getNumImages`/`read(i)`. Only model inference ([[extractFeatures]])
+  * and true video codecs stay stubbed ([[frameSample]]'s byte windows
+  * remain the fallback for containers the JDK cannot read), with the
+  * real distributed plumbing (typed Dataset, partition-preserving
+  * mapPartitions, generator explode) around them. [[fakeDecode]] remains
+  * the fallback for non-image payloads.
   */
 object Multimodal {
 
@@ -180,7 +183,9 @@ object Multimodal {
   /** STUB frame sampling for video-like blobs: one row per sampled frame
     * (every `stride` bytes stands in for every Nth frame) — the generator
     * shape (`flatMap` → row explosion) is what a real frame extractor
-    * uses; payload is the byte window. */
+    * uses; payload is the byte window. Kept as the fallback for
+    * containers the JDK has no codec for; [[gifFrameSample]] is the REAL
+    * multi-frame path. */
   def frameSample(spark: SparkSession, assets: Dataset[Asset],
                   stride: Int = 256, maxFrames: Int = 8): Dataset[Frame] = {
     import spark.implicits._
@@ -190,6 +195,96 @@ object Multimodal {
         val off = i * stride
         Frame(a.doc_id, i.toLong, off.toLong,
           a.blob.slice(off, math.min(n, off + stride)))
+      }
+    }
+  }
+
+  /** Deterministic doc_id-derived animated-GIF frame count, shared with
+    * the DuckDB oracle text (`1 + doc_id % 8`). */
+  private def gifFrameCount(id: Long): Int = (1 + id % 8).toInt
+
+  /** REAL multi-frame animated GIF for a doc id: [[gifFrameCount]]
+    * frames of [[pngDims]] size, written through the JDK GIF writer's
+    * sequence API — a genuine multi-frame container, the closest thing
+    * to a video file the JDK can both write and read. */
+  private[graft] def gifBytes(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < gifFrameCount(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id + f * 101L + x * 31L + y * 17L) % 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Multi-frame asset source for the driver gate: one genuine animated
+    * GIF per document, encoded in-flight on the executors (same rationale
+    * as [[pngAssets]]: the metadata is oracle-predictable, the bytes are
+    * a real container). */
+  def gifAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id => Asset(id, gifBytes(id))))
+  }
+
+  case class FrameMeta(doc_id: Long, frame_idx: Long, n_frames: Long,
+                       width: Long, height: Long)
+
+  /** REAL frame sampling through the codec: the reader enumerates the
+    * container's frames (`getNumImages(true)` walks the stream), every
+    * `stride`-th frame is actually DECODED (`reader.read(i)` — skipped
+    * frames are never rasterized, which is the point of sampling), and
+    * each sampled frame reports its decoded dimensions. Payloads no JDK
+    * reader claims fall back to the byte-window stub's arithmetic
+    * ([[fakeDecode]] dims, one pseudo-frame per `256` bytes) — the stub
+    * survives only where the JDK genuinely has no codec. */
+  def gifFrameSample(spark: SparkSession, assets: Dataset[Asset],
+                     stride: Int = 2): Dataset[FrameMeta] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val decoded: Option[Seq[FrameMeta]] = try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.blob))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              Some((0 until n by stride).map { i =>
+                val img = r.read(i)
+                FrameMeta(a.doc_id, i.toLong, n.toLong,
+                  img.getWidth.toLong, img.getHeight.toLong)
+              })
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+      decoded.getOrElse {
+        val m = fakeDecode(a)
+        val n = math.max(1, a.blob.length / 256)
+        (0 until n by stride).map(i =>
+          FrameMeta(a.doc_id, i.toLong, n.toLong, m.width, m.height))
       }
     }
   }

@@ -376,6 +376,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal real frames: animated GIF writes, enumerates and decodes per-frame") {
+    // gifBytes(7): 8 frames (1 + 7 % 8) of 8×11 (pngDims); GIF magic
+    val bytes = Multimodal.gifBytes(7L)
+    assert(bytes.take(6).map(_.toChar).mkString.startsWith("GIF8"),
+      "payload must be a genuine GIF container")
+    val docs = Seq((7L, "x", "en", "s", 1L), (2L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fs = Multimodal.gifFrameSample(spark, Multimodal.gifAssets(spark, docs))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // doc 2: 3 frames → sampled 0,2; doc 7: 8 frames → sampled 0,2,4,6
+    assert(fs.filter(_.doc_id == 2L).map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(fs.filter(_.doc_id == 7L).map(_.frame_idx).toSeq == Seq(0L, 2L, 4L, 6L))
+    fs.foreach { f =>
+      val (w, h) = if (f.doc_id == 7L) (8L, 11L) else (3L, 7L)
+      assert(f.width == w && f.height == h && f.n_frames == 1 + f.doc_id % 8, f.toString)
+    }
+    // unreadable payload falls back to the byte-window stub arithmetic
+    import spark.implicits._
+    val junk = Seq(Multimodal.Asset(1L, ("j" * 600).getBytes("UTF-8"))).toDS()
+    val fb = Multimodal.gifFrameSample(spark, junk).collect()
+    assert(fb.map(_.frame_idx).toSeq == Seq(0L) && fb.head.n_frames == 2L)
+  }
+
   test("multimodal histogram: decoded-pixel counts cover every pixel once per channel") {
     val docs = Seq((7L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val h = Multimodal.imageHistogram(spark, Multimodal.pngAssets(spark, docs)).collect()
