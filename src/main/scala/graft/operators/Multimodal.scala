@@ -330,22 +330,84 @@ object Multimodal {
     }.toDF("doc_id", "channel", "bin", "cnt")
   }
 
-  /** STUB feature extraction: deterministic pseudo-embedding from byte
-    * histogram moments (a real implementation runs the vision/audio model
-    * per partition batch; [[imageHistogram]] is the REAL no-model
-    * sibling). Output schema matches the `embeddings` table. */
-  def extractFeatures(spark: SparkSession, assets: Dataset[Asset],
-                      dim: Int = 64): Dataset[Feature] = {
-    import spark.implicits._
-    assets.mapPartitions(_.map { a =>
-      val v = new Array[Float](dim)
-      var i = 0
-      while (i < a.blob.length) {
-        v(((a.blob(i) & 0xff) * dim / 256) % dim) += 1.0f
-        i += 1
-      }
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      Feature(a.doc_id, if (norm > 0) v.map(x => (x / norm).toFloat) else v)
-    })
+  /** The model-inference plumbing CONTRACT — the one multimodal
+    * component that cannot be real without a model runtime in the
+    * container, so the INTERFACE is the deliverable: an expensive
+    * [[open]] that runs ONCE per partition (weights load, native/GPU
+    * context) returning a [[BatchModel.Session]] whose [[BatchModel
+    * .Session.embed]] scores micro-batches (the batch dimension is where
+    * a real encoder amortizes — GPU dispatch, vectorized ops). Swapping
+    * in a real vision/text encoder is one class implementing this trait;
+    * [[StandInModel]] is the deterministic reference implementation and
+    * the spec proves the amortization schedule (opens = partitions,
+    * batches = Σ⌈rows/batchSize⌉) via its accumulator hooks. */
+  trait BatchModel extends Serializable {
+    def open(): BatchModel.Session
   }
+  object BatchModel {
+    trait Session {
+      def embed(batch: Array[Array[Byte]]): Array[Array[Float]]
+      def close(): Unit
+    }
+  }
+
+  /** Deterministic stand-in "model": L2-normalized byte-histogram
+    * direction per blob. The optional accumulators let specs audit the
+    * open/batch schedule without changing the scoring path. */
+  final class StandInModel(dim: Int = 64,
+      opens: Option[org.apache.spark.util.LongAccumulator] = None,
+      batches: Option[org.apache.spark.util.LongAccumulator] = None)
+    extends BatchModel {
+    def open(): BatchModel.Session = {
+      opens.foreach(_.add(1L))
+      new BatchModel.Session {
+        def embed(batch: Array[Array[Byte]]): Array[Array[Float]] = {
+          batches.foreach(_.add(1L))
+          batch.map { blob =>
+            val v = new Array[Float](dim)
+            var i = 0
+            while (i < blob.length) {
+              v(((blob(i) & 0xff) * dim / 256) % dim) += 1.0f
+              i += 1
+            }
+            val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+            if (norm > 0) v.map(x => (x / norm).toFloat) else v
+          }
+        }
+        def close(): Unit = ()
+      }
+    }
+  }
+
+  /** Partition-batched inference runner: one [[BatchModel.open]] per
+    * non-empty partition, rows scored in `batchSize` micro-batches
+    * through the lazy iterator (no partition-wide materialization), the
+    * session closed on task completion. This is the `mapInPandas` shape
+    * rendered in Scala — the plumbing a real encoder plugs into
+    * unchanged. Embarrassingly parallel, no shuffle. */
+  def inferFeatures(spark: SparkSession, assets: Dataset[Asset],
+                    model: BatchModel, batchSize: Int = 64): Dataset[Feature] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val sess = model.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => sess.close()))
+        it.grouped(batchSize).flatMap { batch =>
+          val arr = batch.toArray
+          arr.iterator.zip(sess.embed(arr.map(_.blob)).iterator)
+            .map { case (a, v) => Feature(a.doc_id, v) }
+        }
+      }
+    }
+  }
+
+  /** STUB feature extraction: the [[StandInModel]] pseudo-embedding run
+    * through the real [[inferFeatures]] plumbing ([[imageHistogram]] is
+    * the REAL no-model sibling). Output schema matches the `embeddings`
+    * table. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[Asset],
+                      dim: Int = 64): Dataset[Feature] =
+    inferFeatures(spark, assets, new StandInModel(dim))
 }

@@ -399,6 +399,25 @@ class OperatorsSpec extends SparkSpec {
     assert(fb.map(_.frame_idx).toSeq == Seq(0L) && fb.head.n_frames == 2L)
   }
 
+  test("model-inference contract: opens once per partition, batches amortize") {
+    import spark.implicits._
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val batches = spark.sparkContext.longAccumulator("batches")
+    val assets = (1L to 100L).map(i => Multimodal.Asset(i, s"blob$i".getBytes("UTF-8")))
+      .toDS().repartition(4)
+    val out = Multimodal.inferFeatures(spark, assets,
+      new Multimodal.StandInModel(64, Some(opens), Some(batches)), batchSize = 16)
+      .collect()
+    assert(out.length == 100 && out.forall(_.embedding.length == 64))
+    assert(opens.value == 4L, s"model must load once per partition, loaded ${opens.value}")
+    // 25 rows per partition at batch 16 → 2 micro-batches each
+    assert(batches.value == 8L, s"micro-batches: ${batches.value}")
+    // the stand-in through the batched runner IS extractFeatures
+    val ref = Multimodal.extractFeatures(spark, assets).collect()
+      .map(f => f.doc_id -> f.embedding.toSeq).toMap
+    out.foreach(f => assert(ref(f.doc_id) == f.embedding.toSeq))
+  }
+
   test("multimodal histogram: decoded-pixel counts cover every pixel once per channel") {
     val docs = Seq((7L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val h = Multimodal.imageHistogram(spark, Multimodal.pngAssets(spark, docs)).collect()
