@@ -172,29 +172,51 @@ object Dedup {
     //
     // Degenerate-bucket guard: a pathological bucket (boilerplate corpus
     // where everything shares a signature) would collect into ONE row and
-    // OOM its task, so bucket sizes are counted FIRST (a window sharing
-    // the same (band, bv) shuffle) and buckets above `gatherCap` take a
-    // self-JOIN path instead — identical pairs, quadratic work spread
-    // across the cluster rather than one executor. Results are identical
-    // either way (the final per-pair aggregate merges both paths), so the
-    // cap is a pure scale-safety valve — un-OOM-able by construction,
-    // exercised by the adversarial all-identical-docs ScaleStress leg.
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+    // OOM its task, so oversized-bucket KEYS are found first by a light
+    // count aggregate — map-side combined, shuffles (band, bv, count)
+    // tuples only, and its output is bounded by the number of
+    // pathological buckets, so it broadcasts at any corpus size. The
+    // keys gate the gather with an anti join (memory-bounded by
+    // construction) and feed the rare oversized buckets to a self-JOIN
+    // path — identical pairs, quadratic work spread across the cluster
+    // rather than one executor. In the common case the key set is EMPTY:
+    // AQE folds the anti join into a pass-through and eliminates the
+    // semi-join subtree before its stages ever run, so the guard's
+    // steady-state cost is the one light aggregate. (The round-4 window
+    // variant sorted the full code-bearing relation and re-planned it
+    // under all three consumers — 3 scans and a 1.34× regression on the
+    // idle bench; this shape restores the round-3 profile.) Results are
+    // identical either way (the final per-pair aggregate merges both
+    // paths) — the cap is a pure scale-safety valve, exercised by the
+    // adversarial all-identical-docs ScaleStress leg.
+    // materialize the banded relation ONCE (localCheckpoint — the
+    // pageRank/Bpe discipline): three independent subtrees consume it
+    // (key-set aggregate, gather, big-bucket path), and Spark would
+    // otherwise re-plan the whole scan→shingle→signature prefix under
+    // each (the round-4 window variant planned 3 corpus scans. On the
+    // idle sf0.1 bench all shapes measure within noise — the r3→r4
+    // dedup_minhash movement was ambient, see STATUS — but at corpus
+    // scale one scan vs three is structural). Materialized volume =
+    // the same (doc_id, codes, band, bv) rows the band shuffle already
+    // carries.
+    val bandedM = banded.localCheckpoint()
+    val bigKeys = bandedM.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > gatherCap)
+      .select("band", "bv")
+
     val pairSql =
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members)), n ->
         |    struct(m.doc_id as doc_a, n.doc_id as doc_b,
         |      sorted_intersect_count(m.codes, n.codes) as inter,
         |      size(m.codes) + size(n.codes) as tot))))""".stripMargin.replace("\n", " ")
-    val gathered = sized
-      .filter(col("bsz") > 1 && col("bsz") <= gatherCap)
+    val gathered = bandedM.join(broadcast(bigKeys), Seq("band", "bv"), "left_anti")
       .groupBy("band", "bv")
       .agg(expr("array_sort(collect_list(struct(doc_id, codes)))").as("members"))
       .select(explode(expr(pairSql)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         col("p.inter").cast("long").as("inter"), col("p.tot").cast("long").as("tot"))
-    val big = sized.filter(col("bsz") > gatherCap)
+    val big = bandedM.join(broadcast(bigKeys), Seq("band", "bv"), "left_semi")
     val bigA = big.select(col("band"), col("bv"),
       col("doc_id").as("doc_a"), col("codes").as("codes_a"))
     val bigB = big.select(col("band"), col("bv"),
