@@ -45,6 +45,8 @@ object ScaleStress {
     if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
+    if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
+    if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -341,6 +343,101 @@ object ScaleStress {
     val sec = (System.nanoTime() - t0) / 1e9
     val top1 = out.headOption.map(_.getLong(1)).getOrElse(0L)
     println(f"""{"stress":"graph_triangles","replicas":$replicas,"top1_tri":$top1,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+
+  /** Skewed-GROUP MWU leg: the synthetic features are uniform by
+    * construction (every feature has n_obs rows, so the feature-hash
+    * shuffle balances), but extension users group by skewed keys — one
+    * language or condition holding 90% of observations. This leg runs
+    * the FULL marker pipeline twice on identical cells, once with the
+    * natural l_returnflag groups and once with 90% of rows collapsed
+    * onto one HOT group, and reports the ratio. The chain is skew-
+    * resistant by design: the rank window partitions by feature_id
+    * (unaffected by group skew), and every per-(feature, group)
+    * aggregate combines map-side before the shuffle, so only combined
+    * partials travel — the ratio should stay near 1 and the leg asserts
+    * it stays under 1.5.
+    * `sbt "runMain graft.ScaleStress mwuskew [nFeatures]"` */
+  private def mwuSkewStress(args: Array[String]): Unit = {
+    val nFeat = if (args.nonEmpty) args(0).toInt else 16
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+    def cells(skewed: Boolean) = {
+      val grp =
+        if (skewed) expr("case when l_orderkey % 10 < 9 then 'HOT' else l_returnflag end")
+        else col("l_returnflag")
+      li.select(grp.as("grp"),
+          explode(expr(s"sequence(0, ${nFeat - 1})")).as("fi"),
+          col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+        .select(col("grp"), concat(lit("f"), col("fi")).as("feature_id"),
+          log1p(col("l_extendedprice") * (lit(1.0) + col("fi") * col("l_discount"))
+            + col("fi") * col("l_quantity")).as("value"))
+    }
+    def run(skewed: Boolean): Double = {
+      val t0 = System.nanoTime()
+      Pipeline.markerStats(spark, cells(skewed), Pipeline.Config(topN = Some(5))).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(skewed = false) // warm-up: JIT + codegen, not measured
+    val uniform = run(skewed = false)
+    val skewedSec = run(skewed = true)
+    val n = cells(skewed = true).count()
+    val ratio = skewedSec / uniform
+    println(f"""{"stress":"mwu_skew","features":$nFeat,"cells":$n,"uniform_sec":$uniform%.2f,"skew90_sec":$skewedSec%.2f,"ratio":$ratio%.2f}""")
+    assert(ratio < 1.5,
+      f"90/10 group skew must not dominate the MWU chain: ratio $ratio%.2f")
+    spark.stop()
+  }
+
+  /** sf1 replication leg: every table copied, lineitem replicated
+    * `replicas`× row-for-row (joins keep their keys; the fact side just
+    * fans out — the exact sf0.1 → sf1 growth axis), written to a local
+    * parquet dir, and the heaviest lineitem-family registry queries run
+    * once each against it. This catches plans that silently tip from
+    * broadcast to sort-merge-with-spill (or worse) between sf0.1 and
+    * sf1: each query must land within ~replicas× of its sf0.1
+    * wall-clock. `sbt "runMain graft.ScaleStress sf1 [replicas]"` */
+  private def sf1Stress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = s"/tmp/graft_sf1_x$replicas"
+    val spark = session()
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    if (!new java.io.File(s"$outDir/_READY").exists()) {
+      tables.foreach { t =>
+        val df = graft.sources.Tables.read(spark, sfDir, t)
+        val out = if (t == "lineitem")
+          df.withColumn("r", explode(expr(s"sequence(0, ${replicas - 1})"))).drop("r")
+        else df
+        out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      new java.io.File(s"$outDir/_READY").createNewFile()
+    }
+    // the heaviest lineitem-family gate queries (idle-bench tail) — the
+    // ann/retrieval families scale their QUERY SET with the corpus by
+    // construction (every 50th id), so their replication legs hold the
+    // query count fixed instead (pqStress, sparseStress, annStress)
+    val queries = Seq("graph_pagerank", "graph_triangles", "mwu_checkpoint",
+      "mwu_sink", "mwu_markers", "mwu_rank", "mwu_ranksum_agg",
+      "q_join_revenue", "q_important_parts", "q_min_cost")
+    def time(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min over two measured passes: single-shot write/window timings at
+    // this size scatter up to 3× (GC + page-cache state), and the
+    // question is plan capacity, not ambient noise
+    queries.foreach { q =>
+      time(q, sfDir) // warm-up: JIT + codegen, not measured
+      val base = math.min(time(q, sfDir), time(q, sfDir))
+      val big = math.min(time(q, outDir), time(q, outDir))
+      val ratio = big / base
+      println(f"""{"stress":"sf1","query":"$q","replicas":$replicas,"sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":$ratio%.2f}""")
+    }
     spark.stop()
   }
 
