@@ -20,7 +20,8 @@ object Explain {
       else Seq("mwu_markers", "q_join_revenue", "dedup_minhash", "ann_cosine",
         "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join",
         "bpe_train", "ann_ivfpq", "lr_train", "dedup_within",
-        "ann_rerank", "ann_margin", "dedup_incremental_bloom")
+        "ann_rerank", "ann_margin", "dedup_incremental_bloom",
+        "pipeline_curate")
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -46,6 +46,7 @@ object ScaleStress {
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
+    if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -388,6 +389,32 @@ object ScaleStress {
     println(f"""{"stress":"mwu_skew","features":$nFeat,"cells":$n,"uniform_sec":$uniform%.2f,"skew90_sec":$skewedSec%.2f,"ratio":$ratio%.2f}""")
     assert(ratio < 1.5,
       f"90/10 group skew must not dominate the MWU chain: ratio $ratio%.2f")
+    spark.stop()
+  }
+
+  /** Composed-pipeline leg: replicate the corpus M× with mutated tails
+    * (near-dup but not byte-identical replicas — so exact dedup keeps
+    * them, line dedup REMOVES their shared lines, and every stage does
+    * real work) and run the full curation pipeline. The claim under
+    * test is that the composition inherits its stages' linear scaling:
+    * per-doc throughput should hold ~flat as the corpus grows.
+    * `sbt "runMain graft.ScaleStress curate [replicas]"` */
+  private def curateStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val out = graft.operators.Curation.pipeline(blown).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"pipeline_curate","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
 
