@@ -262,6 +262,11 @@ object QueriesLlm {
     // token counts via a corpus⋈vocab join (AQE broadcasts while small)
     "bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encode(Tables.read(s, dir, "documents"))),
+    // tokenizer APPLY: the ordered subword token stream per document
+    // (word/symbol positions from generators; reference-BPE-exact
+    // segmentation under the leftmost-first merge contract)
+    "bpe_apply" -> ((s, dir) =>
+      graft.operators.Bpe.applyTokens(Tables.read(s, dir, "documents"))),
     // token-budget data-mix planner: per-language keep rates from target
     // parts + realized deterministic sample (id-hash membership)
     // deterministic global training-order shuffle: CW-scrambled shard +
@@ -616,6 +621,7 @@ object QueriesLlm {
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
+    "bpe_apply" -> graft.operators.Bpe.applyTokensSql(),
     "mix_plan" -> Sampling.mixPlanSql(),
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),

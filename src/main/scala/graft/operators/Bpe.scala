@@ -123,6 +123,40 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
   }
 
+  /** APPLY the trained tokenizer: per document, the ordered subword
+    * token STREAM — (doc_id, word_idx, sym_idx, token) — the actual
+    * rollout a downstream training job consumes, not just the count.
+    * The corpus word stream joins the trained word→symbols map (AQE
+    * broadcasts while the vocabulary fits, shuffle-joins beyond), and
+    * both position axes come from generators — no extra shuffle beyond
+    * the vocab join. With the round-5 leftmost-first merge contract the
+    * emitted segmentation matches reference BPE exactly. */
+  def applyTokens(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val v = vocab(docs, rounds).select("word", "repr")
+    docs
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("word_idx", "word")))
+      .join(v, "word")
+      .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"),
+        posexplode(expr("split(trim(repr), ' ')")).as(Seq("sym_idx", "token")))
+      .select(col("doc_id"), col("word_idx"),
+        col("sym_idx").cast("long").as("sym_idx"), col("token"))
+  }
+
+  /** DuckDB mirror of [[applyTokens]] — scalar generate_series + unnest
+    * for both position axes (the chunkSql pattern: DuckDB's
+    * table-function generate_series rejects lateral column args). */
+  def applyTokensSql(rounds: Int = 8, table: String = "documents"): String =
+    ctePrefix(rounds, table) +
+      s", dw as (select doc_id, unnest(generate_series(1, len(ws))) as wi, ws" +
+      s" from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as ws from $table) t0)" +
+      ", dwo as (select doc_id, cast(wi - 1 as bigint) as word_idx, ws[wi] as word from dw)" +
+      s", tok as (select doc_id, word_idx, unnest(generate_series(1, len(ss))) as si, ss" +
+      s" from (select doc_id, word_idx, string_split(trim(repr), ' ') as ss" +
+      s"  from dwo join w$rounds using (word)) t1)" +
+      " select doc_id, word_idx, cast(si - 1 as bigint) as sym_idx, ss[si] as token from tok"
+
   /** Shared CTE prefix: v (word counts), w0 (char split), then per round
     * k the pair counts p_k, winner m_k, and applied vocab w_k. */
   private def ctePrefix(rounds: Int, table: String): String = {

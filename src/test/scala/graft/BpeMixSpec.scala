@@ -42,6 +42,17 @@ class BpeMixSpec extends SparkSpec {
       (1L, "a", "a", 6L), (2L, "aa", "aa", 2L), (3L, "aa", "a", 1L)))
   }
 
+  test("bpe: applyTokens emits the ordered subword stream of the trained tokenizer") {
+    // after 2 rounds the merges are (a,b) then (ab,ab): "abab" is ONE
+    // symbol, "cd" stays two chars → per-word streams in order
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = Bpe.applyTokens(docs, rounds = 2)
+      .orderBy("word_idx", "sym_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, "abab"), (1L, 0L, "abab"), (2L, 0L, "c"), (2L, 1L, "d")))
+  }
+
   test("bpe: encode counts post-merge symbols with the trained vocab") {
     // after 2 rounds the merges are (a,b) then (ab,ab): "abab" is ONE
     // symbol, "cd" still two → 3 words, 1+1+2 = 4 tokens
@@ -117,7 +128,7 @@ class BpeMixSpec extends SparkSpec {
   test("bpe / mix plan / within-doc dedup / ewma / lr are partition-invariant (1 vs 13)") {
     for (q <- Seq("bpe_train", "mix_plan", "dedup_within", "q_ewma", "lr_train",
       "text_entropy", "dedup_incremental", "graph_triangles", "q_last_touch",
-      "lr_score", "bpe_encode", "pipeline_curate")) {
+      "lr_score", "bpe_encode", "pipeline_curate", "bpe_apply")) {
       def run(): Seq[String] = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .collect().map(_.toString).sorted.toSeq
       val results = Seq("1", "13").map { p =>
