@@ -384,7 +384,9 @@ object ScaleStress {
     run(skewed = false) // warm-up: JIT + codegen, not measured
     val uniform = run(skewed = false)
     val skewedSec = run(skewed = true)
-    val n = cells(skewed = true).count()
+    // every lineitem row emits exactly nFeat cells — no need to re-run
+    // the explode just to log the count
+    val n = li.count() * nFeat
     val ratio = skewedSec / uniform
     println(f"""{"stress":"mwu_skew","features":$nFeat,"cells":$n,"uniform_sec":$uniform%.2f,"skew90_sec":$skewedSec%.2f,"ratio":$ratio%.2f}""")
     assert(ratio < 1.5,

@@ -107,34 +107,12 @@ object Curation {
           expr("cast(size(split(line, ' ')) as bigint)")).otherwise(0L)).as("n_tokens"))
       .filter(col("n_tokens") > 0)
 
-    // stage 4: bloom decontamination — decontaminate_bloom's constant-
-    // size screen, computed off the RAW candidate scan (hit_frac is
+    // stage 4: bloom decontamination — the proven decontaminate_bloom
+    // screen verbatim, computed off the RAW candidate scan (hit_frac is
     // per-doc intrinsic vs the eval set, so gating survivors on it is
     // identical — and the branch never recomputes the pipeline prefix)
-    val evalSh = Dedup.withShingleCodes(docs.filter(col("doc_id") % evalEvery === 0))
-    val bloom = evalSh.select(explode(col("codes")).as("code"))
-      .select(col("code"), explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
-      .select(expr(Dedup.bloomPosCase(kHash, mBits)).as("pos"))
-      .distinct()
-    val corpus = Dedup
-      .withShingleCodes(docs.filter(col("doc_id") % evalEvery =!= 0))
-      .select(col("doc_id"), size(col("codes")).cast("long").as("n_codes"),
-        explode(col("codes")).as("code"))
-    val withPos = corpus.select(
-      Seq(col("doc_id"), col("n_codes"), col("code")) ++
-        (0 until kHash).map(j =>
-          expr(s"(${Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
-    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
-      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
-        col(s"p$j") === col(s"bp$j"), "left")
-    }
-    val contam = probed
-      .withColumn("all_set",
-        (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _).cast("long"))
-      .groupBy("doc_id", "n_codes")
-      .agg(sum("all_set").as("n_hits"))
-      .select(col("doc_id"),
-        (col("n_hits").cast("double") / col("n_codes").cast("double")).as("hit_frac"))
+    val contam = Dedup.decontaminateBloom(docs, evalEvery, mBits, kHash)
+      .select(col("doc_id"), col("hit_frac"))
     val c4 = c3.join(contam, Seq("doc_id"))
       .filter(col("hit_frac") < contamMax)
       .select("doc_id", "lang", "n_tokens")
@@ -173,10 +151,6 @@ object Curation {
                   table: String = "documents"): String = {
     val combined = (TextOps.statsSelects(DuckD) ++ TextOps.langIdSelects(DuckD).drop(2))
       .mkString(", ")
-    val rh = Parity.rollingHashDuck("s")
-    val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
-      "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
-    val pc = Dedup.bloomPosCase(kHash, mBits)
     val h9 = Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")
     val u = Sampling.mixHash(Parity.rollingHashDuck("cast(doc_id as varchar)"))
     s"""with st as (select text, $combined from $table where doc_id % $evalEvery <> 0),
@@ -187,36 +161,14 @@ object Curation {
        |c2 as (select doc_id, lang, text from (
        |  select doc_id, lang, text, min(doc_id) over (partition by md5(text)) as keeper
        |  from c1) where doc_id = keeper),
-       |d as (select doc_id, lang, string_split(trim(text), ' ') as words from c2),
-       |l as (select doc_id, lang, i as line_idx,
-       |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
-       | from (select doc_id, lang, words,
-       |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d)),
+       |${Dedup.linesCteSql(lineTokens, "c2", ", lang").replace("\n", " ")},
        |lc as (select doc_id, lang, line,
        |  count(*) over (partition by md5(line)) as cnt from l),
        |c3 as (select * from (
        |  select doc_id, max(lang) as lang,
        |   cast(sum(case when cnt = 1 then len(string_split(line, ' ')) else 0 end) as bigint) as n_tokens
        |  from lc group by doc_id) where n_tokens > 0),
-       |ed as (select doc_id, string_split(trim(text), ' ') as words from $table
-       |  where doc_id % $evalEvery = 0),
-       |esh as (select list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from ed),
-       |bloom as (select distinct $pc as pos from
-       |  (select unnest(codes) as code from esh) ev, generate_series(0, ${kHash - 1}) t(j)),
-       |cd as (select doc_id, string_split(trim(text), ' ') as words from $table
-       |  where doc_id % $evalEvery <> 0),
-       |csh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from cd),
-       |corp as (select doc_id, cast(len(codes) as bigint) as n_codes,
-       |  unnest(codes) as code from csh),
-       |pr as (select doc_id, n_codes, code, $pc as pos
-       |  from corp, generate_series(0, ${kHash - 1}) t(j)),
-       |hh as (select doc_id, n_codes, code,
-       |  min(case when b.pos is not null then 1 else 0 end) as all_set
-       | from pr left join bloom b on pr.pos = b.pos
-       | group by doc_id, n_codes, code),
-       |contam as (select doc_id,
-       |  cast(sum(all_set) as double) / cast(n_codes as double) as hit_frac
-       | from hh group by doc_id, n_codes),
+       |${Dedup.bloomScreenCtes(evalEvery, mBits, kHash, table).replace("\n", " ")},
        |c4 as (select c3.doc_id, c3.lang, c3.n_tokens from c3 join contam using (doc_id)
        | where hit_frac < ${Parity.lit(contamMax)}),
        |c5 as (select doc_id, lang, n_tokens from (

@@ -198,7 +198,10 @@ object Dedup {
     // dedup_minhash movement was ambient, see STATUS — but at corpus
     // scale one scan vs three is structural). Materialized volume =
     // the same (doc_id, codes, band, bv) rows the band shuffle already
-    // carries.
+    // carries. localCheckpoint is EAGER: constructing this DataFrame
+    // runs the banding job (the Bpe.train / Graph.pageRank precedent —
+    // iterative/multi-consumer ops in this repo materialize at
+    // construction; Bench times construction inside the query window).
     val bandedM = banded.localCheckpoint()
     val bigKeys = bandedM.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > gatherCap)
@@ -424,29 +427,38 @@ object Dedup {
         (col("n_hits").cast("double") / col("n_codes").cast("double")).as("hit_frac"))
   }
 
-  /** DuckDB mirror of [[decontaminateBloom]]. */
-  def decontaminateBloomSql(evalEvery: Int = 97, mBits: Int = 65536,
-                            kHash: Int = 3, table: String = "documents"): String = {
+  /** Bloom-screen CTE chain (no leading WITH, no final select), ending
+    * in `contam(doc_id, n_codes, n_hits, hit_frac)` — the ONE copy of
+    * the parity-critical hash text, shared by [[decontaminateBloomSql]]
+    * and the composed-pipeline oracle ([[Curation.pipelineSql]]). */
+  private[operators] def bloomScreenCtes(evalEvery: Int = 97, mBits: Int = 65536,
+                                         kHash: Int = 3, table: String = "documents"): String = {
     val rh = graft.oracle.Parity.rollingHashDuck("s")
     val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
       "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
     val pc = bloomPosCase(kHash, mBits)
-    s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from $table),
-       |sh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from doc),
-       |ev as (select unnest(codes) as code from sh where doc_id % $evalEvery = 0),
+    s"""bdoc as (select doc_id, string_split(trim(text), ' ') as words from $table),
+       |bsh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from bdoc),
+       |ev as (select unnest(codes) as code from bsh where doc_id % $evalEvery = 0),
        |bloom as (select distinct $pc as pos from ev, generate_series(0, ${kHash - 1}) t(j)),
        |corp as (select doc_id, cast(len(codes) as bigint) as n_codes,
-       |  unnest(codes) as code from sh where doc_id % $evalEvery <> 0),
+       |  unnest(codes) as code from bsh where doc_id % $evalEvery <> 0),
        |pr as (select doc_id, n_codes, code, $pc as pos
        |  from corp, generate_series(0, ${kHash - 1}) t(j)),
-       |h as (select doc_id, n_codes, code,
+       |hh as (select doc_id, n_codes, code,
        |  min(case when b.pos is not null then 1 else 0 end) as all_set
        | from pr left join bloom b on pr.pos = b.pos
-       | group by doc_id, n_codes, code)
-       |select doc_id, n_codes, cast(sum(all_set) as bigint) as n_hits,
+       | group by doc_id, n_codes, code),
+       |contam as (select doc_id, n_codes, cast(sum(all_set) as bigint) as n_hits,
        | cast(sum(all_set) as double) / cast(n_codes as double) as hit_frac
-       |from h group by doc_id, n_codes""".stripMargin.replace("\n", " ")
+       |from hh group by doc_id, n_codes)""".stripMargin
   }
+
+  /** DuckDB mirror of [[decontaminateBloom]]. */
+  def decontaminateBloomSql(evalEvery: Int = 97, mBits: Int = 65536,
+                            kHash: Int = 3, table: String = "documents"): String =
+    (s"with ${bloomScreenCtes(evalEvery, mBits, kHash, table)} " +
+      "select doc_id, n_codes, n_hits, hit_frac from contam").replace("\n", " ")
 
   /** SimHash 64-bit fingerprint: sign-sum over per-token hash bits.
     * Built from explode + bitwise built-ins: for each of 64 bit lanes,
@@ -521,12 +533,15 @@ object Dedup {
       .withColumn("fp", md5(col("line")))
   }
 
-  /** `d`/`l` CTE pair producing the identical lines in DuckDB. */
-  private[operators] def linesCteSql(lineTokens: Int, table: String): String =
-    s"""d as (select doc_id, string_split(trim(text), ' ') as words from $table),
-       |l as (select doc_id, i as line_idx,
+  /** `d`/`l` CTE pair producing the identical lines in DuckDB. `carry`
+    * names extra pass-through columns (", lang") — the SQL twin of
+    * [[tokenLines]]'s carry parameter. */
+  private[operators] def linesCteSql(lineTokens: Int, table: String,
+                                     carry: String = ""): String =
+    s"""d as (select doc_id$carry, string_split(trim(text), ' ') as words from $table),
+       |l as (select doc_id$carry, i as line_idx,
        |  array_to_string(list_slice(words, i * $lineTokens + 1, i * $lineTokens + $lineTokens), ' ') as line
-       | from (select doc_id, words,
+       | from (select doc_id$carry, words,
        |   unnest(generate_series(0, (len(words) + ${lineTokens - 1}) // $lineTokens - 1)) as i from d))"""
       .stripMargin
 

@@ -257,7 +257,7 @@ object Multimodal {
     * ([[fakeDecode]] dims, one pseudo-frame per `256` bytes) — the stub
     * survives only where the JDK genuinely has no codec. */
   def gifFrameSample(spark: SparkSession, assets: Dataset[Asset],
-                     stride: Int = 2): Dataset[FrameMeta] = {
+                     stride: Int = 2, maxFallbackFrames: Int = 8): Dataset[FrameMeta] = {
     import spark.implicits._
     assets.flatMap { a =>
       val decoded: Option[Seq[FrameMeta]] = try {
@@ -281,8 +281,11 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
       decoded.getOrElse {
+        // byte-window stub arithmetic, with frameSample's cap: an
+        // unreadable multi-GB payload must not explode into hundreds of
+        // thousands of pseudo-frames
         val m = fakeDecode(a)
-        val n = math.max(1, a.blob.length / 256)
+        val n = math.min(maxFallbackFrames, math.max(1, a.blob.length / 256))
         (0 until n by stride).map(i =>
           FrameMeta(a.doc_id, i.toLong, n.toLong, m.width, m.height))
       }

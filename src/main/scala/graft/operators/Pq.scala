@@ -318,7 +318,9 @@ object Pq {
     val c = base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       col("n2").as("n_n2"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+    // no broadcast hint — corpus-proportional query relation, the
+    // planner decides (the adcTopK precedent)
+    q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("dist",
         col("q_n2") + col("n_n2") - lit(2.0) * expr("chain_dot(q_emb, n_emb)"))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -380,7 +382,9 @@ object Pq {
     val q = base.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
-    short.join(cand, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+    // equi-join on q_id, no hint — AQE broadcasts the query side while
+    // small and shuffle-joins when the query set outgrows it
+    short.join(cand, Seq("n_id")).join(q, Seq("q_id"))
       .withColumn("dist",
         col("q_n2") + col("n_n2") - lit(2.0) * expr("chain_dot(q_emb, n_emb)"))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -41,7 +41,11 @@ object Similarity {
     val c = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+    // no broadcast hint: the query relation is N/queryEvery — corpus-
+    // proportional — so a forced broadcast OOMs at scale; the planner
+    // broadcasts it while its own estimate is small (the adcTopK
+    // precedent)
+    q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos", when(col("q_norm") * col("n_norm") > 0.0,
         expr(Parity.dot(SparkD, "q_emb", "n_emb", dim)) / (col("q_norm") * col("n_norm")))
         .otherwise(lit(Double.NaN)))
