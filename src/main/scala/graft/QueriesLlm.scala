@@ -155,6 +155,11 @@ object QueriesLlm {
     // query-by-example BM25 over the same 3-gram posting index
     "bm25_retrieval" -> ((s, dir) =>
       TextOps.bm25Retrieval(Tables.read(s, dir, "documents"))),
+    // all-pairs similarity join: every doc pair with TF-IDF cosine >= t
+    // via the Bayardo prefix filter; oracle = the naive exact self-join,
+    // so hash equality proves the filter lossless
+    "allpairs_similarity" -> ((s, dir) =>
+      TextOps.allPairsSimilarity(Tables.read(s, dir, "documents"))),
     // hybrid dense+sparse retrieval: reciprocal-rank fusion of ann_cosine
     // and sparse_retrieval — rank-only arithmetic, fully hash-checked
     "hybrid_rrf" -> ((s, dir) =>
@@ -688,6 +693,7 @@ object QueriesLlm {
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
+    "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),
     "hybrid_rrf" ->
       s"""with dense as (select q_id, n_id as doc_id, rn as dense_rk
          |  from (${annCosineSql("")})),

@@ -555,6 +555,85 @@ object TextOps {
        |where rk <= $k""".stripMargin.replace("\n", " ")
   }
 
+  /** All-pairs similarity join — every document pair with TF-IDF cosine
+    * ≥ `threshold`, WITHOUT the quadratic posting self-join (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07).
+    * Each doc's unit-normalized postings are ordered canonically
+    * rarest-token-first (df asc, token asc) and only the PREFIX whose
+    * running suffix norm could still reach the threshold generates
+    * candidates: by Cauchy–Schwarz, a pair whose shared tokens all sit
+    * in one doc's dropped suffix has cosine ≤ ‖suffix‖ < t, so joining
+    * prefix postings against FULL postings is lossless — which is
+    * exactly what hash equality against the naive self-join oracle
+    * proves. Candidates then verify with an exact score over all shared
+    * tokens (fixed-point sum, order-free).
+    *
+    * The 100 TB shape: the df stop cut has already removed the hot
+    * tokens that make any token-keyed join quadratic, rare-first
+    * ordering makes prefixes shortest exactly where documents are long,
+    * and raising the threshold shrinks the candidate join directly —
+    * the knob a near-dup pass at scale actually turns. The normalized
+    * posting relation feeds four consumers (prefix, candidate probe,
+    * both verify sides), so it materializes ONCE (the minHashPairs /
+    * pageRank discipline) instead of re-planning the tokenize prefix
+    * under each subtree. */
+  def allPairsSimilarity(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
+      .select("doc_id", "token", "tfidf", "dfq")
+    val nrm = p.groupBy("doc_id")
+      .agg(expr(graft.oracle.Parity.fpSum("tfidf * tfidf")).as("nrm2"))
+    val w = p.join(nrm, "doc_id")
+      .withColumn("w", col("tfidf") / sqrt(col("nrm2")))
+      .select("doc_id", "token", "w", "dfq")
+      .localCheckpoint()
+    // suffix norm² in the canonical rare-first order: a token stays in
+    // the prefix while the suffix STARTING at it could still reach t
+    // (inclusive compare with a 1e-9 slack so float error in the
+    // Spark-only running sum can never drop a token the bound needs —
+    // keeping one token too many costs candidates, never pairs).
+    val suf = Window.partitionBy("doc_id")
+      .orderBy(col("dfq").asc, col("token").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = w
+      .withColumn("suffix2", sum(col("w") * col("w")).over(suf))
+      .filter(col("suffix2") >= threshold * threshold - 1e-9)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    val cand = prefix.join(w.select("doc_id", "token"), "token")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .select(least(col("probe_id"), col("doc_id")).as("doc_lo"),
+              greatest(col("probe_id"), col("doc_id")).as("doc_hi"))
+      .distinct()
+    val pl = w.select(col("doc_id").as("doc_lo"), col("token"), col("w").as("wl"))
+    val pg = w.select(col("doc_id").as("doc_hi"), col("token"), col("w").as("wg"))
+    cand.join(pl, "doc_lo").join(pg, Seq("doc_hi", "token"))
+      .groupBy("doc_lo", "doc_hi")
+      .agg(expr(graft.oracle.Parity.fpSum("wl * wg")).as("score"))
+      .filter(col("score") >= threshold)
+      .select("doc_lo", "doc_hi", "score")
+  }
+
+  /** DuckDB mirror of [[allPairsSimilarity]] — the NAIVE exact
+    * all-pairs self-join (the oracle needs correctness, not scale);
+    * hash equality against it is the losslessness proof for the Spark
+    * side's prefix filter. */
+  def allPairsSimilaritySql(threshold: Double = 0.6,
+                            table: String = "documents"): String = {
+    val fp = graft.oracle.Parity.fpSum _
+    s"""with ${tfidfPostingsCtes(gram3DuckToks(table), table,
+            " where dfq * 10 <= nn", windowDf = true)},
+       |nrm as (select doc_id, ${fp("tfidf * tfidf")} as nrm2
+       |  from postings group by doc_id),
+       |w as (select doc_id, token, tfidf / sqrt(nrm2) as w
+       |  from postings join nrm using (doc_id)),
+       |sc as (select p1.doc_id as doc_lo, p2.doc_id as doc_hi,
+       |  ${fp("p1.w * p2.w")} as score
+       | from w p1 join w p2 using (token) where p1.doc_id < p2.doc_id
+       | group by 1, 2)
+       |select doc_lo, doc_hi, score from sc
+       |where score >= $threshold""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[tfIdfTop]]. */
   def tfIdfSql(k: Int = 3): String = {
     val toks = "select doc_id, unnest(string_split(trim(text), ' ')) as token from documents"
