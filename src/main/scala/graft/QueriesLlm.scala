@@ -35,6 +35,13 @@ object QueriesLlm {
     // iteration unrolled as CTEs — deterministic converged or not)
     "dedup_groups" -> ((s, dir) =>
       Dedup.clusterLabels(Dedup.minHashPairs(Tables.read(s, dir, "documents")))),
+    // CONVERGED near-dup components: alternating large-star/small-star
+    // to a detected fixpoint — resolves ANY cluster diameter in O(log²n)
+    // rounds (the scale-correct sibling of dedup_groups' fixed-8
+    // contract). Oracle = recursive-CTE reachability fixpoint: a
+    // different algorithm, same canonical min-id labeling.
+    "dedup_cc" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.minHashPairs(Tables.read(s, dir, "documents")))),
     // quality-aware canonical selection: per near-dup cluster keep the
     // highest-quality member, not the smallest id
     "dedup_canonical" -> ((s, dir) =>
@@ -475,6 +482,22 @@ object QueriesLlm {
   /** [[labelPropDuck]] over the MinHash near-dup pairs (`dedup_groups`). */
   private def dedupGroupsDuck: String = labelPropDuck(minhashDuck)
 
+  /** Converged-components oracle for `dedup_cc`: recursive-CTE
+    * reachability fixpoint (set-semantics UNION terminates once no new
+    * (id, reachable-label) pair appears), min over the closure = the
+    * canonical component-minimum labeling. Deliberately a DIFFERENT
+    * algorithm from the Spark side's large-star/small-star, so the gate
+    * checks the converged ANSWER, not an iteration schedule. */
+  private def dedupCcDuck: String =
+    s"""with recursive pairs as materialized ($minhashDuck),
+       |cedges as materialized (select doc_a as src, doc_b as dst from pairs
+       |  union all select doc_b as src, doc_a as dst from pairs),
+       |reach as (select src as id, src as lbl from cedges
+       |  union
+       |  select e.src as id, r.lbl from cedges e join reach r on e.dst = r.id)
+       |select id as doc_id, min(lbl) as cluster_id from reach group by id""".stripMargin
+      .replace("\n", " ")
+
   /** DuckDB mirror of [[Similarity.nearDupExact]] at threshold 0.3. */
   private def embNeardupExactDuck: String = {
     val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
@@ -739,6 +762,7 @@ object QueriesLlm {
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "dedup_minhash" -> minhashDuck,
     "dedup_groups" -> dedupGroupsDuck,
+    "dedup_cc" -> dedupCcDuck,
     "dedup_canonical" ->
       s"""with labels as materialized ($dedupGroupsDuck),
          |q as (select doc_id, ${TextOps.qualityExpr} as quality from ($statsDuck)),

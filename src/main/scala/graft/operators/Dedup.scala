@@ -290,6 +290,65 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** CONVERGED connected components over a pair relation via the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    * algorithm, reimplemented on DataFrames). Where [[clusterLabels]]
+    * contracts one hop per round (its fixed-`iters` output resolves only
+    * clusters of diameter ≤ iters), each large/small-star round HALVES
+    * path lengths, so the edge set provably converges to stars rooted at
+    * each component's minimum id in O(log² n) rounds regardless of
+    * diameter — the scale-correct resolution for pathological near-dup
+    * chains (template families, crawl mirrors) whose diameter grows with
+    * the corpus. Every round is two degree-keyed aggregate+join passes
+    * over the pair-sized relation (never the corpus), and convergence is
+    * detected exactly (two anti-joins), so the loop runs exactly as many
+    * rounds as the data needs. Output schema matches [[clusterLabels]]:
+    * (doc_id, cluster_id = component min). The DuckDB oracle is a
+    * recursive-CTE reachability fixpoint — a different algorithm arriving
+    * at the same canonical labeling, which is the strongest cross-engine
+    * check in the dedup family (nothing about the iteration schedule can
+    * leak into the result). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val nodes = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+    var edges = p
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var done = edges.isEmpty
+    var round = 0
+    while (!done && round < maxRounds) {
+      // LARGE-STAR: on the symmetric adjacency, every strictly-larger
+      // neighbor of a center u links to m = min({u} ∪ Γ(u)).
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: orient each edge from its larger endpoint; every
+      // neighbor of a center u (all ≤ u) and u itself link to the
+      // minimum neighbor m.
+      val withM = ls.join(ls.groupBy("u").agg(min("v").as("m")), "u")
+      val ss = withM.select(col("v").as("a"), col("m").as("b"))
+        .union(withM.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("v")).distinct()
+        .localCheckpoint(true)
+      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss
+      round += 1
+    }
+    nodes.join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+  }
+
   /** Quality-aware canonical selection: for every near-dup cluster
     * ([[minHashPairs]] → [[clusterLabels]]), keep the HIGHEST-QUALITY
     * member ([[TextOps.qualityExpr]]), not an arbitrary one — the policy

@@ -123,6 +123,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
   }
 
+  test("connectedComponents: converges on diameters far beyond clusterLabels' horizon") {
+    // 0-1-2-...-63 path (diameter 63) + a triangle + an isolated pair.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(got(_) == 0L), "chain not fully resolved: " + got.toString)
+    assert((200L to 202L).forall(got(_) == 200L) && got(300L) == 300L && got(301L) == 300L)
+    // the fixed-8 contract stops 8 hops from the minimum — the documented
+    // limitation dedup_cc exists to remove
+    val lp = Dedup.clusterLabels(pairs, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp(63L) != 0L, "8-round label prop unexpectedly resolved a 63-hop chain")
+  }
+
+  test("connectedComponents matches brute-force union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(i => i -> find(i)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff: ${(got.toSet -- want.toSet)} / ${(want.toSet -- got.toSet)}")
+  }
+
   test("decontaminate_join (inverted index) is bit-identical to the broadcast variant") {
     // doc 0 and 97·2 form the eval set; include a corpus doc with ZERO
     // overlap (hits the min-eval-id patch path) and graded-overlap docs
