@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Lm, Multimodal, Sampling, Similarity, TextOps}
 import graft.oracle.Parity
 import graft.oracle.Parity.{DuckD, SparkD}
 import graft.sources.Tables
@@ -240,6 +240,11 @@ object QueriesLlm {
     // quality filter; fixed-point summation keeps ln cross-engine exact)
     "text_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.read(s, dir, "documents"))),
+    // CCNet-style quality pass: per-language bigram add-one LM trained
+    // on the reference quarter, per-doc perplexity, head/middle/tail
+    // terciles — all counts exact BIGINTs, ln on the 1e-9 unit grid
+    "lm_perplexity" -> ((s, dir) =>
+      Lm.perplexity(Tables.read(s, dir, "documents"))),
     // Count-Min sketch heavy hitters: top-20 tokens by exact frequency
     // with their CMS estimates — the bounded-memory counter grid is
     // CW-deterministic, so even the sketch's overcounts oracle-check
@@ -701,6 +706,7 @@ object QueriesLlm {
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),
+    "lm_perplexity" -> Lm.perplexitySql(),
     // the encode parameters (gifBytes/gifFrameCount/pngDims) predict the
     // decoded reality: n_frames = 1 + id % 8, dims = (1 + id % 13,
     // 1 + 3·id % 11), sampled indices 0,2,… ≤ id % 8

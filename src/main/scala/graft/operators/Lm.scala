@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Count-based language-model scoring for corpus curation (builder north
+  * star — beyond the reference surface, SURVEY.md §7.6).
+  *
+  * The CCNet/Gopher-style quality pass: train a cheap n-gram LM on a
+  * trusted reference slice, score every document's perplexity under it,
+  * and bucket each language's corpus into head/middle/tail so downstream
+  * mixing can oversample the head. Public method: CCNet (Wenzek et al.
+  * 2020) filters Common Crawl with per-language KenLM perplexity
+  * terciles; this is the same pipeline with a bigram add-one LM, which
+  * keeps every probability an exact rational of two BIGINT counts — the
+  * property that lets the driver gate hash-check the scores cross-engine
+  * (ln goes through the 1e-9 integer-unit grid, as
+  * [[TextOps.unigramLogProb]] established).
+  *
+  * Scale shape: the corpus token stream is touched ONCE (one explode →
+  * three joins → one per-doc aggregate). Bigram/context counts are
+  * vocabulary-sized relations met with token-keyed shuffle hash joins
+  * (the tfidf/PMI physics — never broadcast, the vocabulary is
+  * data-proportional); the per-language vocab-size relation is bounded
+  * by the language universe and broadcasts. The final tercile is a
+  * per-language ntile window over the per-DOC relation (corpus-count,
+  * not token-count, rows); at extreme scale swap it for comparison
+  * against sampled cutoffs — the window spelling is kept here because it
+  * is exact, deterministic, and the established pattern of the gate's
+  * other ranking queries.
+  */
+object Lm {
+
+  /** Reference slice: every 4th document — a deterministic stand-in for
+    * "the trusted corpus" (in production: the wiki/books partition). */
+  private val refPred = "doc_id % 4 = 0"
+
+  /** Add-one bigram negative log-likelihood units on the 1e-9 grid:
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). All operands are exact
+    * BIGINTs, the division is one correctly-rounded IEEE op, and ln's
+    * 1-ulp cross-libm risk is absorbed by the unit grid. Identical text
+    * runs in both engines. */
+  private val unitExpr =
+    "cast(floor(ln(cast(coalesce(cb, 0) + 1 as double) / " +
+      "(cast(coalesce(cc, 0) as double) + cast(v as double))) * 1.0e9 + 5e-1) as bigint)"
+
+  private val nllExpr =
+    "(-(cast(us as double) / cast(n_trans as double) / 1.0e9) + 0e0)"
+
+  private val bucketExpr =
+    "case nt when 1 then 'head' when 2 then 'middle' else 'tail' end"
+
+  /** Per-document bigram perplexity under the reference-slice LM, plus
+    * the per-language head/middle/tail bucket. Documents with fewer than
+    * two tokens (no transitions) are unscored and drop out; languages
+    * absent from the reference slice likewise (inner vocab join) — both
+    * deliberate CCNet semantics, spelled identically in the oracle. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.selectExpr("doc_id", "lang", "split(trim(text), ' ') as ws")
+    val ref = toks.filter(expr(refPred))
+    val refTrans = ref.filter(expr("size(ws) >= 2"))
+      .withColumn("i", explode(expr("sequence(1, size(ws) - 1)")))
+      .selectExpr("lang", "element_at(ws, i) as w1", "element_at(ws, i + 1) as w2")
+    val big = refTrans.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("lang", "w1").agg(sum("cb").as("cc"))
+    val vocab = ref.withColumn("w", explode(col("ws")))
+      .groupBy("lang").agg(countDistinct("w").as("v"))
+    val trans = toks.filter(expr("size(ws) >= 2"))
+      .withColumn("i", explode(expr("sequence(1, size(ws) - 1)")))
+      .selectExpr("doc_id", "lang", "element_at(ws, i) as w1", "element_at(ws, i + 1) as w2")
+    val perDoc = trans
+      .join(big, Seq("lang", "w1", "w2"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("doc_id"), col("lang"), expr(unitExpr).as("u"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_trans"), sum("u").as("us"))
+      .withColumn("nll9", expr(nllExpr))
+    perDoc
+      .withColumn("nt", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("nll9").asc, col("doc_id").asc)))
+      .selectExpr("doc_id", "lang", "n_trans", "nll9", s"$bucketExpr as bucket")
+  }
+
+  /** DuckDB mirror of [[perplexity]] — same counts, same unit grid, same
+    * tercile window; only the list-index/unnest spellings differ. */
+  def perplexitySql(table: String = "documents"): String =
+    s"""with toks as (select doc_id, lang, string_split(trim(text), ' ') as ws from $table),
+       |reft as (select lang, ws[i] as w1, ws[i + 1] as w2 from (
+       |  select lang, ws, unnest(generate_series(1, len(ws) - 1)) as i
+       |  from toks where $refPred and len(ws) >= 2)),
+       |big as (select lang, w1, w2, cast(count(*) as bigint) as cb from reft group by 1, 2, 3),
+       |ctx as (select lang, w1, cast(sum(cb) as bigint) as cc from big group by 1, 2),
+       |voc as (select lang, cast(count(distinct w) as bigint) as v from (
+       |  select lang, unnest(ws) as w from toks where $refPred) group by 1),
+       |tr as (select doc_id, lang, ws[i] as w1, ws[i + 1] as w2 from (
+       |  select doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) as i
+       |  from toks where len(ws) >= 2)),
+       |sc as (select tr.doc_id as doc_id, tr.lang as lang, $unitExpr as u
+       |  from tr
+       |  left join big on tr.lang = big.lang and tr.w1 = big.w1 and tr.w2 = big.w2
+       |  left join ctx on tr.lang = ctx.lang and tr.w1 = ctx.w1
+       |  join voc on tr.lang = voc.lang),
+       |pd as (select doc_id, lang, cast(count(*) as bigint) as n_trans,
+       |  cast(sum(u) as bigint) as us from sc group by 1, 2)
+       |select doc_id, lang, n_trans, nll9, $bucketExpr as bucket from (
+       | select doc_id, lang, n_trans, $nllExpr as nll9,
+       |  ntile(3) over (partition by lang
+       |    order by $nllExpr asc, doc_id asc) as nt
+       | from pd)""".stripMargin.replace("\n", " ")
+}

@@ -123,6 +123,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
   }
 
+  test("lm_perplexity: in-domain text scores below gibberish; degenerate docs drop") {
+    import graft.operators.Lm
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat sat again", "en"), // ref slice (0 % 4 == 0)
+      (1L, "the cat sat on the mat", "en"),                       // in-domain
+      (2L, "zyx wvu tsr qpo nml kji", "en"),                      // all-OOV
+      (3L, "single", "en"),                                       // no transitions -> drops
+      (5L, "kein referenzkorpus hier", "de"))                     // lang w/o ref docs -> drops
+      .toDF("doc_id", "text", "lang")
+    val got = Lm.perplexity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), got.toString)
+    assert(got(1L)._1 < got(2L)._1, s"in-domain ${got(1L)} not below gibberish ${got(2L)}")
+    // three scored en docs -> one per tercile, ordered by nll
+    val byBucket = got.toSeq.sortBy(_._2._1).map(_._2._2)
+    assert(byBucket == Seq("head", "middle", "tail"), byBucket.toString)
+  }
+
   test("connectedComponents: converges on diameters far beyond clusterLabels' horizon") {
     // 0-1-2-...-63 path (diameter 63) + a triangle + an isolated pair.
     val chain = (0L until 63L).map(i => (i, i + 1))
