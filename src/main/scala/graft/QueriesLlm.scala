@@ -245,6 +245,12 @@ object QueriesLlm {
     // terciles — all counts exact BIGINTs, ln on the 1e-9 unit grid
     "lm_perplexity" -> ((s, dir) =>
       Lm.perplexity(Tables.read(s, dir, "documents"))),
+    // DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    // log-ratios (target = 'en' slice vs raw corpus), Gumbel-top-k
+    // resampling from doc-id hashes — constant-size feature space means
+    // both distribution estimates broadcast at any corpus size
+    "dsir_select" -> ((s, dir) =>
+      Lm.dsirSelect(Tables.read(s, dir, "documents"))),
     // Count-Min sketch heavy hitters: top-20 tokens by exact frequency
     // with their CMS estimates — the bounded-memory counter grid is
     // CW-deterministic, so even the sketch's overcounts oracle-check
@@ -707,6 +713,7 @@ object QueriesLlm {
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),
     "lm_perplexity" -> Lm.perplexitySql(),
+    "dsir_select" -> Lm.dsirSelectSql(),
     // the encode parameters (gifBytes/gifFrameCount/pngDims) predict the
     // decoded reality: n_frames = 1 + id % 8, dims = (1 + id % 13,
     // 1 + 3·id % 11), sampled indices 0,2,… ≤ id % 8

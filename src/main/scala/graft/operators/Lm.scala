@@ -83,6 +83,111 @@ object Lm {
       .selectExpr("doc_id", "lang", "n_trans", "nll9", s"$bucketExpr as bucket")
   }
 
+  // -------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // public method): estimate target vs raw distributions over HASHED
+  // n-gram features, weight every raw document by its importance
+  // log-ratio, and Gumbel-top-k sample the selection. The hashing is
+  // the whole scale story: the feature space collapses to a CONSTANT
+  // number of buckets, so both distribution estimates are bounded
+  // relations (broadcastable at any corpus size) and selection is one
+  // token-stream pass + a two-phase top-k.
+  // -------------------------------------------------------------------
+
+  private val dsirBuckets = 512
+  private val dsirK = 100
+
+  /** Hashed-bigram bucket of the (w1, w2) transition — rolling hash of
+    * the joined text through one CW mix, mod the constant bucket count. */
+  private def dsirBucket(d: graft.oracle.Parity.Dialect, w1: String, w2: String): String =
+    s"(${graft.oracle.Parity.cwMix(7,
+      graft.oracle.Parity.rollingHash(d, s"concat($w1, ' ', $w2)"))} % $dsirBuckets)"
+
+  /** Per-bucket importance log-ratio on the 1e-9 unit grid:
+    * ln( ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) ) — add-one smoothed target
+    * over raw. All counts exact BIGINTs; the division ORDER is part of
+    * the cross-engine contract. */
+  private val dsirUnit =
+    "cast(floor(ln((cast(coalesce(ct, 0) + 1 as double) / " +
+      s"(cast(nt as double) + ${dsirBuckets}e0)) / " +
+      "((cast(cr as double) + 1e0) / " +
+      s"(cast(nr as double) + ${dsirBuckets}e0))) * 1.0e9 + 5e-1) as bigint)"
+
+  /** Deterministic Gumbel perturbation from the doc-id hash:
+    * g = -ln(-ln(u)), u = (h + 1/2) / CwMod ∈ (0,1) strictly — the
+    * half-offset keeps both ln arguments away from 0 and 1, so g is
+    * always finite. Same reproducible-randomness contract as
+    * [[Sampling.weighted]]'s Efraimidis–Spirakis keys. */
+  private def dsirGumbel(h: String): String =
+    s"(-ln(-ln((cast($h as double) + 5e-1) / ${graft.oracle.Parity.CwMod}e0)))"
+
+  private def dsirScore(h: String): String =
+    s"(cast(wu as double) / 1.0e9 + ${dsirGumbel(h)})"
+
+  /** DSIR selection: target = the 'en' slice, raw = the whole corpus,
+    * features = hashed bigrams. Returns the Gumbel-top-k selected docs
+    * with their importance weights. Plan shape: ONE transition stream
+    * feeds both distribution estimates (bucket-keyed aggregates that
+    * combine map-side into ≤ `dsirBuckets` rows), the unit table
+    * broadcasts by construction, and the top-k is the two-phase
+    * partition-local prune + k-row global window. */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    import graft.oracle.Parity.{SparkD, cwMix}
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val trans = docs.selectExpr("doc_id", "lang", "split(trim(text), ' ') as ws")
+      .filter(expr("size(ws) >= 2"))
+      .withColumn("i", explode(expr("sequence(1, size(ws) - 1)")))
+      .selectExpr("doc_id", "lang",
+        s"${dsirBucket(SparkD, "element_at(ws, i)", "element_at(ws, i + 1)")} as b")
+    val raw = trans.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = trans.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = trans.agg(count(lit(1)).as("nr"),
+      count(when(col("lang") === "en", 1)).as("nt"))
+    val units = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(dsirUnit).as("lu"))
+    val scored = trans.join(broadcast(units), "b")
+      .groupBy("doc_id", "lang").agg(sum("lu").as("wu"))
+      .withColumn("score",
+        expr(dsirScore(cwMix(21, "rolling_hash(cast(doc_id as string))"))))
+    val local = scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("lrn") <= dsirK).drop("pid", "lrn")
+    local.withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= dsirK)
+      .selectExpr("doc_id", "lang", "cast(wu as double) / 1.0e9 as iw9",
+        s"${graft.oracle.Parity.q9("score")} as score9", "rn")
+  }
+
+  /** DuckDB mirror of [[dsirSelect]] (one-phase top-k spelling). */
+  def dsirSelectSql(table: String = "documents"): String = {
+    import graft.oracle.Parity.{DuckD, cwMix, q9, rollingHashDuck}
+    val h = cwMix(21, rollingHashDuck("cast(doc_id as varchar)"))
+    // the transition index is `ti`, NOT `i`: rollingHashDuck's char-walk
+    // lambda binds `i`, which would shadow an outer column of that name
+    s"""with tr as (select doc_id, lang,
+       |  ${dsirBucket(DuckD, "ws[ti]", "ws[ti + 1]")} as b from (
+       |  select doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) as ti
+       |  from (select doc_id, lang, string_split(trim(text), ' ') as ws from $table)
+       |  where len(ws) >= 2)),
+       |raw as (select b, cast(count(*) as bigint) as cr from tr group by 1),
+       |tgt as (select b, cast(count(*) as bigint) as ct from tr where lang = 'en' group by 1),
+       |tot as (select cast(count(*) as bigint) as nr,
+       |  cast(count(*) filter (where lang = 'en') as bigint) as nt from tr),
+       |units as (select b, $dsirUnit as lu from raw left join tgt using (b), tot),
+       |w as (select doc_id, lang, cast(sum(lu) as bigint) as wu
+       |  from tr join units using (b) group by 1, 2)
+       |select doc_id, lang, iw9, score9, rn from (
+       | select doc_id, lang, cast(wu as double) / 1.0e9 as iw9,
+       |  ${q9("score")} as score9,
+       |  row_number() over (order by score desc, doc_id asc) as rn
+       | from (select doc_id, lang, wu, ${dsirScore(h)} as score from w))
+       |where rn <= $dsirK""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[perplexity]] — same counts, same unit grid, same
     * tercile window; only the list-index/unnest spellings differ. */
   def perplexitySql(table: String = "documents"): String =

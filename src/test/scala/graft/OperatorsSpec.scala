@@ -141,6 +141,25 @@ class OperatorsSpec extends SparkSpec {
     assert(byBucket == Seq("head", "middle", "tail"), byBucket.toString)
   }
 
+  test("dsir_select: target-domain text outweighs off-domain text") {
+    import graft.operators.Lm
+    // target slice = lang 'en'; doc 10 (lang xx) shares the en bigrams,
+    // doc 11 (lang xx) shares the de bigrams — DSIR must weight 10 > 11
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "rot grün blau gelb rot grün", "de"),
+      (3L, "blau gelb rot grün blau", "de"),
+      (10L, "alpha beta gamma alpha", "xx"),
+      (11L, "rot grün blau gelb", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = Lm.dsirSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > got(11L),
+      s"en-domain doc ${got(10L)} not above de-domain doc ${got(11L)}")
+    assert(got(0L) > got(2L), "target-slice doc not above off-domain doc")
+  }
+
   test("connectedComponents: converges on diameters far beyond clusterLabels' horizon") {
     // 0-1-2-...-63 path (diameter 63) + a triangle + an isolated pair.
     val chain = (0L until 63L).map(i => (i, i + 1))
