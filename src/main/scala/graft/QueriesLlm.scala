@@ -290,6 +290,10 @@ object QueriesLlm {
     // segmentation under the leftmost-first merge contract)
     "bpe_apply" -> ((s, dir) =>
       graft.operators.Bpe.applyTokens(Tables.read(s, dir, "documents"))),
+    // tokenizer fertility audit: per-language tokens-per-word and
+    // chars-per-token under the trained tokenizer (exact integer totals)
+    "bpe_fertility" -> ((s, dir) =>
+      graft.operators.Bpe.fertility(Tables.read(s, dir, "documents"))),
     // token-budget data-mix planner: per-language keep rates from target
     // parts + realized deterministic sample (id-hash membership)
     // deterministic global training-order shuffle: CW-scrambled shard +
@@ -661,6 +665,7 @@ object QueriesLlm {
     "bpe_train" -> graft.operators.Bpe.trainSql(),
     "bpe_encode" -> graft.operators.Bpe.encodeSql(),
     "bpe_apply" -> graft.operators.Bpe.applyTokensSql(),
+    "bpe_fertility" -> graft.operators.Bpe.fertilitySql(),
     "mix_plan" -> Sampling.mixPlanSql(),
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),

@@ -157,6 +157,43 @@ object Bpe {
       s"  from dwo join w$rounds using (word)) t1)" +
       " select doc_id, word_idx, cast(si - 1 as bigint) as sym_idx, ss[si] as token from tok"
 
+  /** Tokenizer FERTILITY audit: per language, tokens-per-word and
+    * chars-per-token under the trained tokenizer — the standard
+    * cross-lingual tokenizer-quality report (a language whose fertility
+    * is 2× pays 2× the sequence length for the same text; public
+    * metric, e.g. the XLM-R/BLOOM tokenizer analyses). Exact integer
+    * totals; the two ratios are single IEEE divisions of exact BIGINTs,
+    * so the report hash-checks cross-engine. Same plan physics as
+    * [[encode]] (word stream ⋈ vocab, AQE picks the join strategy),
+    * collapsing map-side to one row per language. */
+  def fertility(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val v = vocab(docs, rounds)
+      .selectExpr("word", "cast(size(split(trim(repr), ' ')) as bigint) as n_sym")
+    docs
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(v, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"),
+        sum(expr("cast(char_length(word) as bigint)")).as("n_chars"))
+      .withColumn("fertility",
+        expr("cast(n_tokens as double) / cast(n_words as double)"))
+      .withColumn("chars_per_token",
+        expr("cast(n_chars as double) / cast(n_tokens as double)"))
+  }
+
+  /** DuckDB mirror of [[fertility]]. */
+  def fertilitySql(rounds: Int = 8, table: String = "documents"): String =
+    ctePrefix(rounds, table) +
+      s", dw as (select lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) as word from $table)" +
+      s", vs as (select word, cast(len(string_split(trim(repr), ' ')) as bigint) as n_sym from w$rounds)" +
+      " select lang, n_words, n_tokens, n_chars," +
+      " cast(n_tokens as double) / cast(n_words as double) as fertility," +
+      " cast(n_chars as double) / cast(n_tokens as double) as chars_per_token from (" +
+      " select lang, cast(count(*) as bigint) as n_words, cast(sum(n_sym) as bigint) as n_tokens," +
+      " cast(sum(length(dw.word)) as bigint) as n_chars" +
+      " from dw join vs on dw.word = vs.word group by lang) t"
+
   /** Shared CTE prefix: v (word counts), w0 (char split), then per round
     * k the pair counts p_k, winner m_k, and applied vocab w_k. */
   private def ctePrefix(rounds: Int, table: String): String = {
