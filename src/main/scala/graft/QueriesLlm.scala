@@ -313,6 +313,10 @@ object QueriesLlm {
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
       Similarity.l2Normalize(Tables.read(s, dir, "embeddings"))),
+    // per-DIMENSION z-score whitening (corpus-level moments via fpSum;
+    // bit-exact, zero corpus shuffles — dim-bounded stats broadcast)
+    "emb_standardize" -> ((s, dir) =>
+      Similarity.standardize(Tables.read(s, dir, "embeddings"))),
     // product-quantization ENCODE: per-vector code assignments against
     // the fixed deterministic codebook (8 subvectors × 16 codewords) —
     // the stored representation a 100 TB vector store scans
@@ -670,6 +674,7 @@ object QueriesLlm {
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
+    "emb_standardize" -> Similarity.standardizeSql,
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
     // ann_pq_trained's oracle: the exact query-id set of the PQ search

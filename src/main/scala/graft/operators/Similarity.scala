@@ -373,6 +373,48 @@ object Similarity {
        |where norm > 0e0""".stripMargin.replace("\n", " ")
   }
 
+  /** Per-DIMENSION z-score standardization across the corpus — feature
+    * whitening, the preprocessing PCA / k-means / linear probes want;
+    * complements [[l2Normalize]]'s per-VECTOR scaling. Long format
+    * (vec_id, dim, z). Each dimension's moments go through
+    * [[Parity.fpSum]] (order-free exact sums), so mean and std are
+    * bit-identical across engines and z is a chain of IEEE ops on
+    * identical operands — bit-exact with no quantization. Constant
+    * dimensions (sd = 0) standardize to 0 via an explicit guard spelled
+    * identically in both engines (Spark's 0/0 = NaN vs DuckDB's NULL
+    * would otherwise diverge — the zero-norm lesson). Plan: one
+    * generator explode, one dim-keyed aggregate that combines map-side
+    * into a dim-bounded relation (broadcast back), one projection — the
+    * corpus shuffles zero times. fpSum overflow contract: holds while
+    * max(x²)·n·2^20 < 2^63 (n < ~8e12 rows at |x| ≤ 1). */
+  def standardize(emb: DataFrame): DataFrame = {
+    val long = emb
+      .select(col("vec_id"), explode(expr(s"sequence(1, $dim)")).as("d"), col("embedding"))
+      .select(col("vec_id"), col("d").cast("long").as("dim"),
+        expr("cast(element_at(embedding, d) as double)").as("x"))
+    val mom = long.groupBy("dim").agg(count(lit(1)).as("n"),
+      expr(Parity.fpSum("x")).as("sx"), expr(Parity.fpSum("x * x")).as("sxx"))
+    val st = mom.selectExpr("dim", "sx / cast(n as double) as mu",
+      "sqrt(greatest(sxx / cast(n as double) - (sx / cast(n as double)) * (sx / cast(n as double)), 0e0)) as sd")
+    long.join(broadcast(st), "dim")
+      .selectExpr("vec_id", "dim",
+        "case when sd = 0e0 then 0e0 else (x - mu) / sd end as z")
+  }
+
+  /** DuckDB mirror of [[standardize]] — identical moment, guard, and
+    * division text; only the element-access spelling differs. */
+  def standardizeSql: String =
+    s"""with lf as (select vec_id, cast(i as bigint) as dim,
+       |  cast(list_extract(embedding, i) as double) as x
+       |  from embeddings, generate_series(1, $dim) t(i)),
+       |mom as (select dim, cast(count(*) as bigint) as n,
+       |  ${Parity.fpSum("x")} as sx, ${Parity.fpSum("x * x")} as sxx from lf group by dim),
+       |st as (select dim, sx / cast(n as double) as mu,
+       |  sqrt(greatest(sxx / cast(n as double) - (sx / cast(n as double)) * (sx / cast(n as double)), 0e0)) as sd
+       |  from mom)
+       |select vec_id, dim, case when sd = 0e0 then 0e0 else (x - mu) / sd end as z
+       |from lf join st using (dim)""".stripMargin.replace("\n", " ")
+
   /** Exact near-duplicate pairs within a blocking key (here: the label
     * column): deterministic cosine over all same-block pairs — the
     * oracle-checkable exact counterpart of [[nearDupPairs]]. */
