@@ -15,11 +15,39 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read nanos as epoch-nanos BIGINT (DuckDB sees TIMESTAMP_NS — the
-    // oracle uses epoch_ns for the same integer).
+    // The engine-internal contract for event time is epoch-nanos BIGINT
+    // (every downstream window/sessionize/as-of does integer arithmetic
+    // on it; DuckDB's oracle reads the same integer via epoch_ns).
+    // The physical parquet type has varied across fixture generations —
+    // TIMESTAMP(NANOS) (readable only as long via the legacy conf) and
+    // TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ) — so normalize any
+    // timestamp-typed `ts` here, at the single source choke point.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Map any timestamp-typed `ts` onto the epoch-nanos BIGINT contract
+    * (identity when `ts` is already BIGINT or absent). Streaming readers
+    * declare [[rawSchema]] and apply this to the stream, so batch and
+    * stream see the identical relation whatever the fixture's physical
+    * type. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        // sessions run in UTC, so the NTZ→instant cast is the identity
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case Some(TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case _ => df
+    }
+  }
+
+  /** The file's native schema (pre-[[normalizeTs]]) — what a streaming
+    * reader must declare to read the bytes as written. */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet").schema
   }
 
   /** Melt `featureCols` of a wide table into long format. `stack` is a

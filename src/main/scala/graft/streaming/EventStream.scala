@@ -53,8 +53,12 @@ object EventStream {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       src.resolve("events.parquet"))
-    val schema = graft.sources.Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    // declare the file's NATIVE schema, then normalize onto the
+    // epoch-nanos contract — declaring the post-normalization schema
+    // would make the reader reinterpret raw timestamp micros as longs
+    val schema = graft.sources.Tables.rawSchema(spark, sfDir, "events")
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(src.toString))
     val qName = s"graft_${prefix}_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -73,8 +73,9 @@ class StatefulStreamSpec extends SparkSpec {
     val src = java.nio.file.Files.createTempDirectory("graft_sess_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), src.resolve("events.parquet"))
-    val schema = Tables.read(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val schema = Tables.rawSchema(spark, sfDir, "events")
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(src.toString))
     val qn = "sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = EventStream.sessionizeStream(stream, gapMinutes = 30)
       .writeStream.outputMode("append").format("memory").queryName(qn)
