@@ -42,6 +42,11 @@ object QueriesLlm {
     // different algorithm, same canonical min-id labeling.
     "dedup_cc" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.minHashPairs(Tables.read(s, dir, "documents")))),
+    // LSH banding audit: recall/precision of band collisions vs exact
+    // all-pairs Jaccard on a bounded hash-smallest sample — the harness
+    // that validates band/row parameters against the actual corpus
+    "dedup_eval" -> ((s, dir) =>
+      Dedup.lshEval(Tables.read(s, dir, "documents"))),
     // quality-aware canonical selection: per near-dup cluster keep the
     // highest-quality member, not the smallest id
     "dedup_canonical" -> ((s, dir) =>
@@ -786,6 +791,7 @@ object QueriesLlm {
     "dedup_minhash" -> minhashDuck,
     "dedup_groups" -> dedupGroupsDuck,
     "dedup_cc" -> dedupCcDuck,
+    "dedup_eval" -> Dedup.lshEvalSql(),
     "dedup_canonical" ->
       s"""with labels as materialized ($dedupGroupsDuck),
          |q as (select doc_id, ${TextOps.qualityExpr} as quality from ($statsDuck)),

@@ -290,6 +290,112 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** LSH quality audit: banding recall/precision against exact-Jaccard
+    * ground truth on a BOUNDED deterministic sample — the evaluation
+    * harness a production dedup pipeline runs before trusting its
+    * band/row parameters (the 1-(1-j^r)^b curve predicts recall; this
+    * measures it on the actual corpus). Ground truth needs all-pairs
+    * exact Jaccard, which exists at any scale only on a sample: the
+    * `sampleK` hash-smallest doc ids (two-phase top-k — never a global
+    * sort), so the sampled relation is CONSTANT-size and the all-pairs
+    * comparison is a broadcast nested-loop over ≤ sampleK² bounded rows.
+    * Candidates are the band collisions (pre-verification) on the same
+    * sample — precision here measures how much verification work the
+    * banding wastes, recall what it can never recover. One summary row:
+    * (n_sample, n_truth, n_cand, n_hit, recall, prec); empty-denominator
+    * arms are vacuously 1, spelled identically in both engines. */
+  def lshEval(docs: DataFrame, sampleK: Int = 192, numHashes: Int = 16,
+              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val r = numHashes / bands
+    val hk = graft.oracle.Parity.cwMix(5, "rolling_hash(cast(doc_id as string))")
+    val withH = docs.selectExpr("doc_id", "text", s"$hk as hk")
+    val localTop = withH.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("hk").asc, col("doc_id").asc)))
+      .filter(col("lrn") <= sampleK).drop("pid", "lrn")
+    val sample = localTop.withColumn("rn", row_number().over(
+        Window.orderBy(col("hk").asc, col("doc_id").asc)))
+      .filter(col("rn") <= sampleK).select("doc_id", "text")
+    val sh = withShingleCodes(sample, "text").localCheckpoint(true)
+    val truth = sh.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("codes").as("cb"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(sorted_intersect_count(ca, cb) as bigint)").as("inter"),
+        expr("cast(size(ca) + size(cb) as bigint)").as("tot"))
+      .filter(expr(s"cast(inter as double) / cast(tot - inter as double) >= ${graft.oracle.Parity.lit(threshold)}"))
+      .select("doc_a", "doc_b")
+    val sigCols = (0 until numHashes).map(j =>
+      expr(s"array_min(transform(codes, c -> ${graft.oracle.Parity.cwMix(j, "c")}))").as(s"h$j"))
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      val bv = bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
+      struct(lit(b).as("band"), expr(bv).as("bv"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      .join(broadcast(banded.select(col("doc_id").as("doc_b"), col("band"), col("bv"))),
+        Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    val counts = sample.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    counts.selectExpr("n_sample", "n_truth", "n_cand", "n_hit",
+      "case when n_truth = 0 then 1e0 else cast(n_hit as double) / cast(n_truth as double) end as recall",
+      "case when n_cand = 0 then 1e0 else cast(n_hit as double) / cast(n_cand as double) end as prec")
+  }
+
+  /** DuckDB mirror of [[lshEval]] — same sample, shingles, signature,
+    * bands, and metric arms (the [[minHashPairs]] oracle spellings over
+    * the sampled relation). */
+  def lshEvalSql(sampleK: Int = 192, numHashes: Int = 16, bands: Int = 4,
+                 threshold: Double = 0.5, table: String = "documents"): String = {
+    val r = numHashes / bands
+    val rh = graft.oracle.Parity.rollingHashDuck("s")
+    val hk = graft.oracle.Parity.cwMix(5,
+      graft.oracle.Parity.rollingHashDuck("cast(doc_id as varchar)"))
+    val shingle = "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' ')))"
+    val sigCols = (0 until numHashes).map(j =>
+      s"list_min(list_transform(codes, c -> ${graft.oracle.Parity.cwMix(j, "c")})) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until bands).map(b =>
+      s"select doc_id, $b as band, " +
+        s"${bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
+      .mkString(" union all ")
+    s"""with sample as materialized (select doc_id, text from (
+       |  select doc_id, text, row_number() over (order by $hk asc, doc_id asc) as rn
+       |  from $table) where rn <= $sampleK),
+       |sh as materialized (select doc_id,
+       |  list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes
+       |  from (select doc_id, string_split(trim(text), ' ') as words from sample)),
+       |truth as materialized (select doc_a, doc_b from (
+       |  select a.doc_id as doc_a, b.doc_id as doc_b,
+       |   cast(len(list_intersect(a.codes, b.codes)) as bigint) as inter,
+       |   cast(len(a.codes) as bigint) + cast(len(b.codes) as bigint) as tot
+       |  from sh a join sh b on a.doc_id < b.doc_id)
+       | where cast(inter as double) / cast(tot - inter as double) >= ${graft.oracle.Parity.lit(threshold)}),
+       |sig as (select doc_id, $sigCols from sh),
+       |banded as ($bandRows),
+       |cand as materialized (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+       |  from banded a join banded b on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id),
+       |hit as (select doc_a, doc_b from truth join cand using (doc_a, doc_b)),
+       |c as (select (select cast(count(*) as bigint) from sample) as n_sample,
+       |  (select cast(count(*) as bigint) from truth) as n_truth,
+       |  (select cast(count(*) as bigint) from cand) as n_cand,
+       |  (select cast(count(*) as bigint) from hit) as n_hit)
+       |select n_sample, n_truth, n_cand, n_hit,
+       | case when n_truth = 0 then 1e0 else cast(n_hit as double) / cast(n_truth as double) end as recall,
+       | case when n_cand = 0 then 1e0 else cast(n_hit as double) / cast(n_cand as double) end as prec
+       |from c""".stripMargin.replace("\n", " ")
+  }
+
   /** CONVERGED connected components over a pair relation via the
     * alternating large-star / small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
