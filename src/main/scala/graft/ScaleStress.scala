@@ -47,6 +47,7 @@ object ScaleStress {
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
+    if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -417,6 +418,33 @@ object ScaleStress {
     val out = graft.operators.Curation.pipeline(blown).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"pipeline_curate","replicas":$replicas,"docs":$n,"out_rows":$out,"sec":$sec%.2f,"docs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** LM-family replication leg: documents M× (perturbed like the curate
+    * leg so vocabulary grows with the corpus) through the bigram-LM
+    * perplexity scorer and the DSIR selector. Both must scale ~linearly:
+    * perplexity is one token-stream pass against vocabulary-keyed joins,
+    * DSIR against a constant 512-bucket table.
+    * `sbt "runMain graft.ScaleStress lm [replicas]"` */
+  private def lmStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val blown = docs.select(col("doc_id"), col("text"), col("lang"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string"))).as("text"),
+        col("lang"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val ppl = graft.operators.Lm.perplexity(blown).count()
+    val t1 = System.nanoTime()
+    val sel = graft.operators.Lm.dsirSelect(blown).count()
+    val t2 = System.nanoTime()
+    println(f"""{"stress":"lm","replicas":$replicas,"docs":$n,"ppl_rows":$ppl,"sel_rows":$sel,"ppl_sec":${(t1 - t0) / 1e9}%.2f,"dsir_sec":${(t2 - t1) / 1e9}%.2f}""")
     spark.stop()
   }
 
