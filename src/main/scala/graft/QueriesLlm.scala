@@ -322,6 +322,12 @@ object QueriesLlm {
     // bit-exact, zero corpus shuffles — dim-bounded stats broadcast)
     "emb_standardize" -> ((s, dir) =>
       Similarity.standardize(Tables.read(s, dir, "embeddings"))),
+    // hash-checked distributed PCA: fpSum covariance (corpus never
+    // shuffles), fixed power-iteration rounds on the dim²-bounded moment
+    // relation (driver-side, Pq-codebook precedent), chain-dot top-2
+    // projections — bit-identical to the oracle's unrolled CTE rounds
+    "emb_pca" -> ((s, dir) =>
+      graft.operators.Pca.project(Tables.read(s, dir, "embeddings"))),
     // product-quantization ENCODE: per-vector code assignments against
     // the fixed deterministic codebook (8 subvectors × 16 codewords) —
     // the stored representation a 100 TB vector store scans
@@ -680,6 +686,7 @@ object QueriesLlm {
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
+    "emb_pca" -> graft.operators.Pca.projectSql(),
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
     // ann_pq_trained's oracle: the exact query-id set of the PQ search

@@ -141,6 +141,36 @@ class OperatorsSpec extends SparkSpec {
     assert(byBucket == Seq("head", "middle", "tail"), byBucket.toString)
   }
 
+  test("emb_pca: projections recover the two planted variance directions") {
+    import graft.operators.Pca
+    val dim = graft.operators.Similarity.dim
+    // balanced 7×5 factorial grid: axis-3 and axis-7 coordinates exactly
+    // uncorrelated, variance 9:1 — true PCs are the planted axes
+    val rows = (0 until 35).map { k =>
+      val a = (k / 5 - 3) * 3.0f
+      val b = (k % 5 - 2) * 1.0f
+      val e = Array.fill(dim)(0.0f); e(2) = a; e(6) = b
+      (k.toLong, e.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Pca.project(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def corr2(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      if (vx == 0 || vy == 0) 0.0 else cov * cov / (vx * vy)
+    }
+    val as = rows.map(r => r._2(2).toDouble)
+    val bs = rows.map(r => r._2(6).toDouble)
+    val p1 = rows.map(r => got(r._1)._1)
+    val p2 = rows.map(r => got(r._1)._2)
+    assert(corr2(as, p1) > 0.999, s"p1 misses the dominant axis: ${corr2(as, p1)}")
+    assert(corr2(bs, p2) > 0.999, s"p2 misses the second axis: ${corr2(bs, p2)}")
+  }
+
   test("dsir_select: target-domain text outweighs off-domain text") {
     import graft.operators.Lm
     // target slice = lang 'en'; doc 10 (lang xx) shares the en bigrams,
