@@ -48,6 +48,7 @@ object ScaleStress {
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
+    if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -445,6 +446,26 @@ object ScaleStress {
     val sel = graft.operators.Lm.dsirSelect(blown).count()
     val t2 = System.nanoTime()
     println(f"""{"stress":"lm","replicas":$replicas,"docs":$n,"ppl_rows":$ppl,"sel_rows":$sel,"ppl_sec":${(t1 - t0) / 1e9}%.2f,"dsir_sec":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** Connected-components adversarial leg: ONE path graph of n nodes —
+    * the worst case for any hop-bounded label propagation (diameter =
+    * n-1) and the shape the large-star/small-star fixpoint exists for.
+    * Verifies every node lands in component 0 and reports wall-clock;
+    * doubling n should cost ~2× plus one extra round (O(log² n)
+    * convergence). `sbt "runMain graft.ScaleStress cc [n]"` */
+  private def ccStress(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val spark = session()
+    val pairs = spark.range(0, n - 1)
+      .selectExpr("id as doc_a", "id + 1 as doc_b")
+    val t0 = System.nanoTime()
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val wrong = labels.filter(col("cluster_id") =!= 0L).count()
+    val total = labels.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"cc","nodes":$n,"labeled":$total,"mislabeled":$wrong,"sec":$sec%.2f}""")
     spark.stop()
   }
 

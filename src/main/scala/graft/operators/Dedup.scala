@@ -341,7 +341,9 @@ object Dedup {
         Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    // both sides are sample-bounded; the hint keeps the static plan
+    // broadcast (AQE would get there at runtime anyway)
+    val hit = truth.join(broadcast(cand), Seq("doc_a", "doc_b"))
     val counts = sample.agg(count(lit(1)).as("n_sample"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

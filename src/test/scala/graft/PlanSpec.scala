@@ -363,6 +363,47 @@ class PlanSpec extends SparkSpec {
     assert(composed <= stages, s"composed=$composed > stage union=$stages")
   }
 
+  test("lm_perplexity: map-side combined count joins, no cartesian") {
+    val p = plan(SparkEntry.queries("lm_perplexity")(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram/context counts must combine map-side before their shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang-bounded vocab-size relation must broadcast:\n$p")
+  }
+
+  test("dsir_select: constant bucket table broadcasts; top-k is two-phase") {
+    val p = plan(SparkEntry.queries("dsir_select")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=512-row unit table must broadcast onto the transition stream:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // global k-row window runs once, after the partition-local prune
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("emb_standardize: dim-bounded stats broadcast back; only combined aggregates shuffle") {
+    val p = plan(SparkEntry.queries("emb_standardize")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats must broadcast onto the long relation:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= exchanges,
+      s"every hash exchange must carry map-side-combined aggregates, not raw rows:\n$p")
+  }
+
+  test("emb_pca: the projection stage is exchange-free (literal eigenvectors)") {
+    val p = plan(SparkEntry.queries("emb_pca")(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"),
+      s"projection is scan+project against literal vectors — no shuffle:\n$p")
+    assert(p.contains("chain_dot"), s"projection must run the codegen'd chain dot:\n$p")
+  }
+
+  test("dedup_eval: bounded sample sides broadcast (no sort-merge join)") {
+    val p = plan(SparkEntry.queries("dedup_eval")(spark, sf("sf0.001")))
+    assert(!p.contains("SortMergeJoin"),
+      s"all joins are against the constant-size sample — they must broadcast:\n$p")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
