@@ -425,7 +425,8 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var done = edges.isEmpty
+    var prevCount = edges.count()
+    var done = prevCount == 0
     var round = 0
     while (!done && round < maxRounds) {
       // LARGE-STAR: on the symmetric adjacency, every strictly-larger
@@ -448,7 +449,11 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("u"), col("b").as("v")).distinct()
         .localCheckpoint(true)
-      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      // equal-count + one-sided difference ⇒ set equality (both relations
+      // are distinct) — one anti-join per round instead of two
+      val curCount = ss.count()
+      done = curCount == prevCount && ss.except(edges).isEmpty
+      prevCount = curCount
       edges = ss
       round += 1
     }
