@@ -328,6 +328,16 @@ object QueriesLlm {
     // projections — bit-identical to the oracle's unrolled CTE rounds
     "emb_pca" -> ((s, dir) =>
       graft.operators.Pca.project(Tables.read(s, dir, "embeddings"))),
+    // composed embedding pipeline: semantic dedup drops cluster
+    // non-keepers, then PCA is FIT ON THE SURVIVORS and projects them —
+    // dedup-then-fit, the order a real embedding curation pass uses
+    "pipeline_embed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val drop = Similarity.semanticDedup(emb)
+        .filter(!col("is_keeper")).select("vec_id")
+      graft.operators.Pca.project(
+        emb.join(drop, Seq("vec_id"), "left_anti").select("vec_id", "embedding"))
+    }),
     // product-quantization ENCODE: per-vector code assignments against
     // the fixed deterministic codebook (8 subvectors × 16 codewords) —
     // the stored representation a 100 TB vector store scans
@@ -687,6 +697,19 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
     "emb_pca" -> graft.operators.Pca.projectSql(),
+    "pipeline_embed" -> {
+      val sd = s"""with labels as materialized (${labelPropDuck(
+        s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
+        |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
+        | select cluster_id, doc_id,
+        |  row_number() over (partition by cluster_id order by doc_id asc) as rk
+        | from labels)""".stripMargin.replace("\n", " ")
+      graft.operators.Pca.projectSql(table = "surv", prefix =
+        s"sd as materialized ($sd), " +
+          "surv as materialized (select e.vec_id as vec_id, e.embedding as embedding " +
+          "from embeddings e where e.vec_id not in " +
+          "(select vec_id from sd where not is_keeper)), ")
+    },
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
     // ann_pq_trained's oracle: the exact query-id set of the PQ search

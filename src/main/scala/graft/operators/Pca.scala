@@ -129,9 +129,13 @@ object Pca {
       s"r$k as materialized (select case when nrm = 0e0 then v else list_transform(v, x -> x / nrm) end as v " +
       s"from (select v, sqrt(${foldSql("v[k] * v[k]")}) as nrm from u$k))"
 
-  def projectSql(table: String = "embeddings"): String = {
+  /** @param prefix extra CTE definitions (each ending with ", ") spliced
+    *        after WITH — lets a composed pipeline feed a survivor CTE in
+    *        as `table`. */
+  def projectSql(table: String = "embeddings", prefix: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"with li as materialized (select vec_id, embedding, cast(ui as bigint) as i, " +
+    sb ++= s"with $prefix"
+    sb ++= s"li as materialized (select vec_id, embedding, cast(ui as bigint) as i, " +
       s"cast(embedding[ui] as double) as xi from $table, generate_series(1, $dim) t(ui)), "
     sb ++= s"mu as materialized (select i, ${Parity.fpSum("xi")} / cast(count(*) as double) as mu " +
       "from li group by i), "
