@@ -522,6 +522,18 @@ object QueriesLlm {
   /** [[labelPropDuck]] over the MinHash near-dup pairs (`dedup_groups`). */
   private def dedupGroupsDuck: String = labelPropDuck(minhashDuck)
 
+  /** DuckDB mirror of [[Similarity.semanticDedup]] — ONE definition
+    * shared by the `semantic_dedup` gate and `pipeline_embed`'s survivor
+    * stage, so the composed oracle can never drift from the standalone
+    * one. */
+  private def semanticDedupDuck: String =
+    s"""with labels as materialized (${labelPropDuck(
+          s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
+       |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
+       | select cluster_id, doc_id,
+       |  row_number() over (partition by cluster_id order by doc_id asc) as rk
+       | from labels)""".stripMargin.replace("\n", " ")
+
   /** Converged-components oracle for `dedup_cc`: recursive-CTE
     * reachability fixpoint (set-semantics UNION terminates once no new
     * (id, reachable-label) pair appears), min over the closure = the
@@ -556,8 +568,8 @@ object QueriesLlm {
     * → exact Jaccard on the code sets. Every constant is interpolated
     * from the same Scala source as the Spark plan. */
   private def minhashDuck: String = {
-    val numHashes = 16
-    val bands = 4
+    val numHashes = Dedup.LshNumHashes
+    val bands = Dedup.LshBands
     val r = numHashes / bands
     val rh = Parity.rollingHashDuck("s")
     val shingle = "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
@@ -581,7 +593,7 @@ object QueriesLlm {
        |  from cand join sh sa on cand.doc_a = sa.doc_id join sh sb on cand.doc_b = sb.doc_id)
        |select doc_a, doc_b, jac from (
        | select doc_a, doc_b, cast(inter as double) / cast(tot - inter as double) as jac from vr)
-       |where jac >= 5e-1""".stripMargin.replace("\n", " ")
+       |where jac >= ${Parity.lit(Dedup.LshThreshold)}""".stripMargin.replace("\n", " ")
   }
 
   /** DuckDB mirror of [[Dedup.simHashPairs]] — CW lane bits assembled
@@ -697,19 +709,12 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
     "emb_pca" -> graft.operators.Pca.projectSql(),
-    "pipeline_embed" -> {
-      val sd = s"""with labels as materialized (${labelPropDuck(
-        s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
-        |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
-        | select cluster_id, doc_id,
-        |  row_number() over (partition by cluster_id order by doc_id asc) as rk
-        | from labels)""".stripMargin.replace("\n", " ")
+    "pipeline_embed" ->
       graft.operators.Pca.projectSql(table = "surv", prefix =
-        s"sd as materialized ($sd), " +
+        s"sd as materialized ($semanticDedupDuck), " +
           "surv as materialized (select e.vec_id as vec_id, e.embedding as embedding " +
           "from embeddings e where e.vec_id not in " +
-          "(select vec_id from sd where not is_keeper)), ")
-    },
+          "(select vec_id from sd where not is_keeper)), "),
     "emb_pq_codes" -> graft.operators.Pq.codesSql(),
     "ann_pq" -> graft.operators.Pq.adcSql(),
     // ann_pq_trained's oracle: the exact query-id set of the PQ search
@@ -867,13 +872,7 @@ object QueriesLlm {
         | cast(strlen(text) as bigint) as n_bytes
         |from documents""".stripMargin.replace("\n", " "),
     "emb_neardup_exact" -> embNeardupExactDuck,
-    "semantic_dedup" ->
-      s"""with labels as materialized (${labelPropDuck(
-              s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
-         |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
-         | select cluster_id, doc_id,
-         |  row_number() over (partition by cluster_id order by doc_id asc) as rk
-         | from labels)""".stripMargin.replace("\n", " "),
+    "semantic_dedup" -> semanticDedupDuck,
     // ann_ivf's oracle: the exact query-id set (same norm>0 universe and
     // %50 predicate as annCosineSql) with recall_ok asserted true — the
     // Spark side computes real per-query recall vs cosineTopK, so a

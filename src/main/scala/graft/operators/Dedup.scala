@@ -112,6 +112,13 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Production LSH banding parameters — ONE definition so
+    * [[minHashPairs]], its oracle, and the [[lshEval]] audit can never
+    * drift apart (the audit exists to validate exactly these). */
+  final val LshNumHashes = 16
+  final val LshBands = 4
+  final val LshThreshold = 0.5
+
   /** Polynomial fold of a band's minhashes into one bucket value —
     * modular, so it is overflow-free and identical in both engines. */
   private[graft] def bandValueSql(hashes: Seq[String]): String =
@@ -138,8 +145,8 @@ object Dedup {
     * @param numHashes signature width (bands × rowsPerBand)
     * @param bands     LSH bands; match probability ≈ 1-(1-j^r)^b
     */
-  def minHashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.5, gatherCap: Int = 4096): DataFrame = {
+  def minHashPairs(docs: DataFrame, numHashes: Int = LshNumHashes, bands: Int = LshBands,
+                   threshold: Double = LshThreshold, gatherCap: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
@@ -304,8 +311,8 @@ object Dedup {
     * banding wastes, recall what it can never recover. One summary row:
     * (n_sample, n_truth, n_cand, n_hit, recall, prec); empty-denominator
     * arms are vacuously 1, spelled identically in both engines. */
-  def lshEval(docs: DataFrame, sampleK: Int = 192, numHashes: Int = 16,
-              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+  def lshEval(docs: DataFrame, sampleK: Int = 192, numHashes: Int = LshNumHashes,
+              bands: Int = LshBands, threshold: Double = LshThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
@@ -356,8 +363,8 @@ object Dedup {
   /** DuckDB mirror of [[lshEval]] — same sample, shingles, signature,
     * bands, and metric arms (the [[minHashPairs]] oracle spellings over
     * the sampled relation). */
-  def lshEvalSql(sampleK: Int = 192, numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.5, table: String = "documents"): String = {
+  def lshEvalSql(sampleK: Int = 192, numHashes: Int = LshNumHashes, bands: Int = LshBands,
+                 threshold: Double = LshThreshold, table: String = "documents"): String = {
     val r = numHashes / bands
     val rh = graft.oracle.Parity.rollingHashDuck("s")
     val hk = graft.oracle.Parity.cwMix(5,
@@ -457,6 +464,11 @@ object Dedup {
       edges = ss
       round += 1
     }
+    // the CONVERGED contract is the whole point — an unconverged edge set
+    // would label nodes with intermediate ids and silently corrupt
+    // downstream keeper decisions, so fail loud instead
+    require(done, s"connectedComponents did not converge within $maxRounds " +
+      "rounds — raise maxRounds (O(log² n) suffices for any real pair relation)")
     nodes.join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("root"), col("id")).as("cluster_id"))

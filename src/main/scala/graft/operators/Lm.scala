@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * (ln goes through the 1e-9 integer-unit grid, as
   * [[TextOps.unigramLogProb]] established).
   *
-  * Scale shape: the corpus token stream is touched ONCE (one explode →
-  * three joins → one per-doc aggregate). Bigram/context counts are
-  * vocabulary-sized relations met with token-keyed shuffle hash joins
-  * (the tfidf/PMI physics — never broadcast, the vocabulary is
-  * data-proportional); the per-language vocab-size relation is bounded
-  * by the language universe and broadcasts. The final tercile is a
+  * Scale shape: the SCORING pass touches the corpus token stream once
+  * (one explode → three joins → one per-doc aggregate); TRAINING
+  * re-scans the reference quarter twice more (bigram counts and the
+  * vocab-size aggregate) — re-reading pruned parquet is cheaper at
+  * scale than materializing the tokenized quarter. Bigram/context
+  * counts are vocabulary-sized relations met with token-keyed shuffle
+  * hash joins (the tfidf/PMI physics — never broadcast, the vocabulary
+  * is data-proportional); the per-language vocab-size relation is
+  * bounded by the language universe and broadcasts. The final tercile is a
   * per-language ntile window over the per-DOC relation (corpus-count,
   * not token-count, rows); at extreme scale swap it for comparison
   * against sampled cutoffs — the window spelling is kept here because it

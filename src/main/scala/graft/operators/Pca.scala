@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *      canonicalization — the same chain contract as
   *      [[graft.functions.ChainDot]]. Spark runs the iteration on the
   *      driver over the COLLECTED dim²-bounded moment relation (the
-  *      [[Pq.trainCodebook]] bounded-collect precedent: 64 + 4096 rows,
-  *      a constant independent of corpus size); DuckDB runs the
+  *      [[Pq.trainCodebook]] bounded-collect precedent: dim·(dim+1)
+  *      rows, a constant independent of corpus size); DuckDB runs the
   *      IDENTICAL iteration as unrolled recursive CTE rounds on list
   *      values. Fixed round count means parity needs no convergence
   *      argument — both engines compute the same function of the data.
@@ -84,18 +84,18 @@ object Pca {
         explode(expr(s"sequence(1, $dim)")).as("i"))
       .select(col("vec_id"), col("embedding"), col("i"),
         expr("cast(element_at(embedding, i) as double)").as("xi"))
-    val mu = li.groupBy("i")
-      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("xi")).as("sx"))
-      .selectExpr("cast(i as int) as i", "sx / cast(n as double) as mu")
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val mom = li.withColumn("j", explode(expr(s"sequence(1, $dim)")))
+    // ONE corpus pass for both moments: the j=0 sentinel (xj=1) makes
+    // E[x_i·1] = E[x_i], and xi*1e0 is bit-identical to xi, so the mean
+    // lands on the same fpSum grid as the oracle's separate mu CTE
+    val mom = li.withColumn("j", explode(expr(s"sequence(0, $dim)")))
       .select(col("i"), col("j"), col("xi"),
-        expr("cast(element_at(embedding, j) as double)").as("xj"))
+        expr("case when j = 0 then 1e0 else cast(element_at(embedding, j) as double) end").as("xj"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), expr(Parity.fpSum("xi * xj")).as("sxx"))
       .selectExpr("cast(i as int) as i", "cast(j as int) as j",
         "sxx / cast(n as double) as exx")
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val mu = (1 to dim).map(i => i -> mom((i, 0))).toMap
     // centered covariance, spelled exactly like the oracle's cmat CTE
     val c1 = Array.tabulate(dim, dim)((i, j) => mom((i + 1, j + 1)) - mu(i + 1) * mu(j + 1))
     val v1 = iterate(c1, alternating = false)

@@ -35,8 +35,13 @@ object Tables {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) =>
-        // sessions run in UTC, so the NTZ→instant cast is the identity
-        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        // NTZ wall-clock digits are defined to be UTC instants (DuckDB's
+        // epoch_ns reads them that way); timestampdiff on NTZ values is
+        // pure wall-clock arithmetic, so this holds under ANY session
+        // timezone — a cast-to-instant spelling would silently shift ts
+        // by the zone offset in a non-UTC session
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"))
       case Some(TimestampType) =>
         df.withColumn("ts", expr("unix_micros(ts) * 1000"))
       case _ => df
