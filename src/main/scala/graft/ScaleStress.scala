@@ -49,6 +49,7 @@ object ScaleStress {
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
+    if (args.headOption.contains("pca")) { pcaStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -446,6 +447,29 @@ object ScaleStress {
     val sel = graft.operators.Lm.dsirSelect(blown).count()
     val t2 = System.nanoTime()
     println(f"""{"stress":"lm","replicas":$replicas,"docs":$n,"ppl_rows":$ppl,"sel_rows":$sel,"ppl_sec":${(t1 - t0) / 1e9}%.2f,"dsir_sec":${(t2 - t1) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** PCA replication leg: embeddings M× (ids renumbered, values jittered
+    * by a per-replica constant so the covariance stays full-rank) through
+    * the full fit+project — the moment pass is the only corpus-sized
+    * stage and must scale linearly; the driver-side eigensolve is
+    * constant. `sbt "runMain graft.ScaleStress pca [replicas]"` */
+  private def pcaStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val blown = emb.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("vec_id") * replicas + col("r")).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + cast(r as float) * 1e-3f as float))")
+          .as("embedding"))
+    val n = blown.count()
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Pca.project(blown).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"pca","replicas":$replicas,"vecs":$n,"rows":$rows,"sec":$sec%.2f}""")
     spark.stop()
   }
 
