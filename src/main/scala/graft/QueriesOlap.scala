@@ -219,6 +219,11 @@ object QueriesOlap {
       graft.streaming.EventStream.runHistogramOnce(s, dir)),
     // streaming dropDuplicates state — oracle is the batch distinct count
     "stream_dedup" -> ((s, dir) => graft.streaming.EventStream.runDedupOnce(s, dir)),
+    // stateful MERGEABLE-SKETCH streaming: per-event_type HLL registers
+    // in the state store (constant bytes/key), per-batch snapshot
+    // emissions, final snapshot = the batch relational build exactly
+    // (HLL insertion is idempotent+commutative) — shares Hll's spelling
+    "stream_hll" -> ((s, dir) => graft.streaming.EventStream.runHllOnce(s, dir)),
     // streaming CDC latest-row materialized view (complete-mode max_by,
     // one state row per key) — shares the batch q_latest oracle
     "stream_latest" -> ((s, dir) =>
@@ -1488,6 +1493,7 @@ object QueriesOlap {
         |  cast(sum(cast(floor(l_quantity * 1048576e0 + 5e-1) as bigint)) as bigint) as qty_fp
         | from lineitem group by 1, 2) a""".stripMargin.replace("\n", " "),
     "stream_latest" -> latestSql,
+    "stream_hll" -> graft.operators.Hll.eventsHllSql(),
     "q_forecast" ->
       s"""select ${fpSum("l_extendedprice * l_discount")} as revenue,
          | cast(count(*) as bigint) as n_rows

@@ -96,6 +96,58 @@ object Hll {
     exact.join(sk, "lang").select("lang", "n_exact", "v_zero", "hll_est")
   }
 
+  /** Shared scalar text for the streaming sketch's per-event projection
+    * (register index / rho from a rolling-hash expression). */
+  private[graft] def regSql(rh: String): String = regExpr(rh)
+  private[graft] def rhoSql(rh: String): String = rhoCase(xExpr(rh))
+
+  /** Scala mirror of the SQL estimate — the flatMapGroupsWithState
+    * sketch computes its emission with the SAME literals, numerator
+    * parenthesization, dyadic-exact harmonic fold, and q9 grid on the
+    * ln branch, so the streaming snapshot hash-matches the relational
+    * spelling. Returns (v_zero, hll_est). */
+  private[graft] def estimate(regs: Array[Byte]): (Long, Double) = {
+    var filled = 0L
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      if (r > 0) { filled += 1; s += 1.0 / (1L << r).toDouble }
+      i += 1
+    }
+    val vZero = m.toLong - filled
+    val raw = (alpha * m.toDouble * m.toDouble) / (s + vZero.toDouble)
+    val est =
+      if (raw <= 2.5 * m && vZero > 0) {
+        val x = m.toDouble * math.log(m.toDouble / vZero.toDouble)
+        math.floor(x * 1e9 + 0.5) / 1e9 + 0.0
+      } else raw
+    (vZero, est)
+  }
+
+  /** DuckDB mirror of the events-stream sketch: per event_type, the
+    * observation count and the two-regime HLL estimate of distinct
+    * users. Registers max over ALL rows — HLL insertion is idempotent,
+    * so this equals the distinct-universe build, which is why the
+    * streaming state (which sees every event) lands on the same
+    * registers. */
+  def eventsHllSql(table: String = "events"): String = {
+    val rh = Parity.rollingHashDuck("cast(user_id as varchar)")
+    s"""with regs as (select event_type, ${regExpr(rh)} as reg,
+       |   max(${rhoCase(xExpr(rh))}) as r
+       | from $table group by event_type, ${regExpr(rh)}),
+       |ob as (select event_type, cast(count(*) as bigint) as n_obs from $table group by event_type),
+       |sk as (select event_type, cast(count(*) as bigint) as n_filled,
+       |   sum(${pow2neg(Parity.DuckD, "r")}) as s_filled
+       | from regs group by event_type),
+       |est as (select event_type, cast($m - n_filled as bigint) as v_zero,
+       |  (${Parity.lit(alpha)} * ${m}e0 * ${m}e0)
+       |    / (s_filled + cast($m - n_filled as double)) as raw
+       | from sk)
+       |select ob.event_type as event_type, n_obs, v_zero, $estCase as hll_est
+       |from ob join est on ob.event_type = est.event_type""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[hllDistinct]]. */
   def hllDistinctSql(table: String = "documents"): String = {
     val rh = Parity.rollingHashDuck("t")

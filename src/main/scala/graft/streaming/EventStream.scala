@@ -426,4 +426,60 @@ object EventStream {
 
   def runLatestOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "latest", "complete", latestRow)
+
+  // ---- stateful mergeable sketch (HyperLogLog) -------------------------
+
+  case class HllEv(event_type: String, reg: Int, rho: Int)
+  case class HllSt(regs: Array[Byte], nObs: Long)
+  case class HllOut(event_type: String, n_obs: Long, v_zero: Long, hll_est: Double)
+
+  /** Streaming HLL distinct-users per event_type — MERGEABLE SKETCH
+    * STATE in the state store: the per-key state is the fixed
+    * [[graft.operators.Hll.m]]-byte register array (constant no matter
+    * the stream length), each micro-batch folds its events in by
+    * register-wise max (HLL insertion is idempotent and commutative, so
+    * arrival order and batch boundaries cannot change the registers —
+    * the property that makes the batch relational build the exact
+    * oracle), and every batch emits a snapshot estimate computed with
+    * the SAME literals/fold/q9-grid as the SQL spelling
+    * ([[graft.operators.Hll.estimate]]). The per-event register/rho
+    * projection runs BEFORE the shuffle as codegen'd scalar text shared
+    * with the oracle. */
+  def hllStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rh = "rolling_hash(cast(user_id as string))"
+    val prep = stream.selectExpr("event_type",
+      s"cast(${graft.operators.Hll.regSql(rh)} as int) as reg",
+      s"cast(${graft.operators.Hll.rhoSql(rh)} as int) as rho").as[HllEv]
+    def fn(key: String, rows: Iterator[HllEv], state: GroupState[HllSt]): Iterator[HllOut] = {
+      val st = state.getOption.map(_.regs.clone())
+        .getOrElse(Array.fill(graft.operators.Hll.m)(0: Byte))
+      var n = state.getOption.map(_.nObs).getOrElse(0L)
+      rows.foreach { e =>
+        n += 1
+        if (e.rho > st(e.reg)) st(e.reg) = e.rho.toByte
+      }
+      state.update(HllSt(st, n))
+      val (vz, est) = graft.operators.Hll.estimate(st)
+      Iterator(HllOut(key, n, vz, est))
+    }
+    prep.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[hllStream]]: per-batch snapshots accumulate
+    * in the sink; the FINAL snapshot per key (n_obs strictly grows with
+    * every batch that touches the key) is the one the batch oracle
+    * predicts. */
+  def runHllOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = runAvailableNow(spark, sfDir, "hll", "append", hllStream)
+    val w = Window.partitionBy("event_type").orderBy(col("n_obs").desc)
+    all.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("event_type", "n_obs", "v_zero", "hll_est")
+  }
 }

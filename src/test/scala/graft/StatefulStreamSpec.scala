@@ -100,6 +100,46 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed == closed)
   }
 
+  test("streaming HLL: register state carries across micro-batches (final snapshot = batch build)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // two event types, users split MID-TYPE across two micro-batches
+    // with overlap (duplicate users across batches must not re-count)
+    val b1 = (1L to 400L).map(u => ("click", u)) ++ (1L to 150L).map(u => ("view", u))
+    val b2 = (201L to 700L).map(u => ("click", u)) ++ (100L to 300L).map(u => ("view", u))
+    val input = MemoryStream[(String, Long)]
+    val qn = "hll_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventStream.hllStream(input.toDF().toDF("event_type", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table(qn)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // two snapshots per key (one per batch); the final one must equal the
+    // single-pass register build over ALL data
+    val fin = snaps.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val rh = "rolling_hash(cast(user_id as string))"
+    val expected = (b1 ++ b2).toDF("event_type", "user_id")
+      .selectExpr("event_type",
+        s"cast(${graft.operators.Hll.regSql(rh)} as int) as reg",
+        s"cast(${graft.operators.Hll.rhoSql(rh)} as int) as rho")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).map { case (k, rows) =>
+        val regs = Array.fill(graft.operators.Hll.m)(0: Byte)
+        rows.foreach { case (_, reg, rho) => if (rho > regs(reg)) regs(reg) = rho.toByte }
+        val (vz, est) = graft.operators.Hll.estimate(regs)
+        k -> (vz, est)
+      }
+    assert(fin.keySet == Set("click", "view"))
+    fin.foreach { case (k, (_, n, vz, est)) =>
+      assert(n == (if (k == "click") 900L else 351L), s"$k n_obs=$n")
+      assert((vz, est) == expected(k), s"$k: streamed ($vz, $est) != ${expected(k)}")
+    }
+  }
+
   test("stateful anomaly scorer reproduces the batch window bit-for-bit, incl. across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
