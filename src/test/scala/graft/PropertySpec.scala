@@ -77,6 +77,31 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("round-5 curation family is invariant to shuffle partitioning (1/4/13)") {
+    // lm terciles order by exact-division doubles with id tiebreaks, DSIR
+    // selection is a lossless two-phase top-k, PCA moments ride fpSum,
+    // converged CC is a fixpoint — none may depend on partition count
+    def run(): Seq[String] = {
+      val lm = SparkEntry.queries("lm_perplexity")(spark, sf("sf0.001"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val ds = SparkEntry.queries("dsir_select")(spark, sf("sf0.001"))
+        .orderBy("rn").collect().map(_.toString).toSeq
+      val pca = SparkEntry.queries("emb_pca")(spark, sf("sf0.001"))
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val cc = SparkEntry.queries("dedup_cc")(spark, sf("sf0.001"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val ev = SparkEntry.queries("dedup_eval")(spark, sf("sf0.001"))
+        .collect().map(_.toString).toSeq
+      lm ++ ds ++ pca ++ cc ++ ev
+    }
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
   test("aggregated rank sums are bit-equal to per-cell rank sums (incl. NaN poisoning)") {
     for ((vals, gs) <- cases(4)) {
       val cells = cellsOf("f", vals, gs)
