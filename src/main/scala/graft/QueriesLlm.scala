@@ -527,21 +527,22 @@ object QueriesLlm {
     * stage, so the composed oracle can never drift from the standalone
     * one. */
   private def semanticDedupDuck: String =
-    s"""with labels as materialized (${labelPropDuck(
+    s"""with labels as materialized (${ccFixpointDuck(
           s"select id_a as doc_a, id_b as doc_b from ($embNeardupExactDuck)")})
        |select cluster_id, doc_id as vec_id, (rk = 1) as is_keeper from (
        | select cluster_id, doc_id,
        |  row_number() over (partition by cluster_id order by doc_id asc) as rk
        | from labels)""".stripMargin.replace("\n", " ")
 
-  /** Converged-components oracle for `dedup_cc`: recursive-CTE
+  /** Converged-components oracle over any pair relation: recursive-CTE
     * reachability fixpoint (set-semantics UNION terminates once no new
     * (id, reachable-label) pair appears), min over the closure = the
     * canonical component-minimum labeling. Deliberately a DIFFERENT
     * algorithm from the Spark side's large-star/small-star, so the gate
-    * checks the converged ANSWER, not an iteration schedule. */
-  private def dedupCcDuck: String =
-    s"""with recursive pairs as materialized ($minhashDuck),
+    * checks the converged ANSWER, not an iteration schedule. Shared by
+    * `dedup_cc`, `dedup_canonical`, and the semantic-dedup family. */
+  private def ccFixpointDuck(pairsSql: String): String =
+    s"""with recursive pairs as materialized ($pairsSql),
        |cedges as materialized (select doc_a as src, doc_b as dst from pairs
        |  union all select doc_b as src, doc_a as dst from pairs),
        |reach as (select src as id, src as lbl from cedges
@@ -549,6 +550,8 @@ object QueriesLlm {
        |  select e.src as id, r.lbl from cedges e join reach r on e.dst = r.id)
        |select id as doc_id, min(lbl) as cluster_id from reach group by id""".stripMargin
       .replace("\n", " ")
+
+  private def dedupCcDuck: String = ccFixpointDuck(minhashDuck)
 
   /** DuckDB mirror of [[Similarity.nearDupExact]] at threshold 0.3. */
   private def embNeardupExactDuck: String = {
@@ -828,7 +831,7 @@ object QueriesLlm {
     "dedup_cc" -> dedupCcDuck,
     "dedup_eval" -> Dedup.lshEvalSql(),
     "dedup_canonical" ->
-      s"""with labels as materialized ($dedupGroupsDuck),
+      s"""with labels as materialized ($dedupCcDuck),
          |q as (select doc_id, ${TextOps.qualityExpr} as quality from ($statsDuck)),
          |j as (select cluster_id, l.doc_id as doc_id, quality
          |  from labels l join q using (doc_id))

@@ -475,7 +475,9 @@ object Dedup {
   }
 
   /** Quality-aware canonical selection: for every near-dup cluster
-    * ([[minHashPairs]] → [[clusterLabels]]), keep the HIGHEST-QUALITY
+    * ([[minHashPairs]] → [[connectedComponents]] — CONVERGED components,
+    * so a chain longer than any fixed hop budget still collapses to one
+    * canonical), keep the HIGHEST-QUALITY
     * member ([[TextOps.qualityExpr]]), not an arbitrary one — the policy
     * real curation pipelines want (dropping the clean copy because a
     * boilerplate-ridden near-dup had a smaller id loses data quality).
@@ -487,7 +489,7 @@ object Dedup {
     * per-cluster window run on the pair-relation-sized label table, not
     * the corpus — same physics as [[clusterLabels]]. */
   def canonical(docs: DataFrame): DataFrame = {
-    val labels = clusterLabels(minHashPairs(docs))
+    val labels = connectedComponents(minHashPairs(docs))
     val q = TextOps.stats(docs)
       .withColumn("quality", expr(TextOps.qualityExpr))
       .select("doc_id", "quality")

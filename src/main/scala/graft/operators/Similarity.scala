@@ -489,7 +489,7 @@ object Similarity {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("doc_id").asc)
-    Dedup.clusterLabels(pairs)
+    Dedup.connectedComponents(pairs)
       .withColumn("is_keeper", row_number().over(w) === 1)
       .select(col("cluster_id"), col("doc_id").as("vec_id"), col("is_keeper"))
   }
