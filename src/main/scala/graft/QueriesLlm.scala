@@ -256,6 +256,11 @@ object QueriesLlm {
     // both distribution estimates broadcast at any corpus size
     "dsir_select" -> ((s, dir) =>
       Lm.dsirSelect(Tables.read(s, dir, "documents"))),
+    // curriculum composition: perplexity phases (head first) →
+    // reproducible sharded shuffle → token-budget packing, no global
+    // sort anywhere — the easy-to-hard training order
+    "pipeline_curriculum" -> ((s, dir) =>
+      Lm.curriculum(Tables.read(s, dir, "documents"))),
     // Count-Min sketch heavy hitters: top-20 tokens by exact frequency
     // with their CMS estimates — the bounded-memory counter grid is
     // CW-deterministic, so even the sketch's overcounts oracle-check
@@ -767,6 +772,7 @@ object QueriesLlm {
     "text_logprob" -> TextOps.unigramLogProbSql(),
     "lm_perplexity" -> Lm.perplexitySql(),
     "dsir_select" -> Lm.dsirSelectSql(),
+    "pipeline_curriculum" -> Lm.curriculumSql(),
     // the encode parameters (gifBytes/gifFrameCount/pngDims) predict the
     // decoded reality: n_frames = 1 + id % 8, dims = (1 + id % 13,
     // 1 + 3·id % 11), sampled indices 0,2,… ≤ id % 8

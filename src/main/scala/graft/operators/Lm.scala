@@ -191,6 +191,65 @@ object Lm {
        |where rn <= $dsirK""".stripMargin.replace("\n", " ")
   }
 
+  // -------------------------------------------------------------------
+  // Curriculum composition: perplexity phases → deterministic sharded
+  // shuffle → token-budget packing. The easy-to-hard data ordering a
+  // curriculum-learning run consumes (head tercile first), with the
+  // corpus_shuffle physics: NO global sort — phase and shard come from
+  // arithmetic, order within a (phase, shard) cell is the hash order,
+  // and bins are per-cell running token counts. Every value is exact
+  // integer arithmetic on top of the gated perplexity relation.
+  // -------------------------------------------------------------------
+
+  private val curShards = 64
+  private val curBudget = 256
+
+  private def curHash(h: String): String = graft.oracle.Parity.cwMix(45, h)
+
+  /** Training-order curriculum over the SCORED corpus (docs the LM can
+    * score — CCNet semantics): phase 1/2/3 = head/middle/tail, then
+    * within each phase a reproducible shard + position + token-budget
+    * bin. Output: (doc_id, phase, shard, pos, n_tokens, bin). */
+  def curriculum(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nt = docs.selectExpr("doc_id",
+      "cast(size(split(trim(text), ' ')) as bigint) as n_tokens")
+    val cur = perplexity(docs)
+      .selectExpr("doc_id",
+        "case bucket when 'head' then 1 when 'middle' then 2 else 3 end as phase")
+      .join(nt, "doc_id")
+      .withColumn("h", expr(curHash("rolling_hash(cast(doc_id as string))")))
+      .withColumn("shard", expr(s"h % $curShards"))
+    val w = Window.partitionBy("phase", "shard")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur.withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(cum))
+      .selectExpr("doc_id", "cast(phase as bigint) as phase",
+        "cast(shard as bigint) as shard", "pos", "n_tokens",
+        s"(cum - n_tokens) div $curBudget as bin")
+  }
+
+  /** DuckDB mirror of [[curriculum]]. The outer bin cast is load-bearing
+    * (window sum(BIGINT) → HUGEINT through `//` — the packBins lesson). */
+  def curriculumSql(table: String = "documents"): String = {
+    import graft.oracle.Parity.rollingHashDuck
+    s"""with lm as materialized (${perplexitySql(table)}),
+       |nt as (select doc_id, cast(len(string_split(trim(text), ' ')) as bigint) as n_tokens
+       |  from $table),
+       |cur as (select lm.doc_id as doc_id,
+       |  case bucket when 'head' then 1 when 'middle' then 2 else 3 end as phase,
+       |  n_tokens, ${curHash(rollingHashDuck("cast(lm.doc_id as varchar)"))} as h
+       |  from lm join nt on lm.doc_id = nt.doc_id),
+       |sh as (select doc_id, phase, n_tokens, h, h % $curShards as shard from cur)
+       |select doc_id, cast(phase as bigint) as phase, cast(shard as bigint) as shard,
+       | row_number() over (partition by phase, shard order by h asc, doc_id asc) as pos,
+       | n_tokens,
+       | cast((sum(n_tokens) over (partition by phase, shard order by h asc, doc_id asc
+       |   rows between unbounded preceding and current row) - n_tokens) // $curBudget as bigint) as bin
+       |from sh""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[perplexity]] — same counts, same unit grid, same
     * tercile window; only the list-index/unnest spellings differ. */
   def perplexitySql(table: String = "documents"): String =

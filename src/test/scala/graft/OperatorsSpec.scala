@@ -171,6 +171,27 @@ class OperatorsSpec extends SparkSpec {
     assert(corr2(bs, p2) > 0.999, s"p2 misses the second axis: ${corr2(bs, p2)}")
   }
 
+  test("pipeline_curriculum: dense positions, contiguous bins, scored-docs universe") {
+    import graft.operators.Lm
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val got = Lm.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // universe = exactly the scored docs
+    assert(got.map(_._1).toSet == Lm.perplexity(docs).collect().map(_.getLong(0)).toSet)
+    got.groupBy(t => (t._2, t._3)).foreach { case ((ph, sh), rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq, s"pos not dense in ($ph,$sh)")
+      // bins follow the contiguous-fill cumsum: non-decreasing in pos,
+      // and each bin starts where the running token count says it must
+      var cum = 0L
+      sorted.foreach { case (_, _, _, _, nTok, bin) =>
+        assert(bin == cum / 256, s"bin $bin != ${cum / 256} in ($ph,$sh)")
+        cum += nTok
+      }
+    }
+  }
+
   test("dsir_select: target-domain text outweighs off-domain text") {
     import graft.operators.Lm
     // target slice = lang 'en'; doc 10 (lang xx) shares the en bigrams,
