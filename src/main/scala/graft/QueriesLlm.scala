@@ -84,6 +84,11 @@ object QueriesLlm {
       TextOps.fingerprint(Tables.read(s, dir, "documents"))),
     // rolling-hash fingerprint via the custom codegen Expression
     // (codepoint polynomial — mirrored in DuckDB by Parity.rollingHashDuck)
+    // winnowed fingerprints (Schleimer et al. 2003 / MOSS): the
+    // position-robust exact-substring selection — guarantees any match
+    // of length ≥ w+k-1 survives while keeping ~2/(w+1) of the hashes
+    "doc_winnow" -> ((s, dir) =>
+      TextOps.winnow(Tables.read(s, dir, "documents"))),
     "doc_rolling_hash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables.read(s, dir, "documents")
@@ -832,6 +837,7 @@ object QueriesLlm {
     "emb_quantize" -> Similarity.quantizeInt8Sql,
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
+    "doc_winnow" -> TextOps.winnowSql(),
     "dedup_minhash" -> minhashDuck,
     "dedup_groups" -> dedupGroupsDuck,
     "dedup_cc" -> dedupCcDuck,

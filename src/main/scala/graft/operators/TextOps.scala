@@ -117,6 +117,73 @@ object TextOps {
     docs.select(col("doc_id"), md5(trim(col("text"))).as("fingerprint"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  // -------------------------------------------------------------------
+  // Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+  // fingerprint selection; public algorithm): hash every char k-gram,
+  // slide a w-window over the positions, keep each window's minimal
+  // hash (rightmost on ties). Guarantees a match of length ≥ w+k-1 is
+  // always detected while storing ~2/(w+1) of the hashes — the
+  // position-ROBUST exact-substring fingerprint (doc_rolling_hash is
+  // whole-doc; dedup_spans is fixed-stride: both break under single
+  // insertions, winnowing doesn't).
+  // -------------------------------------------------------------------
+
+  private val winK = 5 // k-gram width
+  private val winW = 4 // winnowing window
+
+  /** (hash, rightmost-tie) packed into ONE BIGINT so the window argmin
+    * is a plain integer `min` in both engines: key = h·2^21 + (2^21-1-i)
+    * — h < CwMod < 2^30 keeps the product < 2^51, and smaller key ⇔
+    * (smaller h, then LARGER i). Valid for positions i < 2^21. */
+  private def winKey(h: String, i: String): String =
+    s"(($h) * 2097152 + (2097151 - ($i)))"
+
+  /** Winnowed fingerprints: (doc_id, pos, fp) — the selected k-gram
+    * start positions and their rolling hashes. Per-row generators + one
+    * partition-local window (doc-keyed, ordered by position): one
+    * shuffle of (doc, pos, hash) triples, no text after the projection.
+    * Documents shorter than k+w-1 chars have no full window and are
+    * absent — identical filter in both engines. */
+  def winnow(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), expr("trim(text)").as("t"))
+      .select(col("doc_id"), expr(s"char_length(t) - ${winK - 1}").as("np"),
+        // floor the bound at 1, NOT 0: Spark's sequence(1, 0) descends
+        // [1,0]; the stray i=1 row of a short doc dies in the
+        // full-window filter below
+        explode(expr(s"sequence(1, greatest(char_length(t) - ${winK - 1}, 1))")).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("np"), col("i"),
+        expr(winKey(s"rolling_hash(substring(t, i, $winK))", "i")).as("key"))
+    val w = Window.partitionBy("doc_id").orderBy(col("i").asc)
+      .rowsBetween(Window.currentRow, winW - 1)
+    grams
+      .withColumn("sel", min("key").over(w))
+      .filter(col("i") <= col("np") - (winW - 1)) // full windows only
+      .select(col("doc_id"),
+        expr("cast(2097151 - sel % 2097152 as bigint)").as("pos"),
+        expr("cast(sel div 2097152 as bigint)").as("fp"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[winnow]] (`length` is DuckDB's char count). */
+  def winnowSql(table: String = "documents"): String = {
+    val rh = graft.oracle.Parity.rollingHashDuck(s"substring(t, gi, $winK)")
+    s"""with g as (select doc_id, np, gi, ${winKey(rh, "gi")} as key from (
+       |  select doc_id, length(t) - ${winK - 1} as np,
+       |   unnest(generate_series(1, greatest(length(t) - ${winK - 1}, 0))) as gi, t
+       |  from (select doc_id, trim(text) as t from $table))),
+       |sel as (select doc_id, gi, np,
+       |  min(key) over (partition by doc_id order by gi asc
+       |    rows between current row and ${winW - 1} following) as sel
+       | from g)
+       |select distinct doc_id, cast(2097151 - sel % 2097152 as bigint) as pos,
+       | cast(sel // 2097152 as bigint) as fp
+       |from sel where gi <= np - ${winW - 1}""".stripMargin.replace("\n", " ")
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText quality
     * filters): fraction of duplicate word n-grams and the share of the
     * most frequent token. All exact integer ratios over per-row array

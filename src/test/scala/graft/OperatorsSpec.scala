@@ -171,6 +171,23 @@ class OperatorsSpec extends SparkSpec {
     assert(corr2(bs, p2) > 0.999, s"p2 misses the second axis: ${corr2(bs, p2)}")
   }
 
+  test("winnowing: a shared >= w+k-1 substring survives a position shift") {
+    // the property fixed-stride fingerprints lack: doc 2's prefix
+    // insertion shifts every k-gram position, yet the winnowed sets
+    // must still intersect on the shared region
+    val shared = "thequickbrownfoxjumpsoverthelazydog"
+    val docs = Seq(
+      (1L, "aaaa" + shared + "bbbb"),
+      (2L, "zzzzzzzzzzz" + shared + "cccc")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.nonEmpty && f2.nonEmpty)
+    assert((f1 intersect f2).nonEmpty,
+      s"no shared fingerprint across the shift: ${f1.size}/${f2.size}")
+  }
+
   test("pipeline_curriculum: dense positions, contiguous bins, scored-docs universe") {
     import graft.operators.Lm
     val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
