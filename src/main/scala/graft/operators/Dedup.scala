@@ -417,8 +417,16 @@ object Dedup {
     * chains (template families, crawl mirrors) whose diameter grows with
     * the corpus. Every round is two degree-keyed aggregate+join passes
     * over the pair-sized relation (never the corpus), and convergence is
-    * detected exactly (two anti-joins), so the loop runs exactly as many
-    * rounds as the data needs. Output schema matches [[clusterLabels]]:
+    * detected exactly INSIDE the round's own materialization job: the
+    * new edge set full-outer-joins the previous one and two
+    * accumulators count edges seen on only one side while the
+    * checkpoint job streams past them — one Spark job per round, not
+    * three (the r5 count+except spelling paid two extra scheduler
+    * round-trips per iteration, the query's dominant fixed cost at
+    * O(log² n) rounds). Task retries can only inflate the accumulators,
+    * which at worst runs one extra (idempotent) round — a converged
+    * round has zero one-sided rows for a retry to double-count, so
+    * premature convergence is impossible. Output schema matches [[clusterLabels]]:
     * (doc_id, cluster_id = component min). The DuckDB oracle is a
     * recursive-CTE reachability fixpoint — a different algorithm arriving
     * at the same canonical labeling, which is the strongest cross-engine
@@ -432,8 +440,8 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var prevCount = edges.count()
-    var done = prevCount == 0
+    val sc = pairs.sparkSession.sparkContext
+    var done = edges.isEmpty
     var round = 0
     while (!done && round < maxRounds) {
       // LARGE-STAR: on the symmetric adjacency, every strictly-larger
@@ -455,13 +463,26 @@ object Dedup {
         .union(withM.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(col("a").as("u"), col("b").as("v")).distinct()
-        .localCheckpoint(true)
-      // equal-count + one-sided difference ⇒ set equality (both relations
-      // are distinct) — one anti-join per round instead of two
-      val curCount = ss.count()
-      done = curCount == prevCount && ss.except(edges).isEmpty
-      prevCount = curCount
-      edges = ss
+      // ONE job per round: the eager localCheckpoint below materializes
+      // next-round edges THROUGH the full outer join against the current
+      // set, and the accumulators pick up the symmetric difference as the
+      // rows stream past — set equality (both relations are distinct) ⇔
+      // added = removed = 0, with no separate count/except actions.
+      val added = sc.longAccumulator("cc_added")
+      val removed = sc.longAccumulator("cc_removed")
+      val joined = ss.select(col("u"), col("v"), lit(1).as("in_new"))
+        .join(edges.select(col("u"), col("v"), lit(1).as("in_old")),
+          Seq("u", "v"), "full")
+      val counted = joined.mapPartitions { it =>
+        it.map { r =>
+          if (r.isNullAt(2)) removed.add(1L)
+          else if (r.isNullAt(3)) added.add(1L)
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(joined.schema))
+      edges = counted.filter(col("in_new").isNotNull)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      done = added.value == 0L && removed.value == 0L
       round += 1
     }
     // the CONVERGED contract is the whole point — an unconverged edge set

@@ -119,7 +119,11 @@ object Hll {
     val raw = (alpha * m.toDouble * m.toDouble) / (s + vZero.toDouble)
     val est =
       if (raw <= 2.5 * m && vZero > 0) {
-        val x = m.toDouble * math.log(m.toDouble / vZero.toDouble)
+        // StrictMath.log, NOT math.log: Spark SQL's `ln` evaluates via
+        // StrictMath, so the streaming snapshot's linear-counting branch
+        // must walk the same libm to stay bit-equal to the relational
+        // spelling (the Spark-vs-DuckDB ulp risk stays the only one).
+        val x = m.toDouble * StrictMath.log(m.toDouble / vZero.toDouble)
         math.floor(x * 1e9 + 0.5) / 1e9 + 0.0
       } else raw
     (vZero, est)
