@@ -89,6 +89,11 @@ object QueriesLlm {
     // of length ≥ w+k-1 survives while keeping ~2/(w+1) of the hashes
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnow(Tables.read(s, dir, "documents"))),
+    // winnow→dedup consumer: doc pairs by shared winnowed fingerprints
+    // (the MOSS overlap report) — catches the single-insertion shifted
+    // copy that fixed-stride span hashing (dedup_spans) misses
+    "dedup_winnow" -> ((s, dir) =>
+      TextOps.winnowOverlap(Tables.read(s, dir, "documents"))),
     "doc_rolling_hash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables.read(s, dir, "documents")
@@ -338,6 +343,17 @@ object QueriesLlm {
     // projections — bit-identical to the oracle's unrolled CTE rounds
     "emb_pca" -> ((s, dir) =>
       graft.operators.Pca.project(Tables.read(s, dir, "embeddings"))),
+    // same decomposition at k=4 — the parameterized iterate/deflate
+    // loop (Walsh starts, three Rayleigh deflations), oracle = the
+    // identical four-component iteration unrolled as CTEs
+    "emb_pca_k4" -> ((s, dir) =>
+      graft.operators.Pca.project(Tables.read(s, dir, "embeddings"), k = 4)),
+    // the treeAggregate moment twin (primitive long arrays per
+    // partition, log-depth combine — the 100-TB spelling) sharing
+    // emb_pca's oracle: hash equality IS the proof the two moment
+    // spellings land on the same fixed-point grid
+    "emb_pca_agg" -> ((s, dir) =>
+      graft.operators.Pca.projectAgg(Tables.read(s, dir, "embeddings"))),
     // composed embedding pipeline: semantic dedup drops cluster
     // non-keepers, then PCA is FIT ON THE SURVIVORS and projects them —
     // dedup-then-fit, the order a real embedding curation pass uses
@@ -722,6 +738,8 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
     "emb_pca" -> graft.operators.Pca.projectSql(),
+    "emb_pca_k4" -> graft.operators.Pca.projectSql(k = 4),
+    "emb_pca_agg" -> graft.operators.Pca.projectSql(),
     "pipeline_embed" ->
       graft.operators.Pca.projectSql(table = "surv", prefix =
         s"sd as materialized ($semanticDedupDuck), " +
@@ -838,6 +856,7 @@ object QueriesLlm {
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "doc_winnow" -> TextOps.winnowSql(),
+    "dedup_winnow" -> TextOps.winnowOverlapSql(),
     "dedup_minhash" -> minhashDuck,
     "dedup_groups" -> dedupGroupsDuck,
     "dedup_cc" -> dedupCcDuck,

@@ -11,28 +11,39 @@ import org.apache.spark.sql.functions._
   *   1. moments: the corpus pass computes E[x_i·x_j] and E[x_i] with
   *      [[Parity.fpSum]] (order-free exact fixed-point sums), so the
   *      centered covariance entries are identical doubles in both
-  *      engines. One explode + one (i,j)-keyed aggregate that combines
-  *      map-side into a dim²-bounded relation — the corpus never
-  *      shuffles, matching [[Similarity.standardize]]'s physics.
-  *   2. eigenvectors: `rounds` fixed power-iteration steps (+ one
-  *      deflation for the second component), every dot/normalize a
-  *      strict left-to-right fold with a `+0.0` sign-of-zero
-  *      canonicalization — the same chain contract as
-  *      [[graft.functions.ChainDot]]. Spark runs the iteration on the
-  *      driver over the COLLECTED dim²-bounded moment relation (the
+  *      engines. Two spellings of the SAME grid: the dataflow spelling
+  *      (one explode + one (i,j)-keyed aggregate that combines map-side
+  *      into a dim²-bounded relation) and the [[momentsAgg]] typed
+  *      `treeAggregate` twin (per-partition primitive long arrays, no
+  *      per-cell JVM rows) — bit-equal by construction since both sum
+  *      the identical floor-scaled BIGINT terms in an order-free way.
+  *      The corpus never shuffles in either spelling.
+  *   2. eigenvectors: for each of the top-k components, `rounds` fixed
+  *      power-iteration steps from a deterministic full-support Walsh
+  *      start (component c flips sign every 2^(c-2) coordinates, so
+  *      starts are mutually orthogonal and never die against a zero
+  *      column), then Rayleigh deflation before the next component.
+  *      Every dot/normalize is a strict left-to-right fold with a
+  *      `+0.0` sign-of-zero canonicalization — the same chain contract
+  *      as [[graft.functions.ChainDot]]. Spark runs the iteration on
+  *      the driver over the COLLECTED dim²-bounded moment relation (the
   *      [[Pq.trainCodebook]] bounded-collect precedent: dim·(dim+1)
   *      rows, a constant independent of corpus size); DuckDB runs the
-  *      IDENTICAL iteration as unrolled recursive CTE rounds on list
+  *      IDENTICAL iteration as unrolled materialized CTE rounds on list
   *      values. Fixed round count means parity needs no convergence
   *      argument — both engines compute the same function of the data.
-  *   3. projection: per-vector scores p1/p2 via the codegen'd
+  *   3. projection: per-vector scores p1..pk via the codegen'd
   *      chain-dot against the literal eigenvector (Spark) vs the
   *      spelled-out list fold (DuckDB).
   *
   * At 100 TB the moment pass is the only corpus-sized stage; dim² stays
   * driver-bounded for any realistic embedding width (d=1024 → 1M
-  * doubles). Power iteration is the standard top-k eigensolver when
-  * k ≪ d (Halko et al. 2011 randomized variants are the next step up).
+  * doubles). The treeAggregate twin is the scale path: the dataflow
+  * spelling pays dim·(dim+1) JVM tuples per vector through codegen
+  * (4,160 rows/vector at dim=64), the typed twin a single primitive
+  * array walk per vector with log-depth executor-side combining.
+  * Power iteration is the standard top-k eigensolver when k ≪ d (Halko
+  * et al. 2011 randomized variants are the next step up).
   */
 object Pca {
 
@@ -57,15 +68,22 @@ object Pca {
     if (nrm == 0.0) v else v.map(x => x / nrm)
   }
 
-  /** `rounds` power-iteration steps from a FULL-SUPPORT deterministic
-    * start (a sparse e_i start dies instantly when its column of C is
-    * zero — the matvec hits the zero-norm guard and sticks at 0).
-    * Component 1 starts all-ones, component 2 alternating ±1 so the two
-    * starts are not collinear; both spelled identically in the oracle. */
-  private def iterate(c: Array[Array[Double]], alternating: Boolean): Array[Double] = {
-    var v = Array.tabulate(dim) { k =>
-      if (!alternating) 1.0 else if ((k + 1) % 2 == 1) 1.0 else -1.0
+  /** Deterministic full-support start for component `comp` (1-based):
+    * comp 1 is all-ones; comp c ≥ 2 is the Walsh pattern that flips
+    * sign every 2^(c-2) coordinates (c=2 → alternating ±1, c=3 →
+    * ++--++--, …). Mutually orthogonal for dim a power of two, never
+    * sparse (a sparse e_i start dies instantly when its column of C is
+    * zero — the matvec hits the zero-norm guard and sticks at 0). Both
+    * engines receive the identical ±1 doubles. */
+  private def start(comp: Int): Array[Double] =
+    Array.tabulate(dim) { k =>
+      if (comp == 1) 1.0
+      else if (((k / (1 << (comp - 2))) % 2) == 0) 1.0 else -1.0
     }
+
+  /** `rounds` power-iteration steps from the component's Walsh start. */
+  private def iterate(c: Array[Array[Double]], comp: Int): Array[Double] = {
+    var v = start(comp)
     (1 to rounds).foreach(_ => v = normalize(matvec(c, v)))
     v
   }
@@ -77,9 +95,26 @@ object Pca {
     fold(Array.tabulate(dim)(k => y(k) * v(k)))
   }
 
-  /** Top-2 PCA projection of every vector: (vec_id, p1, p2). */
-  def project(emb: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+  /** The per-cell fixed-point term of [[Parity.fpSum]]`("xi * xj")` —
+    * `floor(x · 2^20 + 0.5)` as BIGINT. Spark's SQL `floor` saturates
+    * through BIGINT; inputs here are finite products of float32-exact
+    * doubles, where `math.floor` agrees bit-for-bit. */
+  @inline private def fpTerm(x: Double): Long =
+    math.floor(x * 1048576.0 + 0.5).toLong
+
+  /** Raw moment grid: cell (i,j) for i in 1..dim, j in 0..dim laid out
+    * flat as (i-1)·(dim+1)+j, where j=0 is the mean sentinel (xj=1).
+    * `n` is the row count. exx(i,j) = (Σ fpTerm(xi·xj)) / 2^20 / n —
+    * the exact arithmetic of the dataflow spelling. */
+  private final case class MomentGrid(sums: Array[Long], n: Long) {
+    def exx(i: Int, j: Int): Double =
+      (sums((i - 1) * (dim + 1) + j).toDouble / 1048576.0) / n.toDouble
+  }
+
+  /** Dataflow spelling of the moment pass: one explode + one
+    * (i,j)-keyed map-side-combined aggregate over [[Parity.fpSum]]
+    * terms. Collect is dim·(dim+1) rows — corpus-size-independent. */
+  private def momentsDataflow(emb: DataFrame): MomentGrid = {
     val li = emb.select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(1, $dim)")).as("i"))
       .select(col("vec_id"), col("embedding"), col("i"),
@@ -87,25 +122,97 @@ object Pca {
     // ONE corpus pass for both moments: the j=0 sentinel (xj=1) makes
     // E[x_i·1] = E[x_i], and xi*1e0 is bit-identical to xi, so the mean
     // lands on the same fpSum grid as the oracle's separate mu CTE
-    val mom = li.withColumn("j", explode(expr(s"sequence(0, $dim)")))
+    val rows = li.withColumn("j", explode(expr(s"sequence(0, $dim)")))
       .select(col("i"), col("j"), col("xi"),
         expr("case when j = 0 then 1e0 else cast(element_at(embedding, j) as double) end").as("xj"))
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("xi * xj")).as("sxx"))
-      .selectExpr("cast(i as int) as i", "cast(j as int) as j",
-        "sxx / cast(n as double) as exx")
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val mu = (1 to dim).map(i => i -> mom((i, 0))).toMap
-    // centered covariance, spelled exactly like the oracle's cmat CTE
-    val c1 = Array.tabulate(dim, dim)((i, j) => mom((i + 1, j + 1)) - mu(i + 1) * mu(j + 1))
-    val v1 = iterate(c1, alternating = false)
-    val lam = rayleigh(c1, v1)
-    val c2 = Array.tabulate(dim, dim)((i, j) => c1(i)(j) - lam * (v1(i) * v1(j)))
-    val v2 = iterate(c2, alternating = true)
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(floor((xi * xj) * 1048576e0 + 5e-1) as bigint))").as("s"))
+      .collect()
+    require(rows.nonEmpty, "Pca.project: embeddings table is empty")
+    val sums = new Array[Long](dim * (dim + 1))
+    var n = 0L
+    rows.foreach { r =>
+      sums((r.getInt(0) - 1) * (dim + 1) + r.getInt(1)) = r.getLong(3)
+      n = r.getLong(2)
+    }
+    MomentGrid(sums, n)
+  }
+
+  /** Typed `treeAggregate` twin of [[momentsDataflow]] — the 100-TB
+    * spelling: each executor walks its vectors once into a primitive
+    * dim·(dim+1) long array (no per-cell JVM rows), partials combine
+    * elementwise with log-depth tree reduction, and the driver receives
+    * ONE array. Sums the IDENTICAL floor-scaled BIGINT terms, and long
+    * addition is associative-exact, so the grid — and therefore every
+    * eigenvector and projection downstream — is bit-equal to the
+    * dataflow spelling's (which is what `emb_pca_agg` sharing
+    * `emb_pca`'s oracle proves through the driver's hash gate). */
+  private def momentsAgg(emb: DataFrame): MomentGrid = {
+    val d = dim
+    val cells = d * (d + 1)
+    val (sums, n) = emb.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0))
+      .treeAggregate((new Array[Long](cells), 0L))(
+        seqOp = { case ((acc, cnt), v) =>
+          var i = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            acc(i * (d + 1)) += fpTerm(xi) // j=0 mean sentinel: xi·1
+            var j = 0
+            while (j < d) {
+              acc(i * (d + 1) + j + 1) += fpTerm(xi * v(j).toDouble)
+              j += 1
+            }
+            i += 1
+          }
+          (acc, cnt + 1L)
+        },
+        combOp = { case ((a, na), (b, nb)) =>
+          var k = 0
+          while (k < cells) { a(k) += b(k); k += 1 }
+          (a, na + nb)
+        },
+        depth = 2)
+    require(n > 0L, "Pca.project: embeddings table is empty")
+    MomentGrid(sums, n)
+  }
+
+  /** Top-k eigenvectors of the centered covariance built from a moment
+    * grid: iterate → Rayleigh λ → deflate, k times. */
+  private def components(g: MomentGrid, k: Int): Seq[Array[Double]] = {
+    val mu = Array.tabulate(dim)(i => g.exx(i + 1, 0))
+    // centered covariance, spelled exactly like the oracle's cmat1 CTE
+    var c = Array.tabulate(dim, dim)((i, j) => g.exx(i + 1, j + 1) - mu(i) * mu(j))
+    (1 to k).map { comp =>
+      val v = iterate(c, comp)
+      if (comp < k) {
+        val lam = rayleigh(c, v)
+        c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam * (v(i) * v(j)))
+      }
+      v
+    }
+  }
+
+  private def projectOn(emb: DataFrame, vs: Seq[Array[Double]]): DataFrame = {
     def lit64(v: Array[Double]) = s"array(${v.map(Parity.lit).mkString(", ")})"
-    emb.select(col("vec_id"),
-      expr(s"(chain_dot(embedding, ${lit64(v1)}) + 0e0)").as("p1"),
-      expr(s"(chain_dot(embedding, ${lit64(v2)}) + 0e0)").as("p2"))
+    emb.select(col("vec_id") +: vs.zipWithIndex.map { case (v, i) =>
+      expr(s"(chain_dot(embedding, ${lit64(v)}) + 0e0)").as(s"p${i + 1}")
+    }: _*)
+  }
+
+  /** Top-k PCA projection of every vector: (vec_id, p1..pk). */
+  def project(emb: DataFrame, k: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    projectOn(emb, components(momentsDataflow(emb), k))
+  }
+
+  /** [[project]] with the moment pass on the [[momentsAgg]] scale path —
+    * same results bit-for-bit (gated by `emb_pca_agg` hash-matching
+    * `emb_pca`'s oracle). */
+  def projectAgg(emb: DataFrame, k: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    projectOn(emb, components(momentsAgg(emb), k))
   }
 
   // -------------------------------------------------------------------
@@ -129,10 +236,21 @@ object Pca {
       s"r$k as materialized (select case when nrm = 0e0 then v else list_transform(v, x -> x / nrm) end as v " +
       s"from (select v, sqrt(${foldSql("v[k] * v[k]")}) as nrm from u$k))"
 
+  /** The [[start]] vector of component `comp` as a CTE named st`comp`. */
+  private def startSql(comp: Int): String =
+    if (comp == 1)
+      s"st1 as materialized (select list_transform(generate_series(1, $dim), k -> 1e0) as v)"
+    else {
+      val p = 1 << (comp - 2)
+      s"st$comp as materialized (select list_transform(generate_series(1, $dim), " +
+        s"k -> case when ((k - 1) // $p) % 2 = 0 then 1e0 else -1e0 end) as v)"
+    }
+
   /** @param prefix extra CTE definitions (each ending with ", ") spliced
     *        after WITH — lets a composed pipeline feed a survivor CTE in
     *        as `table`. */
-  def projectSql(table: String = "embeddings", prefix: String = ""): String = {
+  def projectSql(table: String = "embeddings", prefix: String = "",
+                 k: Int = 2): String = {
     val sb = new StringBuilder
     sb ++= s"with $prefix"
     sb ++= s"li as materialized (select vec_id, embedding, cast(ui as bigint) as i, " +
@@ -142,27 +260,37 @@ object Pca {
     sb ++= s"mom as materialized (select i, cast(uj as bigint) as j, " +
       s"${Parity.fpSum("xi * cast(embedding[uj] as double)")} / cast(count(*) as double) as exx " +
       s"from li, generate_series(1, $dim) t2(uj) group by 1, 2), "
-    sb ++= "cmat as materialized (select mom.i as i, mom.j as j, exx - (a.mu * b.mu) as c " +
+    sb ++= "cmat1 as materialized (select mom.i as i, mom.j as j, exx - (a.mu * b.mu) as c " +
       "from mom join mu a on mom.i = a.i join mu b on mom.j = b.i), "
-    sb ++= "crow as materialized (select i, list(c order by j) as carr from cmat group by i), "
-    sb ++= s"r0 as materialized (select list_transform(generate_series(1, $dim), " +
-      "k -> 1e0) as v)"
-    (1 to rounds).foreach(k => sb ++= ", " + roundSql(k, s"r${k - 1}", "crow"))
-    // Rayleigh λ of v1, deflated matrix, second iteration from e2
-    sb ++= s", ml as materialized (select i, ${foldSql("carr[k] * v[k]")} as y from crow, r$rounds)"
-    sb ++= ", yl as materialized (select list(y order by i) as y from ml)"
-    sb ++= s", lm as materialized (select ${foldSql("y[k] * v[k]")} as lam from yl, r$rounds)"
-    sb ++= s", cmat2 as materialized (select cmat.i as i, cmat.j as j, c - lam * (v[cmat.i] * v[cmat.j]) as c " +
-      s"from cmat, r$rounds, lm)"
-    sb ++= ", crow2 as materialized (select i, list(c order by j) as carr from cmat2 group by i)"
-    sb ++= s", s0 as materialized (select list_transform(generate_series(1, $dim), " +
-      "k -> case when k % 2 = 1 then 1e0 else -1e0 end) as v)"
-    (1 to rounds).foreach { k =>
-      sb ++= ", " + roundSql(100 + k, if (k == 1) "s0" else s"r${100 + k - 1}", "crow2")
+    sb ++= "crow1 as materialized (select i, list(c order by j) as carr from cmat1 group by i), "
+    sb ++= startSql(1)
+    // final round CTE of component c is r{(c-1)*100 + rounds}
+    def lastOf(c: Int): String = s"r${(c - 1) * 100 + rounds}"
+    for (c <- 1 to k) {
+      if (c > 1) {
+        // deflate: λ of the previous component off its covariance, then
+        // cmat{c} = cmat{c-1} − λ·v vᵀ
+        sb ++= s", ml$c as materialized (select i, ${foldSql("carr[k] * v[k]")} as y " +
+          s"from crow${c - 1}, ${lastOf(c - 1)})"
+        sb ++= s", yl$c as materialized (select list(y order by i) as y from ml$c)"
+        sb ++= s", lm$c as materialized (select ${foldSql("y[k] * v[k]")} as lam " +
+          s"from yl$c, ${lastOf(c - 1)})"
+        sb ++= s", cmat$c as materialized (select cmat${c - 1}.i as i, cmat${c - 1}.j as j, " +
+          s"c - lam * (v[cmat${c - 1}.i] * v[cmat${c - 1}.j]) as c " +
+          s"from cmat${c - 1}, ${lastOf(c - 1)}, lm$c)"
+        sb ++= s", crow$c as materialized (select i, list(c order by j) as carr from cmat$c group by i)"
+        sb ++= ", " + startSql(c)
+      }
+      (1 to rounds).foreach { t =>
+        val id = (c - 1) * 100 + t
+        val prev = if (t == 1) s"st$c" else s"r${id - 1}"
+        sb ++= ", " + roundSql(id, prev, s"crow$c")
+      }
     }
-    sb ++= s" select vec_id, ${foldSql("cast(embedding[k] as double) * a.v[k]")} as p1, " +
-      s"${foldSql("cast(embedding[k] as double) * b.v[k]")} as p2 " +
-      s"from $table, r$rounds a, r${100 + rounds} b"
+    val aliases = (1 to k).map(c => s"${lastOf(c)} e$c").mkString(", ")
+    val cols = (1 to k).map(c =>
+      s"${foldSql(s"cast(embedding[k] as double) * e$c.v[k]")} as p$c").mkString(", ")
+    sb ++= s" select vec_id, $cols from $table, $aliases"
     sb.toString
   }
 }

@@ -132,19 +132,32 @@ object TextOps {
   private val winW = 4 // winnowing window
 
   /** (hash, rightmost-tie) packed into ONE BIGINT so the window argmin
-    * is a plain integer `min` in both engines: key = h·2^21 + (2^21-1-i)
-    * — h < CwMod < 2^30 keeps the product < 2^51, and smaller key ⇔
-    * (smaller h, then LARGER i). Valid for positions i < 2^21. */
+    * is a plain integer `min` in both engines: key = h·2^33 + (2^33-1-i)
+    * — h < CwMod < 2^30 keeps the product ≤ 2^63-2^33, so the packed
+    * key tops out at exactly 2^63-1 (signed-64 max) and smaller key ⇔
+    * (smaller h, then LARGER i). Positions are structurally < 2^33:
+    * a JVM string caps at 2^31-1 chars, so no document the Spark side
+    * can hold ever aliases (the r5 2^21 packing silently wrapped past
+    * ~2M chars; this one cannot overflow by construction). */
   private def winKey(h: String, i: String): String =
-    s"(($h) * 2097152 + (2097151 - ($i)))"
+    s"(($h) * 8589934592 + (8589934591 - ($i)))"
 
   /** Winnowed fingerprints: (doc_id, pos, fp) — the selected k-gram
     * start positions and their rolling hashes. Per-row generators + one
-    * partition-local window (doc-keyed, ordered by position): one
-    * shuffle of (doc, pos, hash) triples, no text after the projection.
-    * Documents shorter than k+w-1 chars have no full window and are
-    * absent — identical filter in both engines. */
-  def winnow(docs: DataFrame): DataFrame = {
+    * partition-local window (doc- AND chunk-keyed, ordered by
+    * position): one shuffle of (doc, pos, hash) triples, no text after
+    * the projection. Documents shorter than k+w-1 chars have no full
+    * window and are absent — identical filter in both engines.
+    *
+    * Task-skew bound: winnowing is LOCAL (the selection at position i
+    * reads only keys i..i+w-1), so the per-doc window splits into
+    * `chunkLen`-position chunks whose first w-1 positions are ALSO
+    * emitted into the preceding chunk as frame-fillers — every window
+    * frame sees its full w keys inside one partition and the selected
+    * set is exactly the unchunked algorithm's. A pathological 100 MB
+    * document becomes ~1500 bounded tasks instead of one task's sort
+    * (the r5 spelling partitioned by doc alone). */
+  def winnow(docs: DataFrame, chunkLen: Int = 1 << 16): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val grams = docs
@@ -157,18 +170,28 @@ object TextOps {
         col("t"))
       .select(col("doc_id"), col("np"), col("i"),
         expr(winKey(s"rolling_hash(substring(t, i, $winK))", "i")).as("key"))
-    val w = Window.partitionBy("doc_id").orderBy(col("i").asc)
+      // chunk membership: every position joins its own chunk; the first
+      // w-1 positions of chunk c>0 are replicated into chunk c-1 so the
+      // forward-looking frame never crosses a partition boundary
+      .select(col("doc_id"), col("np"), col("i"), col("key"),
+        explode(expr(
+          s"if((i - 1) % $chunkLen < ${winW - 1} and i > $chunkLen, " +
+            s"array((i - 1) div $chunkLen, (i - 1) div $chunkLen - 1), " +
+            s"array((i - 1) div $chunkLen))")).as("chunk"))
+    val w = Window.partitionBy("doc_id", "chunk").orderBy(col("i").asc)
       .rowsBetween(Window.currentRow, winW - 1)
     grams
       .withColumn("sel", min("key").over(w))
       .filter(col("i") <= col("np") - (winW - 1)) // full windows only
+      .filter(expr(s"(i - 1) div $chunkLen = chunk")) // owning rows only
       .select(col("doc_id"),
-        expr("cast(2097151 - sel % 2097152 as bigint)").as("pos"),
-        expr("cast(sel div 2097152 as bigint)").as("fp"))
+        expr("cast(8589934591 - sel % 8589934592 as bigint)").as("pos"),
+        expr("cast(sel div 8589934592 as bigint)").as("fp"))
       .distinct()
   }
 
-  /** DuckDB mirror of [[winnow]] (`length` is DuckDB's char count). */
+  /** DuckDB mirror of [[winnow]] (`length` is DuckDB's char count; the
+    * single-node oracle needs no chunking — same selected set). */
   def winnowSql(table: String = "documents"): String = {
     val rh = graft.oracle.Parity.rollingHashDuck(s"substring(t, gi, $winK)")
     s"""with g as (select doc_id, np, gi, ${winKey(rh, "gi")} as key from (
@@ -179,10 +202,73 @@ object TextOps {
        |  min(key) over (partition by doc_id order by gi asc
        |    rows between current row and ${winW - 1} following) as sel
        | from g)
-       |select distinct doc_id, cast(2097151 - sel % 2097152 as bigint) as pos,
-       | cast(sel // 2097152 as bigint) as fp
+       |select distinct doc_id, cast(8589934591 - sel % 8589934592 as bigint) as pos,
+       | cast(sel // 8589934592 as bigint) as fp
        |from sel where gi <= np - ${winW - 1}""".stripMargin.replace("\n", " ")
   }
+
+  /** Winnow→dedup consumer (the MOSS overlap report, Schleimer et al.
+    * §5): document pairs ranked by how many winnowed fingerprints they
+    * share. Because winnowing guarantees any common substring of length
+    * ≥ w+k-1 contributes at least one SELECTED fingerprint to both
+    * docs regardless of where it sits, this catches the
+    * single-insertion shifted copy that [[Dedup]]'s fixed-stride span
+    * hashing structurally misses — the position-robust sibling of
+    * `dedup_spans`.
+    *
+    * Scale shape: the corpus collapses to its fingerprint sets
+    * (~2/(w+1) of the k-grams), a df stop cut drops boilerplate
+    * fingerprints shared by >10% of docs (the same knob as the
+    * tf-idf/all-pairs family — hot keys are what make fingerprint
+    * joins quadratic), and pairs meet in a fingerprint-keyed equi-join
+    * whose work tracks realized overlap, never |docs|². Score =
+    * shared / min(|A|,|B|) (containment — a doc pasted inside a larger
+    * one still scores 1.0); exact integer ratio, bit-deterministic. */
+  def winnowOverlap(docs: DataFrame, minShared: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val fps = winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    val nDocs = docs.select("doc_id").distinct().count()
+    // kept feeds three consumers (sizes + both join sides) — materialize
+    // once, like the minHashPairs/allPairs posting relation
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+        .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
+      "fp").localCheckpoint()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = kept.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("score",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("score") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "score")
+  }
+
+  /** DuckDB mirror of [[winnowOverlap]]. */
+  def winnowOverlapSql(minShared: Int = 3, threshold: Double = 0.5,
+                       table: String = "documents"): String =
+    s"""with wn as materialized (${winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |nd as (select cast(count(distinct doc_id) as bigint) as n_docs from $table),
+       |kept as materialized (select doc_id, fp from fps
+       |  where fp in (select fp from fps, nd group by fp, n_docs
+       |               having cast(count(*) as bigint) * 10 <= n_docs)),
+       |sz as (select doc_id, cast(count(*) as bigint) as n_fp from kept group by doc_id),
+       |pr as (select a.doc_id as doc_a, b.doc_id as doc_b,
+       |  cast(count(*) as bigint) as n_shared
+       | from kept a join kept b using (fp) where a.doc_id < b.doc_id
+       | group by 1, 2 having cast(count(*) as bigint) >= $minShared)
+       |select doc_a, doc_b, n_shared, sa.n_fp as n_a, sb.n_fp as n_b,
+       | cast(n_shared as double) / cast(least(sa.n_fp, sb.n_fp) as double) as score
+       |from pr join sz sa on pr.doc_a = sa.doc_id
+       |  join sz sb on pr.doc_b = sb.doc_id
+       |where cast(n_shared as double) / cast(least(sa.n_fp, sb.n_fp) as double)
+       |  >= ${graft.oracle.Parity.lit(threshold)}""".stripMargin.replace("\n", " ")
 
   /** Within-document repetition signals (the Gopher/MassiveText quality
     * filters): fraction of duplicate word n-grams and the share of the

@@ -171,6 +171,45 @@ class OperatorsSpec extends SparkSpec {
     assert(corr2(bs, p2) > 0.999, s"p2 misses the second axis: ${corr2(bs, p2)}")
   }
 
+  test("emb_pca k=4: projections recover four planted variance directions; agg twin is bit-equal") {
+    import graft.operators.Pca
+    val dim = graft.operators.Similarity.dim
+    // balanced 3^4 factorial grid on axes 2/6/11/17 with variances
+    // 81:25:4:1 — exactly uncorrelated, so the true PCs are the axes
+    val rows = (0 until 81).map { k =>
+      val a = (k / 27 % 3 - 1) * 9.0f
+      val b = (k / 9 % 3 - 1) * 5.0f
+      val c = (k / 3 % 3 - 1) * 2.0f
+      val d = (k % 3 - 1) * 1.0f
+      val e = Array.fill(dim)(0.0f)
+      e(2) = a; e(6) = b; e(11) = c; e(17) = d
+      (k.toLong, e.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Pca.project(df, k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getDouble(i))).toMap
+    def corr2(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      if (vx == 0 || vy == 0) 0.0 else cov * cov / (vx * vy)
+    }
+    val axes = Seq(2, 6, 11, 17).map(ax => rows.map(_._2(ax).toDouble))
+    axes.zipWithIndex.foreach { case (axis, i) =>
+      val p = rows.map(r => got(r._1)(i))
+      assert(corr2(axis, p) > 0.999, s"p${i + 1} misses planted axis: ${corr2(axis, p)}")
+    }
+    // the treeAggregate moment twin must land on the identical grid —
+    // every projected double bit-equal to the dataflow spelling's
+    val agg = Pca.projectAgg(df, k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getDouble(i))).toMap
+    rows.foreach { r =>
+      assert(got(r._1) == agg(r._1), s"agg twin diverges at vec ${r._1}")
+    }
+  }
+
   test("winnowing: a shared >= w+k-1 substring survives a position shift") {
     // the property fixed-stride fingerprints lack: doc 2's prefix
     // insertion shifts every k-gram position, yet the winnowed sets
@@ -186,6 +225,44 @@ class OperatorsSpec extends SparkSpec {
     assert(f1.nonEmpty && f2.nonEmpty)
     assert((f1 intersect f2).nonEmpty,
       s"no shared fingerprint across the shift: ${f1.size}/${f2.size}")
+  }
+
+  test("winnow chunking: a 10x outlier doc splits into bounded tasks with the identical selection") {
+    // winnowing is local, so chunked windows (with the w-1 frame-filler
+    // overlap) must select EXACTLY the unchunked set — here one doc 10x
+    // longer than the rest forces ~30 chunks at chunkLen=64 where the
+    // r5 spelling made it one task's sort
+    val outlier = (0 until 40).map(i => s"sentence$i has words ${i * 13}").mkString(" ")
+    val docs = Seq(
+      (1L, outlier),
+      (2L, "a short document"),
+      (3L, outlier.substring(100, 280))).toDF("doc_id", "text")
+    def sel(chunkLen: Int) = TextOps.winnow(docs, chunkLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = sel(64)
+    assert(chunked == sel(1 << 30), "chunked selection diverges from unchunked")
+    assert(outlier.length > 640, s"outlier too short to exercise chunks: ${outlier.length}")
+    assert(chunked.nonEmpty)
+  }
+
+  test("dedup_winnow: single-insertion shifted copy caught; word-gram spans are blind to it") {
+    import graft.operators.Dedup
+    // docs 1/2: identical long UNSEGMENTED text except one inserted char
+    // at position 50 — every downstream char position shifts by one.
+    // dupSpans tokenizes on spaces, sees < n tokens, and EXCLUDES both
+    // docs; winnowed fingerprints re-sync right after the insertion.
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 6
+    val shifted = base.substring(0, 50) + "X" + base.substring(50)
+    val filler = (0 until 20).map(i =>
+      (10L + i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    val docs = (Seq((1L, base), (2L, shifted)) ++ filler).toDF("doc_id", "text")
+    val pairs = TextOps.winnowOverlap(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs.contains((1L, 2L)), s"shifted copy not caught: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) >= 0.5, s"overlap too low: ${pairs((1L, 2L))}")
+    val spanDocs = Dedup.dupSpans(docs).collect().map(_.getLong(0)).toSet
+    assert(!spanDocs.contains(1L) && !spanDocs.contains(2L),
+      "span hashing unexpectedly saw the unsegmented docs")
   }
 
   test("pipeline_curriculum: dense positions, contiguous bins, scored-docs universe") {
