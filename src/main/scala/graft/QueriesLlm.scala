@@ -244,6 +244,25 @@ object QueriesLlm {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.imageHistogram(s,
         Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
+    // REAL learned weights through the BatchModel inference contract:
+    // lrTrain's weight vector (bucket-bounded collect) scores every
+    // document blob inside inferFeatures' partition-batched runner; the
+    // JVM featurization/margin mirrors the relational spelling on the
+    // same fixed-point grid, so the oracle (unrolled training CTEs +
+    // one scoring pass, margin float-round-tripped like the Feature
+    // vector) hash-checks trained-model inference end to end
+    "mm_lr_infer" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val buckets = 256
+      val weights = new Array[Double](buckets)
+      graft.operators.Classifier.lrTrain(docs, buckets).collect()
+        .foreach(r => weights(r.getLong(0).toInt) = r.getDouble(1))
+      Multimodal.inferFeatures(s, Multimodal.assetsFromDocs(s, docs),
+          new Multimodal.LrTextModel(weights)).toDF()
+        .selectExpr("doc_id", "cast(element_at(embedding, 1) as double) as m")
+        .selectExpr("doc_id", "m",
+          s"${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9")
+    }),
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
@@ -895,6 +914,7 @@ object QueriesLlm {
     "text_hash_features" -> TextOps.hashFeaturesSql(),
     "text_entropy" -> TextOps.charEntropySql(),
     "lr_train" -> graft.operators.Classifier.lrTrainSql(),
+    "mm_lr_infer" -> graft.operators.Classifier.lrInferSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "lr_calibration" -> graft.operators.Classifier.lrCalibrationSql(),
     "text_quality" ->

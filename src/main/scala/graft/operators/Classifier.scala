@@ -173,6 +173,20 @@ object Classifier {
       s"(${Parity.fpSum("p")} / cast(count(*) as double)) as mean_p " +
       "from dc group by decile"
 
+  /** DuckDB mirror of the `mm_lr_infer` scoring pass: train (the same
+    * unrolled CTEs), score every document, round-trip the margin
+    * through REAL exactly like the float32 `Feature` vector the
+    * [[Multimodal.LrTextModel]] emits (IEEE nearest — identical to the
+    * JVM's `.toFloat`), then sigmoid on the q9 grid. */
+  def lrInferSql(buckets: Int = 256, iters: Int = 3,
+                 table: String = "documents"): String =
+    lrCtes(buckets, iters, 1, 2, table) +
+      s", wf as (select bucket, ${Parity.q9("w")} as w from w$iters)" +
+      s", sm as (select doc_id, ${Parity.fpSum("w * cnt")} as margin " +
+      "from f join wf using (bucket) group by doc_id)" +
+      ", fm as (select doc_id, cast(cast(margin as real) as double) as m from sm)" +
+      s" select doc_id, m, ${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9 from fm"
+
   /** DuckDB mirror of [[lrTrain]] — the unrolled iteration. */
   def lrTrainSql(buckets: Int = 256, iters: Int = 3,
                  lrNum: Int = 1, lrDen: Int = 2,

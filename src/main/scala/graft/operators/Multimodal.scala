@@ -382,6 +382,54 @@ object Multimodal {
     }
   }
 
+  /** REAL learned weights through the [[BatchModel]] contract: the
+    * logistic-regression vector trained by [[Classifier.lrTrain]]
+    * scores raw UTF-8 text blobs inside the partition-batched
+    * inference runner — the proof that `inferFeatures`' plumbing
+    * carries an actual trained model, not just the stand-in. The
+    * session mirrors [[TextOps.hashFeatures]]' featurization exactly:
+    * Spark SQL `trim` strips ASCII spaces ONLY (Java's `String.trim`
+    * would also eat tabs/newlines and diverge), `split(_, ' ')` keeps
+    * empty tokens, bucket = cwMix(52, rolling_hash(tok)) % buckets
+    * via the same [[graft.functions.RollingHash.hash]] the codegen
+    * expression runs, and the margin accumulates the identical
+    * [[graft.oracle.Parity.fpSum]] fixed-point BIGINT terms (order-free
+    * exact), so the emitted score is bit-equal to the relational
+    * spelling — which is what the `mm_lr_infer` oracle (unrolled
+    * training CTEs + one scoring pass) hash-checks end to end. The
+    * weight array is `buckets`-sized (the [[Pq]] bounded-collect
+    * precedent); a real encoder would load it in [[open]] — here it
+    * ships deserialized in the closure, but the call schedule is the
+    * one that amortizes. */
+  final class LrTextModel(weights: Array[Double]) extends BatchModel {
+    def open(): BatchModel.Session = new BatchModel.Session {
+      private val (a52, b52) = graft.oracle.Parity.cwParams(52)
+      def embed(batch: Array[Array[Byte]]): Array[Array[Float]] = batch.map { blob =>
+        val s = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+        var from = 0
+        var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        val toks = s.substring(from, to).split(" ", -1)
+        val cnt = new Array[Long](weights.length)
+        toks.foreach { t =>
+          val h = graft.functions.RollingHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          cnt((((h * a52 + b52) % graft.oracle.Parity.CwMod) % weights.length).toInt) += 1L
+        }
+        var acc = 0L
+        var b = 0
+        while (b < weights.length) {
+          if (cnt(b) != 0L)
+            acc += math.floor(weights(b) * cnt(b).toDouble * 1048576.0 + 0.5).toLong
+          b += 1
+        }
+        Array((acc.toDouble / 1048576.0).toFloat)
+      }
+      def close(): Unit = ()
+    }
+  }
+
   /** Partition-batched inference runner: one [[BatchModel.open]] per
     * non-empty partition, rows scored in `batchSize` micro-batches
     * through the lazy iterator (no partition-wide materialization), the

@@ -632,6 +632,35 @@ class OperatorsSpec extends SparkSpec {
     out.foreach(f => assert(ref(f.doc_id) == f.embedding.toSeq))
   }
 
+  test("LrTextModel: trained-weights margins through inferFeatures are bit-equal to the relational spelling") {
+    import graft.operators.Classifier
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val wRows = Classifier.lrTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val weights = new Array[Double](256)
+    wRows.foreach { case (b, w) => weights(b.toInt) = w }
+    // REAL model path: blobs → partition-batched sessions → margins
+    val got = Multimodal.inferFeatures(spark,
+        Multimodal.assetsFromDocs(spark, docs),
+        new Multimodal.LrTextModel(weights))
+      .collect().map(f => f.doc_id -> f.embedding(0)).toMap
+    // relational path: the identical weights scored through the SQL
+    // featurize/join/fpSum chain, margin cast to float32 like Feature
+    val wDf = wRows.toSeq.toDF("bucket", "w")
+    val exp = TextOps.hashFeatures(docs)
+      .join(broadcast(wDf), "bucket")
+      .groupBy("doc_id")
+      .agg(expr(graft.oracle.Parity.fpSum("w * cnt")).as("margin"))
+      .selectExpr("doc_id", "cast(margin as float) as m")
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(got.keySet == exp.keySet, s"${got.size} vs ${exp.size} docs")
+    got.foreach { case (id, m) =>
+      assert(java.lang.Float.floatToIntBits(m) ==
+        java.lang.Float.floatToIntBits(exp(id)),
+        s"doc $id: model margin $m != relational ${exp(id)}")
+    }
+  }
+
   test("multimodal histogram: decoded-pixel counts cover every pixel once per channel") {
     val docs = Seq((7L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val h = Multimodal.imageHistogram(spark, Multimodal.pngAssets(spark, docs)).collect()
