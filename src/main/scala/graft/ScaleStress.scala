@@ -49,8 +49,10 @@ object ScaleStress {
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
+    if (args.headOption.contains("allpairs")) { allPairsStress(args.drop(1)); return }
     if (args.headOption.contains("pca")) { pcaStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
+    if (args.headOption.contains("sf1full")) { sf1FullStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -493,6 +495,52 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** All-pairs similarity stress — the Bayardo prefix-filter bound under
+    * corpus growth: the corpus is replicated M× with each replica's
+    * alphabet ROTATED (translate), so replicas keep the original's
+    * internal near-dup structure but share no 3-gram vocabulary across
+    * slices — true pairs grow ~M×, while a quadratic candidate
+    * generator would grow M²×. For thresholds {0.5, 0.6, 0.8} the leg
+    * records candidate-pair count and wall-clock at 1× and M× and
+    * REQUIRES the candidate growth to stay linear-ish (< 2M), i.e.
+    * candidates track realized selectivity, not N².
+    * `sbt "runMain graft.ScaleStress allpairs [replicas]"` */
+  private def allPairsStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(m: Int) = docs
+      .select(col("doc_id"), col("text"), explode(expr(s"sequence(0, ${m - 1})")).as("r"))
+      .select((col("doc_id") * m + col("r")).as("doc_id"),
+        (0 until m).foldLeft(col("text")) { (acc, r) =>
+          when(col("r") === r,
+            translate(col("text"), abc, abc.drop(r * 7 % 26) + abc.take(r * 7 % 26)))
+            .otherwise(acc)
+        }.as("text"))
+      .localCheckpoint()
+    val one = rotated(1)
+    val big = rotated(replicas)
+    val (n1, nM) = (one.count(), big.count())
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      def leg(d: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+        val cand = graft.operators.TextOps.allPairsCandidates(d, t).count()
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.TextOps.allPairsSimilarity(d, t).count()
+        (cand, pairs, (System.nanoTime() - t0) / 1e9)
+      }
+      val (c1, p1, s1) = leg(one)
+      val (cM, pM, sM) = leg(big)
+      val candRatio = cM.toDouble / math.max(c1, 1L).toDouble
+      println(f"""{"stress":"allpairs","threshold":$t,"replicas":$replicas,"docs1":$n1,"docsM":$nM,"cand1":$c1,"candM":$cM,"cand_ratio":$candRatio%.2f,"pairs1":$p1,"pairsM":$pM,"sec1":$s1%.2f,"secM":$sM%.2f}""")
+      require(candRatio < 2.0 * replicas,
+        f"candidate growth $candRatio%.1fx at ${replicas}x corpus — quadratic regime (N2 would be ${replicas * replicas}x)")
+    }
+    spark.stop()
+  }
+
   /** sf1 replication leg: every table copied, lineitem replicated
     * `replicas`× row-for-row (joins keep their keys; the fact side just
     * fans out — the exact sf0.1 → sf1 growth axis), written to a local
@@ -539,6 +587,80 @@ object ScaleStress {
       val big = math.min(time(q, outDir), time(q, outDir))
       val ratio = big / base
       println(f"""{"stress":"sf1","query":"$q","replicas":$replicas,"sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":$ratio%.2f}""")
+    }
+    spark.stop()
+  }
+
+  /** FULL-registry sf1 leg: every fact axis grows `replicas`× — lineitem
+    * row-identical (the aggregate/join fan-out axis), documents as
+    * tagged near-dup replicas (the dedupStress scheme — keeps near-dup
+    * pair growth linear instead of quadratic-by-construction), events
+    * id/user-shifted (per-user session shapes preserved), embeddings
+    * offset (pcaStress scheme) — then EVERY registry query runs once at
+    * sf0.1 and once at the replicated sf1, emitting one JSON line per
+    * query with both wall-clocks and the ratio. This is the long-tail
+    * sweep the ten-query sf1 leg can't give: any plan that silently
+    * tips from broadcast to sort-merge-with-spill (or to a quadratic
+    * candidate join) between sf0.1 and sf1 shows up as an outlier
+    * ratio. Single-pass timings — the question is plan capacity, and
+    * outliers get re-examined individually, so per-query noise is
+    * acceptable. Note: probe-set families (every-50th-id ann/retrieval
+    * queries) grow their QUERY COUNT with the corpus by construction —
+    * their ratios read as work×queries, documented in STATUS.
+    * `sbt "runMain graft.ScaleStress sf1full [replicas]"` */
+  private def sf1FullStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = s"/tmp/graft_sf1full_x$replicas"
+    val spark = session()
+    val T = graft.sources.Tables
+    if (!new java.io.File(s"$outDir/_READY").exists()) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders").foreach { t =>
+        T.read(spark, sfDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      val rep = explode(expr(s"sequence(0, ${replicas - 1})")).as("r")
+      T.read(spark, sfDir, "lineitem")
+        .select(col("*"), rep).drop("r")
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      T.read(spark, sfDir, "documents")
+        .select(col("*"), rep)
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string")))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      T.read(spark, sfDir, "embeddings")
+        .select(col("*"), rep)
+        .select((col("vec_id") * replicas + col("r")).as("vec_id"),
+          expr("transform(embedding, x -> cast(x + cast(r as float) * 1e-3f as float))")
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      T.read(spark, sfDir, "events")
+        .select(col("*"), rep)
+        .select((col("event_id") * replicas + col("r")).as("event_id"),
+          (col("ts") + col("r") * 1000L).as("ts"),
+          (col("user_id") + col("r") * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      new java.io.File(s"$outDir/_READY").createNewFile()
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { q =>
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val base = time(sfDir)
+        val big = time(outDir)
+        println(f"""{"stress":"sf1full","query":"$q","replicas":$replicas,"sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":${big / base}%.2f}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"stress":"sf1full","query":"$q","error":"${e.getClass.getSimpleName}"}""")
+      }
     }
     spark.stop()
   }

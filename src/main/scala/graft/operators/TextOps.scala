@@ -730,7 +730,11 @@ object TextOps {
     * both verify sides), so it materializes ONCE (the minHashPairs /
     * pageRank discipline) instead of re-planning the tokenize prefix
     * under each subtree. */
-  def allPairsSimilarity(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  /** The normalized posting relation and the prefix-filtered candidate
+    * pair relation of [[allPairsSimilarity]] — split out so the scale
+    * stress can count candidates (the quantity the Bayardo bound
+    * controls) without re-spelling the filter. */
+  private def allPairsParts(docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
       .select("doc_id", "token", "tfidf", "dfq")
@@ -757,6 +761,17 @@ object TextOps {
       .select(least(col("probe_id"), col("doc_id")).as("doc_lo"),
               greatest(col("probe_id"), col("doc_id")).as("doc_hi"))
       .distinct()
+    (w, cand)
+  }
+
+  /** Candidate pairs surviving the prefix filter at `threshold` — the
+    * pre-verification join size the WWW'07 bound keeps proportional to
+    * realized similarity rather than |docs|². */
+  def allPairsCandidates(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    allPairsParts(docs, threshold)._2
+
+  def allPairsSimilarity(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val (w, cand) = allPairsParts(docs, threshold)
     val pl = w.select(col("doc_id").as("doc_lo"), col("token"), col("w").as("wl"))
     val pg = w.select(col("doc_id").as("doc_hi"), col("token"), col("w").as("wg"))
     cand.join(pl, "doc_lo").join(pg, Seq("doc_hi", "token"))
