@@ -177,6 +177,11 @@ object QueriesLlm {
     // query-by-example BM25 over the same 3-gram posting index
     "bm25_retrieval" -> ((s, dir) =>
       TextOps.bm25Retrieval(Tables.read(s, dir, "documents"))),
+    // exact-phrase search over positional postings (Lucene PhraseQuery
+    // shape): data-driven top-trigram query, broadcast 1-row phrase,
+    // (doc, pos+offset) posting-adjacency joins
+    "phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(Tables.read(s, dir, "documents"))),
     // all-pairs similarity join: every doc pair with TF-IDF cosine >= t
     // via the Bayardo prefix filter; oracle = the naive exact self-join,
     // so hash equality proves the filter lossless
@@ -830,6 +835,7 @@ object QueriesLlm {
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
+    "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),
     "hybrid_rrf" ->
       s"""with dense as (select q_id, n_id as doc_id, rn as dense_rk

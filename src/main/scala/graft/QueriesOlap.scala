@@ -341,6 +341,16 @@ object QueriesOlap {
           col("asof_value").as("click_value"),
           expr("(ts - asof_ts) div 1000000000").as("gap_sec"))
     }),
+    // SCD Type-2 dimension build: compress the per-user update stream
+    // into versioned validity intervals (run-collapse on the tiered
+    // attribute, then version/valid_to/is_current windows) — one shuffle
+    // on the dimension key, three windows over one sort
+    "q_scd2" -> ((s, dir) => EventOps.scd2(Tables.read(s, dir, "events"))),
+    // per-user hourly gap-fill + linear interpolation: dense hour axis
+    // GENERATED per key (sequence+explode, span capped — output is
+    // keys x span regardless of input rows), bracketing observations via
+    // two ignore-nulls windows, bit-exact interpolation arithmetic
+    "q_gapfill" -> ((s, dir) => EventOps.gapfill(Tables.read(s, dir, "events"))),
     // temporal-proximity range "join" as a RANGE window frame: per event,
     // how many of the same user's events land in the following 10 minutes
     // — the frame shares the sessionization shuffle shape and is the
@@ -491,6 +501,11 @@ object QueriesOlap {
     // triangle counting with degree orientation: each triangle generated
     // once at its (deg, id)-minimum vertex; wedge fan-out bounded by
     // out-degree (the hub-proof plan). Exact integer counts
+    // synchronous label-propagation communities (self-vote + min-label
+    // tie-break -> bit-reproducible fixed-round output); per round one
+    // node-keyed join + count + argmax window, label frame checkpointed
+    "graph_lpa" -> ((s, dir) =>
+      graft.operators.Graph.labelCommunities(Tables.read(s, dir, "lineitem"))),
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangles(Tables.read(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey"))),
@@ -829,6 +844,13 @@ object QueriesOlap {
     // date-bounded scan prunes to a sliver of the table (the same
     // motivation as Z-ordering, in one dimension). The aggregate is
     // layout-independent — that's what makes it oracle-checkable
+    // Z-order clustered layout (OPTIMIZE ZORDER shape): Morton-interleave
+    // two bucketed keys, range-sort the write by z so BOTH dims cluster
+    // into every file, answer a rectangle query from the read-back with
+    // the bucket predicates pushed to the scan; oracle recomputes the
+    // identical Morton keys from the raw table
+    "sink_zorder" -> ((s, dir) =>
+      graft.operators.Zorder.rectangleOverZSink(Tables.read(s, dir, "lineitem"))),
     "sink_sorted" -> ((s, dir) => {
       val tmp = graft.Scratch.dir("graft_sort_")
       Tables.read(s, dir, "lineitem")
@@ -1266,6 +1288,8 @@ object QueriesOlap {
         | where gap_sec is not null
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
+    "q_scd2" -> EventOps.scd2Sql(),
+    "q_gapfill" -> EventOps.gapfillSql(),
     "q_exists" ->
       """select o_orderpriority, cast(count(*) as bigint) as n_late_orders
         |from orders o
@@ -1352,6 +1376,7 @@ object QueriesOlap {
          | and o_orderdate >= timestamp '1997-01-01'
          | and o_orderdate < timestamp '1998-01-01'
          |group by n_name""".stripMargin.replace("\n", " "),
+    "sink_zorder" -> graft.operators.Zorder.rectangleSql(),
     "sink_sorted" ->
       s"""select cast(month(l_shipdate) as bigint) as m,
          | cast(count(*) as bigint) as n_items,
@@ -1374,6 +1399,7 @@ object QueriesOlap {
     "fuzzy_pairs" -> graft.operators.TextOps.fuzzyPairsSql("part", "p_name"),
     "graph_pagerank" -> graft.operators.Graph.pageRankSql(),
     "graph_triangles" -> graft.operators.Graph.trianglesSql(),
+    "graph_lpa" -> graft.operators.Graph.labelCommunitiesSql(),
     "stat_corr" -> Stats.corrSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",

@@ -187,6 +187,150 @@ object EventOps {
     * sort. ewma = (Σ 2^(7-k)·v_fp[i-k]) / (Σ 2^(7-k) present) / 2^20;
     * missing history drops terms (first events average a shorter tail).
     * The streaming twin is [[graft.streaming.EventStream.ewmaStream]]. */
+  /** SCD Type-2 dimension build — compress a per-key update stream into
+    * versioned validity intervals, the standard warehouse shape for
+    * "attribute history" (Kimball SCD2; Delta/Iceberg MERGE pipelines
+    * build exactly this relation). The changing attribute here is the
+    * event value bucketed into integer tiers (`floor(value / 20)`), so
+    * consecutive updates genuinely repeat and the run-collapse step is
+    * exercised — a new version opens only when the tier CHANGES.
+    *
+    * Scale shape: one shuffle on the dimension key (user_id) feeding
+    * three windows over the SAME (key, ts, event_id) sort — Spark plans
+    * one Exchange + one Sort and pipelines the change-flag lag, the
+    * version cumsum, and the valid_to lead through it. No joins, no
+    * driver state; 100 TB of updates is one sort-merge pass per key.
+    * Intervals are epoch-nanos integers: `valid_to` is NULL on the
+    * current (open) version, `is_current` materializes that flag. */
+  def scd2(events: DataFrame, eventType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("event_type") === eventType)
+      .withColumn("tier", expr("cast(floor(value / 20e0) as bigint)"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(order))
+      // first row per key opens version 1; after that only tier changes do
+      .withColumn("chg",
+        when(col("prev_tier").isNull || col("tier") =!= col("prev_tier"), 1L)
+          .otherwise(0L))
+      .filter(col("chg") === 1L)
+      .withColumn("version", row_number().over(order).cast("long"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(order))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "tier", "valid_from", "valid_to",
+        "is_current")
+  }
+
+  /** DuckDB mirror of [[scd2]] — identical window spelling; the raw
+    * parquet `ts` is a TIMESTAMP there, mapped onto the same epoch-nanos
+    * integers via `epoch_ns`. */
+  def scd2Sql(table: String = "events", eventType: String = "purchase"): String =
+    s"""with upd as (
+       | select user_id, epoch_ns(ts) as tsn, event_id,
+       |  cast(floor(value / 20e0) as bigint) as tier
+       | from $table where event_type = '$eventType'),
+       |chg as (
+       | select user_id, tsn, event_id, tier,
+       |  lag(tier) over (partition by user_id order by tsn, event_id) as prev_tier
+       | from upd),
+       |runs as (
+       | select user_id, tsn, event_id, tier from chg
+       | where prev_tier is null or tier <> prev_tier)
+       |select user_id,
+       | cast(row_number() over w as bigint) as version, tier,
+       | tsn as valid_from,
+       | lead(tsn) over w as valid_to,
+       | (lead(tsn) over w is null) as is_current
+       |from runs
+       |window w as (partition by user_id order by tsn, event_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Gap-fill + linear interpolation of a per-key hourly series — the
+    * time-series densification operator (`time_bucket_gapfill` /
+    * `interpolate` in the timeseries-DB world). Present hours carry the
+    * fixed-point hourly sum; missing hours inside each key's observed
+    * span are generated and linearly interpolated between the bracketing
+    * observations.
+    *
+    * Scale shape: the observed series aggregates map-side (one shuffle on
+    * (user, hour)); spans are a per-key 2-value aggregate; the dense hour
+    * axis is GENERATED with `sequence` + explode — never joined against a
+    * calendar table — and the interpolation is two ignore-nulls windows
+    * over one (key, hour) sort. Span per key is capped at `capHours`
+    * buckets (the documented scale knob: densification output is
+    * keys x span, independent of input row count). All arithmetic is
+    * fixed-point or exact IEEE division of identical operands, so the
+    * interpolated doubles are bit-identical cross-engine. */
+  def gapfill(events: DataFrame, eventType: String = "click",
+              capHours: Int = 240): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .filter(col("event_type") === eventType)
+      .withColumn("h", expr("ts div 3600000000000"))
+      .groupBy("user_id", "h")
+      .agg(expr(Parity.fpSum("value")).as("v"))
+    val spans = hourly.groupBy("user_id")
+      .agg(min("h").as("hmin"), max("h").as("hmax"))
+      .withColumn("hcap", least(col("hmax"), col("hmin") + lit(capHours - 1L)))
+    val axis = spans
+      .select(col("user_id"), explode(expr("sequence(hmin, hcap)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+    val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    axis.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("obs_h", when(col("v").isNotNull, col("h")))
+      .withColumn("prev_h", last(col("obs_h"), ignoreNulls = true).over(prevW))
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(prevW))
+      .withColumn("next_h", first(col("obs_h"), ignoreNulls = true).over(nextW))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(nextW))
+      .withColumn("filled", when(col("v").isNotNull, col("v")).otherwise(
+        expr("""prev_v + (next_v - prev_v) *
+               | (cast(h - prev_h as double) / cast(next_h - prev_h as double))"""
+          .stripMargin.replace("\n", " "))))
+      .withColumn("src", when(col("v").isNotNull, lit("obs")).otherwise(lit("interp")))
+      .select("user_id", "h", "filled", "src")
+  }
+
+  /** DuckDB mirror of [[gapfill]] — `unnest(generate_series(...))`
+    * generates the same dense axis; the interpolation expression text is
+    * identical, so the doubles match bit-for-bit. */
+  def gapfillSql(table: String = "events", eventType: String = "click",
+                 capHours: Int = 240): String =
+    s"""with hourly as (
+       | select user_id, epoch_ns(ts) // 3600000000000 as h,
+       |  ${Parity.fpSum("value")} as v
+       | from $table where event_type = '$eventType' group by 1, 2),
+       |spans as (
+       | select user_id, min(h) as hmin,
+       |  least(max(h), min(h) + ${capHours - 1}) as hcap
+       | from hourly group by 1),
+       |axis as (
+       | select user_id, unnest(generate_series(hmin, hcap)) as h from spans),
+       |joined as (
+       | select a.user_id, a.h, hr.v,
+       |  case when hr.v is not null then a.h end as obs_h
+       | from axis a left join hourly hr
+       |   on a.user_id = hr.user_id and a.h = hr.h),
+       |br as (
+       | select user_id, h, v,
+       |  last_value(obs_h ignore nulls) over wp as prev_h,
+       |  last_value(v ignore nulls) over wp as prev_v,
+       |  first_value(obs_h ignore nulls) over wn as next_h,
+       |  first_value(v ignore nulls) over wn as next_v
+       | from joined
+       | window wp as (partition by user_id order by h
+       |   rows between unbounded preceding and current row),
+       | wn as (partition by user_id order by h
+       |   rows between current row and unbounded following))
+       |select user_id, h,
+       | case when v is not null then v
+       |  else prev_v + (next_v - prev_v) *
+       |   (cast(h - prev_h as double) / cast(next_h - prev_h as double)) end
+       |  as filled,
+       | case when v is not null then 'obs' else 'interp' end as src
+       |from br""".stripMargin.replace("\n", " ")
+
   def ewma(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id")

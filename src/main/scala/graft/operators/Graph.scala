@@ -165,6 +165,85 @@ object Graph {
       .limit(topK)
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007) over
+    * the support-thresholded co-purchase graph — the cheap community
+    * pass run before expensive per-community work (modularity, summary
+    * stats). SYNCHRONOUS variant with two determinism anchors the async
+    * original lacks: every node votes over its neighbors' PREVIOUS-round
+    * labels plus its own (the self-vote), and the winning label is
+    * argmax by (count desc, label asc) — so a 2-node swap cycle
+    * collapses to the smaller id instead of oscillating, and the result
+    * after a FIXED `iters` rounds is bit-reproducible under any
+    * partitioning (no convergence claim — the fixed-round output is the
+    * contract, same as [[pageRank]]).
+    *
+    * Scale shape per round: one hash join (labels onto the symmetric
+    * edge list, node-keyed), one count aggregate, one per-node argmax
+    * window — node×degree-sized exchanges, never all-pairs. The label
+    * frame is `localCheckpoint`ed per round (self-referencing loop:
+    * lineage would double otherwise). Returns the community-size
+    * histogram (label of each community = its minimum-ish attractor id,
+    * size = member count). */
+  def labelCommunities(lineitem: DataFrame, iters: Int = 6,
+                       minSupport: Int = 2): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val und = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("u", "v")
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = sym.join(labels, col("v") === col("node"))
+        .select(col("u").as("n2"), col("lbl"))
+        .union(labels.select(col("node").as("n2"), col("lbl")))
+        .groupBy("n2", "lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n2").orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("n2").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  /** DuckDB mirror of [[labelCommunities]]: identical rounds unrolled as
+    * MATERIALIZED CTEs (the inlining-re-evaluation gotcha). */
+  def labelCommunitiesSql(table: String = "lineitem", iters: Int = 6,
+                          minSupport: Int = 2): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i as (select n2, lbl, count(*) as c from (
+         |  select sym.u as n2, lbl from sym join $prev on sym.v = $prev.node
+         |  union all select node as n2, lbl from $prev) t group by 1, 2),
+         |l$i as materialized (select n2 as node, lbl from (
+         |  select n2, lbl,
+         |   row_number() over (partition by n2 order by c desc, lbl asc) as rn
+         |  from v$i) where rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""with op as materialized (select distinct l_orderkey as ok,
+       |  l_partkey as p from $table),
+       |und as materialized (select u, v from (
+       |  select a.p as u, b.p as v, count(*) as support
+       |  from op a join op b on a.ok = b.ok and a.p < b.p group by 1, 2)
+       | where support >= $minSupport),
+       |sym as materialized (select u, v from und
+       | union all select v as u, u as v from und),
+       |l0 as materialized (select node, node as lbl from
+       | (select distinct u as node from sym)),
+       |$rounds
+       |select lbl as community, cast(count(*) as bigint) as n_members
+       |from l$iters group by 1""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[triangles]]. */
   def trianglesSql(table: String = "lineitem", topK: Int = 20,
                    minSupport: Int = 2): String =

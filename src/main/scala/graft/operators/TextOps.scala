@@ -1207,4 +1207,73 @@ object TextOps {
        | cast(count(*) as bigint) as cnt
        |from (select doc_id, unnest(string_split(trim(text), ' ')) as tok from $table) t
        |group by 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Positional phrase search — the exact-phrase primitive of an
+    * inverted-index engine (Lucene `PhraseQuery`): build positional
+    * postings (doc_id, pos, token), pick the query phrase as the
+    * corpus's most frequent word trigram (argmax by count desc then
+    * text asc — deterministic, data-driven, so the query matches at any
+    * SF), then match it by joining the three term postings on
+    * (doc, pos+offset) adjacency.
+    *
+    * Scale shape: postings are one explode; the trigram count pass is
+    * two window `lead`s over the SAME (doc_id, pos) sort — one shuffle,
+    * no self-join. The 1-row phrase broadcasts; each term's postings
+    * come out of the scan with the token equality PUSHED (the filter is
+    * on the exploded relation, but the per-term selectivity is the
+    * classic posting-list cut), and the adjacency join is two
+    * (doc, pos)-keyed equi-joins — at 100 TB this is exactly the
+    * distributed merge of three posting lists, never a text rescan. */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = docs.select(col("doc_id"),
+        posexplode(expr("split(trim(text), ' ')")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val tri = post
+      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
+      .withColumn("w3", lead(col("tok"), 2).over(byDoc))
+      .filter(col("w2").isNotNull && col("w3").isNotNull)
+      .groupBy(col("tok").as("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+    val phrase = tri
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
+      .limit(1)
+    val p1 = post.join(broadcast(phrase.select(col("w1").as("tok"))), "tok")
+      .select(col("doc_id"), col("p"))
+    val p2 = post.join(broadcast(phrase.select(col("w2").as("tok"))), "tok")
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    val p3 = post.join(broadcast(phrase.select(col("w3").as("tok"))), "tok")
+      .select(col("doc_id"), (col("p") - 2).as("p"))
+    p1.join(p2, Seq("doc_id", "p")).join(p3, Seq("doc_id", "p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("p").as("first_pos"))
+  }
+
+  /** DuckDB mirror of [[phraseSearch]] — identical trigram argmax and
+    * posting-adjacency joins; CTEs referenced more than once are
+    * `materialized` (the inlining-re-evaluation gotcha). */
+  def phraseSearchSql(table: String = "documents"): String =
+    s"""with tw as (
+       | select doc_id, unnest(generate_series(1, len(ws))) as ti, ws
+       | from (select doc_id, string_split(trim(text), ' ') as ws from $table)),
+       |toks as materialized (
+       | select doc_id, cast(ti - 1 as bigint) as p, ws[ti] as tok from tw),
+       |tri as (
+       | select tok as w1,
+       |  lead(tok, 1) over w as w2, lead(tok, 2) over w as w3
+       | from toks window w as (partition by doc_id order by p)),
+       |phrase as materialized (
+       | select w1, w2, w3 from tri where w2 is not null and w3 is not null
+       | group by 1, 2, 3
+       | order by count(*) desc, w1 asc, w2 asc, w3 asc limit 1)
+       |select t1.doc_id, cast(count(*) as bigint) as n_hits,
+       | min(t1.p) as first_pos
+       |from toks t1
+       | join phrase ph on t1.tok = ph.w1
+       | join toks t2 on t2.doc_id = t1.doc_id and t2.p = t1.p + 1
+       |   and t2.tok = ph.w2
+       | join toks t3 on t3.doc_id = t1.doc_id and t3.p = t1.p + 2
+       |   and t3.tok = ph.w3
+       |group by t1.doc_id""".stripMargin.replace("\n", " ")
 }

@@ -921,6 +921,107 @@ class OperatorsSpec extends SparkSpec {
     s.foreach(x => assert(math.abs(x.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("scd2: runs collapse to versions, intervals abut, one current row per key") {
+    // user 1: tiers 1,1,2,2,1 -> versions (1,t0)(2,t2)(3,t4); user 2: constant
+    val ns = (i: Int) => i * 1000000000L
+    val ev = Seq(
+      (1L, ns(0), 10L, "purchase", 25.0), (1L, ns(1), 11L, "purchase", 30.0),
+      (1L, ns(2), 12L, "purchase", 45.0), (1L, ns(3), 13L, "purchase", 55.0),
+      (1L, ns(4), 14L, "purchase", 20.0), (2L, ns(0), 20L, "purchase", 5.0),
+      (2L, ns(9), 21L, "purchase", 15.0), (1L, ns(5), 15L, "click", 99.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = EventOps.scd2(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4), x.getBoolean(5)))
+    val u1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.toSeq == Seq(
+      (1L, 1L, 1L, ns(0), ns(2), false),
+      (1L, 2L, 2L, ns(2), ns(4), false),
+      (1L, 3L, 1L, ns(4), -1L, true)))
+    val u2 = r.filter(_._1 == 2L)
+    assert(u2.length == 1 && u2.head._6) // constant tier -> single open version
+    assert(r.count(_._6) == 2) // exactly one current row per key
+  }
+
+  test("gapfill: holes interpolate linearly, observed hours pass through") {
+    val h = 3600000000000L
+    val ev = Seq(
+      (1L, 0 * h, 1L, "click", 10.0), (1L, 3 * h, 2L, "click", 40.0),
+      (1L, 4 * h, 3L, "click", 8.0), (2L, 0 * h, 4L, "click", 7.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = EventOps.gapfill(ev).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getDouble(2), x.getString(3))))
+      .toMap
+    assert(r(1L -> 0L) == (10.0 -> "obs") && r(1L -> 3L) == (40.0 -> "obs"))
+    assert(r(1L -> 1L) == (20.0 -> "interp")) // 10 + (40-10)*1/3
+    assert(r(1L -> 2L) == (30.0 -> "interp"))
+    assert(r(2L -> 0L) == (7.0 -> "obs") && r.size == 6)
+  }
+
+  test("gapfill: span cap bounds the densified output per key") {
+    val h = 3600000000000L
+    val ev = Seq((1L, 0 * h, 1L, "click", 1.0), (1L, 5000 * h, 2L, "click", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(EventOps.gapfill(ev, capHours = 240).count() == 240)
+  }
+
+  test("phrase search: finds the dominant trigram with positions, not substrings") {
+    val docs = Seq(
+      (0L, "alpha beta gamma x alpha beta gamma", "en", "s", 1L),
+      (1L, "alpha beta gamma", "en", "s", 1L),
+      (2L, "beta gamma alpha", "en", "s", 1L), // rotated - no phrase match
+      (3L, "alphabeta gammax", "en", "s", 1L), // concatenation is not a phrase
+      (4L, "zz alpha beta gamma zz", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.phraseSearch(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
+  }
+
+  test("lpa: planted cliques each collapse to one community labeled by their min id") {
+    val rows = (for { o <- 1 to 4; p <- Seq(1, 2, 3) } yield (o.toLong, p.toLong)) ++
+      (for { o <- 5 to 8; p <- Seq(10, 11, 12) } yield (o.toLong, p.toLong))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val r = Graph.labelCommunities(li).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 3L), (10L, 3L)))
+  }
+
+  test("zorder: morton interleave is exact; z-sorted files cluster BOTH dims") {
+    // 3 = 0b11 -> odd bits 0b1010; 5 = 0b101 -> even bits 0b10001; z = 27
+    assert(spark.sql(s"select cast(${Zorder.morton("3", "5")} as bigint) as z")
+      .head.getLong(0) == 27L)
+    assert(spark.sql(s"select cast(${Zorder.morton("255", "255")} as bigint) as z")
+      .head.getLong(0) == 65535L)
+    val keyed = graft.sources.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .crossJoin(broadcast(graft.sources.Tables.read(spark, sf("sf0.001"), "lineitem")
+        .agg(max("l_partkey").as("pmax"), max("l_suppkey").as("smax"))))
+      .withColumn("bx", expr(Zorder.bucket("l_partkey", "pmax")))
+      .withColumn("by", expr(Zorder.bucket("l_suppkey", "smax")))
+      .withColumn("z", expr(Zorder.morton("bx", "by")))
+      .select("z", "bx", "by")
+    def meanSpread(dir: String, c: String): Double = {
+      val r = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(avg("s")).head.getDouble(0)
+      r
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zspec_").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_xspec_").toString
+    keyed.repartitionByRange(8, $"z").sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zDir)
+    keyed.repartitionByRange(8, $"bx").sortWithinPartitions("bx")
+      .write.mode("overwrite").parquet(xDir)
+    // single-column sort leaves the second dim spanning its full range in
+    // every file; the morton layout bounds both dims per file
+    val (zBy, xBy) = (meanSpread(zDir, "by"), meanSpread(xDir, "by"))
+    val (zBx, xBx) = (meanSpread(zDir, "bx"), meanSpread(xDir, "bx"))
+    assert(zBy < 0.7 * xBy, s"z-layout by-spread $zBy !< 0.7 * $xBy")
+    assert(zBx < 150, s"z-layout bx-spread $zBx not clustered") // 256 = unclustered
+    assert(spark.read.parquet(zDir).count() == spark.read.parquet(xDir).count())
+  }
+
   test("compaction collapses a fragmented table to the target file count, same rows") {
     val frag = java.nio.file.Files.createTempDirectory("graft_fragspec_").toString
     val compact = java.nio.file.Files.createTempDirectory("graft_compspec_").toString
