@@ -74,6 +74,11 @@ object QueriesLlm {
     // exact fixed-point mean p) — the check before trusting thresholds
     "lr_calibration" -> ((s, dir) =>
       graft.operators.Classifier.lrCalibration(Tables.read(s, dir, "documents"))),
+    // ROC AUC via the Mann-Whitney identity (AUC = normalized U): ranks
+    // from cumulative counts over the q9 score GRID, all-BIGINT rank
+    // arithmetic — the engine's MWU core as model evaluation
+    "lr_auc" -> ((s, dir) =>
+      graft.operators.Classifier.lrAuc(Tables.read(s, dir, "documents"))),
     // composite quality score over the stats
     "text_quality" -> ((s, dir) =>
       TextOps.stats(Tables.read(s, dir, "documents"))
@@ -923,6 +928,7 @@ object QueriesLlm {
     "mm_lr_infer" -> graft.operators.Classifier.lrInferSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "lr_calibration" -> graft.operators.Classifier.lrCalibrationSql(),
+    "lr_auc" -> graft.operators.Classifier.lrAucSql(),
     "text_quality" ->
       s"""select doc_id, lang, n_tokens, ttr, stop_ratio,
          | ${TextOps.qualityExpr} as quality

@@ -341,6 +341,11 @@ object QueriesOlap {
           col("asof_value").as("click_value"),
           expr("(ts - asof_ts) div 1000000000").as("gap_sec"))
     }),
+    // incremental view maintenance: base aggregate + delta batch merged
+    // by summing partial states (count/fpSum are monoids) — oracle is
+    // the full recompute, hash equality proves the merge exact
+    "q_incr_agg" -> ((s, dir) =>
+      EventOps.hourlyIncremental(Tables.read(s, dir, "events"))),
     // SCD Type-2 dimension build: compress the per-user update stream
     // into versioned validity intervals (run-collapse on the tiered
     // attribute, then version/valid_to/is_current windows) — one shuffle
@@ -844,6 +849,23 @@ object QueriesOlap {
     // date-bounded scan prunes to a sliver of the table (the same
     // motivation as Z-ordering, in one dimension). The aggregate is
     // layout-independent — that's what makes it oracle-checkable
+    // schema evolution across batches: an old batch without `n_chars`
+    // and a new batch with it live in ONE dataset; mergeSchema read
+    // unifies (missing column -> NULL), the aggregate coalesces — the
+    // years-of-parquet reality at 100 TB, where columns arrive midstream
+    "sink_evolve" -> ((s, dir) => {
+      val tmp = graft.Scratch.dir("graft_evolve_")
+      val docs = Tables.read(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(tmp + "/batch1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(tmp + "/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(tmp + "/batch1", tmp + "/batch2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+    }),
     // Z-order clustered layout (OPTIMIZE ZORDER shape): Morton-interleave
     // two bucketed keys, range-sort the write by z so BOTH dims cluster
     // into every file, answer a rectangle query from the read-back with
@@ -1289,6 +1311,12 @@ object QueriesOlap {
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
     "q_scd2" -> EventOps.scd2Sql(),
+    "q_incr_agg" -> EventOps.hourlyIncrementalSql(),
+    "sink_evolve" ->
+      """select lang, cast(count(*) as bigint) as n_docs,
+        | cast(sum(case when doc_id % 2 = 1 then n_chars else 0 end) as bigint)
+        |  as sum_chars
+        |from documents group by lang""".stripMargin.replace("\n", " "),
     "q_gapfill" -> EventOps.gapfillSql(),
     "q_exists" ->
       """select o_orderpriority, cast(count(*) as bigint) as n_late_orders

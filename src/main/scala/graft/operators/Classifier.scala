@@ -173,6 +173,68 @@ object Classifier {
       s"(${Parity.fpSum("p")} / cast(count(*) as double)) as mean_p " +
       "from dc group by decile"
 
+  /** ROC AUC of the trained classifier via the Mann–Whitney identity —
+    * AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) where R_pos is the
+    * positive class's tie-averaged rank sum: the engine's own MWU core
+    * doubles as model evaluation (AUC IS the normalized U statistic).
+    *
+    * Scale shape: ranks are NOT computed per row. Scores land on the q9
+    * grid, so the corpus collapses to the distinct-score relation first
+    * (map-side combined) and average ranks fall out of cumulative counts
+    * over that grid — the aggregated-rank plan from the MWU rank
+    * shoot-out (~100× less sort volume; the only window runs over the
+    * grid-sized relation). All rank arithmetic stays in BIGINT (doubled
+    * rank sums avoid the .5 halves), one exact division at the end. */
+  def lrAuc(docs: DataFrame, buckets: Int = 256, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = TextOps.hashFeatures(docs, buckets).localCheckpoint()
+    val w = trainOnFeats(feats, labelsOf(docs), docs.count(), iters, 1, 2)
+      .selectExpr("bucket", s"${Parity.q9("w")} as w")
+    val grid = feats.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(expr(Parity.fpSum("w * cnt")).as("margin"))
+      .join(labelsOf(docs), "doc_id")
+      .selectExpr(s"${Parity.q9("margin")} as m9", "y")
+      .groupBy("m9")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("case when y = 1e0 then 1 else 0 end")).as("np"))
+    val cum = Window.orderBy("m9")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cum_before", coalesce(sum("n").over(cum), lit(0L)))
+      // doubled tie-averaged rank of every row at this score:
+      // 2·avg_rank = 2·cum_before + n + 1
+      .selectExpr("np", "n", "(np * (2 * cum_before + n + 1)) as r2_term")
+      .agg(sum("np").as("n_pos"), sum(expr("n - np")).as("n_neg"),
+        sum("r2_term").as("r2"))
+      .selectExpr("n_pos", "n_neg",
+        """(cast(r2 - n_pos * (n_pos + 1) as double) /
+          | cast(2 * n_pos * n_neg as double)) as auc"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  /** DuckDB mirror of [[lrAuc]] — identical grid/cumulative spelling. */
+  def lrAucSql(buckets: Int = 256, iters: Int = 3,
+               table: String = "documents"): String =
+    lrCtes(buckets, iters, 1, 2, table) +
+      s", wf as (select bucket, ${Parity.q9("w")} as w from w$iters)" +
+      s", sm as (select doc_id, ${Parity.fpSum("w * cnt")} as margin " +
+      "from f join wf using (bucket) group by doc_id)" +
+      s", sc as (select ${Parity.q9("margin")} as m9, y " +
+      "from sm join lab using (doc_id))" +
+      ", grid as (select m9, cast(count(*) as bigint) as n, " +
+      "cast(sum(case when y = 1e0 then 1 else 0 end) as bigint) as np " +
+      "from sc group by m9)" +
+      ", cumg as (select np, n, coalesce(sum(n) over (order by m9 " +
+      "rows between unbounded preceding and 1 preceding), 0) as cum_before " +
+      "from grid)" +
+      ", tot as (select cast(sum(np) as bigint) as n_pos, " +
+      "cast(sum(n - np) as bigint) as n_neg, " +
+      "cast(sum(np * (2 * cum_before + n + 1)) as bigint) as r2 from cumg)" +
+      " select n_pos, n_neg, " +
+      "(cast(r2 - n_pos * (n_pos + 1) as double) / " +
+      "cast(2 * n_pos * n_neg as double)) as auc from tot"
+
   /** DuckDB mirror of the `mm_lr_infer` scoring pass: train (the same
     * unrolled CTEs), score every document, round-trip the margin
     * through REAL exactly like the float32 `Feature` vector the

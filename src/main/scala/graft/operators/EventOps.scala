@@ -246,6 +246,40 @@ object EventOps {
        |window w as (partition by user_id order by tsn, event_id)"""
       .stripMargin.replace("\n", " ")
 
+  /** Incremental view maintenance of the hourly aggregate — the
+    * materialized-view refresh pattern: the standing view (events up to
+    * the data-derived cut) and the newly arrived delta batch are
+    * aggregated SEPARATELY, then merged by summing partial states —
+    * never recomputing the base. Works because count and the
+    * fixed-point sum are commutative monoids: [[Parity.fpSum]] outputs
+    * are exact multiples of 2^-20, so merging partials is exact and
+    * order-free — the same property that makes the aggregate
+    * map-side-combinable inside one job makes it incrementally
+    * maintainable ACROSS jobs. The oracle is the plain full recompute
+    * ([[hourlySql]]); hash equality is the IVM correctness proof.
+    *
+    * At 100 TB the base aggregate is a stored view-sized relation (hours
+    * × types) and each refresh touches only the delta — this query runs
+    * both sides from source to keep it self-contained and checkable. */
+  def hourlyIncremental(events: DataFrame): DataFrame = {
+    val cut = events.agg(expr("max(event_id) div 2").as("cut"))
+    val tagged = events.crossJoin(broadcast(cut))
+    def part(df: DataFrame): DataFrame = df
+      .withColumn("hour_epoch", expr(Parity.hourEpoch(SparkD, "ts")))
+      .groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("value")).as("v"))
+    val base = part(tagged.filter(col("event_id") <= col("cut")))
+    val delta = part(tagged.filter(col("event_id") > col("cut")))
+    base.unionByName(delta)
+      .groupBy("hour_epoch", "event_type")
+      .agg(sum("n").as("n"), sum("v").as("v"))
+  }
+
+  /** Oracle of [[hourlyIncremental]] is the FULL recompute — equality
+    * proves the partial-state merge exact. */
+  def hourlyIncrementalSql(table: String = "events"): String =
+    hourlySql(table)
+
   /** Gap-fill + linear interpolation of a per-key hourly series — the
     * time-series densification operator (`time_bucket_gapfill` /
     * `interpolate` in the timeseries-DB world). Present hours carry the

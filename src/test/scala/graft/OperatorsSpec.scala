@@ -978,6 +978,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("lr auc: separable corpus scores 1.0; an identical-text cross-class pair adds the tie half-credit") {
+    def doc(id: Long, text: String, lang: String) = (id, text, lang, "s", 1L)
+    val sep = ((0L until 10L).map(i => doc(i, "aaa aaa aaa", "en")) ++
+      (10L until 20L).map(i => doc(i, "bbb bbb", "xx")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = Classifier.lrAuc(sep).head
+    assert(r1.getLong(0) == 10L && r1.getLong(1) == 10L)
+    assert(r1.getDouble(2) == 1.0)
+    // add one en + one xx doc sharing the same text: their margins tie
+    // exactly, worth 0.5 of a pair -> AUC = (10*11 + 10 + 0.5) / 121
+    val tied = sep.unionByName(
+      Seq(doc(20L, "ccc", "en"), doc(21L, "ccc", "xx"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r2 = Classifier.lrAuc(tied).head
+    assert(approx(r2.getDouble(2), 120.5 / 121.0, 1e-9), s"auc=${r2.getDouble(2)}")
+  }
+
+  test("incremental hourly view equals the full recompute bit-for-bit") {
+    val ev = (1L to 200L).map(i =>
+      (i, i * 977L * 3600000000L, i % 7, if (i % 3 == 0) "click" else "view",
+        i * 0.37))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val full = EventOps.hourly(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val incr = EventOps.hourlyIncremental(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(incr == full)
+  }
+
   test("lpa: planted cliques each collapse to one community labeled by their min id") {
     val rows = (for { o <- 1 to 4; p <- Seq(1, 2, 3) } yield (o.toLong, p.toLong)) ++
       (for { o <- 5 to 8; p <- Seq(10, 11, 12) } yield (o.toLong, p.toLong))
