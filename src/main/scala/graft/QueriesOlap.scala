@@ -213,6 +213,11 @@ object QueriesOlap {
     // Structured Streaming hourly agg — stream/batch differential: the
     // oracle is the BATCH hourly SQL
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir)),
+    // streaming trending top-k (12th pattern): the stream maintains the
+    // incremental (hour, type) counts; top-k is a tiny batch window over
+    // the emitted aggregate — the dashboard topology
+    "stream_trending" -> ((s, dir) =>
+      graft.streaming.EventStream.runTrendingOnce(s, dir)),
     // streaming fixed-bin value histogram per hour (drift monitoring);
     // state bounded by hours×bins, oracle = identical batch aggregate
     "stream_histogram" -> ((s, dir) =>
@@ -1226,6 +1231,14 @@ object QueriesOlap {
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
+    "stream_trending" ->
+      s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
+         | event_type, cast(count(*) as bigint) as n from events group by 1, 2)
+         |select hour_epoch, event_type, n, rk from (
+         | select hour_epoch, event_type, n,
+         |  cast(row_number() over (partition by hour_epoch
+         |   order by n desc, event_type asc) as bigint) as rk from h)
+         |where rk <= 3""".stripMargin.replace("\n", " "),
     "stream_histogram" ->
       s"""select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
          | ${graft.streaming.EventStream.histBinExpr} as bin,

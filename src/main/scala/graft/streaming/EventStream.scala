@@ -183,6 +183,26 @@ object EventStream {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "stream", "complete", hourlyAgg)
 
+  /** Trending top-`k` (12th pattern): per-hour top event types by count.
+    * Rank-over-stream is not directly expressible in Structured
+    * Streaming (non-time windows are unsupported on streaming frames),
+    * and the scale-correct topology doesn't want it to be: the STREAM
+    * maintains the incremental (hour, type) count state — corpus-sized
+    * input, aggregate-sized state — and the top-k selection is a tiny
+    * batch window over the emitted aggregate (hours × types rows). This
+    * is the standard dashboard/trending architecture: heavy streaming
+    * pre-aggregation, cheap relational post-pass on the sink table.
+    * Deterministic: integer counts, ties broken by event_type. */
+  def runTrendingOnce(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = runAvailableNow(spark, sfDir, "trend", "complete", hourlyAgg)
+    val w = Window.partitionBy("hour_epoch")
+      .orderBy(col("n").desc, col("event_type").asc)
+    hourly.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("hour_epoch", "event_type", "n", "rk")
+  }
+
   // ---- stateful trailing-window anomaly scoring ------------------------
 
   case class AnEv(user_id: Long, event_id: Long, ts: Long, value: Double)

@@ -16,6 +16,26 @@ class StreamBatchSpec extends SparkSpec {
     batch.zip(stream).foreach { case (b, s) => assert(b == s) }
   }
 
+  test("streaming trending top-k equals the batch rank over hourly counts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hour_epoch")
+      .orderBy(col("n").desc, col("event_type").asc)
+    val batch = EventOps.hourly(Tables.read(spark, sf("sf0.001"), "events"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("hour_epoch", "event_type", "n", "rk")
+      .orderBy("hour_epoch", "rk").collect()
+    val stream = graft.streaming.EventStream.runTrendingOnce(spark, sf("sf0.001"))
+      .orderBy("hour_epoch", "rk").collect()
+    assert(batch.length == stream.length && batch.length > 0)
+    batch.zip(stream).foreach { case (b, s) => assert(b == s) }
+    // every hour contributes at most k rows, ranks are 1..k
+    stream.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3 && rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length.toLong))
+    }
+  }
+
   test("stream-static broadcast join equals the batch join on sf0.001") {
     import org.apache.spark.sql.functions._
     val events = Tables.read(spark, sf("sf0.001"), "events")
