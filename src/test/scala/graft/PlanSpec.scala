@@ -404,6 +404,42 @@ class PlanSpec extends SparkSpec {
       s"all joins are against the constant-size sample — they must broadcast:\n$p")
   }
 
+  test("scd2: three windows ride ONE key shuffle and one sort") {
+    val p = plan(SparkEntry.queries("q_scd2")(spark, sf("sf0.001")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(sorts == 1, s"run-collapse + version + valid_to must share one sort, got $sorts:\n$p")
+  }
+
+  test("phrase search: the 1-row phrase broadcasts to all three posting probes") {
+    val p = plan(SparkEntry.queries("phrase_search")(spark, sf("sf0.001")))
+    val bc = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bc >= 3, s"three phrase-term probes must broadcast:\n$p")
+  }
+
+  test("sink_zorder: rectangle predicates reach the clustered read-back scan") {
+    val p = plan(SparkEntry.queries("sink_zorder")(spark, sf("sf0.001")))
+    assert("PushedFilters: \\[[^\\]]*bx".r.findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*by".r.findFirstIn(p).isDefined,
+      s"both bucket bounds must reach the scan (min/max skipping):\n$p")
+  }
+
+  test("lr_auc: the only rank window runs over the grid-sized relation (post-agg)") {
+    val p = plan(SparkEntry.queries("lr_auc")(spark, sf("sf0.001")))
+    // the cumulative window must sit ABOVE the m9 grid aggregate, never
+    // on per-doc rows: exactly one Window, and a HashAggregate keyed by
+    // m9 below it
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1, p)
+    assert(p.contains("m9"), p)
+  }
+
+  test("incremental hourly merge: both partials aggregate map-side before the merge") {
+    val p = plan(SparkEntry.queries("q_incr_agg")(spark, sf("sf0.001")))
+    // partial_count / partial_sum markers on both branches
+    assert("partial_count".r.findAllIn(p).length >= 2, p)
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
