@@ -227,6 +227,11 @@ object QueriesLlm {
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
+    // brute-force top-k over scalar-quantized (SQ8) codes: per-row
+    // quantize->dequantize round-trip (4x scan bandwidth cut, no
+    // codebook), codegen'd chain dot, per-query top-k window
+    "ann_sq" -> ((s, dir) =>
+      Similarity.sqAdcTopK(Tables.read(s, dir, "embeddings"))),
     // multimodal resize: REAL decode → Graphics2D rescale → PNG
     // re-encode → decode AGAIN, so the checked dims come out of a full
     // codec round trip over the transformed bytes, not from bookkeeping
@@ -325,6 +330,12 @@ object QueriesLlm {
     // the first-occurrence window and the reassembly agg)
     "dedup_within" -> ((s, dir) =>
       Dedup.withinDocDedup(Tables.read(s, dir, "documents"))),
+    // per-SOURCE boilerplate stripping (the CCNet per-domain pass): a
+    // line present in >= 1/4 of its own source's docs (and >= 3 of them)
+    // is template, invisible to both the corpus-global and intra-doc
+    // passes; boiler fp set is the small join-back side
+    "text_boilerplate" -> ((s, dir) =>
+      Dedup.sourceBoilerplate(Tables.read(s, dir, "documents"))),
     // distributed BPE merge training: 8 rounds over the frequency-weighted
     // word vocabulary (corpus touched once; per-round work vocab-sized);
     // oracle = the identical iteration unrolled as CTEs
@@ -754,6 +765,7 @@ object QueriesLlm {
     "sketch_heavy" -> TextOps.cmsHeavySql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),
+    "text_boilerplate" -> Dedup.sourceBoilerplateSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
@@ -883,6 +895,7 @@ object QueriesLlm {
     "dedup_spans" -> Dedup.dupSpansSql(),
     "text_bm25" -> TextOps.bm25Sql(),
     "emb_quantize" -> Similarity.quantizeInt8Sql,
+    "ann_sq" -> Similarity.sqAdcTopKSql(),
     "doc_rolling_hash" ->
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "doc_winnow" -> TextOps.winnowSql(),

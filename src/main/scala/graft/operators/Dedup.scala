@@ -795,6 +795,62 @@ object Dedup {
           .as("kept_fp"))
   }
 
+  /** SOURCE-conditional boilerplate stripping — the per-domain template
+    * pass (CCNet/RefinedWeb strip nav/footer lines per site, not per
+    * corpus): a line is boilerplate when it appears in at least
+    * `num/den` of its OWN source's documents (and at least `minDocs` of
+    * them — the rate alone is meaningless for 2-doc sources). Both are
+    * calibration knobs: real site templates sit far above any sane
+    * threshold; the defaults (5%, >=2 docs) are tuned to have signal on
+    * the sparse synthetic corpus while staying a plausible site cut. Differs
+    * from [[lineDedup]] (corpus-global multiplicity) and
+    * [[withinDocDedup]] (intra-doc repeats): a site's shared header is
+    * invisible to both when each doc contains it once and the corpus
+    * count stays below the global threshold's radar at 100 TB — but
+    * dominates its domain's doc-frequency, which is this op's signal.
+    *
+    * Scale design: per-doc line presence collapses map-side to the
+    * distinct (source, fp, doc) relation, then to (source, fp)
+    * doc-frequencies; per-source doc totals are a source-sized
+    * broadcastable aggregate; the boilerplate fp set (rate-thresholded)
+    * is the small join-back side — the corpus itself shuffles once, by
+    * doc_id, for the reassembly. */
+  def sourceBoilerplate(docs: DataFrame, lineTokens: Int = 10,
+                        num: Int = 1, den: Int = 20, minDocs: Int = 2): DataFrame = {
+    val lines = tokenLines(docs.repartition(col("doc_id")), lineTokens,
+      carry = Seq("source"))
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+    val presence = lines.select("source", "fp", "doc_id").distinct()
+      .groupBy("source", "fp").agg(count(lit(1)).as("dfq"))
+    val boiler = presence.join(srcDocs, "source")
+      .filter(col("dfq") >= minDocs && col("dfq") * den >= col("nd") * num)
+      .select("source", "fp").withColumn("is_b", lit(1L))
+    lines.join(boiler, Seq("source", "fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        expr("md5(concat_ws(' ', transform(array_sort(" +
+          "collect_list(case when is_b is null then struct(line_idx, line) end)), x -> x.line)))")
+          .as("kept_fp"))
+  }
+
+  /** DuckDB mirror of [[sourceBoilerplate]]. */
+  def sourceBoilerplateSql(lineTokens: Int = 10, num: Int = 1, den: Int = 20,
+                           minDocs: Int = 2, table: String = "documents"): String =
+    s"""with ${linesCteSql(lineTokens, table, ", source")},
+       |lf as (select source, doc_id, line_idx, line, md5(line) as fp from l),
+       |sd as (select source, cast(count(*) as bigint) as nd from $table group by 1),
+       |pres as (select source, fp, cast(count(*) as bigint) as dfq
+       | from (select distinct source, fp, doc_id from lf) group by 1, 2),
+       |boiler as (select source, fp, 1 as is_b from pres join sd using (source)
+       | where dfq >= $minDocs and dfq * $den >= nd * $num)
+       |select doc_id, cast(count(*) as bigint) as n_lines,
+       | cast(sum(case when is_b is not null then 1 else 0 end) as bigint) as n_boiler,
+       | md5(coalesce(string_agg(case when is_b is null then line end, ' '
+       |   order by line_idx), '')) as kept_fp
+       |from lf left join boiler using (source, fp)
+       |group by doc_id""".stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[withinDocDedup]]. */
   def withinDocDedupSql(lineTokens: Int = 10, table: String = "documents"): String =
     s"""with ${linesCteSql(lineTokens, table)},

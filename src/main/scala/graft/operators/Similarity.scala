@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.oracle.Parity
-import graft.oracle.Parity.{Dialect, SparkD}
+import graft.oracle.Parity.{Dialect, DuckD, SparkD}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -346,6 +346,64 @@ object Similarity {
        |  from (select vec_id, embedding, i,
        |   list_max(list_transform(embedding, x -> abs(cast(x as double)))) as mx
        |   from embeddings, generate_series(1, $dim) t(i)))""".stripMargin.replace("\n", " ")
+
+  /** Shared quantize→dequantize round-trip text: x̂ = clamp(round(v·127/mx))
+    * · (mx/127). ONE spelling on both engines — the reconstruction error
+    * is the quantizer's, not a cross-engine difference. */
+  private def deqLambda(v: String): String =
+    s"cast(greatest(-127, least(127, cast(floor(cast($v as double) * (127e0 / mx) + 5e-1) as bigint))) as double) * (mx / 127e0)"
+
+  /** Brute-force top-k over SCALAR-quantized codes (faiss `SQ8` style —
+    * the simplest memory-reduction ANN: 4× smaller vectors than float32,
+    * no codebook to train, unlike [[Pq]]'s sub-vector codebooks). Each
+    * vector is dequantized from its int8 codes and the dot runs over the
+    * reconstructions — the asymmetric-distance idea applied to scalar
+    * codes; at scale only the codes + one scale per vector are stored
+    * and the scan bandwidth drops 4×.
+    *
+    * Plan shape mirrors [[cosineTopK]]: per-row quantize/dequantize
+    * array math (zero shuffles), no broadcast hint on the corpus-
+    * proportional query side, codegen'd chain_dot, per-query top-k
+    * window. Zero vectors carry no scale and are excluded, like the
+    * zero-norm rule everywhere else. Determinism: the quantize →
+    * dequantize round-trip is floor/clamp/multiply on identical
+    * operands and the dot is the strict left-chain — bit-exact without
+    * quantization grids. */
+  def sqAdcTopK(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val codes = emb
+      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .filter(col("mx") > 0.0)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> ${deqLambda("v")})").as("deq"))
+    val q = codes.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("deq").as("qd"))
+    val c = codes.select(col("vec_id").as("n_id"), col("deq").as("cd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("score", expr(Parity.dot(SparkD, "qd", "cd", dim)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "score", "rn")
+  }
+
+  /** DuckDB mirror of [[sqAdcTopK]]. */
+  def sqAdcTopKSql(k: Int = 10, queryEvery: Int = 50): String = {
+    val dotQC = Parity.dot(DuckD, "qd", "cd", dim)
+    s"""with dq as (select vec_id,
+       |  list_transform(embedding, v -> ${deqLambda("v")}) as deq
+       | from (select vec_id, embedding,
+       |   list_max(list_transform(embedding, x -> abs(cast(x as double)))) as mx
+       |   from embeddings) where mx > 0e0),
+       |q as (select vec_id as q_id, deq as qd from dq where vec_id % $queryEvery = 0),
+       |c as (select vec_id as n_id, deq as cd from dq)
+       |select q_id, n_id, score, rn from (
+       | select q_id, n_id, score,
+       |  cast(row_number() over (partition by q_id order by score desc, n_id asc) as bigint) as rn
+       | from (select q_id, n_id, ($dotQC) as score from q join c on q_id <> n_id))
+       |where rn <= $k""".stripMargin.replace("\n", " ")
+  }
 
   /** L2 normalization of the embedding column in long format — the
     * preprocessing step every cosine-based pipeline wants done ONCE at

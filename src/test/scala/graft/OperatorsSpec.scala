@@ -978,6 +978,48 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("sq8 adc: high recall vs the exact dot ranking; zero vectors excluded") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings")
+    val sq = Similarity.sqAdcTopK(emb).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // exact ranking on the raw floats through the identical plan shape
+    graft.functions.GraftFunctions.register(spark)
+    val d = emb.select($"vec_id",
+      expr("transform(embedding, v -> cast(v as double))").as("deq"))
+      .filter(expr("array_max(transform(deq, x -> abs(x))) > 0e0"))
+    val q = d.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"deq".as("qd"))
+    val c = d.select($"vec_id".as("n_id"), $"deq".as("cd"))
+    val w = Window.partitionBy("q_id").orderBy($"score".desc, $"n_id".asc)
+    val exact = q.join(c, $"q_id" =!= $"n_id")
+      .withColumn("score", expr("chain_dot(qd, cd)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select("q_id", "n_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall vs exact = $recall")
+    // the all-zero edge vector (if present) never appears on either side
+    val zeroIds = emb.filter(expr("array_max(transform(embedding, x -> abs(cast(x as double)))) = 0e0"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sq.forall { case (a, b) => !zeroIds(a) && !zeroIds(b) })
+  }
+
+  test("source boilerplate: a shared header strips in ITS source only") {
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    def body(d: Int) = (1 to 10).map(i => s"b${d}x$i").mkString(" ")
+    val docs = ((1 to 4).map(d =>
+      (d.toLong, s"$header ${body(d)}", "en", "siteA", 1L)) :+
+      (5L, s"$header ${body(5)}", "en", "siteB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.sourceBoilerplate(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    // siteA docs: header is template (4/4 docs); siteB sees it once -> kept
+    assert(r.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
+      (4L, 2L, 1L), (5L, 2L, 0L)))
+  }
+
   test("lr auc: separable corpus scores 1.0; an identical-text cross-class pair adds the tie half-credit") {
     def doc(id: Long, text: String, lang: String) = (id, text, lang, "s", 1L)
     val sep = ((0L until 10L).map(i => doc(i, "aaa aaa aaa", "en")) ++
