@@ -346,6 +346,11 @@ object QueriesOlap {
           col("asof_value").as("click_value"),
           expr("(ts - asof_ts) div 1000000000").as("gap_sec"))
     }),
+    // bitmap-index conjunction: per-dimension bit_or word packing, then
+    // the two-dim count via word-aligned AND + popcount — the fact table
+    // is read once to build the indexes and never again
+    "q_bitmap" -> ((s, dir) =>
+      EventOps.bitmapConjunction(Tables.read(s, dir, "events"))),
     // incremental view maintenance: base aggregate + delta batch merged
     // by summing partial states (count/fpSum are monoids) — oracle is
     // the full recompute, hash equality proves the merge exact
@@ -1325,6 +1330,7 @@ object QueriesOlap {
     "q_asof" -> EventOps.asofSql(),
     "q_scd2" -> EventOps.scd2Sql(),
     "q_incr_agg" -> EventOps.hourlyIncrementalSql(),
+    "q_bitmap" -> EventOps.bitmapConjunctionSql(),
     "sink_evolve" ->
       """select lang, cast(count(*) as bigint) as n_docs,
         | cast(sum(case when doc_id % 2 = 1 then n_chars else 0 end) as bigint)

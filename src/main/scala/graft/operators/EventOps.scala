@@ -246,6 +246,38 @@ object EventOps {
        |window w as (partition by user_id order by tsn, event_id)"""
       .stripMargin.replace("\n", " ")
 
+  /** Bitmap-index conjunction — the OLAP bitmap join: build one bitmap
+    * index per low-cardinality dimension (64 row-locators packed per
+    * BIGINT word via `bit_or`), then answer the two-dimensional count
+    * with a word-aligned AND + popcount instead of touching fact rows.
+    * This is how column stores answer multi-predicate counts over
+    * low-cardinality columns: the index relation is rows/64 words per
+    * distinct value, the conjunction join is keyed on the word index,
+    * and each output cell costs one popcount per word — at 100 TB the
+    * fact table is scanned once to BUILD the indexes and never again.
+    *
+    * The row locator is `event_id` (unique and dense). The oracle is
+    * the direct GROUP BY count — hash equality proves the whole bitmap
+    * mechanics (pack, AND, popcount) lossless. */
+  def bitmapConjunction(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("word", expr("event_id div 64"))
+      .withColumn("bm", expr("shiftleft(cast(1 as bigint), cast(event_id % 64 as int))"))
+      .withColumn("tier", expr("cast(floor(value / 25e0) as bigint)"))
+    val idxT = e.groupBy("event_type", "word").agg(expr("bit_or(bm)").as("wt"))
+    val idxV = e.groupBy("tier", "word").agg(expr("bit_or(bm)").as("wv"))
+    idxT.join(idxV, "word")
+      .groupBy("event_type", "tier")
+      .agg(sum(expr("cast(bit_count(wt & wv) as bigint)")).as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Oracle of [[bitmapConjunction]]: the direct two-dimension count. */
+  def bitmapConjunctionSql(table: String = "events"): String =
+    s"""select event_type, cast(floor(value / 25e0) as bigint) as tier,
+       | cast(count(*) as bigint) as n_rows
+       |from $table group by 1, 2""".stripMargin.replace("\n", " ")
+
   /** Incremental view maintenance of the hourly aggregate — the
     * materialized-view refresh pattern: the standing view (events up to
     * the data-derived cut) and the newly arrived delta batch are

@@ -978,6 +978,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("bitmap conjunction equals the direct count across word boundaries") {
+    // 130 locators span three 64-bit words; types/tiers interleave so
+    // every word carries bits of several cells
+    val ev = (0L until 130L).map(i => (i, i * 1000L, i % 5,
+        if (i % 2 == 0) "a" else "b", (i % 3) * 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val direct = ev.selectExpr("event_type", "cast(floor(value/25e0) as bigint) as tier")
+      .groupBy("event_type", "tier").count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val bm = EventOps.bitmapConjunction(ev)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(bm == direct && bm.nonEmpty)
+  }
+
   test("sq8 adc: high recall vs the exact dot ranking; zero vectors excluded") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings")
