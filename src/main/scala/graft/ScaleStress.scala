@@ -43,6 +43,7 @@ object ScaleStress {
     if (args.headOption.contains("lr")) { lrStress(args.drop(1)); return }
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
     if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
+    if (args.headOption.contains("lpa")) { lpaStress(args.drop(1)); return }
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
@@ -326,6 +327,39 @@ object ScaleStress {
     val sec = (System.nanoTime() - t0) / 1e9
     val nodes = out.head.getLong(1)
     println(f"""{"stress":"graph_pagerank","replicas":$replicas,"nodes":$nodes,"sec":$sec%.2f,"nodes_per_sec":${(nodes / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** LPA stress: `replicas` DISJOINT copies of the co-purchase graph
+    * (offset part ids — the [[graphStress]] trick). Communities of each
+    * copy are independent, so community count must scale EXACTLY by the
+    * replica factor (a structural correctness check at scale, not just a
+    * wall-clock one) while per-round exchanges stay node×degree-sized —
+    * per-node throughput should hold or improve as fixed per-round
+    * overhead amortizes. */
+  private def lpaStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    def blow(m: Int) = li.select(col("l_orderkey"), col("l_partkey"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("r"))
+      .select((col("l_orderkey") * m + col("r")).as("l_orderkey"),
+        (col("l_partkey") + col("r") * 10000000L).as("l_partkey"))
+    def leg(m: Int): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Graph.labelCommunities(blow(m)).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (out.length.toLong, out.map(_.getLong(1)).sum, sec)
+    }
+    val (c1, n1, s1) = leg(1)
+    val (cR, nR, sR) = leg(replicas)
+    require(cR == replicas * c1 && nR == replicas * n1,
+      s"disjoint copies must yield exactly ${replicas}x the communities/nodes: " +
+        s"got $cR/$c1 communities, $nR/$n1 nodes")
+    println(f"""{"stress":"graph_lpa","replicas":$replicas,"communities":$cR,"nodes":$nR,"sec1":$s1%.2f,"secR":$sR%.2f,"nodes_per_sec":${(nR / sR).toLong}}""")
     spark.stop()
   }
 
