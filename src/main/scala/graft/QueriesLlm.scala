@@ -449,6 +449,11 @@ object QueriesLlm {
     // hash-checks with no quantization
     "sketch_hll" -> ((s, dir) =>
       graft.operators.Hll.hllDistinct(Tables.read(s, dir, "documents"))),
+    // sketch ALGEBRA: per-source register tables merged by register-wise
+    // max; oracle builds the global sketch directly — hash equality is
+    // the merge-identity proof (how executors/daily partitions combine)
+    "sketch_hll_merge" -> ((s, dir) =>
+      graft.operators.Hll.hllMerged(Tables.read(s, dir, "documents"))),
     // reproducible train/val/test assignment by id hash — the split every
     // training pipeline needs to be STABLE across runs and engines: no
     // rand(), no row order dependence, pure per-row arithmetic
@@ -762,6 +767,7 @@ object QueriesLlm {
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
+    "sketch_hll_merge" -> graft.operators.Hll.hllMergedSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),

@@ -346,6 +346,31 @@ object QueriesOlap {
           col("asof_value").as("click_value"),
           expr("(ts - asof_ts) div 1000000000").as("gap_sec"))
     }),
+    // 2D skyline (Pareto front: min price AND min quantity per flag) —
+    // the preference-query operator. Scale-correct two-phase plan: a
+    // LOCAL skyline per (flag, hash-bucket) via sort + strict prefix-min
+    // prunes every locally-dominated point (sound: a point dominated in
+    // any subset is dominated globally), then the tiny survivor set pays
+    // the global per-flag pass; the oracle is the direct single-pass
+    // spelling, equal by the pruning theorem
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.read(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+        .distinct()
+        .withColumn("bkt", expr("pmod(hash(price, qty), 16)"))
+      def skyline(df: DataFrame, parts: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(parts.map(col): _*)
+          .orderBy(col("price").asc, col("qty").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("pm", min("qty").over(w))
+          .filter(col("pm").isNull || col("pm") > col("qty"))
+          .drop("pm")
+      }
+      skyline(skyline(pts, Seq("flag", "bkt")), Seq("flag"))
+        .select("flag", "price", "qty")
+    }),
     // bitmap-index conjunction: per-dimension bit_or word packing, then
     // the two-dim count via word-aligned AND + popcount — the fact table
     // is read once to build the indexes and never again
@@ -1331,6 +1356,15 @@ object QueriesOlap {
     "q_scd2" -> EventOps.scd2Sql(),
     "q_incr_agg" -> EventOps.hourlyIncrementalSql(),
     "q_bitmap" -> EventOps.bitmapConjunctionSql(),
+    "q_skyline" ->
+      """with pts as (select distinct l_returnflag as flag,
+        |  l_extendedprice as price, l_quantity as qty from lineitem)
+        |select flag, price, qty from (
+        | select flag, price, qty,
+        |  min(qty) over (partition by flag order by price asc, qty asc
+        |    rows between unbounded preceding and 1 preceding) as pm
+        | from pts)
+        |where pm is null or pm > qty""".stripMargin.replace("\n", " "),
     "sink_evolve" ->
       """select lang, cast(count(*) as bigint) as n_docs,
         | cast(sum(case when doc_id % 2 = 1 then n_chars else 0 end) as bigint)

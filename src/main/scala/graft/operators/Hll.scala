@@ -152,6 +152,64 @@ object Hll {
        |from ob join est on ob.event_type = est.event_type""".stripMargin.replace("\n", " ")
   }
 
+  /** Sketch MERGE across partitions — the property that makes HLL the
+    * distributed cardinality sketch: per-SOURCE register tables combine
+    * by register-wise `max` into the global sketch, exactly how a
+    * 1000-executor job (or a day-partitioned warehouse rollup) unions
+    * sketches without re-reading data. The oracle builds the global
+    * sketch DIRECTLY from the token universe, so hash equality is the
+    * merge-identity proof: max-of-maxes == max, estimate included. */
+  def hllMerged(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val dt = docs.select(col("source"), expr("split(trim(text), ' ')").as("words"))
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(words, i, 3))))")).as("t"))
+      .distinct()
+    val rh = "rolling_hash(t)"
+    val perSource = dt
+      .select(col("source"), expr(regExpr(rh)).as("reg"),
+        expr(rhoCase(xExpr(rh))).as("rho"))
+      .groupBy("source", "reg")
+      .agg(max("rho").as("r"))
+    val merged = perSource.groupBy("reg").agg(max("r").as("r"))
+    val exact = dt.select("t").distinct().agg(count(lit(1)).as("n_exact"))
+    val sk = merged
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(pow2neg(Parity.SparkD, "r"))).as("s_filled"))
+      .withColumn("v_zero", lit(m.toLong) - col("n_filled"))
+      .withColumn("raw",
+        expr(s"${Parity.lit(alpha)} * ${m}e0 * ${m}e0")
+          / (col("s_filled") + col("v_zero").cast("double")))
+      .withColumn("hll_est", expr(estCase))
+      .select(col("v_zero"), col("hll_est"))
+    exact.crossJoin(sk).select("n_exact", "v_zero", "hll_est")
+  }
+
+  /** DuckDB mirror of [[hllMerged]] — builds the GLOBAL sketch directly
+    * (no per-source step): equality proves the merge identity. */
+  def hllMergedSql(table: String = "documents"): String = {
+    val rh = Parity.rollingHashDuck("t")
+    s"""with doc as (select string_split(trim(text), ' ') as words from $table),
+       |dt as (select distinct t from
+       |  (select unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(words) - 2, 1)),
+       |    i -> array_to_string(list_slice(words, i, i + 2), ' ')))) as t from doc)),
+       |ex as (select cast(count(*) as bigint) as n_exact from dt),
+       |regs as (select ${regExpr(rh)} as reg,
+       |   max(${rhoCase(xExpr(rh))}) as r
+       | from dt group by ${regExpr(rh)}),
+       |sk as (select cast(count(*) as bigint) as n_filled,
+       |   sum(${pow2neg(Parity.DuckD, "r")}) as s_filled
+       | from regs),
+       |est as (select cast($m - n_filled as bigint) as v_zero,
+       |  (${Parity.lit(alpha)} * ${m}e0 * ${m}e0)
+       |    / (s_filled + cast($m - n_filled as double)) as raw
+       | from sk)
+       |select n_exact, v_zero, $estCase as hll_est
+       |from ex, est""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[hllDistinct]]. */
   def hllDistinctSql(table: String = "documents"): String = {
     val rh = Parity.rollingHashDuck("t")

@@ -978,6 +978,40 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("hll merge identity: per-source sketches combine to the single-sketch result") {
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val merged = Hll.hllMerged(docs).head
+    val direct = Hll.hllMerged(docs.withColumn("source", lit("one"))).head
+    assert(merged == direct) // max-of-maxes == max, estimate bit-equal
+    val (n, est) = (merged.getLong(0), merged.getDouble(2))
+    assert(math.abs(est - n) / n < 0.1, s"hll est $est vs exact $n")
+  }
+
+  test("skyline: hand-built Pareto front; two-phase pruning equals the direct pass") {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Seq(("A", 1.0, 5.0), ("A", 2.0, 3.0), ("A", 3.0, 4.0),
+        ("A", 2.0, 5.0), ("A", 4.0, 1.0), ("B", 7.0, 7.0))
+      .toDF("flag", "price", "qty")
+    def direct(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("flag").orderBy($"price".asc, $"qty".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.distinct().withColumn("pm", min("qty").over(w))
+        .filter($"pm".isNull || $"pm" > $"qty").select("flag", "price", "qty")
+    }
+    val r = direct(pts).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSet
+    assert(r == Set(("A", 1.0, 5.0), ("A", 2.0, 3.0), ("A", 4.0, 1.0), ("B", 7.0, 7.0)))
+    // the registered two-phase plan must equal the direct single pass
+    val li = graft.sources.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("price"),
+        $"l_quantity".as("qty"))
+    val twoPhase = SparkEntry.queries("q_skyline")(spark, sf("sf0.001")).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSet
+    val single = direct(li).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSet
+    assert(twoPhase == single && twoPhase.nonEmpty)
+  }
+
   test("bitmap conjunction equals the direct count across word boundaries") {
     // 130 locators span three 64-bit words; types/tiers interleave so
     // every word carries bits of several cells
