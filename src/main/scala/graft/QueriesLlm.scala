@@ -259,6 +259,12 @@ object QueriesLlm {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.imageHistogram(s,
         Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
+    // REAL image-quality screen: grayscale + horizontal edge-energy sums
+    // over the DECODED raster (the blur/flat filter run before paying
+    // for model inference); oracle reproduces the decoded sums exactly
+    "mm_quality" -> ((s, dir) =>
+      Multimodal.imageQuality(s,
+        Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
     // REAL learned weights through the BatchModel inference contract:
     // lrTrain's weight vector (bucket-bounded collect) scores every
     // document blob inside inferFeatures' partition-batched runner; the
@@ -1050,6 +1056,22 @@ object QueriesLlm {
     // lossless, so the decoded channel values are pure arithmetic.
     // unnest-chained generate_series: DuckDB's table-function form
     // rejects lateral column arguments (the chunkSql precedent)
+    "mm_quality" ->
+      """with dims as (select doc_id,
+        |  cast(1 + doc_id % 13 as bigint) as w,
+        |  cast(1 + (doc_id * 3) % 11 as bigint) as h from documents),
+        |xs as (select doc_id, h, unnest(generate_series(0, w - 1)) as x from dims),
+        |px as (select doc_id, x, y,
+        |  (doc_id + x * 31 + y * 17) % 16777215 as val from
+        |  (select doc_id, x, unnest(generate_series(0, h - 1)) as y from xs)),
+        |g as (select doc_id, x, y,
+        |  ((val // 65536) + ((val // 256) % 256) + (val % 256)) // 3 as g from px),
+        |e as (select doc_id, g,
+        |  lag(g) over (partition by doc_id, y order by x) as pg from g)
+        |select doc_id, cast(count(*) as bigint) as n_px,
+        | cast(sum(g) as bigint) as gray_sum,
+        | cast(coalesce(sum(abs(g - pg)), 0) as bigint) as edge_sum
+        |from e group by doc_id""".stripMargin.replace("\n", " "),
     "multimodal_features" ->
       """with dims as (select doc_id,
         |  cast(1 + doc_id % 13 as bigint) as w,

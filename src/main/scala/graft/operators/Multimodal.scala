@@ -333,6 +333,45 @@ object Multimodal {
     }.toDF("doc_id", "channel", "bin", "cnt")
   }
 
+  /** REAL image-quality screen from DECODED pixels: integer grayscale
+    * sum and horizontal gradient (edge) energy per image — the classic
+    * blur / flat-image filters of an image-curation pipeline (a
+    * near-constant raster has ~zero gradient energy, heavy blur
+    * collapses it; pipelines threshold edge_sum/n_px before paying for
+    * model inference). Same proof shape as [[imageHistogram]]: the
+    * raster comes out of the genuine JDK decode, the pixel content is
+    * arithmetic in (doc_id, x, y), so the DuckDB oracle reproduces the
+    * decoded sums bit-exactly as BIGINTs — encode → decode → featurize,
+    * no float surface. Partition-parallel; output is one row per image. */
+  def imageQuality(spark: SparkSession, assets: Dataset[Asset]): DataFrame = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.blob))
+        catch { case _: Exception => null }
+      if (img == null) Iterator.empty
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var gs = 0L
+        var es = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          var prev = -1L
+          while (x < w) {
+            val v = img.getRGB(x, y)
+            val g = (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)).toLong / 3L
+            gs += g
+            if (prev >= 0L) es += math.abs(g - prev)
+            prev = g
+            x += 1
+          }
+          y += 1
+        }
+        Iterator((a.doc_id, w.toLong * h, gs, es))
+      }
+    }.toDF("doc_id", "n_px", "gray_sum", "edge_sum")
+  }
+
   /** The model-inference plumbing CONTRACT — the one multimodal
     * component that cannot be real without a model runtime in the
     * container, so the INTERFACE is the deliverable: an expensive

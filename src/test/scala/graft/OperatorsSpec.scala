@@ -978,6 +978,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("image quality: flat raster has zero edge energy, hard stripes max it") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flat = png(6, 4, (_, _) => 0x646464)       // gray 100 everywhere
+    val stripe = png(6, 4, (x, _) => if (x % 2 == 0) 0x000000 else 0xffffff)
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(1L, flat), Multimodal.Asset(2L, stripe)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset])
+    val r = Multimodal.imageQuality(spark, assets).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((24L, 2400L, 0L)))            // 6*4 px, gray 100, no edges
+    // stripes: gray alternates 0/255 -> 5 transitions x 4 rows x 255
+    assert(r(2L) == ((24L, 12L * 255L, 5L * 4L * 255L)))
+  }
+
   test("hll merge identity: per-source sketches combine to the single-sketch result") {
     val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
     val merged = Hll.hllMerged(docs).head
