@@ -386,6 +386,11 @@ object QueriesOlap {
     // attribute, then version/valid_to/is_current windows) — one shuffle
     // on the dimension key, three windows over one sort
     "q_scd2" -> ((s, dir) => EventOps.scd2(Tables.read(s, dir, "events"))),
+    // streaming SCD2 maintenance (13th pattern): per-key state = the one
+    // OPEN version; arriving updates close/extend it, emitting finished
+    // validity intervals — oracle is the batch SCD2 closed-version set
+    "stream_scd2" -> ((s, dir) =>
+      graft.streaming.EventStream.runScd2Once(s, dir)),
     // per-user hourly gap-fill + linear interpolation: dense hour axis
     // GENERATED per key (sequence+explode, span capped — output is
     // keys x span regardless of input rows), bracketing observations via
@@ -1354,6 +1359,10 @@ object QueriesOlap {
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
     "q_scd2" -> EventOps.scd2Sql(),
+    "stream_scd2" ->
+      s"""select user_id, version, tier, valid_from, valid_to
+         |from (${EventOps.scd2Sql()})
+         |where valid_to is not null""".stripMargin.replace("\n", " "),
     "q_incr_agg" -> EventOps.hourlyIncrementalSql(),
     "q_bitmap" -> EventOps.bitmapConjunctionSql(),
     "q_skyline" ->

@@ -183,6 +183,57 @@ object EventStream {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "stream", "complete", hourlyAgg)
 
+  // ---- streaming SCD Type-2 maintenance ---------------------------------
+
+  case class ScdEv(user_id: Long, ts: Long, event_id: Long, value: Double)
+  case class ScdState(version: Long, tier: Long, from: Long)
+  case class ScdOut(user_id: Long, version: Long, tier: Long,
+                    valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 (13th pattern) — the CDC-consumer twin of the batch
+    * [[graft.operators.EventOps.scd2]]: per-key state holds only the OPEN
+    * version (version number, tier, valid_from — three scalars, bounded
+    * by key count, never history); each arriving update either extends
+    * the open version (same tier) or closes it, emitting the finished
+    * validity interval, and opens the next. This is how a warehouse
+    * maintains a type-2 dimension from a change stream without
+    * re-reading history. Closed versions equal the batch SCD2 rows with
+    * `valid_to IS NOT NULL` (each key's open tail stays in state) — that
+    * complement is the DuckDB oracle, [[sessionizeStream]]'s contract. */
+  def scd2Stream(stream: DataFrame, eventType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def fn(key: Long, events: Iterator[ScdEv],
+           state: GroupState[ScdState]): Iterator[ScdOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+      sorted.foreach { e =>
+        val tier = math.floor(e.value / 20.0).toLong
+        cur match {
+          case Some(s) if s.tier == tier => // same attribute: version extends
+          case Some(s) =>
+            out += ScdOut(key, s.version, s.tier, s.from, e.ts)
+            cur = Some(ScdState(s.version + 1, tier, e.ts))
+          case None =>
+            cur = Some(ScdState(1L, tier, e.ts))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    stream.filter(col("event_type") === eventType)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).as[ScdEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[scd2Stream]]: emits the CLOSED versions. */
+  def runScd2Once(spark: SparkSession, sfDir: String): DataFrame =
+    runAvailableNow(spark, sfDir, "scd2", "append", scd2Stream(_))
+
   /** Trending top-`k` (12th pattern): per-hour top event types by count.
     * Rank-over-stream is not directly expressible in Structured
     * Streaming (non-time windows are unsupported on streaming frames),

@@ -36,6 +36,22 @@ class StreamBatchSpec extends SparkSpec {
     }
   }
 
+  test("streaming scd2 emits exactly the batch closed versions; open tails stay in state") {
+    import org.apache.spark.sql.functions._
+    val batch = EventOps.scd2(Tables.read(spark, sf("sf0.001"), "events"))
+    val closed = batch.filter(col("valid_to").isNotNull)
+      .select("user_id", "version", "tier", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val stream = graft.streaming.EventStream.runScd2Once(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(stream == closed && stream.nonEmpty)
+    // exactly one open (current) version per key remains unemitted
+    val open = batch.filter(col("valid_to").isNull).count()
+    assert(open == batch.select("user_id").distinct().count())
+  }
+
   test("stream-static broadcast join equals the batch join on sf0.001") {
     import org.apache.spark.sql.functions._
     val events = Tables.read(spark, sf("sf0.001"), "events")
