@@ -373,6 +373,11 @@ object QueriesLlm {
     // shuffle → packing, every stage over the previous stage's
     // survivors, one declarative plan (PlanSpec pins the composition
     // adds no exchange beyond the stages' own)
+    // curate -> index -> retrieve composed (4th composed pipeline):
+    // row-local filter, one in-stream keeper window, then the standalone
+    // BM25 retrieval plan over the survivors
+    "pipeline_search" -> ((s, dir) =>
+      graft.operators.Curation.searchPipeline(Tables.read(s, dir, "documents"))),
     "pipeline_curate" -> ((s, dir) =>
       graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"))),
     // L2-normalized embeddings in long format (bit-exact: shared chain
@@ -788,6 +793,7 @@ object QueriesLlm {
     "mix_plan" -> Sampling.mixPlanSql(),
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
+    "pipeline_search" -> graft.operators.Curation.searchPipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
     "emb_pca" -> graft.operators.Pca.projectSql(),

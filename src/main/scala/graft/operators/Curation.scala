@@ -185,4 +185,58 @@ object Curation {
        |  rows between unbounded preceding and current row) as cum from s6)"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** Curate → index → retrieve, COMPOSED (the 4th composed pipeline,
+    * next to curate/embed/curriculum): quality + language-consistency
+    * filter, exact-dedup keeper window, then the BM25 query-by-example
+    * retrieval ([[TextOps.bm25Retrieval]]) builds its posting index over
+    * the SURVIVORS — the "index the cleaned corpus" shape every search/
+    * RAG deploy runs. Composition properties: the filter is row-local
+    * (no exchange), the keeper dedup is ONE md5-keyed window in-stream
+    * (no agg-and-join-back, so the text-bearing prefix is never
+    * recomputed), and everything downstream is the standalone
+    * retrieval's own plan over a smaller relation — PlanSpec pins the
+    * composed exchange budget at standalone + the one dedup exchange. */
+  def searchPipeline(docs: DataFrame, qualityMin: Double = 0.5,
+                     k: Int = 10, queryEvery: Int = 50): DataFrame = {
+    val scored = docs
+      .selectExpr("text" +:
+        (TextOps.statsSelects(SparkD) ++ TextOps.langIdSelects(SparkD).drop(2)): _*)
+      .withColumn("quality", expr(TextOps.qualityExpr))
+      .withColumn("pred_lang", expr(TextOps.langPredExpr))
+    val c1 = scored
+      .filter(col("quality") >= qualityMin && col("pred_lang") === col("lang"))
+      .select("doc_id", "text")
+    // the retrieval plan consumes its corpus through FOUR branches
+    // (lengths, df, totals, postings×query) and Spark recomputes
+    // non-identical prefixes per branch — materialize the curated
+    // survivors ONCE (the minHashPairs/allPairs posting-relation
+    // discipline) so the filter+dedup prefix runs once, not four times
+    val c2 = c1
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text")
+      .localCheckpoint()
+    TextOps.bm25Retrieval(c2, k, queryEvery)
+  }
+
+  /** DuckDB mirror of [[searchPipeline]] — the curate CTEs prepended to
+    * the standalone retrieval oracle via its `withPrefix` hook. */
+  def searchPipelineSql(qualityMin: Double = 0.5, k: Int = 10,
+                        queryEvery: Int = 50,
+                        table: String = "documents"): String = {
+    val combined = (TextOps.statsSelects(DuckD) ++ TextOps.langIdSelects(DuckD).drop(2))
+      .mkString(", ")
+    val prefix =
+      s"""st as (select text, $combined from $table),
+         |c1 as (select doc_id, text from (
+         |  select doc_id, lang, text, ${TextOps.qualityExpr} as quality,
+         |   ${TextOps.langPredExpr} as pred_lang from st)
+         | where quality >= ${Parity.lit(qualityMin)} and pred_lang = lang),
+         |c2 as (select doc_id, text from (
+         |  select doc_id, text, min(doc_id) over (partition by md5(text)) as keeper
+         |  from c1) where doc_id = keeper),
+         |""".stripMargin.replace("\n", " ")
+    TextOps.bm25RetrievalSql(k, queryEvery, "c2", prefix)
+  }
 }

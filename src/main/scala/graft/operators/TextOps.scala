@@ -1037,10 +1037,12 @@ object TextOps {
       .select("q_id", "doc_id", "score", "rk")
   }
 
-  /** DuckDB mirror of [[bm25Retrieval]]. */
+  /** DuckDB mirror of [[bm25Retrieval]]. `withPrefix` lets a composed
+    * pipeline prepend its own CTEs (must end with a comma). */
   def bm25RetrievalSql(k: Int = 10, queryEvery: Int = 50,
-                       table: String = "documents"): String =
-    s"""with toks as (${gram3DuckToks(table)}),
+                       table: String = "documents",
+                       withPrefix: String = ""): String =
+    s"""with ${withPrefix}toks as (${gram3DuckToks(table)}),
        |tf as (select doc_id, token, count(*) as tf,
        |  sum(count(*)) over (partition by doc_id) as len
        |  from toks group by doc_id, token),

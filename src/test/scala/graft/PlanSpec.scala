@@ -440,6 +440,19 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).length >= 2, p)
   }
 
+  test("pipeline_search: composition adds only the dedup exchange over standalone retrieval") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+    val standalone = exchanges(SparkEntry.queries("bm25_retrieval")(spark, sf("sf0.001")))
+    val composed = exchanges(SparkEntry.queries("pipeline_search")(spark, sf("sf0.001")))
+    // the curated survivor relation is materialized once (checkpoint), so
+    // the downstream plan is the standalone retrieval's own; the filter
+    // is row-local and the keeper dedup is one md5-keyed window whose
+    // exchange lives in the (already-run) checkpoint lineage
+    assert(composed <= standalone,
+      s"composed $composed exchanges vs standalone $standalone budget")
+  }
+
   test("rank windows keep whole-stage codegen") {
     val df = Ranking.withRanks(QueriesMwu.liCells(spark, sf("sf0.001")))
     df.collect() // finalize the adaptive plan so codegen spans materialize
