@@ -213,6 +213,11 @@ object QueriesLlm {
     // containment (broadcast eval side)
     "decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.read(s, dir, "documents"))),
+    // position-robust decontamination: MOSS winnowed fingerprints vs the
+    // eval set (catches verbatim quotes inside long docs and survives
+    // the single-char edits that shift fixed-stride span hashes)
+    "decontaminate_winnow" -> ((s, dir) =>
+      Dedup.decontaminateWinnow(Tables.read(s, dir, "documents"))),
     // same semantics via the inverted-index join — the shape for LARGE
     // eval sets that cannot broadcast (both variants share one oracle, so
     // the gate proves them bit-identical)
@@ -905,6 +910,7 @@ object QueriesLlm {
     "decontaminate" -> decontamDuck,
     "decontaminate_join" -> decontamDuck,
     "decontaminate_bloom" -> Dedup.decontaminateBloomSql(),
+    "decontaminate_winnow" -> Dedup.decontaminateWinnowSql(),
     "text_pii" -> TextOps.piiSql(),
     "sample_stratified" -> Sampling.stratifiedSql(),
     "sample_temperature" -> Sampling.temperatureSql(),

@@ -268,6 +268,63 @@ object Dedup {
       .select("doc_id", "eval_id", "contam")
   }
 
+  /** Position-robust decontamination — the winnowed-fingerprint sibling
+    * of [[decontaminate]]: instead of whole-doc shingle-set overlap, the
+    * corpus and the eval set are reduced to MOSS winnowed fingerprints
+    * ([[TextOps.winnow]]) and a corpus doc is flagged by its best
+    * eval-containment score. Catches the case the shingle-set ratio
+    * dilutes: a long corpus document QUOTING an eval answer verbatim
+    * (the quote's winnow fps all match an eval doc even though the
+    * corpus doc's own fingerprint universe is much larger), and is
+    * robust to the single-character edits that shift every fixed-stride
+    * span hash.
+    *
+    * Scale shape: fps collapse to distinct (doc, fp) map-side; the eval
+    * side is eval-fraction-sized, and the match is a fp-keyed equi-join
+    * (never a cross join); per-doc argmax is one window over the match
+    * relation. */
+  def decontaminateWinnow(docs: DataFrame, evalEvery: Int = 97,
+                          minShared: Int = 2): DataFrame = {
+    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct()
+    val evalFps = fps.filter(col("doc_id") % evalEvery === 0)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    val evalSz = evalFps.groupBy("eval_id").agg(count(lit(1)).as("n_eval_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("contain").desc, col("eval_id").asc)
+    fps.filter(col("doc_id") % evalEvery =!= 0)
+      .join(evalFps, "fp")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(evalSz, "eval_id")
+      .withColumn("contain",
+        col("n_shared").cast("double") / col("n_eval_fp").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("doc_id", "eval_id", "n_shared", "contain")
+  }
+
+  /** DuckDB mirror of [[decontaminateWinnow]]. */
+  def decontaminateWinnowSql(evalEvery: Int = 97, minShared: Int = 2,
+                             table: String = "documents"): String =
+    s"""with wn as materialized (${TextOps.winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |ev as materialized (select doc_id as eval_id, fp from fps
+       |  where doc_id % $evalEvery = 0),
+       |sz as (select eval_id, cast(count(*) as bigint) as n_eval_fp
+       | from ev group by 1),
+       |sh as (select doc_id, eval_id, cast(count(*) as bigint) as n_shared
+       | from (select doc_id, fp from fps where doc_id % $evalEvery <> 0) co
+       |  join ev using (fp)
+       | group by 1, 2 having count(*) >= $minShared)
+       |select doc_id, eval_id, n_shared, contain from (
+       | select sh.doc_id, sh.eval_id, n_shared,
+       |  cast(n_shared as double) / cast(n_eval_fp as double) as contain,
+       |  row_number() over (partition by sh.doc_id
+       |    order by cast(n_shared as double) / cast(n_eval_fp as double) desc,
+       |     sh.eval_id asc) as rk
+       | from sh join sz using (eval_id))
+       |where rk = 1""".stripMargin.replace("\n", " ")
+
   /** Near-dup CLUSTER resolution: collapse a pair relation into
     * connected components by synchronized min-label propagation —
     * `iters` rounds of "my label = min(mine, my neighbors')". The output

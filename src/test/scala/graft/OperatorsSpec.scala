@@ -978,6 +978,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("winnow decontamination: a verbatim quote inside a long doc is flagged; unrelated text is not") {
+    val answer = "the secret benchmark answer is forty two exactly"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    val docs = Seq(
+      doc(0L, answer), // id % 97 == 0 -> the eval doc
+      doc(1L, s"lots of surrounding prose first $answer and then much more prose after"),
+      doc(2L, "completely different content that shares nothing with it"),
+      // single-char edit of the quote: most winnow fps still match
+      doc(3L, s"prefix ${answer.replace("forty", "fortx")} suffix"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.decontaminateWinnow(docs).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(3)))).toMap
+    assert(r.contains(1L) && r(1L)._1 == 0L && r(1L)._2 > 0.5,
+      s"verbatim quote must contain most eval fps: $r")
+    assert(!r.contains(2L), s"unrelated doc flagged: $r")
+    assert(r.contains(3L) && r(3L)._1 == 0L,
+      s"edited quote must still match on surviving fps: $r")
+  }
+
   test("image quality: flat raster has zero edge energy, hard stripes max it") {
     def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
