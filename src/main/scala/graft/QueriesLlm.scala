@@ -397,6 +397,11 @@ object QueriesLlm {
     // shuffles), fixed power-iteration rounds on the dim²-bounded moment
     // relation (driver-side, Pq-codebook precedent), chain-dot top-2
     // projections — bit-identical to the oracle's unrolled CTE rounds
+    // PCA whitening: projections scaled 1/sqrt(lambda) (unit-variance
+    // components — the Mahalanobis/calibration preprocessing); lambda is
+    // the deflation's own Rayleigh quotient, bit-identical cross-engine
+    "emb_whiten" -> ((s, dir) =>
+      graft.operators.Pca.whiten(Tables.read(s, dir, "embeddings"))),
     "emb_pca" -> ((s, dir) =>
       graft.operators.Pca.project(Tables.read(s, dir, "embeddings"))),
     // same decomposition at k=4 — the parameterized iterate/deflate
@@ -802,6 +807,7 @@ object QueriesLlm {
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
     "emb_pca" -> graft.operators.Pca.projectSql(),
+    "emb_whiten" -> graft.operators.Pca.projectSql(whiten = true),
     "emb_pca_k4" -> graft.operators.Pca.projectSql(k = 4),
     "emb_pca_agg" -> graft.operators.Pca.projectSql(),
     "pipeline_embed" ->

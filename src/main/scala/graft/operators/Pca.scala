@@ -180,19 +180,25 @@ object Pca {
 
   /** Top-k eigenvectors of the centered covariance built from a moment
     * grid: iterate → Rayleigh λ → deflate, k times. */
-  private def components(g: MomentGrid, k: Int): Seq[Array[Double]] = {
+  /** Eigenpairs (v, λ): λ is each component's Rayleigh quotient against
+    * ITS (deflated) covariance — computed for every component so the
+    * whitening path can scale by 1/√λ; deflation consumes the identical
+    * value, so [[components]]' trajectory is unchanged. */
+  private def eigh(g: MomentGrid, k: Int): Seq[(Array[Double], Double)] = {
     val mu = Array.tabulate(dim)(i => g.exx(i + 1, 0))
     // centered covariance, spelled exactly like the oracle's cmat1 CTE
     var c = Array.tabulate(dim, dim)((i, j) => g.exx(i + 1, j + 1) - mu(i) * mu(j))
     (1 to k).map { comp =>
       val v = iterate(c, comp)
-      if (comp < k) {
-        val lam = rayleigh(c, v)
+      val lam = rayleigh(c, v)
+      if (comp < k)
         c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam * (v(i) * v(j)))
-      }
-      v
+      (v, lam)
     }
   }
+
+  private def components(g: MomentGrid, k: Int): Seq[Array[Double]] =
+    eigh(g, k).map(_._1)
 
   private def projectOn(emb: DataFrame, vs: Seq[Array[Double]]): DataFrame = {
     def lit64(v: Array[Double]) = s"array(${v.map(Parity.lit).mkString(", ")})"
@@ -213,6 +219,26 @@ object Pca {
   def projectAgg(emb: DataFrame, k: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     projectOn(emb, components(momentsAgg(emb), k))
+  }
+
+  /** PCA WHITENING — the projection each component scaled by 1/√λ so
+    * the output has unit variance per component (the standard
+    * embedding-pipeline preprocessing before cosine retraining, score
+    * calibration, or Mahalanobis-style distances). λ is the component's
+    * in-engine Rayleigh quotient — exactly the value deflation already
+    * uses, so both engines carry bit-identical λ and the scale division
+    * is one IEEE op on identical operands. Degenerate components
+    * (λ ≤ 0 on variance-free data) pass through unscaled — mirrored in
+    * the oracle's CASE. */
+  def whiten(emb: DataFrame, k: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val es = eigh(momentsDataflow(emb), k)
+    def lit64(v: Array[Double]) = s"array(${v.map(Parity.lit).mkString(", ")})"
+    emb.select(col("vec_id") +: es.zipWithIndex.map { case ((v, lam), i) =>
+      val p = s"(chain_dot(embedding, ${lit64(v)}) + 0e0)"
+      val l = Parity.lit(lam)
+      expr(s"(case when $l > 0e0 then $p / sqrt($l) else $p end)").as(s"w${i + 1}")
+    }: _*)
   }
 
   // -------------------------------------------------------------------
@@ -250,7 +276,7 @@ object Pca {
     *        after WITH — lets a composed pipeline feed a survivor CTE in
     *        as `table`. */
   def projectSql(table: String = "embeddings", prefix: String = "",
-                 k: Int = 2): String = {
+                 k: Int = 2, whiten: Boolean = false): String = {
     val sb = new StringBuilder
     sb ++= s"with $prefix"
     sb ++= s"li as materialized (select vec_id, embedding, cast(ui as bigint) as i, " +
@@ -287,10 +313,30 @@ object Pca {
         sb ++= ", " + roundSql(id, prev, s"crow$c")
       }
     }
-    val aliases = (1 to k).map(c => s"${lastOf(c)} e$c").mkString(", ")
-    val cols = (1 to k).map(c =>
-      s"${foldSql(s"cast(embedding[k] as double) * e$c.v[k]")} as p$c").mkString(", ")
-    sb ++= s" select vec_id, $cols from $table, $aliases"
+    if (whiten) {
+      // per-component λ: the Rayleigh quotient against the component's
+      // own (deflated) covariance — the identical formula the deflation
+      // CTEs use, now emitted for EVERY component
+      for (c <- 1 to k) {
+        sb ++= s", wm$c as materialized (select i, ${foldSql("carr[k] * v[k]")} as y " +
+          s"from crow$c, ${lastOf(c)})"
+        sb ++= s", wy$c as materialized (select list(y order by i) as y from wm$c)"
+        sb ++= s", wl$c as materialized (select ${foldSql("y[k] * v[k]")} as lam " +
+          s"from wy$c, ${lastOf(c)})"
+      }
+      val aliases = ((1 to k).map(c => s"${lastOf(c)} e$c") ++
+        (1 to k).map(c => s"wl$c")).mkString(", ")
+      val cols = (1 to k).map { c =>
+        val p = foldSql(s"cast(embedding[k] as double) * e$c.v[k]")
+        s"(case when wl$c.lam > 0e0 then $p / sqrt(wl$c.lam) else $p end) as w$c"
+      }.mkString(", ")
+      sb ++= s" select vec_id, $cols from $table, $aliases"
+    } else {
+      val aliases = (1 to k).map(c => s"${lastOf(c)} e$c").mkString(", ")
+      val cols = (1 to k).map(c =>
+        s"${foldSql(s"cast(embedding[k] as double) * e$c.v[k]")} as p$c").mkString(", ")
+      sb ++= s" select vec_id, $cols from $table, $aliases"
+    }
     sb.toString
   }
 }

@@ -978,6 +978,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("pca whitening: components come out unit-variance on full-rank data") {
+    val w = Pca.whiten(graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings"))
+    val r = w.agg(var_pop($"w1").as("v1"), var_pop($"w2").as("v2")).head
+    // population variance of the 1/sqrt(lambda)-scaled projection is 1
+    // exactly up to power-iteration convergence
+    assert(math.abs(r.getDouble(0) - 1.0) < 0.02, s"var(w1)=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 0.02, s"var(w2)=${r.getDouble(1)}")
+  }
+
   test("winnow decontamination: a verbatim quote inside a long doc is flagged; unrelated text is not") {
     val answer = "the secret benchmark answer is forty two exactly"
     def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
