@@ -132,6 +132,11 @@ object QueriesLlm {
     // hyperplanes over fixed-point projections → full hash check)
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.read(s, dir, "embeddings"), threshold = 0.35)),
+    // multi-probe LSH (radius-1): candidates are pairs whose signatures
+    // differ in <= 1 bit — the recall knob without extra hash tables;
+    // probe fan-out rides the (id, bucket) relation, never embeddings
+    "emb_neardup_probe" -> ((s, dir) =>
+      Similarity.nearDupPairsProbe(Tables.read(s, dir, "embeddings"))),
     // canonical text normalization (trim → collapse spaces → lower) with
     // a normalized-content fingerprint
     "text_normalize" -> ((s, dir) =>
@@ -748,6 +753,33 @@ object QueriesLlm {
        |where cos >= 35e-2""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB mirror of [[Similarity.nearDupPairsProbe]] — identical
+    * signature arithmetic; the radius-1 probing compiles to the
+    * declarative "signatures differ in ≤ 1 bit" join (the single-node
+    * oracle affords the non-equi spelling the distributed plan avoids). */
+  private def embNeardupProbeDuck: String = {
+    val sCols = (0 until 12)
+      .map(b => s"sum(case when ${Parity.cwBit(b, "i")} = 1 then qv else -qv end) as s$b")
+      .mkString(", ")
+    val bucket = (0 until 12)
+      .map(b => s"(case when s$b > 0 then ${1 << b} else 0 end)")
+      .mkString(" + ")
+    val dotAB = Parity.dot(DuckD, "a.embedding", "b.embedding", dim)
+    val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+    s"""with qd as (select vec_id, i,
+       |  cast(floor(cast(list_extract(embedding, i) as double) * 1048576e0 + 5e-1) as bigint) as qv
+       |  from embeddings, generate_series(1, $dim) t(i)),
+       |bs as (select vec_id, $sCols from qd group by vec_id),
+       |bkt as (select vec_id, cast($bucket as bigint) as bucket from bs),
+       |nn as (select * from (select e.vec_id, e.embedding, sqrt($dotSelf) as norm, k.bucket
+       |  from embeddings e join bkt k on e.vec_id = k.vec_id) where norm > 0e0)
+       |select id_a, id_b, cos from (
+       | select a.vec_id as id_a, b.vec_id as id_b, ($dotAB) / (a.norm * b.norm) as cos
+       | from nn a join nn b
+       |  on bit_count(xor(a.bucket, b.bucket)) <= 1 and a.vec_id < b.vec_id)
+       |where cos >= 35e-2""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[Dedup.decontaminate]]. */
   private def decontamDuck: String = {
     val rh = Parity.rollingHashDuck("s")
@@ -945,6 +977,7 @@ object QueriesLlm {
          | from j)""".stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashDuck,
     "emb_neardup" -> embNeardupDuck,
+    "emb_neardup_probe" -> embNeardupProbeDuck,
     "dedup_exact" ->
       """select md5(text) as fingerprint, cast(count(*) as bigint) as cnt,
         | cast(min(doc_id) as bigint) as keeper_id

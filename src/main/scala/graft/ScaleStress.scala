@@ -680,7 +680,13 @@ object ScaleStress {
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       new java.io.File(s"$outDir/_READY").createNewFile()
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional 2nd arg: comma-separated name filter — rerun a subset
+    // (e.g. a round's additions) against the already-built replica set
+    // without paying the full-registry sweep again
+    val names = args.lift(1) match {
+      case Some(list) => list.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None       => SparkEntry.queries.keys.toSeq.sorted
+    }
     names.foreach { q =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()

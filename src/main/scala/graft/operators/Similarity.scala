@@ -593,4 +593,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** MULTI-PROBE LSH near-dup pairs (Lv et al. 2007, radius-1 probing):
+    * each vector probes its own bucket plus every Hamming-1 neighbor, so
+    * candidate pairs are those whose sign signatures differ in AT MOST
+    * one bit — recovering the near-dups a single hyperplane's sign flip
+    * hides from [[nearDupPairs]], WITHOUT extra hash tables (the classic
+    * recall/probe-cost knob). Scale shape: the probe fan-out explodes
+    * the (id, bucket) relation only (bits+1 longs per vector — the
+    * embeddings never replicate), candidates dedupe BEFORE the exact
+    * verification joins the vectors back, and everything is bucket/id-
+    * keyed equi-joins. */
+  def nearDupPairsProbe(emb: DataFrame, threshold: Double = 0.35,
+                        bits: Int = 12): DataFrame = {
+    val b = withNorm(lshBuckets(emb, bits)).filter(col("norm") > 0.0)
+    val flips = (0 until bits).map(i => s"bucket ^ ${1L << i}").mkString(", ")
+    val probes = b.select(col("vec_id").as("id_a"), col("bucket"))
+      .select(col("id_a"), explode(expr(s"array(bucket, $flips)")).as("bucket"))
+    val cand = probes
+      .join(b.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = b.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val vb = b.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos",
+        expr(Parity.dot(SparkD, "emb_a", "emb_b", dim)) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

@@ -978,6 +978,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("multi-probe lsh: pair set is a superset of single-bucket pairs, hamming <= 1") {
+    val emb = graft.sources.Tables.read(spark, sf("sf0.01"), "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val single = pairs(Similarity.nearDupPairs(emb, threshold = 0.35))
+    val probe = pairs(Similarity.nearDupPairsProbe(emb))
+    assert(single.subsetOf(probe) && probe.nonEmpty,
+      s"probe (${probe.size}) must contain single-bucket (${single.size})")
+    // every recovered pair's signatures differ in at most one bit
+    val bkt = Similarity.lshBuckets(emb).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probe.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(bkt(a) ^ bkt(b)) <= 1)
+    }
+  }
+
   test("pca whitening: components come out unit-variance on full-rank data") {
     val w = Pca.whiten(graft.sources.Tables.read(spark, sf("sf0.001"), "embeddings"))
     val r = w.agg(var_pop($"w1").as("v1"), var_pop($"w2").as("v2")).head
