@@ -578,6 +578,10 @@ object QueriesOlap {
     // replicates in ONE map-side-combined pass — the scale-out CI
     // machinery (each row's replicate weights derive from a hash, so no
     // global resampling pass exists anywhere)
+    // two-sample Kolmogorov-Smirnov over binned ECDFs: the distribution-
+    // free drift test next to the MWU location test — grid aggregate,
+    // grid-sized cumulative window, exact integer ECDF ratios
+    "stat_ks" -> ((s, dir) => Stats.ks(Tables.read(s, dir, "events"))),
     "stat_bootstrap" -> ((s, dir) =>
       Stats.bootstrap(Tables.read(s, dir, "lineitem"), "l_returnflag",
         "(l_extendedprice / 1024e0)",
@@ -1495,6 +1499,7 @@ object QueriesOlap {
     "stat_ols" -> Stats.olsSql("lineitem", "l_returnflag",
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
+    "stat_ks" -> Stats.ksSql(),
     "stat_bootstrap" -> Stats.bootstrapSql("lineitem", "l_returnflag",
       "(l_extendedprice / 1024e0)",
       "concat(cast(l_orderkey as varchar), '_', cast(l_linenumber as varchar))"),

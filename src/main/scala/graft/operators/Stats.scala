@@ -301,4 +301,89 @@ object Stats {
        |  cast(sum(w * v_fp) as bigint) as s from wtd group by grp, b)
        |select grp, cast(b as bigint) as b, n_eff, $bootMean as mean_boot
        |from agg""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
+  // Two-sample Kolmogorov–Smirnov
+  // ------------------------------------------------------------------
+
+  /** Shared p-value text over columns d, n1, n2: the standard asymptotic
+    * approximation (Numerical Recipes §14.3, public):
+    * λ = (√ne + 0.12 + 0.11/√ne)·D with ne = n1·n2/(n1+n2), then
+    * Q(λ) = 2·Σ_{k=1..8} (−1)^{k−1} e^{−2k²λ²} (terms decay doubly
+    * exponentially; 8 left-chained terms, clipped to [0,1]). The exps
+    * are the transcendental surface → the result rides the q9 grid. */
+  private def ksPExpr(dCol: String = "d"): String = {
+    val en = "(cast(n1 as double) * cast(n2 as double) / " +
+      "(cast(n1 as double) + cast(n2 as double)))"
+    val lam = s"((sqrt($en) + 12e-2 + 11e-2 / sqrt($en)) * ($dCol))"
+    val terms = (1 to 8).map(k => s"exp(-2e0 * ${k * k}e0 * $lam * $lam)")
+    val alt = terms.zipWithIndex
+      .map { case (t, i) => if (i == 0) t else if (i % 2 == 1) s"- $t" else s"+ $t" }
+      .reduceLeft((a, b) => s"($a $b)")
+    // the alternating series needs more terms the smaller λ gets and
+    // OSCILLATES at λ=0 (8 truncated terms would read p=0 for identical
+    // samples); below λ=0.3 the true Q exceeds 0.9996, so the shared
+    // text short-circuits to 1 there — the NR convergence-failure arm
+    s"(case when $lam < 3e-1 then 1e0 " +
+      s"else least(1e0, greatest(0e0, 2e0 * $alt)) end)"
+  }
+
+  /** Two-sample Kolmogorov–Smirnov over BINNED empirical CDFs — D is the
+    * max ECDF gap between two event types' value distributions, the
+    * distribution-free drift/shift test run next to the MWU location
+    * test. Values land on a 1/16 grid FIRST (floor(v·16)/16): at 100 TB
+    * a continuous column has data-proportional distinct values and the
+    * exact KS would sort them all; the binned ECDF bounds the grid (and
+    * the cumulative window) at range×16 rows while changing D by at most
+    * one bin's probability mass — the documented scale contract, same
+    * grid in both engines so the statistic is still bit-deterministic.
+    *
+    * Scale shape: one map-side-combined aggregate onto the value grid,
+    * one grid-sized cumulative window, a 1-row totals broadcast, and a
+    * max-aggregate — the [[graft.operators.Classifier.lrAuc]]
+    * aggregated-rank physics. All ECDF arithmetic is exact integer
+    * ratios; only the p-value's exps ride the q9 grid. */
+  def ks(events: DataFrame, typeA: String = "click",
+         typeB: String = "view"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(expr("floor(value * 16e0) / 16e0").as("v"),
+        when(col("event_type") === typeA, 1L).otherwise(0L).as("is_a"))
+    val grid = s.groupBy("v")
+      .agg(sum("is_a").as("na_v"), sum(expr("1 - is_a")).as("nb_v"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("na_v").as("n1"), sum("nb_v").as("n2"))
+    grid
+      .withColumn("ca", sum("na_v").over(w))
+      .withColumn("cb", sum("nb_v").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", expr(
+        "abs(cast(ca as double) / cast(n1 as double) - " +
+          "cast(cb as double) / cast(n2 as double))"))
+      .groupBy("n1", "n2")
+      .agg(max("gap").as("d"))
+      .selectExpr("n1", "n2", "d", s"${q9(ksPExpr())} as ks_p9")
+  }
+
+  /** DuckDB mirror of [[ks]]. */
+  def ksSql(table: String = "events", typeA: String = "click",
+            typeB: String = "view"): String =
+    s"""with s as (select floor(value * 16e0) / 16e0 as v,
+       |  case when event_type = '$typeA' then 1 else 0 end as is_a
+       | from $table where event_type in ('$typeA', '$typeB')),
+       |grid as (select v, cast(sum(is_a) as bigint) as na_v,
+       |  cast(sum(1 - is_a) as bigint) as nb_v from s group by v),
+       |tot as (select cast(sum(na_v) as bigint) as n1,
+       |  cast(sum(nb_v) as bigint) as n2 from grid),
+       |cum as (select v, sum(na_v) over w as ca, sum(nb_v) over w as cb
+       | from grid window w as (order by v
+       |   rows between unbounded preceding and current row)),
+       |gaps as (select abs(cast(ca as double) / cast(n1 as double)
+       |   - cast(cb as double) / cast(n2 as double)) as gap, n1, n2
+       | from cum, tot),
+       |res as (select n1, n2, max(gap) as d from gaps group by n1, n2)
+       |select n1, n2, d, ${q9(ksPExpr())} as ks_p9 from res"""
+      .stripMargin.replace("\n", " ")
 }

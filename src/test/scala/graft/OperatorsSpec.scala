@@ -978,6 +978,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("ks: identical samples read d=0 p=1; disjoint supports read d=1 p~0") {
+    def ev(shift: Double) = (1L to 200L).flatMap(i => Seq(
+        (i, i * 1000L, 1L, "click", (i % 50) * 1.0),
+        (500L + i, i * 1000L, 2L, "view", (i % 50) * 1.0 + shift)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val same = Stats.ks(ev(0.0)).head
+    assert(same.getLong(0) == 200L && same.getLong(1) == 200L)
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 1.0)
+    val far = Stats.ks(ev(1000.0)).head
+    assert(far.getDouble(2) == 1.0 && far.getDouble(3) < 1e-9,
+      s"d=${far.getDouble(2)} p=${far.getDouble(3)}")
+  }
+
   test("multi-probe lsh: pair set is a superset of single-bucket pairs, hamming <= 1") {
     val emb = graft.sources.Tables.read(spark, sf("sf0.01"), "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
