@@ -582,6 +582,9 @@ object QueriesOlap {
     // free drift test next to the MWU location test — grid aggregate,
     // grid-sized cumulative window, exact integer ECDF ratios
     "stat_ks" -> ((s, dir) => Stats.ks(Tables.read(s, dir, "events"))),
+    // lag-1..3 autocorrelation of the hourly series: Pearson over the
+    // lag-joined hour grid — corr's moment/guard discipline verbatim
+    "ts_acf" -> ((s, dir) => Stats.acf(Tables.read(s, dir, "events"))),
     "stat_bootstrap" -> ((s, dir) =>
       Stats.bootstrap(Tables.read(s, dir, "lineitem"), "l_returnflag",
         "(l_extendedprice / 1024e0)",
@@ -1500,6 +1503,7 @@ object QueriesOlap {
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
     "stat_ks" -> Stats.ksSql(),
+    "ts_acf" -> Stats.acfSql(),
     "stat_bootstrap" -> Stats.bootstrapSql("lineitem", "l_returnflag",
       "(l_extendedprice / 1024e0)",
       "concat(cast(l_orderkey as varchar), '_', cast(l_linenumber as varchar))"),

@@ -303,6 +303,42 @@ object Stats {
        |from agg""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------
+  // Autocorrelation of an hourly series
+  // ------------------------------------------------------------------
+
+  /** Lag-k autocorrelation (k = 1..maxLag) of the hourly value series —
+    * the seasonality/persistence diagnostic a time-series pipeline runs
+    * before modeling. Spelled as Pearson r over the LAG-JOINED hourly
+    * relation, so the whole fixed-point moment discipline (and the
+    * degenerate-series guard) is [[corr]]'s, reused verbatim: the fact
+    * table collapses to the hour grid map-side, the lag pairing is k
+    * self-equi-joins of the grid-sized series (robust to missing hours —
+    * a gap simply contributes no pair), and each lag is one moments row.
+    */
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val hourly = events
+      .withColumn("h", expr("ts div 3600000000000"))
+      .groupBy("h").agg(expr(fpSum("value")).as("v"))
+    val pairs = (1 to maxLag).map { k =>
+      hourly.select(col("h"), col("v").as("x"))
+        .join(hourly.select((col("h") + k).as("h"), col("v").as("y")), "h")
+        .select(lit(k.toLong).as("lagk"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    corr(pairs, "lagk", "x", "y")
+  }
+
+  /** DuckDB mirror of [[acf]]. */
+  def acfSql(table: String = "events", maxLag: Int = 3): String = {
+    val legs = (1 to maxLag).map { k =>
+      s"select cast($k as bigint) as lagk, a.v as x, b.v as y " +
+        s"from hourly a join hourly b on a.h = b.h + $k"
+    }.mkString(" union all ")
+    val pairs = s"(with hourly as (select epoch_ns(ts) // 3600000000000 as h, " +
+      s"${fpSum("value")} as v from $table group by 1) $legs)"
+    corrSql(pairs, "lagk", "x", "y")
+  }
+
+  // ------------------------------------------------------------------
   // Two-sample Kolmogorov–Smirnov
   // ------------------------------------------------------------------
 

@@ -978,6 +978,16 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("acf: a period-2 series reads -1/+1/-1 at lags 1/2/3 exactly") {
+    val h = 3600000000000L
+    val ev = (0L until 48L).map(t =>
+        (t, t * h, 1L, "click", if (t % 2 == 0) 10.0 else 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Stats.acf(ev).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(r == Map(1L -> -1.0, 2L -> 1.0, 3L -> -1.0), s"acf=$r")
+  }
+
   test("ks: identical samples read d=0 p=1; disjoint supports read d=1 p~0") {
     def ev(shift: Double) = (1L to 200L).flatMap(i => Seq(
         (i, i * 1000L, 1L, "click", (i % 50) * 1.0),
