@@ -582,6 +582,24 @@ object QueriesOlap {
     // free drift test next to the MWU location test — grid aggregate,
     // grid-sized cumulative window, exact integer ECDF ratios
     "stat_ks" -> ((s, dir) => Stats.ks(Tables.read(s, dir, "events"))),
+    // mutual information I(event_type; value tier): cell-sized joint +
+    // broadcast marginals, per-cell ln on the 1e-9 unit grid, exact
+    // BIGINT term sum — the feature-selection dependence statistic
+    "stat_mi" -> ((s, dir) => Stats.mutualInfo(Tables.read(s, dir, "events"))),
+    // table profiling (the ANALYZE-TABLE primitive feeding a CBO): one
+    // scan via stack -> per-column count/ndv/min/max/mean — the stats
+    // collection pass a warehouse runs before planning
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+      Tables.read(s, dir, "lineitem")
+        .selectExpr(s"stack(${cols.size}, $stackArgs) as (col_name, v)")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"), count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("ndv"),
+          min("v").as("mn"), max("v").as("mx"),
+          expr(s"${fpSum("v")} / cast(count(v) as double)").as("mean"))
+    }),
     // lag-1..3 autocorrelation of the hourly series: Pearson over the
     // lag-joined hour grid — corr's moment/guard discipline verbatim
     "ts_acf" -> ((s, dir) => Stats.acf(Tables.read(s, dir, "events"))),
@@ -1503,6 +1521,16 @@ object QueriesOlap {
       "l_quantity", "(l_extendedprice / 1024e0)"),
     "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
     "stat_ks" -> Stats.ksSql(),
+    "stat_mi" -> Stats.mutualInfoSql(),
+    "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""select '$c' as col_name, cast(count(*) as bigint) as n,
+           | cast(count($c) as bigint) as n_nonnull,
+           | cast(count(distinct $c) as bigint) as ndv,
+           | min($c) as mn, max($c) as mx,
+           | ${fpSum(c)} / cast(count($c) as double) as mean
+           |from lineitem""".stripMargin.replace("\n", " "))
+      .mkString(" union all "),
     "ts_acf" -> Stats.acfSql(),
     "stat_bootstrap" -> Stats.bootstrapSql("lineitem", "l_returnflag",
       "(l_extendedprice / 1024e0)",

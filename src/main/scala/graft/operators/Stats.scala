@@ -303,6 +303,54 @@ object Stats {
        |from agg""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------
+  // Mutual information of two categorical columns
+  // ------------------------------------------------------------------
+
+  /** Mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) between
+    * event type and the value tier — the feature-selection/dependence
+    * statistic (the aggregate twin of the per-pair PMI op). Each cell's
+    * ln rides the 1e-9 unit grid (the [[TextOps]] PMI discipline), the
+    * sum Σ c_ab·ln_units is exact BIGINT arithmetic, and the final
+    * normalization is two divisions on identical operands — so the
+    * nats value is bit-deterministic with no final rounding. Scale:
+    * joint and marginal tables are cell/level-sized map-side-combined
+    * aggregates; marginals broadcast. */
+  def mutualInfo(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type").as("a"),
+      expr("cast(floor(value / 25e0) as bigint)").as("b"))
+    val joint = e.groupBy("a", "b").agg(count(lit(1)).as("cxy"))
+    val ma = e.groupBy("a").agg(count(lit(1)).as("cx"))
+    val mb = e.groupBy("b").agg(count(lit(1)).as("cy"))
+    val nt = e.agg(count(lit(1)).as("nt"))
+    joint.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(nt))
+      .withColumn("lu", expr(
+        "cast(floor(ln((cast(cxy as double) * cast(nt as double)) / " +
+          "(cast(cx as double) * cast(cy as double))) * 1.0e9 + 5e-1) as bigint)"))
+      .agg(max("nt").as("n"), count(lit(1)).as("n_cells"),
+        sum(expr("cxy * lu")).as("s"))
+      .selectExpr("n", "n_cells",
+        "(cast(s as double) / cast(n as double)) / 1.0e9 as mi_nats")
+  }
+
+  /** DuckDB mirror of [[mutualInfo]]. */
+  def mutualInfoSql(table: String = "events"): String =
+    s"""with e as (select event_type as a,
+       |  cast(floor(value / 25e0) as bigint) as b from $table),
+       |joint as (select a, b, cast(count(*) as bigint) as cxy from e group by 1, 2),
+       |ma as (select a, cast(count(*) as bigint) as cx from e group by 1),
+       |mb as (select b, cast(count(*) as bigint) as cy from e group by 1),
+       |nt as (select cast(count(*) as bigint) as nt from e),
+       |cells as (select cxy,
+       |  cast(floor(ln((cast(cxy as double) * cast(nt as double)) /
+       |   (cast(cx as double) * cast(cy as double))) * 1.0e9 + 5e-1) as bigint) as lu,
+       |  nt
+       | from joint join ma using (a) join mb using (b) cross join nt)
+       |select max(nt) as n, cast(count(*) as bigint) as n_cells,
+       | (cast(sum(cxy * lu) as double) / cast(max(nt) as double)) / 1.0e9 as mi_nats
+       |from cells""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
   // Autocorrelation of an hourly series
   // ------------------------------------------------------------------
 

@@ -978,6 +978,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("mutual info: independent columns read 0 exactly, determined columns read H(A)=ln 2") {
+    def ev(dependent: Boolean) = (0L until 400L).map { i =>
+      val t = if (i % 2 == 0) "a" else "b"
+      // dependent: tier follows type; independent: tier alternates at a
+      // coprime stride so the 2x2 cells are exactly balanced
+      val v = if (dependent) (if (t == "a") 10.0 else 30.0)
+              else (if ((i / 2) % 2 == 0) 10.0 else 30.0)
+      (i, i * 1000L, 1L, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ind = Stats.mutualInfo(ev(dependent = false)).head.getDouble(2)
+    assert(ind == 0.0, s"independent mi=$ind") // ratio 1 -> ln units 0 exactly
+    val dep = Stats.mutualInfo(ev(dependent = true)).head.getDouble(2)
+    assert(math.abs(dep - math.log(2.0)) < 1e-6, s"dependent mi=$dep")
+  }
+
   test("acf: a period-2 series reads -1/+1/-1 at lags 1/2/3 exactly") {
     val h = 3600000000000L
     val ev = (0L until 48L).map(t =>
