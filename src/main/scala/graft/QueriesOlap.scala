@@ -218,6 +218,11 @@ object QueriesOlap {
     // the emitted aggregate — the dashboard topology
     "stream_trending" -> ((s, dir) =>
       graft.streaming.EventStream.runTrendingOnce(s, dir)),
+    // streaming drift ALERT (14th pattern): per-hour KS distance of the
+    // hour's binned distribution vs the stream's reference — histogram
+    // count state in the stream, exact ECDF arithmetic in the post-pass
+    "stream_drift" -> ((s, dir) =>
+      graft.streaming.EventStream.runDriftOnce(s, dir)),
     // streaming fixed-bin value histogram per hour (drift monitoring);
     // state bounded by hours×bins, oracle = identical batch aggregate
     "stream_histogram" -> ((s, dir) =>
@@ -1307,6 +1312,26 @@ object QueriesOlap {
     "stream_dedup" ->
       """select event_type, cast(count(distinct user_id) as bigint) as n_distinct_users
         |from events group by event_type""".stripMargin.replace("\n", " "),
+    "stream_drift" ->
+      s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
+         |  ${graft.streaming.EventStream.histBinExpr} as bin,
+         |  cast(count(*) as bigint) as n from events group by 1, 2),
+         |dense as (select hour_epoch, bin, coalesce(n, 0) as n from
+         | (select distinct hour_epoch from h) cross join
+         | (select distinct bin from h) left join h using (hour_epoch, bin)),
+         |g as (select bin, cast(sum(n) as bigint) as gn from dense group by 1),
+         |gc as (select bin, sum(gn) over (order by bin
+         |  rows between unbounded preceding and current row) as gcum from g),
+         |gt as (select max(gcum) as gt from gc),
+         |hc as (select hour_epoch, bin,
+         |  sum(n) over (partition by hour_epoch order by bin
+         |   rows between unbounded preceding and current row) as hcum,
+         |  sum(n) over (partition by hour_epoch) as htot from dense)
+         |select hour_epoch, cast(max(htot) as bigint) as n_events,
+         | max(abs(cast(hcum as double) / cast(htot as double)
+         |  - cast(gcum as double) / cast(gt as double))) as d
+         |from hc join gc using (bin) cross join gt
+         |group by hour_epoch""".stripMargin.replace("\n", " "),
     "stream_join" ->
       s"""select c_mktsegment, cast(count(*) as bigint) as n, ${fpSum("value")} as v
          |from events join customer on user_id = c_custkey

@@ -347,6 +347,52 @@ object EventStream {
   def runHistogramOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "hist", "complete", histogramAgg)
 
+  /** Drift monitor with a STATISTIC (14th pattern): per-hour KS distance
+    * of the hour's binned value distribution against the whole stream's
+    * reference distribution — the alerting layer on top of the raw
+    * [[histogramAgg]] counts (a dashboard plots histograms; an alert
+    * needs one number per window). Topology is the [[runTrendingOnce]]
+    * split: the STREAM maintains the (hour, bin) count state (bounded by
+    * hours×bins), and the ECDF/KS arithmetic is a tiny batch post-pass
+    * over the emitted aggregate. D is exact integer-ratio arithmetic —
+    * deterministic with no quantization; the reference here is the
+    * stream's own totals (self-drift), the production variant broadcasts
+    * a frozen training-time histogram. */
+  def runDriftOnce(spark: SparkSession, sfDir: String): DataFrame =
+    driftFromHist(runAvailableNow(spark, sfDir, "drift", "complete", histogramAgg))
+
+  /** The batch post-pass of [[runDriftOnce]] over an emitted
+    * (hour_epoch, bin, n) histogram — separable so the ECDF/KS math is
+    * unit-testable on planted histograms. */
+  private[graft] def driftFromHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy("hour_epoch").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // densify: every (hour, bin) cell so cum fractions align across hours
+    val hours = hist.select(col("hour_epoch").as("he")).distinct()
+    val bins = hist.select(col("bin").as("bb")).distinct()
+    val dense = hours.crossJoin(bins)
+      .join(hist, col("he") === col("hour_epoch") && col("bb") === col("bin"),
+        "left")
+      .select(col("he").as("hour_epoch"), col("bb").as("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val glob = dense.groupBy("bin").agg(sum("n").as("gn"))
+      .withColumn("gcum", sum("gn").over(wG))
+    val gtot = glob.agg(max("gcum").as("gt"))
+    dense
+      .withColumn("hcum", sum("n").over(wH))
+      .withColumn("htot", sum("n").over(Window.partitionBy("hour_epoch")))
+      .join(broadcast(glob.select("bin", "gcum")), "bin")
+      .crossJoin(broadcast(gtot))
+      .withColumn("gap", expr(
+        "abs(cast(hcum as double) / cast(htot as double) - " +
+          "cast(gcum as double) / cast(gt as double))"))
+      .groupBy("hour_epoch")
+      .agg(max(col("htot")).as("n_events"), max("gap").as("d"))
+  }
+
   case class EwEv(user_id: Long, event_id: Long, ts: Long, value: Double)
   case class EwState(vfps: Seq[Long])
   case class EwOut(user_id: Long, event_id: Long, us: Long, ewma: Double)

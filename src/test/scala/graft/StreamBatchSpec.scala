@@ -52,6 +52,20 @@ class StreamBatchSpec extends SparkSpec {
     assert(open == batch.select("user_id").distinct().count())
   }
 
+  test("drift post-pass: an hour collapsed into one bin maximizes D") {
+    import spark.implicits._
+    // hours 0,1: uniform over bins 0..3; hour 2: everything in bin 3
+    val hist = (for { h <- 0L to 1L; b <- 0L to 3L } yield (h, b, 25L))
+      .toDF("hour_epoch", "bin", "n")
+      .unionByName(Seq((2L, 3L, 100L)).toDF("hour_epoch", "bin", "n"))
+    val d = graft.streaming.EventStream.driftFromHist(hist).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d(2L) > d(0L) && d(0L) == d(1L), s"d=$d")
+    // hour 2's ECDF is 0 until bin 3; the global has 1/2 at bin 0 ... :
+    // gap peaks at bin 2 with global cum 125+125+... exact check below
+    assert(math.abs(d(2L) - 0.5) < 1e-12) // global F(bin2)=150/300 vs 0
+  }
+
   test("stream-static broadcast join equals the batch join on sf0.001") {
     import org.apache.spark.sql.functions._
     val events = Tables.read(spark, sf("sf0.001"), "events")
