@@ -44,6 +44,7 @@ object ScaleStress {
     if (args.headOption.contains("skew")) { skewStress(args.drop(1)); return }
     if (args.headOption.contains("triangles")) { triangleStress(args.drop(1)); return }
     if (args.headOption.contains("lpa")) { lpaStress(args.drop(1)); return }
+    if (args.headOption.contains("winnow")) { winnowStress(args.drop(1)); return }
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
@@ -572,6 +573,46 @@ object ScaleStress {
       require(candRatio < 2.0 * replicas,
         f"candidate growth $candRatio%.1fx at ${replicas}x corpus — quadratic regime (N2 would be ${replicas * replicas}x)")
     }
+    spark.stop()
+  }
+
+  /** Winnow-overlap stress — the [[allPairsStress]] question for the
+    * MOSS fingerprint join: replicate the corpus with ROTATED alphabets
+    * (replicas keep internal near-dup structure, share no 5-gram
+    * vocabulary across slices), so TRUE overlap pairs grow ~M× and a
+    * quadratic pair generator would grow M²×. Requires the emitted pair
+    * growth to stay linear-ish. Context: the sf1full replica scheme
+    * (suffix-tagged NEAR-IDENTICAL replicas) makes every fingerprint
+    * family M× larger and true pairs grow M²× BY CONSTRUCTION — that
+    * leg measures output growth, this one isolates plan behavior.
+    * `sbt "runMain graft.ScaleStress winnow [replicas]"` */
+  private def winnowStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(m: Int) = docs
+      .select(col("doc_id"), col("text"), explode(expr(s"sequence(0, ${m - 1})")).as("r"))
+      .select((col("doc_id") * m + col("r")).as("doc_id"),
+        (0 until m).foldLeft(col("text")) { (acc, r) =>
+          when(col("r") === r,
+            translate(col("text"), abc, abc.drop(r * 7 % 26) + abc.take(r * 7 % 26)))
+            .otherwise(acc)
+        }.as("text"))
+      .localCheckpoint()
+    def leg(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.TextOps.winnowOverlap(d).count()
+      (pairs, (System.nanoTime() - t0) / 1e9)
+    }
+    val (p1, s1) = leg(rotated(1))
+    val (pM, sM) = leg(rotated(replicas))
+    val ratio = pM.toDouble / math.max(p1, 1L).toDouble
+    println(f"""{"stress":"winnow","replicas":$replicas,"pairs1":$p1,"pairsM":$pM,"pair_ratio":$ratio%.2f,"sec1":$s1%.2f,"secM":$sM%.2f}""")
+    require(ratio < 2.0 * replicas,
+      f"pair growth $ratio%.1fx at ${replicas}x corpus — quadratic regime")
     spark.stop()
   }
 
