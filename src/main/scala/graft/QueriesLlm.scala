@@ -600,21 +600,9 @@ object QueriesLlm {
     * pair relation — 8 rounds of min-label propagation unrolled as CTEs.
     * Every CTE is MATERIALIZED: each l_i references l_{i-1} twice, so
     * inlining would re-evaluate the pair pipeline 2^8 times. */
-  private def labelPropDuck(pairsSql: String): String = {
-    val lp = (1 to 8).map { i =>
-      val prev = s"l${i - 1}"
-      s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
-        s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
-        "group by id)"
-    }.mkString(", ")
-    s"""with pairs as materialized ($pairsSql),
-       |edges as materialized (select doc_a as src, doc_b as dst from pairs
-       |  union all select doc_b as src, doc_a as dst from pairs),
-       |l0 as materialized (select id, id as lbl from
-       |  (select doc_a as id from pairs union select doc_b as id from pairs)),
-       |$lp
-       |select id as doc_id, lbl as cluster_id from l8""".stripMargin.replace("\n", " ")
-  }
+  private def labelPropDuck(pairsSql: String): String =
+    s"with ${Dedup.labelPropCtes(pairsSql)} " +
+      "select id as doc_id, lbl as cluster_id from l8"
 
   /** [[labelPropDuck]] over the MinHash near-dup pairs (`dedup_groups`). */
   private def dedupGroupsDuck: String = labelPropDuck(minhashDuck)

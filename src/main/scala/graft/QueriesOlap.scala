@@ -376,6 +376,30 @@ object QueriesOlap {
       skyline(skyline(pts, Seq("flag", "bkt")), Seq("flag"))
         .select("flag", "price", "qty")
     }),
+    // golden-record survivorship (MDM): fuzzy name pairs -> min-label
+    // clusters -> one surviving record per entity cluster with field-
+    // level survivorship rules (min key, longest name with
+    // lexicographically-greatest tie-break via struct max, max price) —
+    // the entity-resolution composition over three proven components
+    "q_golden" -> ((s, dir) => {
+      val part = Tables.read(s, dir, "part")
+      val pairs = graft.operators.TextOps.fuzzyPairs(part, "p_name")
+      val ids = part.groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("nid"))
+      val e = pairs
+        .join(ids.select(col("name").as("name_a"), col("nid").as("doc_a")), "name_a")
+        .join(ids.select(col("name").as("name_b"), col("nid").as("doc_b")), "name_b")
+        .select("doc_a", "doc_b")
+      val clusters = graft.operators.Dedup.clusterLabels(e)
+      part.join(ids, col("p_name") === col("name"))
+        .join(clusters, col("nid") === col("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"), col("nid")))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          min("p_partkey").as("golden_key"),
+          expr("max(struct(length(p_name) as l, p_name as nm)).nm").as("name"),
+          max("p_retailprice").as("max_price"))
+    }),
     // bitmap-index conjunction: per-dimension bit_or word packing, then
     // the two-dim count via word-aligned AND + popcount — the fact table
     // is read once to build the indexes and never again
@@ -1415,6 +1439,25 @@ object QueriesOlap {
          |where valid_to is not null""".stripMargin.replace("\n", " "),
     "q_incr_agg" -> EventOps.hourlyIncrementalSql(),
     "q_bitmap" -> EventOps.bitmapConjunctionSql(),
+    "q_golden" -> {
+      val ePairs =
+        s"""select a.nid as doc_a, b.nid as doc_b
+           |from (${graft.operators.TextOps.fuzzyPairsSql("part", "p_name")}) fp
+           | join nameids a on fp.name_a = a.name
+           | join nameids b on fp.name_b = b.name""".stripMargin.replace("\n", " ")
+      s"""with nameids as (select p_name as name, min(p_partkey) as nid
+         | from part group by 1),
+         |${graft.operators.Dedup.labelPropCtes(ePairs)},
+         |lab as (select p.p_partkey, p.p_name, p.p_retailprice,
+         |  coalesce(l8.lbl, n.nid) as cluster
+         | from part p join nameids n on p.p_name = n.name
+         |  left join l8 on n.nid = l8.id)
+         |select cluster, cast(count(*) as bigint) as n_members,
+         | min(p_partkey) as golden_key,
+         | (max(struct_pack(l := length(p_name), nm := p_name))).nm as name,
+         | max(p_retailprice) as max_price
+         |from lab group by cluster""".stripMargin.replace("\n", " ")
+    },
     "q_skyline" ->
       """with pts as (select distinct l_returnflag as flag,
         |  l_extendedprice as price, l_quantity as qty from lineitem)

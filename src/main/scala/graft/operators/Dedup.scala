@@ -354,6 +354,27 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** DuckDB CTE chain mirroring [[clusterLabels]] over an arbitrary
+    * `pairsSql` (doc_a, doc_b) subquery: emits CTEs `pairs`, `edges`,
+    * `l0`..`l{iters}`; the caller selects from `l{iters}` (columns
+    * id, lbl). Splice into a larger WITH — the reuse hook the
+    * golden-record oracle needed (QueriesLlm's dedup_groups oracle
+    * delegates here). */
+  def labelPropCtes(pairsSql: String, iters: Int = 8): String = {
+    val lp = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"l$i as materialized (select id, min(lbl) as lbl from (select id, lbl from $prev " +
+        s"union all select e.src as id, p.lbl as lbl from edges e join $prev p on e.dst = p.id) " +
+        "group by id)"
+    }.mkString(", ")
+    s"""pairs as materialized ($pairsSql),
+       |edges as materialized (select doc_a as src, doc_b as dst from pairs
+       |  union all select doc_b as src, doc_a as dst from pairs),
+       |l0 as materialized (select id, id as lbl from
+       |  (select doc_a as id from pairs union select doc_b as id from pairs)),
+       |$lp""".stripMargin.replace("\n", " ")
+  }
+
   /** LSH quality audit: banding recall/precision against exact-Jaccard
     * ground truth on a BOUNDED deterministic sample — the evaluation
     * harness a production dedup pipeline runs before trusting its

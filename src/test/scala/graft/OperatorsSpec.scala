@@ -978,6 +978,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("golden record: near-name cluster survives as one row with field-level rules") {
+    // fuzzy blocking keys on the LAST token — variants differ mid-name
+    val part = Seq(
+      (10L, "azure steel widget", "B1", "T", 5, 100.0),
+      (11L, "azuree steel widget", "B1", "T", 5, 150.0), // near-dup, pricier
+      (12L, "azur steel widget", "B1", "T", 5, 120.0),   // near-dup, shorter
+      (50L, "crimson brass gadget", "B2", "T", 7, 80.0)) // singleton
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val pairs = TextOps.fuzzyPairs(part, "p_name")
+    assert(pairs.count() >= 2) // the three near names pair up within the block
+    val ids = part.groupBy($"p_name".as("name")).agg(min("p_partkey").as("nid"))
+    val e = pairs
+      .join(ids.select($"name".as("name_a"), $"nid".as("doc_a")), "name_a")
+      .join(ids.select($"name".as("name_b"), $"nid".as("doc_b")), "name_b")
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.clusterLabels(e)
+    val golden = part.join(ids, $"p_name" === $"name")
+      .join(clusters, $"nid" === $"doc_id", "left")
+      .withColumn("cluster", coalesce($"cluster_id", $"nid"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min("p_partkey").as("golden_key"),
+        expr("max(struct(length(p_name) as l, p_name as nm)).nm").as("name"),
+        max("p_retailprice").as("max_price"))
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getString(3), x.getDouble(4)))).toMap
+    assert(golden(10L) == ((3L, 10L, "azuree steel widget", 150.0)))
+    assert(golden(50L) == ((1L, 50L, "crimson brass gadget", 80.0)))
+  }
+
   test("mutual info: independent columns read 0 exactly, determined columns read H(A)=ln 2") {
     def ev(dependent: Boolean) = (0L until 400L).map { i =>
       val t = if (i % 2 == 0) "a" else "b"
