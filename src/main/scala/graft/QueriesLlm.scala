@@ -352,6 +352,11 @@ object QueriesLlm {
     // passes; boiler fp set is the small join-back side
     "text_boilerplate" -> ((s, dir) =>
       Dedup.sourceBoilerplate(Tables.read(s, dir, "documents"))),
+    // paragraph-level langid (CCNet scores paragraphs, not docs): per
+    // line langid -> per-doc majority language, share, doc-label
+    // agreement — the code-switching detector
+    "text_langmix" -> ((s, dir) =>
+      TextOps.langMix(Tables.read(s, dir, "documents"))),
     // distributed BPE merge training: 8 rounds over the frequency-weighted
     // word vocabulary (corpus touched once; per-round work vocab-sized);
     // oracle = the identical iteration unrolled as CTEs
@@ -813,6 +818,7 @@ object QueriesLlm {
     "dedup_lines" -> Dedup.lineDedupSql(),
     "dedup_within" -> Dedup.withinDocDedupSql(),
     "text_boilerplate" -> Dedup.sourceBoilerplateSql(),
+    "text_langmix" -> TextOps.langMixSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),

@@ -425,6 +425,10 @@ object QueriesOlap {
     // keys x span regardless of input rows), bracketing observations via
     // two ignore-nulls windows, bit-exact interpolation arithmetic
     "q_gapfill" -> ((s, dir) => EventOps.gapfill(Tables.read(s, dir, "events"))),
+    // first-order Markov transitions (path analysis): per-user lag
+    // window -> pair counts -> exact-ratio transition probabilities
+    "q_transitions" -> ((s, dir) =>
+      EventOps.transitions(Tables.read(s, dir, "events"))),
     // temporal-proximity range "join" as a RANGE window frame: per event,
     // how many of the same user's events land in the following 10 minutes
     // — the frame shares the sessionization shuffle shape and is the
@@ -1473,6 +1477,7 @@ object QueriesOlap {
         |  as sum_chars
         |from documents group by lang""".stripMargin.replace("\n", " "),
     "q_gapfill" -> EventOps.gapfillSql(),
+    "q_transitions" -> EventOps.transitionsSql(),
     "q_exists" ->
       """select o_orderpriority, cast(count(*) as bigint) as n_late_orders
         |from orders o

@@ -246,6 +246,41 @@ object EventOps {
        |window w as (partition by user_id order by tsn, event_id)"""
       .stripMargin.replace("\n", " ")
 
+  /** First-order Markov transition matrix of the event stream — the
+    * path-analysis primitive (what follows what, per user journey):
+    * P(next type | type) from per-user consecutive event pairs. One
+    * user-keyed sort feeds the lag window; pair counts aggregate
+    * map-side; probabilities are exact integer ratios of the pair count
+    * over the source type's outgoing total (a window over the
+    * cell-sized count relation). */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("out_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p", col("n").cast("double") / col("out_total").cast("double"))
+      .select("from_type", "to_type", "n", "p")
+  }
+
+  /** DuckDB mirror of [[transitions]]. */
+  def transitionsSql(table: String = "events"): String =
+    s"""with seq as (select user_id, event_type,
+       |  lead(event_type) over (partition by user_id
+       |   order by ts, event_id) as next_type
+       | from $table),
+       |pairs as (select event_type as from_type, next_type as to_type,
+       |  cast(count(*) as bigint) as n
+       | from seq where next_type is not null group by 1, 2)
+       |select from_type, to_type, n,
+       | cast(n as double) / cast(sum(n) over (partition by from_type) as double) as p
+       |from pairs""".stripMargin.replace("\n", " ")
+
   /** Bitmap-index conjunction — the OLAP bitmap join: build one bitmap
     * index per low-cardinality dimension (64 row-locators packed per
     * BIGINT word via `bit_or`), then answer the two-dimensional count

@@ -86,12 +86,12 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "un", "que", "pour", "dans", "ce", "une", "sur"),
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
 
-  def langIdSelects(d: Dialect): Seq[String] = {
+  def langIdSelects(d: Dialect, textCol: String = "text"): Seq[String] = {
     val (split, len, filt) = d match {
       case SparkD => ("split", "size", "filter")
       case DuckD  => ("string_split", "len", "list_filter")
     }
-    val toks = s"$split(trim(text), ' ')"
+    val toks = s"$split(trim($textCol), ' ')"
     val scores = langProfiles.map { case (lg, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
       s"(cast($len($filt($toks, t -> t in ($list))) as double) / cast($len($toks) as double)) as s_$lg"
@@ -1209,6 +1209,56 @@ object TextOps {
        | cast(count(*) as bigint) as cnt
        |from (select doc_id, unnest(string_split(trim(text), ' ')) as tok from $table) t
        |group by 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Per-LINE language mixture — the paragraph-level langid pass (CCNet
+    * scores paragraphs, not documents: a code-switching page looks
+    * mid-confidence at doc level but bimodal at line level). Each
+    * fixed-token line ([[Dedup.tokenLines]] — the shared line rule) gets
+    * the stopword-profile langid; per doc: line count, the majority line
+    * language (argmax by count desc then language asc — deterministic),
+    * its share of lines (exact ratio), and whether it agrees with the
+    * doc label. One doc-keyed shuffle carries the line aggregation and
+    * the majority window. */
+  def langMix(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Dedup.tokenLines(docs, lineTokens, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("line"))
+    val scored = lines
+      .selectExpr((Seq("doc_id", "lang") ++
+        langIdSelects(SparkD, "line").drop(2)): _*)
+      .withColumn("pred", expr(langPredExpr))
+    val perLang = scored.groupBy("doc_id", "lang", "pred")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred").asc)
+    perLang
+      .withColumn("n_lines", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("n_lines"),
+        col("pred").as("major_lang"), col("c").as("n_major"),
+        (col("c").cast("double") / col("n_lines").cast("double")).as("major_share"),
+        (col("pred") === col("lang")).as("agrees"))
+  }
+
+  /** DuckDB mirror of [[langMix]]. */
+  def langMixSql(lineTokens: Int = 10, table: String = "documents"): String = {
+    val scores = langIdSelects(graft.oracle.Parity.DuckD, "line").drop(2)
+      .mkString(", ")
+    s"""with ${Dedup.linesCteSql(lineTokens, table, ", lang")},
+       |sc as (select doc_id, lang, ${TextOps.langPredExpr} as pred from
+       |  (select doc_id, lang, $scores from l)),
+       |pl as (select doc_id, lang, pred, cast(count(*) as bigint) as c
+       | from sc group by 1, 2, 3),
+       |agg as (select doc_id, lang, pred, c,
+       |  sum(c) over (partition by doc_id) as n_lines,
+       |  row_number() over (partition by doc_id
+       |   order by c desc, pred asc) as rk from pl)
+       |select doc_id, lang, cast(n_lines as bigint) as n_lines,
+       | pred as major_lang, c as n_major,
+       | cast(c as double) / cast(n_lines as double) as major_share,
+       | (pred = lang) as agrees
+       |from agg where rk = 1""".stripMargin.replace("\n", " ")
+  }
 
   /** Positional phrase search — the exact-phrase primitive of an
     * inverted-index engine (Lucene `PhraseQuery`): build positional

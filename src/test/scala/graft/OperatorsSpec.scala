@@ -978,6 +978,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("transitions: deterministic chain yields exact probabilities; rows sum to 1 per source") {
+    // user 1 path: a b a b a  -> a->b x2, b->a x2; user 2: a a -> a->a x1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+        (1L, 5L, "a"), (2L, 1L, "a"), (2L, 2L, "a"))
+      .zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, t * 1000L, u, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.transitions(ev).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(r(("a", "a")) == ((1L, 1.0 / 3.0)))
+    assert(r(("b", "a")) == ((2L, 1.0)))
+    val bySrc = r.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    bySrc.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+  }
+
+  test("langmix: a code-switching document reports its majority line language") {
+    // profiles: langIdSelects scores against per-language stopword lists;
+    // build lines from the en/de profile words so langid is decisive
+    val en = "the and of to in is was for on with"
+    val de = "der die und das ist von mit den des ein"
+    val docs = Seq(
+      (1L, s"$en $en $de", "en", "s", 1L), // 2 en lines, 1 de line
+      (2L, s"$de $de $de", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.langMix(docs).collect()
+      .map(x => (x.getLong(0), (x.getLong(2), x.getString(3), x.getLong(4),
+        x.getBoolean(6)))).toMap
+    assert(r(1L) == ((3L, "en", 2L, true)), s"got ${r(1L)}")
+    assert(r(2L) == ((3L, "de", 3L, true)), s"got ${r(2L)}")
+  }
+
   test("golden record: near-name cluster survives as one row with field-level rules") {
     // fuzzy blocking keys on the LAST token — variants differ mid-name
     val part = Seq(
