@@ -429,6 +429,11 @@ object QueriesOlap {
     // window -> pair counts -> exact-ratio transition probabilities
     "q_transitions" -> ((s, dir) =>
       EventOps.transitions(Tables.read(s, dir, "events"))),
+    // streaming transition extraction (15th pattern): one-string-per-user
+    // state, each event emits (from, to) and replaces it; matrix built
+    // in the batch post-pass — oracle is the batch lag-window spelling
+    "stream_transitions" -> ((s, dir) =>
+      graft.streaming.EventStream.runTransitionsOnce(s, dir)),
     // temporal-proximity range "join" as a RANGE window frame: per event,
     // how many of the same user's events land in the following 10 minutes
     // — the frame shares the sessionization shuffle shape and is the
@@ -1478,6 +1483,7 @@ object QueriesOlap {
         |from documents group by lang""".stripMargin.replace("\n", " "),
     "q_gapfill" -> EventOps.gapfillSql(),
     "q_transitions" -> EventOps.transitionsSql(),
+    "stream_transitions" -> EventOps.transitionsSql(),
     "q_exists" ->
       """select o_orderpriority, cast(count(*) as bigint) as n_late_orders
         |from orders o

@@ -234,6 +234,55 @@ object EventStream {
   def runScd2Once(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "scd2", "append", scd2Stream(_))
 
+  // ---- streaming Markov transition counting -----------------------------
+
+  case class TrEv(user_id: Long, ts: Long, event_id: Long, event_type: String)
+  case class TrState(last: String)
+  case class TrOut(from_type: String, to_type: String)
+
+  /** Streaming transition extraction (15th pattern): per-user state is
+    * ONE string — the last event type — and each arriving event emits
+    * its (from, to) pair and replaces it; the sessionized feature-
+    * extraction shape with the smallest possible state. The pair stream
+    * aggregates into the transition matrix in a tiny batch post-pass
+    * (the [[runTrendingOnce]] topology); oracle = the batch
+    * [[graft.operators.EventOps.transitions]] lag-window spelling, so
+    * the stateful per-user walk is proven equal to the window plan. */
+  def transitionStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def fn(key: Long, events: Iterator[TrEv],
+           state: GroupState[TrState]): Iterator[TrOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+      var last = state.getOption.map(_.last)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrOut]
+      sorted.foreach { e =>
+        last.foreach(l => out += TrOut(l, e.event_type))
+        last = Some(e.event_type)
+      }
+      last.foreach(l => state.update(TrState(l)))
+      out.iterator
+    }
+    stream.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** One-shot driver for [[transitionStream]] + the probability
+    * post-pass. */
+  def runTransitionsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = runAvailableNow(spark, sfDir, "trans", "append", transitionStream(_))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("out_total", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p", col("n").cast("double") / col("out_total").cast("double"))
+      .select("from_type", "to_type", "n", "p")
+  }
+
   /** Trending top-`k` (12th pattern): per-hour top event types by count.
     * Rank-over-stream is not directly expressible in Structured
     * Streaming (non-time windows are unsupported on streaming frames),

@@ -52,6 +52,17 @@ class StreamBatchSpec extends SparkSpec {
     assert(open == batch.select("user_id").distinct().count())
   }
 
+  test("streaming transitions equal the batch lag-window matrix") {
+    import org.apache.spark.sql.functions._
+    val batch = EventOps.transitions(Tables.read(spark, sf("sf0.001"), "events"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val stream = graft.streaming.EventStream.runTransitionsOnce(spark, sf("sf0.001"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("drift post-pass: an hour collapsed into one bin maximizes D") {
     import spark.implicits._
     // hours 0,1: uniform over bins 0..3; hour 2: everything in bin 3
