@@ -357,6 +357,11 @@ object QueriesLlm {
     // agreement — the code-switching detector
     "text_langmix" -> ((s, dir) =>
       TextOps.langMix(Tables.read(s, dir, "documents"))),
+    // vocab-size planning curve: token coverage of the top-k words via
+    // two-level ranking (freq-grid window + within-class row_number —
+    // never a single-partition vocab sort)
+    "vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(Tables.read(s, dir, "documents"))),
     // distributed BPE merge training: 8 rounds over the frequency-weighted
     // word vocabulary (corpus touched once; per-round work vocab-sized);
     // oracle = the identical iteration unrolled as CTEs
@@ -819,6 +824,7 @@ object QueriesLlm {
     "dedup_within" -> Dedup.withinDocDedupSql(),
     "text_boilerplate" -> Dedup.sourceBoilerplateSql(),
     "text_langmix" -> TextOps.langMixSql(),
+    "vocab_coverage" -> TextOps.vocabCoverageSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),

@@ -1210,6 +1210,79 @@ object TextOps {
        |from (select doc_id, unnest(string_split(trim(text), ' ')) as tok from $table) t
        |group by 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Vocabulary coverage curve — what fraction of corpus TOKENS the
+    * top-k most frequent words cover, for a ladder of k (the
+    * tokenizer/vocab-size planning curve: BPE vocab sizing reads exactly
+    * this). The global frequency ranking is NOT a single-partition sort:
+    * rank(w) under (count desc, word asc) decomposes into the
+    * cumulative word count of HIGHER frequencies (a window over the
+    * frequency GRID — distinct counts, heavy-tailed and tiny) plus a
+    * row_number WITHIN the word's own frequency class (partitioned by
+    * count — scale-parallel); the cumulative token mass inside a class
+    * is just rn·c, no window at all. Coverage values are exact integer
+    * ratios. */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(16, 64, 256, 1024, 4096)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(explode(expr("split(trim(text), ' ')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val grid = wc.groupBy("c").agg(count(lit(1)).as("nw"))
+      .withColumn("tok", col("c") * col("nw"))
+    val gw = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gridCum = grid
+      .withColumn("w_before", coalesce(sum("nw").over(gw), lit(0L)))
+      .withColumn("tok_before", coalesce(sum("tok").over(gw), lit(0L)))
+      .select("c", "w_before", "tok_before")
+    val ranked = wc.join(gridCum, "c")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c").orderBy("w")).cast("long"))
+      .select(col("w"), col("c"),
+        (col("w_before") + col("rn")).as("rank"),
+        (col("tok_before") + col("rn") * col("c")).as("cum_tok"))
+    val totals = grid.agg(sum("nw").as("vocab"), sum("tok").as("total_tok"))
+    val kdf = docs.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("k")
+    kdf.crossJoin(broadcast(totals))
+      .withColumn("target", least(col("k"), col("vocab")))
+      .join(ranked, col("target") === col("rank"))
+      .select(col("k"), col("target").as("rank"), col("vocab"),
+        col("cum_tok").as("covered"), col("total_tok"),
+        (col("cum_tok").cast("double") / col("total_tok").cast("double"))
+          .as("coverage"))
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]]. */
+  def vocabCoverageSql(ks: Seq[Int] = Seq(16, 64, 256, 1024, 4096),
+                       table: String = "documents"): String = {
+    val kvals = ks.map(k => s"($k)").mkString(", ")
+    s"""with wc as (select w, cast(count(*) as bigint) as c from
+       |  (select unnest(string_split(trim(text), ' ')) as w from $table)
+       | group by w),
+       |grid as (select c, cast(count(*) as bigint) as nw,
+       |  c * cast(count(*) as bigint) as tok from wc group by c),
+       |gc as (select c,
+       |  cast(coalesce(sum(nw) over w, 0) as bigint) as w_before,
+       |  cast(coalesce(sum(tok) over w, 0) as bigint) as tok_before
+       | from grid window w as (order by c desc
+       |   rows between unbounded preceding and 1 preceding)),
+       |ranked as (select wc.w, wc.c,
+       |  cast(w_before + rn as bigint) as rank,
+       |  cast(tok_before + rn * wc.c as bigint) as cum_tok
+       | from (select w, c, cast(row_number() over (partition by c order by w) as bigint) as rn
+       |   from wc) wc join gc on wc.c = gc.c),
+       |tot as (select cast(sum(nw) as bigint) as vocab,
+       |  cast(sum(tok) as bigint) as total_tok from grid),
+       |kv as (select cast(k as bigint) as k from (values $kvals) t(k))
+       |select k, least(k, vocab) as rank, vocab, cum_tok as covered,
+       | total_tok,
+       | cast(cum_tok as double) / cast(total_tok as double) as coverage
+       |from kv cross join tot
+       | join ranked on least(k, vocab) = ranked.rank"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Per-LINE language mixture — the paragraph-level langid pass (CCNet
     * scores paragraphs, not documents: a code-switching page looks
     * mid-confidence at doc level but bimodal at line level). Each

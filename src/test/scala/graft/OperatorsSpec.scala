@@ -978,6 +978,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("vocab coverage: hand corpus ranks by freq desc then word asc, exact cumulative mass") {
+    // freqs: aa x4, bb x3, cc x3, dd x1  (bb before cc within the tie)
+    val docs = Seq((1L, "aa aa bb cc dd", "en", "s", 1L),
+        (2L, "aa bb cc aa bb cc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.vocabCoverage(docs, ks = Seq(1, 2, 3, 100)).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r(1L) == ((1L, 4L, 4L, 11L)))   // top-1 = aa: 4 of 11 tokens
+    assert(r(2L) == ((2L, 4L, 7L, 11L)))   // + bb (tie broken before cc)
+    assert(r(3L) == ((3L, 4L, 10L, 11L)))  // + cc
+    assert(r(100L) == ((4L, 4L, 11L, 11L))) // k past vocab clamps to full
+  }
+
   test("transitions: deterministic chain yields exact probabilities; rows sum to 1 per source") {
     // user 1 path: a b a b a  -> a->b x2, b->a x2; user 2: a a -> a->a x1
     val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
