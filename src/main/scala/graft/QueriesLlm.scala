@@ -269,6 +269,12 @@ object QueriesLlm {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.imageHistogram(s,
         Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
+    // REAL audio features from raw PCM bytes: little-endian int16 parse
+    // on the executors -> exact integer energy + zero-crossing counts
+    // (the silence/voicing gates run before any audio model)
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(s,
+        Multimodal.audioAssets(s, Tables.read(s, dir, "documents")))),
     // REAL image-quality screen: grayscale + horizontal edge-energy sums
     // over the DECODED raster (the blur/flat filter run before paying
     // for model inference); oracle reproduces the decoded sums exactly
@@ -1107,6 +1113,19 @@ object QueriesLlm {
     // lossless, so the decoded channel values are pure arithmetic.
     // unnest-chained generate_series: DuckDB's table-function form
     // rejects lateral column arguments (the chunkSql precedent)
+    "mm_audio" ->
+      """with n as (select doc_id, cast(256 + doc_id % 257 as bigint) as ns
+        | from documents),
+        |sam as (select doc_id, ns, unnest(generate_series(0, ns - 1)) as i from n),
+        |v as (select doc_id, ns, i,
+        |  ((doc_id * 31 + i * 17) % 2003) - 1001 as s from sam),
+        |lagged as (select doc_id, ns, s,
+        |  lag(s) over (partition by doc_id order by i) as ps from v)
+        |select doc_id, max(ns) as n_samples,
+        | cast(sum(s * s) as bigint) as energy,
+        | cast(sum(case when ps is not null and ps * s < 0 then 1 else 0 end) as bigint)
+        |  as zero_cross
+        |from lagged group by doc_id""".stripMargin.replace("\n", " "),
     "mm_quality" ->
       """with dims as (select doc_id,
         |  cast(1 + doc_id % 13 as bigint) as w,

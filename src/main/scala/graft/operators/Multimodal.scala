@@ -333,6 +333,62 @@ object Multimodal {
     }.toDF("doc_id", "channel", "bin", "cnt")
   }
 
+  /** Deterministic PCM payload for a doc id: little-endian int16 mono,
+    * `256 + id % 257` samples, s_i = ((id·31 + i·17) mod 2003) − 1001 —
+    * arithmetic in (doc_id, i) so the DuckDB oracle reproduces every
+    * sample, the [[pngBytes]] contract for the audio modality. */
+  private[graft] def pcmSamples(id: Long): Int = (256 + id % 257).toInt
+
+  private[graft] def pcmBytes(id: Long): Array[Byte] = {
+    val n = pcmSamples(id)
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31L + i * 17L) % 2003L) - 1001L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => Asset(id, pcmBytes(id))))
+  }
+
+  /** REAL audio feature extraction from raw PCM bytes — the signal
+    * front-end of an audio-curation pipeline (energy gates out silence,
+    * zero-crossing rate separates voiced/unvoiced/noise — both run
+    * before any model): parse the little-endian int16 stream off the
+    * binary column (a genuine byte-level decode on the executors — the
+    * audio sibling of the PNG raster walk) and emit exact integer sums:
+    * n_samples, energy Σs², zero crossings (strict sign products). No
+    * float surface; partition-parallel; aggregate-sized output. The
+    * sample content is arithmetic in (doc_id, i), so the oracle
+    * re-derives the features without parsing bytes — hash equality
+    * proves encode → byte-decode → featurize end-to-end. */
+  def audioFeatures(spark: SparkSession, assets: Dataset[Asset]): DataFrame = {
+    import spark.implicits._
+    assets.map { a =>
+      val bb = java.nio.ByteBuffer.wrap(a.blob)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = a.blob.length / 2
+      var energy = 0L
+      var zc = 0L
+      var prev = 0L
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(i * 2).toLong
+        energy += s * s
+        if (i > 0 && prev * s < 0L) zc += 1
+        prev = s
+        i += 1
+      }
+      (a.doc_id, n.toLong, energy, zc)
+    }.toDF("doc_id", "n_samples", "energy", "zero_cross")
+  }
+
   /** REAL image-quality screen from DECODED pixels: integer grayscale
     * sum and horizontal gradient (edge) energy per image — the classic
     * blur / flat-image filters of an image-curation pipeline (a

@@ -1153,6 +1153,20 @@ class OperatorsSpec extends SparkSpec {
       s"edited quote must still match on surviving fps: $r")
   }
 
+  test("audio features: hand-built PCM reads exact energy and crossings") {
+    // samples 100, -200, 300, 0, -50: energy = 10000+40000+90000+0+2500;
+    // crossings at strict sign products: (100,-200),(−200,300),(300·0=0 no),
+    // (0·−50=0 no) -> 2
+    val bb = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(100, -200, 300, 0, -50).foreach(s => bb.putShort(s.toShort))
+    val assets = spark.createDataset(Seq(Multimodal.Asset(7L, bb.array())))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset])
+    val r = Multimodal.audioFeatures(spark, assets).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 5L, 142500L, 2L)))
+  }
+
   test("image quality: flat raster has zero edge energy, hard stripes max it") {
     def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
