@@ -223,4 +223,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("round-6 family is invariant to shuffle partitioning (1/4/13)") {
+    // the struct-max argmaxes (LPA, golden, langmix), the two-phase
+    // skyline prune, the grid-cumulative rank paths (lr_auc, stat_ks,
+    // vocab_coverage), and the partial-state merge (q_incr_agg) must not
+    // depend on partition count or intra-partition order
+    val qs = Seq("q_scd2", "graph_lpa", "lr_auc", "q_skyline", "stat_ks",
+      "q_incr_agg", "vocab_coverage", "q_transitions", "stat_mi",
+      "q_golden", "text_langmix", "q_islands", "sketch_hll_merge")
+    def run(): Seq[String] = qs.flatMap { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.orderBy(df.columns.map(col): _*).collect().map(q + _.toString).toSeq
+    }
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
 }
