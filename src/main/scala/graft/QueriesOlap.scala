@@ -425,6 +425,31 @@ object QueriesOlap {
     // keys x span regardless of input rows), bracketing observations via
     // two ignore-nulls windows, bit-exact interpolation arithmetic
     "q_gapfill" -> ((s, dir) => EventOps.gapfill(Tables.read(s, dir, "events"))),
+    // RFM segmentation (CRM staple): per-user recency/frequency/monetary
+    // -> quintiles via the GRID-cumulative rank path (per distinct
+    // metric value: users-below count from a grid-sized window; bucket =
+    // floor(5*rank_below/total) — never a single-partition ntile over
+    // the user relation) -> segment histogram
+    "q_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.read(s, dir, "events")
+      val rfm = ev.groupBy("user_id").agg(
+        max("ts").as("r"), count(lit(1)).as("f"),
+        expr(fpSum("value")).as("m"))
+      val nUsers = rfm.agg(count(lit(1)).as("nu"))
+      def quintile(metric: String): DataFrame = {
+        val grid = rfm.groupBy(col(metric).as("v")).agg(count(lit(1)).as("nv"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        grid.withColumn("below", coalesce(sum("nv").over(w), lit(0L)))
+          .crossJoin(broadcast(nUsers))
+          // bucket 1..5 by the fraction of users strictly below this value
+          .withColumn(s"q_$metric", expr("least(4, (below * 5) div nu) + 1"))
+          .select(col("v").as(metric), col(s"q_$metric"))
+      }
+      rfm.join(quintile("r"), "r").join(quintile("f"), "f").join(quintile("m"), "m")
+        .groupBy("q_r", "q_f", "q_m")
+        .agg(count(lit(1)).as("n_users"))
+    }),
     // period-over-period reporting: monthly revenue per returnflag with
     // lag delta and percent change — the MoM dashboard staple; exact
     // fixed-point revenue, IEEE-exact ratio of identical operands
@@ -1515,6 +1540,24 @@ object QueriesOlap {
     "q_gapfill" -> EventOps.gapfillSql(),
     "q_transitions" -> EventOps.transitionsSql(),
     "stream_transitions" -> EventOps.transitionsSql(),
+    "q_rfm" -> {
+      def qCte(metric: String): String =
+        s"""q$metric as (select v as $metric,
+           |  cast(least(4, (below * 5) // nu) + 1 as bigint) as q_$metric
+           | from (select v, cast(coalesce(sum(nv) over w, 0) as bigint) as below
+           |   from (select $metric as v, cast(count(*) as bigint) as nv
+           |     from rfm group by 1)
+           |   window w as (order by v rows between unbounded preceding
+           |     and 1 preceding)), nu)""".stripMargin.replace("\n", " ")
+      s"""with rfm as (select user_id, max(epoch_ns(ts)) as r,
+         |  cast(count(*) as bigint) as f, ${fpSum("value")} as m
+         | from events group by 1),
+         |nu as (select cast(count(*) as bigint) as nu from rfm),
+         |${qCte("r")}, ${qCte("f")}, ${qCte("m")}
+         |select q_r, q_f, q_m, cast(count(*) as bigint) as n_users
+         |from rfm join qr using (r) join qf using (f) join qm using (m)
+         |group by 1, 2, 3""".stripMargin.replace("\n", " ")
+    },
     "q_mom_change" ->
       s"""with m as (select l_returnflag,
          |  cast(year(l_shipdate) * 12 + month(l_shipdate) as bigint) as m,

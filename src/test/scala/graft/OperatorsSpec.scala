@@ -978,6 +978,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("rfm: quintile buckets partition users evenly on a uniform metric") {
+    // q_rfm's grid-quantile rule: bucket = floor(5 * users_below / n) + 1
+    // -> 20 users with distinct metrics land exactly 4 per quintile
+    val ev = (1L to 20L).flatMap(u => (1L to u).map(i =>
+        (u * 100 + i, u * 1000000L + i, u, "click", u.toDouble)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = graft.Scratch.dir("graft_rfmspec_")
+    ev.write.mode("overwrite").parquet(tmp + "/events.parquet")
+    val r = SparkEntry.queries("q_rfm")(spark, tmp)
+    // frequency is u (distinct per user) -> each q_f bucket holds 4 users
+    val byF = r.groupBy("q_f").agg(sum("n_users").as("n")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byF == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L), s"$byF")
+  }
+
   test("gaps and islands: consecutive active hours coalesce into maximal runs") {
     val h = 3600000000000L
     val ev = Seq(1L, 2L, 3L, 7L, 8L, 20L).zipWithIndex.map { case (hr, i) =>
