@@ -425,6 +425,26 @@ object QueriesOlap {
     // keys x span regardless of input rows), bracketing observations via
     // two ignore-nulls windows, bit-exact interpolation arithmetic
     "q_gapfill" -> ((s, dir) => EventOps.gapfill(Tables.read(s, dir, "events"))),
+    // cumulative distinct users per day (growth analytics): windowed
+    // COUNT DISTINCT doesn't exist — the first-occurrence flag (min day
+    // per user) + day-grid cumulative sum is the scale-correct spelling
+    "q_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.read(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+        .groupBy("user_id").agg(min("d").as("first_d"))
+        .groupBy(col("first_d").as("d")).agg(count(lit(1)).as("new_users"))
+      val active = Tables.read(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+        .distinct()
+        .groupBy("d").agg(count(lit(1)).as("active_users"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      active.join(firstDay, Seq("d"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum("new_users").over(w))
+        .select("d", "active_users", "new_users", "cum_users")
+    }),
     // RFM segmentation (CRM staple): per-user recency/frequency/monetary
     // -> quintiles via the GRID-cumulative rank path (per distinct
     // metric value: users-below count from a grid-sized window; bucket =
@@ -1540,6 +1560,19 @@ object QueriesOlap {
     "q_gapfill" -> EventOps.gapfillSql(),
     "q_transitions" -> EventOps.transitionsSql(),
     "stream_transitions" -> EventOps.transitionsSql(),
+    "q_cumulative_users" ->
+      """with ud as (select user_id, epoch_ns(ts) // 86400000000000 as d
+        | from events),
+        |fd as (select first_d as d, cast(count(*) as bigint) as new_users
+        | from (select user_id, min(d) as first_d from ud group by 1)
+        | group by 1),
+        |ad as (select d, cast(count(*) as bigint) as active_users
+        | from (select distinct user_id, d from ud) group by 1)
+        |select ad.d, active_users,
+        | coalesce(new_users, 0) as new_users,
+        | cast(sum(coalesce(new_users, 0)) over (order by ad.d
+        |   rows between unbounded preceding and current row) as bigint) as cum_users
+        |from ad left join fd on ad.d = fd.d""".stripMargin.replace("\n", " "),
     "q_rfm" -> {
       def qCte(metric: String): String =
         s"""q$metric as (select v as $metric,

@@ -978,6 +978,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("cumulative users: the running total ends at the distinct-user count") {
+    val day = 86400000000000L
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 1L), (3L, 2L))
+      .zipWithIndex.map { case ((u, d), i) => (i.toLong, d * day, u, "click", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = graft.Scratch.dir("graft_cuspec_")
+    ev.write.mode("overwrite").parquet(tmp + "/events.parquet")
+    val r = SparkEntry.queries("q_cumulative_users")(spark, tmp)
+      .orderBy("d").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 0L, 3L)))
+  }
+
   test("rfm: quintile buckets partition users evenly on a uniform metric") {
     // q_rfm's grid-quantile rule: bucket = floor(5 * users_below / n) + 1
     // -> 20 users with distinct metrics land exactly 4 per quintile
