@@ -696,6 +696,10 @@ object QueriesOlap {
     // free drift test next to the MWU location test — grid aggregate,
     // grid-sized cumulative window, exact integer ECDF ratios
     "stat_ks" -> ((s, dir) => Stats.ks(Tables.read(s, dir, "events"))),
+    // robust dispersion: median absolute deviation as TWO deterministic
+    // histogram-median passes (no fact shuffle either pass)
+    "stat_mad" -> ((s, dir) =>
+      Quantiles.mad(Tables.read(s, dir, "lineitem"), "l_extendedprice")),
     // mutual information I(event_type; value tier): cell-sized joint +
     // broadcast marginals, per-cell ln on the 1e-9 unit grid, exact
     // BIGINT term sum — the feature-selection dependence statistic
@@ -1729,6 +1733,7 @@ object QueriesOlap {
     "stat_ttest" -> Stats.welchTSql("lineitem", "l_returnflag", "l_discount"),
     "stat_ks" -> Stats.ksSql(),
     "stat_mi" -> Stats.mutualInfoSql(),
+    "stat_mad" -> Quantiles.madSql("lineitem", "l_extendedprice"),
     "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""select '$c' as col_name, cast(count(*) as bigint) as n,

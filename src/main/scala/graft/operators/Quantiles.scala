@@ -65,6 +65,39 @@ object Quantiles {
         expr(estExpr(bins)).as("q_est"))
   }
 
+  /** Median absolute deviation — the robust dispersion statistic
+    * (outlier-resistant sigma: MAD·1.4826 estimates the stddev of a
+    * normal), composed as TWO passes of the deterministic histogram
+    * median: median(x), then median(|x − median|). Each pass keeps the
+    * histogram scale shape (no fact shuffle, bins-row relations); the
+    * deviation column is exact IEEE arithmetic against the q9-gridded
+    * median, so the whole two-pass composition stays bit-deterministic
+    * with error bounded by one bin width per pass. */
+  def mad(df: DataFrame, column: String, bins: Int = 64): DataFrame = {
+    val med = hist(df, column, bins).filter(col("p") === 50)
+      .select(col("q_est").as("med"))
+    val dev = df.select(col(column).cast("double").as("x0"))
+      .crossJoin(broadcast(med))
+      .select(expr("abs(x0 - med)").as("dev"))
+    val m2 = hist(dev, "dev", bins).filter(col("p") === 50)
+      .select(col("q_est").as("mad"))
+    med.crossJoin(broadcast(m2))
+      .select(col("med"), col("mad"),
+        expr(Parity.q9("mad * 1.4826e0")).as("sigma_est"))
+  }
+
+  /** DuckDB mirror of [[mad]] — the hist subqueries nest as derived
+    * tables (WITH inside a subquery; outer CTEs stay visible). */
+  def madSql(table: String, column: String, bins: Int = 64): String =
+    s"""with med as (select q_est as med from (${histSql(table, column, bins)})
+       |  where p = 50),
+       |devt as (select abs(cast($column as double) - med) as dev
+       | from $table, med),
+       |m2 as (select q_est as mad from (${histSql("devt", "dev", bins)})
+       |  where p = 50)
+       |select med, mad, ${Parity.q9("mad * 1.4826e0")} as sigma_est
+       |from med, m2""".stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[hist]]. */
   def histSql(table: String, column: String, bins: Int = 64): String = {
     val pList = Percents.mkString("[", ", ", "]")

@@ -978,6 +978,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("mad: estimates sit within a bin width; outliers barely move it") {
+    val base = (1 to 1000).map(_.toDouble)
+    val clean = base.toDF("v")
+    val r1 = Quantiles.mad(clean, "v").head
+    // true median 500.5, true mad 250 — histogram error <= 1 bin width
+    val bw = 1000.0 / 64
+    assert(math.abs(r1.getDouble(0) - 500.5) <= bw, s"med=${r1.getDouble(0)}")
+    assert(math.abs(r1.getDouble(1) - 250.0) <= 2 * bw, s"mad=${r1.getDouble(1)}")
+    // a 5% outlier mass doubles the range (equi-width bins cap how far
+    // the range may stretch — the documented histogram caveat) but
+    // leaves MAD near the clean value where stddev would jump ~60%
+    val dirty = (base ++ Seq.fill(50)(2000.0)).toDF("v")
+    val r2 = Quantiles.mad(dirty, "v").head
+    assert(math.abs(r2.getDouble(1) - 250.0) <= 4 * (2000.0 / 64),
+      s"mad must stay robust: ${r2.getDouble(1)} vs ${r1.getDouble(1)}")
+  }
+
   test("cumulative users: the running total ends at the distinct-user count") {
     val day = 86400000000000L
     val ev = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 1L), (3L, 2L))
