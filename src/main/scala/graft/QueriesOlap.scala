@@ -700,6 +700,10 @@ object QueriesOlap {
     // histogram-median passes (no fact shuffle either pass)
     "stat_mad" -> ((s, dir) =>
       Quantiles.mad(Tables.read(s, dir, "lineitem"), "l_extendedprice")),
+    // Gini concentration of per-user value mass: tie-averaged rank-sum
+    // identity over the value grid (the aggregated-rank path), exact
+    // BIGINT until one division
+    "stat_gini" -> ((s, dir) => Stats.gini(Tables.read(s, dir, "events"))),
     // mutual information I(event_type; value tier): cell-sized joint +
     // broadcast marginals, per-cell ln on the 1e-9 unit grid, exact
     // BIGINT term sum — the feature-selection dependence statistic
@@ -1734,6 +1738,7 @@ object QueriesOlap {
     "stat_ks" -> Stats.ksSql(),
     "stat_mi" -> Stats.mutualInfoSql(),
     "stat_mad" -> Quantiles.madSql("lineitem", "l_extendedprice"),
+    "stat_gini" -> Stats.giniSql(),
     "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""select '$c' as col_name, cast(count(*) as bigint) as n,

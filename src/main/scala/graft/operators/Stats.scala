@@ -303,6 +303,57 @@ object Stats {
        |from agg""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------
+  // Gini concentration of per-user value mass
+  // ------------------------------------------------------------------
+
+  /** Gini coefficient of per-user total value — the concentration/
+    * inequality audit (a data-mix readout: is the event mass dominated
+    * by a few users/domains?). Rank-based identity with tie-averaged
+    * ranks: G = (2·Σᵤ rank(u)·mᵤ − (n+1)·Σm) / (n·Σm). Per-user totals
+    * ride [[fpSum]] (exact multiples of 2^-20 → converted to exact
+    * BIGINT units), ranks come from cumulative counts over the distinct-
+    * value GRID (the lr_auc aggregated-rank path — no per-user global
+    * sort), the doubled rank-sum stays in BIGINT, and G is one exact
+    * division. Degenerate all-zero mass reads NULL in both engines. */
+  def gini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy("user_id")
+      .agg(expr(fpSum("value")).as("m"))
+      .select(expr("cast(floor(m * 1048576e0 + 5e-1) as bigint)").as("mu"))
+    val grid = users.groupBy("mu").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("mu").rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum("nv").over(w), lit(0L)))
+      // doubled tie-averaged rank sum contribution of this value class
+      .withColumn("r2m", expr("mu * nv * (2 * cb + nv + 1)"))
+      .agg(sum("nv").as("n"), sum(expr("mu * nv")).as("mass"),
+        sum("r2m").as("r2m"))
+      .selectExpr("n", "cast(mass as double) / 1048576e0 as total",
+        """(case when mass = 0 then null else
+          | cast(r2m - (n + 1) * mass as double) /
+          | cast(n * mass as double) end) as gini"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  /** DuckDB mirror of [[gini]]. */
+  def giniSql(table: String = "events"): String =
+    s"""with users as (select cast(floor(m * 1048576e0 + 5e-1) as bigint) as mu
+       | from (select user_id, ${fpSum("value")} as m from $table group by 1)),
+       |grid as (select mu, cast(count(*) as bigint) as nv from users group by 1),
+       |cumg as (select mu, nv,
+       |  cast(coalesce(sum(nv) over (order by mu
+       |    rows between unbounded preceding and 1 preceding), 0) as bigint) as cb
+       | from grid),
+       |tot as (select cast(sum(nv) as bigint) as n,
+       |  cast(sum(mu * nv) as bigint) as mass,
+       |  cast(sum(mu * nv * (2 * cb + nv + 1)) as bigint) as r2m from cumg)
+       |select n, cast(mass as double) / 1048576e0 as total,
+       | (case when mass = 0 then null else
+       |   cast(r2m - (n + 1) * mass as double) /
+       |   cast(n * mass as double) end) as gini
+       |from tot""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
   // Mutual information of two categorical columns
   // ------------------------------------------------------------------
 

@@ -978,6 +978,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("gini: equal masses read 0 exactly; one-user concentration approaches 1") {
+    def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i * 1000L, i.toLong, "click", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val eq = Stats.gini(ev(Seq.fill(10)(7.0))).head
+    assert(eq.getDouble(2) == 0.0) // perfectly equal -> exactly 0
+    val conc = Stats.gini(ev(Seq.fill(9)(0.0) :+ 900.0)).head
+    // one user holds everything: G = (n-1)/n = 0.9 exactly
+    assert(conc.getDouble(2) == 0.9, s"gini=${conc.getDouble(2)}")
+  }
+
   test("mad: estimates sit within a bin width; outliers barely move it") {
     val base = (1 to 1000).map(_.toDouble)
     val clean = base.toDF("v")
