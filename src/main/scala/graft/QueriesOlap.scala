@@ -708,6 +708,28 @@ object QueriesOlap {
     // broadcast marginals, per-cell ln on the 1e-9 unit grid, exact
     // BIGINT term sum — the feature-selection dependence statistic
     "stat_mi" -> ((s, dir) => Stats.mutualInfo(Tables.read(s, dir, "events"))),
+    // join-key skew profile (the pre-flight before a 100 TB shuffle
+    // join): per-key multiplicities collapse to the count GRID, then
+    // key count / max / p99 (grid-cumulative) / mean / skew ratio — the
+    // numbers that decide salting or AQE skew thresholds
+    "q_skew_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Tables.read(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val grid = keys.groupBy("c").agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.agg(sum("nk").as("n_keys"), sum(expr("c * nk")).as("n_rows"),
+        max("c").as("max_c"))
+      val p99 = grid.withColumn("cum", sum("nk").over(w))
+        .crossJoin(broadcast(tot))
+        .filter(expr("cum * 100 >= n_keys * 99"))
+        .agg(min("c").as("p99_c"))
+      tot.crossJoin(broadcast(p99))
+        .selectExpr("n_keys", "n_rows", "max_c", "p99_c",
+          "cast(n_rows as double) / cast(n_keys as double) as mean_c",
+          "cast(max_c as double) / (cast(n_rows as double) / cast(n_keys as double)) as skew_ratio")
+    }),
     // table profiling (the ANALYZE-TABLE primitive feeding a CBO): one
     // scan via stack -> per-column count/ndv/min/max/mean — the stats
     // collection pass a warehouse runs before planning
@@ -1739,6 +1761,22 @@ object QueriesOlap {
     "stat_mi" -> Stats.mutualInfoSql(),
     "stat_mad" -> Quantiles.madSql("lineitem", "l_extendedprice"),
     "stat_gini" -> Stats.giniSql(),
+    "q_skew_profile" ->
+      """with keys as (select l_partkey, cast(count(*) as bigint) as c
+        | from lineitem group by 1),
+        |grid as (select c, cast(count(*) as bigint) as nk from keys group by 1),
+        |tot as (select cast(sum(nk) as bigint) as n_keys,
+        |  cast(sum(c * nk) as bigint) as n_rows,
+        |  cast(max(c) as bigint) as max_c from grid),
+        |p99 as (select cast(min(c) as bigint) as p99_c from
+        | (select c, cast(sum(nk) over (order by c
+        |    rows between unbounded preceding and current row) as bigint) as cum
+        |  from grid), tot where cum * 100 >= n_keys * 99)
+        |select n_keys, n_rows, max_c, p99_c,
+        | cast(n_rows as double) / cast(n_keys as double) as mean_c,
+        | cast(max_c as double) / (cast(n_rows as double) / cast(n_keys as double))
+        |  as skew_ratio
+        |from tot, p99""".stripMargin.replace("\n", " "),
     "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""select '$c' as col_name, cast(count(*) as bigint) as n,

@@ -978,6 +978,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("skew profile: planted hot key reads exact max/p99/ratio") {
+    // 99 keys x1 row, 1 key x101 rows: n_keys=100, n_rows=200, max=101,
+    // p99 = smallest c with cum>=99 -> 1, mean=2, ratio=50.5
+    val li = ((1 to 99).map(k => Seq(k.toLong)) :+ Seq.fill(101)(1000L))
+      .flatten.zipWithIndex
+      .map { case (k, i) => (i.toLong, k, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val tmp = graft.Scratch.dir("graft_skewspec_")
+    li.write.mode("overwrite").parquet(tmp + "/lineitem.parquet")
+    val r = SparkEntry.queries("q_skew_profile")(spark, tmp).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((100L, 200L, 101L, 1L, 2.0, 50.5)))
+  }
+
   test("gini: equal masses read 0 exactly; one-user concentration approaches 1") {
     def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
       (i.toLong, i * 1000L, i.toLong, "click", v)
