@@ -353,9 +353,10 @@ object QueriesLlm {
     "dedup_within" -> ((s, dir) =>
       Dedup.withinDocDedup(Tables.read(s, dir, "documents"))),
     // per-SOURCE boilerplate stripping (the CCNet per-domain pass): a
-    // line present in >= 1/4 of its own source's docs (and >= 3 of them)
-    // is template, invisible to both the corpus-global and intra-doc
-    // passes; boiler fp set is the small join-back side
+    // line present in >= 5% of its own source's docs (and >= 2 of them,
+    // the sourceBoilerplate defaults) is template, invisible to both the
+    // corpus-global and intra-doc passes; boiler fp set is the small
+    // join-back side
     "text_boilerplate" -> ((s, dir) =>
       Dedup.sourceBoilerplate(Tables.read(s, dir, "documents"))),
     // paragraph-level langid (CCNet scores paragraphs, not docs): per

@@ -725,8 +725,13 @@ object ScaleStress {
     // (e.g. a round's additions) against the already-built replica set
     // without paying the full-registry sweep again
     val names = args.lift(1) match {
-      case Some(list) => list.split(",").toSeq.filter(SparkEntry.queries.contains)
-      case None       => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) =>
+        val requested = list.split(",").toSeq
+        val unknown = requested.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+        requested
+      case None => SparkEntry.queries.keys.toSeq.sorted
     }
     names.foreach { q =>
       def time(dir: String): Double = {

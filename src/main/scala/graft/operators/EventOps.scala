@@ -352,7 +352,10 @@ object EventOps {
     * `interpolate` in the timeseries-DB world). Present hours carry the
     * fixed-point hourly sum; missing hours inside each key's observed
     * span are generated and linearly interpolated between the bracketing
-    * observations.
+    * observations. The axis ends at the last observation inside the
+    * `capHours` window, so every emitted 'interp' row is bracketed and
+    * non-NULL — the cap bounds output size without fabricating an
+    * unbracketed tail.
     *
     * Scale shape: the observed series aggregates map-side (one shuffle on
     * (user, hour)); spans are a per-key 2-value aggregate; the dense hour
@@ -371,9 +374,18 @@ object EventOps {
       .withColumn("h", expr("ts div 3600000000000"))
       .groupBy("user_id", "h")
       .agg(expr(Parity.fpSum("value")).as("v"))
-    val spans = hourly.groupBy("user_id")
-      .agg(min("h").as("hmin"), max("h").as("hmax"))
-      .withColumn("hcap", least(col("hmax"), col("hmin") + lit(capHours - 1L)))
+    // clamp the axis at the LAST OBSERVATION inside the cap window, not
+    // at the raw cap bound: otherwise hours past the final in-cap
+    // observation would have no bracketing next_v and emit rows claiming
+    // src='interp' with a NULL value. Every generated hour is therefore
+    // bracketed by observations on both sides. The window + groupBy both
+    // key on user_id, so this is still one shuffle.
+    val spans = hourly
+      .withColumn("hmin0",
+        min("h").over(Window.partitionBy("user_id")))
+      .filter(col("h") <= col("hmin0") + lit(capHours - 1L))
+      .groupBy("user_id")
+      .agg(min("h").as("hmin"), max("h").as("hcap"))
     val axis = spans
       .select(col("user_id"), explode(expr("sequence(hmin, hcap)")).as("h"))
     val w = Window.partitionBy("user_id").orderBy("h")
@@ -403,9 +415,10 @@ object EventOps {
        |  ${Parity.fpSum("value")} as v
        | from $table where event_type = '$eventType' group by 1, 2),
        |spans as (
-       | select user_id, min(h) as hmin,
-       |  least(max(h), min(h) + ${capHours - 1}) as hcap
-       | from hourly group by 1),
+       | select user_id, min(h) as hmin, max(h) as hcap
+       | from (select user_id, h,
+       |   min(h) over (partition by user_id) as hmin0 from hourly) t
+       | where h <= hmin0 + ${capHours - 1} group by 1),
        |axis as (
        | select user_id, unnest(generate_series(hmin, hcap)) as h from spans),
        |joined as (

@@ -313,8 +313,13 @@ object Stats {
     * ride [[fpSum]] (exact multiples of 2^-20 → converted to exact
     * BIGINT units), ranks come from cumulative counts over the distinct-
     * value GRID (the lr_auc aggregated-rank path — no per-user global
-    * sort), the doubled rank-sum stays in BIGINT, and G is one exact
-    * division. Degenerate all-zero mass reads NULL in both engines. */
+    * sort). The doubled rank-sum r2m ≤ 2·(n+1)·mass multiplies the
+    * 2^20-scaled mass by ~2n, so it outgrows BIGINT near n·Σvalue ≈
+    * 2^42: it accumulates in 128-bit integers instead — DECIMAL(38,0)
+    * here, HUGEINT in the DuckDB mirror — and only the final
+    * exact-integer numerator/denominator cast to double (same
+    * round-to-nearest in both engines), keeping bit-equality at any
+    * realistic scale. Degenerate all-zero mass reads NULL in both. */
   def gini(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = events.groupBy("user_id")
@@ -324,14 +329,16 @@ object Stats {
     val w = Window.orderBy("mu").rowsBetween(Window.unboundedPreceding, -1)
     grid
       .withColumn("cb", coalesce(sum("nv").over(w), lit(0L)))
-      // doubled tie-averaged rank sum contribution of this value class
-      .withColumn("r2m", expr("mu * nv * (2 * cb + nv + 1)"))
+      // doubled tie-averaged rank sum contribution of this value class;
+      // 128-bit accumulation (see scaladoc) — BIGINT wraps near n·Σv ≈ 2^42
+      .withColumn("r2m",
+        expr("cast(mu as decimal(38,0)) * nv * (2 * cb + nv + 1)"))
       .agg(sum("nv").as("n"), sum(expr("mu * nv")).as("mass"),
         sum("r2m").as("r2m"))
       .selectExpr("n", "cast(mass as double) / 1048576e0 as total",
         """(case when mass = 0 then null else
-          | cast(r2m - (n + 1) * mass as double) /
-          | cast(n * mass as double) end) as gini"""
+          | cast(r2m - cast(n + 1 as decimal(38,0)) * mass as double) /
+          | cast(cast(n as decimal(38,0)) * mass as double) end) as gini"""
           .stripMargin.replace("\n", " "))
   }
 
@@ -346,11 +353,11 @@ object Stats {
        | from grid),
        |tot as (select cast(sum(nv) as bigint) as n,
        |  cast(sum(mu * nv) as bigint) as mass,
-       |  cast(sum(mu * nv * (2 * cb + nv + 1)) as bigint) as r2m from cumg)
+       |  sum(cast(mu as hugeint) * nv * (2 * cb + nv + 1)) as r2m from cumg)
        |select n, cast(mass as double) / 1048576e0 as total,
        | (case when mass = 0 then null else
-       |   cast(r2m - (n + 1) * mass as double) /
-       |   cast(n * mass as double) end) as gini
+       |   cast(r2m - cast(n + 1 as hugeint) * mass as double) /
+       |   cast(cast(n as hugeint) * mass as double) end) as gini
        |from tot""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------

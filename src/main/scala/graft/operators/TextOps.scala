@@ -1341,19 +1341,25 @@ object TextOps {
     * SF), then match it by joining the three term postings on
     * (doc, pos+offset) adjacency.
     *
-    * Scale shape: postings are one explode; the trigram count pass is
-    * two window `lead`s over the SAME (doc_id, pos) sort — one shuffle,
-    * no self-join. The 1-row phrase broadcasts; each term's postings
-    * come out of the scan with the token equality PUSHED (the filter is
-    * on the exploded relation, but the per-term selectivity is the
-    * classic posting-list cut), and the adjacency join is two
-    * (doc, pos)-keyed equi-joins — at 100 TB this is exactly the
-    * distributed merge of three posting lists, never a text rescan. */
+    * Scale shape: postings are tokenized ONCE (eager localCheckpoint —
+    * checkpoint/persist on a cluster) and the trigram count pass is two
+    * window `lead`s over the SAME (doc_id, pos) sort — one shuffle, no
+    * self-join. The argmax phrase is a bounded 1-row driver collect
+    * (run once, not once per probe); each term probe is then a literal
+    * token filter over the pinned postings (the classic posting-list
+    * cut), and the adjacency join is two (doc, pos)-keyed equi-joins —
+    * at 100 TB this is exactly the distributed merge of three posting
+    * lists, never a text rescan. */
   def phraseSearch(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the postings ONCE (eager localCheckpoint — the
+    // minHashPairs posting-relation discipline): `post` feeds the
+    // trigram count pass and three probe joins, and without pinning it
+    // each branch would re-tokenize the whole corpus
     val post = docs.select(col("doc_id"),
         posexplode(expr("split(trim(text), ' ')")).as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+      .localCheckpoint(true)
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val tri = post
       .withColumn("w2", lead(col("tok"), 1).over(byDoc))
@@ -1361,14 +1367,19 @@ object TextOps {
       .filter(col("w2").isNotNull && col("w3").isNotNull)
       .groupBy(col("tok").as("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c"))
-    val phrase = tri
+    // the argmax phrase is ONE row: run the count/sort pass once and
+    // collect it, so the three probes below are literal token filters
+    // (posting-list cuts) instead of three re-executions of the argmax
+    val Array(t1, t2, t3) = tri
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
       .limit(1)
-    val p1 = post.join(broadcast(phrase.select(col("w1").as("tok"))), "tok")
+      .select("w1", "w2", "w3")
+      .head() match { case r => Array(r.getString(0), r.getString(1), r.getString(2)) }
+    val p1 = post.filter(col("tok") === lit(t1))
       .select(col("doc_id"), col("p"))
-    val p2 = post.join(broadcast(phrase.select(col("w2").as("tok"))), "tok")
+    val p2 = post.filter(col("tok") === lit(t2))
       .select(col("doc_id"), (col("p") - 1).as("p"))
-    val p3 = post.join(broadcast(phrase.select(col("w3").as("tok"))), "tok")
+    val p3 = post.filter(col("tok") === lit(t3))
       .select(col("doc_id"), (col("p") - 2).as("p"))
     p1.join(p2, Seq("doc_id", "p")).join(p3, Seq("doc_id", "p"))
       .groupBy("doc_id")

@@ -962,7 +962,15 @@ class OperatorsSpec extends SparkSpec {
     val h = 3600000000000L
     val ev = Seq((1L, 0 * h, 1L, "click", 1.0), (1L, 5000 * h, 2L, "click", 2.0))
       .toDF("user_id", "ts", "event_id", "event_type", "value")
-    assert(EventOps.gapfill(ev, capHours = 240).count() == 240)
+    // the only in-cap observation is hour 0, so the clamped axis is a
+    // single bracketed row — NOT 240 rows of unbracketed NULL 'interp'
+    val r = EventOps.gapfill(ev, capHours = 240).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 0L
+      && r.head.getString(3) == "obs")
+    // a cap window that DOES contain a later observation densifies up to
+    // that observation, every row non-null
+    val r2 = EventOps.gapfill(ev, capHours = 6000).collect()
+    assert(r2.length == 5001 && r2.forall(!_.isNullAt(2)))
   }
 
   test("phrase search: finds the dominant trigram with positions, not substrings") {
