@@ -48,6 +48,20 @@ object QueriesOlap {
         .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
         .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
     }),
+    // fact ⋈ dim through the AUTO-SALTING skew join: per-key counts flag
+    // keys ≥ hotRatio × mean (the q_skew_profile decision, consumed per
+    // key), only those salt; shares the plain-join oracle, proving the
+    // operator row-identical to the unsalted join
+    "q_skew_join" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val p = Tables.read(s, dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select("l_partkey", "p_brand")
+      graft.operators.SkewJoin.skewJoin(li, p, "l_partkey", nSalt = 4, hotRatio = 2)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          expr(fpSum("l_extendedprice * (1e0 - l_discount)")).as("revenue"))
+    }),
     // 5-way star join: fact → orders → customer → broadcast dims
     "q_join_revenue" -> ((s, dir) => {
       val li = Tables.read(s, dir, "lineitem")
@@ -1353,6 +1367,12 @@ object QueriesOlap {
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
     "q1_salted" -> q1Oracle,
+    // plain unsalted join — equality proves skewJoin exact
+    "q_skew_join" ->
+      s"""select p_brand, cast(count(*) as bigint) as n,
+         | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue
+         |from lineitem join part on l_partkey = p_partkey
+         |group by p_brand""".stripMargin.replace("\n", " "),
     "q_join_revenue" ->
       s"""select r_name, n_name,
          | ${fpSum("l_extendedprice * (1e0 - l_discount)")} as revenue,

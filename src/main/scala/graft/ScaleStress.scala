@@ -48,6 +48,7 @@ object ScaleStress {
     if (args.headOption.contains("sparse")) { sparseStress(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
+    if (args.headOption.contains("skewjoin")) { skewJoinStress(args.drop(1)); return }
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
@@ -431,6 +432,61 @@ object ScaleStress {
     println(f"""{"stress":"mwu_skew","features":$nFeat,"cells":$n,"uniform_sec":$uniform%.2f,"skew90_sec":$skewedSec%.2f,"ratio":$ratio%.2f}""")
     assert(ratio < 1.5,
       f"90/10 group skew must not dominate the MWU chain: ratio $ratio%.2f")
+    spark.stop()
+  }
+
+  /** Auto-salting skew-join leg: a replicated lineitem fact with 90% of
+    * rows collapsed onto ONE planted hot key joins a per-key dim, plain
+    * vs [[graft.operators.SkewJoin.skewJoin]]. Broadcast and AQE are
+    * disabled for BOTH paths — emulating the 100 TB regime where the dim
+    * is not broadcastable and the cluster defaults don't carry AQE's
+    * skew splitting — so the plain join funnels the hot key through one
+    * reducer while the salted join fans it across nSalt sub-keys. The
+    * leg asserts (a) identical aggregates from both paths and (b) a
+    * wall-clock win for the salted plan.
+    * `sbt "runMain graft.ScaleStress skewjoin [replicas]"` */
+  private def skewJoinStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+    // 90% of fact rows land on key 0; the rest spread over 1..999
+    val fact = li.select(
+        expr("case when l_orderkey % 10 < 9 then 0 else 1 + l_orderkey % 999 end").as("k"),
+        col("l_extendedprice"), col("l_quantity"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .localCheckpoint()
+    val n = fact.count()
+    // 5 dim rows per key: the reduce side REALIZES a 5× join fan-out, so
+    // the plain plan's hot partition produces 90% of the output serially
+    // — the actual failure mode of a skewed fan-out join (map-side
+    // shuffle write is identical for both paths and drops out of the
+    // comparison)
+    val dim = spark.range(0, 5000).select((col("id") % 1000).as("k"),
+      (col("id") * 7 % 13).as("w"))
+    def agg(j: org.apache.spark.sql.DataFrame) = j
+      // per-joined-row work that a real pipeline does after a fan-out
+      // join (format + hash); it runs INSIDE the reduce task, so the
+      // plain plan pays 90% of it serially. Exact integer sum (wrapping
+      // is deterministic) — order-free, so plan equality is bitwise.
+      .agg(count(lit(1)).as("n"),
+        sum(expr("xxhash64(concat(cast(l_quantity as string), '|', " +
+          "cast(l_extendedprice as string), '|', cast(w as string)))")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+    }
+    agg(fact.join(dim, "k")) // warm-up: JIT + codegen, not measured
+    val (plainV, plainSec) = time(agg(fact.join(dim, "k")))
+    val (saltV, saltSec) = time(agg(
+      graft.operators.SkewJoin.skewJoin(fact, dim, "k", nSalt = 32, hotRatio = 10)))
+    assert(plainV == saltV, s"salted join diverged: $plainV vs $saltV")
+    val speedup = plainSec / saltSec
+    println(f"""{"stress":"skew_join","rows":$n,"plain_sec":$plainSec%.2f,"salted_sec":$saltSec%.2f,"speedup":$speedup%.2f}""")
+    assert(speedup > 1.2,
+      f"salting a 90%% hot key must beat the one-reducer funnel: $speedup%.2f")
     spark.stop()
   }
 

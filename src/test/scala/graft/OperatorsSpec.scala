@@ -973,6 +973,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.length == 5001 && r2.forall(!_.isNullAt(2)))
   }
 
+  test("skew join: planted 90% hot key — salted result row-identical to plain join") {
+    import spark.implicits._
+    // 90 rows on key 7 (hot), 1-2 rows on keys 0..6 (cold); mean ≈ 9.6,
+    // hotRatio=2 flags ONLY key 7
+    val fact = ((0 until 90).map(i => (7L, i.toLong)) ++
+      (0L until 7L).flatMap(k => Seq((k, 100 + k), (k, 200 + k))))
+      .toDF("k", "payload")
+    // dim has 2 rows for the hot key (fan-out through replication must
+    // still be exact), 1 for colds, plus a key absent from fact
+    val dim = (Seq((7L, "h1"), (7L, "h2"), (99L, "orphan")) ++
+      (0L until 7L).map(k => (k, s"d$k"))).toDF("k", "tag")
+    val got = graft.operators.SkewJoin.skewJoin(fact, dim, "k", nSalt = 5, hotRatio = 2)
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = fact.join(dim, "k")
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.length == 90 * 2 + 14 && got.toSeq == want.toSeq)
+  }
+
+  test("skew join: uniform keys flag nothing and still join exactly") {
+    import spark.implicits._
+    val fact = (0L until 40L).map(i => (i % 8, i)).toDF("k", "payload")
+    val dim = (0L until 8L).map(k => (k, s"d$k")).toDF("k", "tag")
+    val got = graft.operators.SkewJoin.skewJoin(fact, dim, "k", nSalt = 4, hotRatio = 3)
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = fact.join(dim, "k").select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.length == 40 && got.toSeq == want.toSeq)
+  }
+
   test("phrase search: finds the dominant trigram with positions, not substrings") {
     val docs = Seq(
       (0L, "alpha beta gamma x alpha beta gamma", "en", "s", 1L),

@@ -106,6 +106,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange (argmax window), plan:\n$p")
   }
 
+  test("skew join: hot-flag set broadcasts, dim replicates, final join keys on (key, salt)") {
+    val p = plan(SparkEntry.queries("q_skew_join")(spark, sf("sf0.001")))
+    // both flag joins broadcast the bounded hot set — the fact relation
+    // never shuffles for flagging
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // dim-side replication is a generate (explode of the salt range)
+    assert(p.contains("Generate explode"), p)
+    // the one fact shuffle carries the composite (key, salt)
+    assert("hashpartitioning\\(l_partkey#\\d+L?, __salt".r.findFirstIn(p).isDefined, p)
+  }
+
   test("minhash signature computes shuffle-free (band join is the first exchange)") {
     val sh = graft.operators.Dedup.withShingleCodes(
       Tables.read(spark, sf("sf0.001"), "documents"))
