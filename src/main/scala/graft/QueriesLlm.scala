@@ -262,6 +262,15 @@ object QueriesLlm {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.gifFrameSample(s,
         Multimodal.gifAssets(s, Tables.read(s, dir, "documents"))).toDF()),
+    // REAL VIDEO decode: MJPEG streams (concatenated JFIF frames — the
+    // actual Motion-JPEG container payload) encoded in-flight, demuxed
+    // at the JPEG marker level, every 2nd frame DECODED through the JDK
+    // codec; the oracle predicts per-frame dims + frame count from the
+    // encode parameters while the values come out of a genuine
+    // demux → decode round trip
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.videoFrameSample(s,
+        Multimodal.mjpegAssets(s, Tables.read(s, dir, "documents"))).toDF()),
     // REAL feature extraction: per-channel color histogram of the
     // DECODED raster (encode → decode → featurize, all genuine; pixel
     // content is arithmetic in (doc_id,x,y) so the oracle reproduces
@@ -915,6 +924,17 @@ object QueriesLlm {
         | cast(1 + (doc_id * 3) % 11 as bigint) as height
         |from (select doc_id,
         |  unnest(generate_series(0, cast(doc_id % 8 as bigint), 2)) as i
+        | from documents)""".stripMargin.replace("\n", " "),
+    // the encode parameters (mjpegBytes/vidFrameCount/pngDims) predict
+    // the demuxed + decoded reality: n_frames = 2 + id % 7, dims =
+    // (1 + id % 13, 1 + 3·id % 11), sampled indices 0,2,… ≤ 1 + id % 7
+    "multimodal_video" ->
+      """select doc_id, cast(i as bigint) as frame_idx,
+        | cast(2 + doc_id % 7 as bigint) as n_frames,
+        | cast(1 + doc_id % 13 as bigint) as width,
+        | cast(1 + (doc_id * 3) % 11 as bigint) as height
+        |from (select doc_id,
+        |  unnest(generate_series(0, cast(1 + doc_id % 7 as bigint), 2)) as i
         | from documents)""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",

@@ -184,8 +184,9 @@ object Multimodal {
     * (every `stride` bytes stands in for every Nth frame) — the generator
     * shape (`flatMap` → row explosion) is what a real frame extractor
     * uses; payload is the byte window. Kept as the fallback for
-    * containers the JDK has no codec for; [[gifFrameSample]] is the REAL
-    * multi-frame path. */
+    * containers the JDK has no codec for; [[gifFrameSample]] (animated
+    * GIF) and [[videoFrameSample]] (MJPEG demux + per-frame JPEG decode)
+    * are the REAL multi-frame paths. */
   def frameSample(spark: SparkSession, assets: Dataset[Asset],
                   stride: Int = 256, maxFrames: Int = 8): Dataset[Frame] = {
     import spark.implicits._
@@ -288,6 +289,101 @@ object Multimodal {
         val n = math.min(maxFallbackFrames, math.max(1, a.blob.length / 256))
         (0 until n by stride).map(i =>
           FrameMeta(a.doc_id, i.toLong, n.toLong, m.width, m.height))
+      }
+    }
+  }
+
+  /** Deterministic doc_id-derived MJPEG frame count, shared with the
+    * DuckDB oracle text (`2 + doc_id % 7`). */
+  private def vidFrameCount(id: Long): Int = (2 + id % 7).toInt
+
+  /** REAL video container for a doc id: an MJPEG stream — [[vidFrameCount]]
+    * complete JFIF/JPEG frames back-to-back, each encoded through the
+    * JDK's actual JPEG codec at [[pngDims]] size. Motion-JPEG is exactly
+    * this container (frames are independent JPEG images concatenated in
+    * stream order; AVI/MOV MJPEG tracks wrap the same payloads), so the
+    * demux + per-frame decode below is a genuine video decode path, not
+    * a byte-window simulation. */
+  private[graft] def mjpegBytes(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < vidFrameCount(id)) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((id + f * 131L + x * 29L + y * 13L) % 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Video asset source for the driver gate: one genuine MJPEG stream per
+    * document, encoded in-flight on the executors (same rationale as
+    * [[pngAssets]]: the decoded metadata is oracle-predictable, the bytes
+    * are a real container only a real demux + codec can read). */
+  def mjpegAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id => Asset(id, mjpegBytes(id))))
+  }
+
+  /** REAL multi-frame VIDEO decode: demux the MJPEG stream at the JPEG
+    * marker level — SOI (FFD8) opens a frame, EOI (FFD9) closes it, and
+    * neither can occur inside a frame's entropy-coded payload because
+    * JPEG byte-stuffs every 0xFF there (FF00 or RST markers only) — then
+    * every `stride`-th demuxed frame is actually DECODED through the JDK
+    * JPEG codec (skipped frames are never rasterized, which is the point
+    * of sampling), reporting the raster's dimensions. A mis-split or a
+    * non-MJPEG payload fails real decode and falls back to the
+    * byte-window stub arithmetic ([[fakeDecode]] dims, one pseudo-frame
+    * per 256 bytes, capped) — the stub survives ONLY where no genuine
+    * codec path exists, and the spec pins that boundary. */
+  def videoFrameSample(spark: SparkSession, assets: Dataset[Asset],
+                       stride: Int = 2, maxFallbackFrames: Int = 8): Dataset[FrameMeta] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val blob = a.blob
+      // marker-level demux: [start, end) byte ranges of complete frames
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var start = -1
+      var i = 0
+      while (i + 1 < blob.length) {
+        if ((blob(i) & 0xff) == 0xff) {
+          val m = blob(i + 1) & 0xff
+          if (m == 0xd8 && start < 0) start = i
+          else if (m == 0xd9 && start >= 0) { bounds += ((start, i + 2)); start = -1 }
+        }
+        i += 1
+      }
+      val decoded: Option[Seq[FrameMeta]] =
+        if (bounds.isEmpty) None
+        else try {
+          val n = bounds.length
+          Some((0 until n by stride).map { fi =>
+            val (s, e) = bounds(fi)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(java.util.Arrays.copyOfRange(blob, s, e)))
+            // a demuxed range that is not a decodable JPEG frame is a
+            // mis-split: reject the whole asset to the fallback rather
+            // than emit half-real metadata
+            if (img == null) throw new java.io.IOException("undecodable frame")
+            FrameMeta(a.doc_id, fi.toLong, n.toLong,
+              img.getWidth.toLong, img.getHeight.toLong)
+          })
+        } catch { case _: Exception => None }
+      decoded.getOrElse {
+        val m = fakeDecode(a)
+        val n = math.min(maxFallbackFrames, math.max(1, blob.length / 256))
+        (0 until n by stride).map(fi =>
+          FrameMeta(a.doc_id, fi.toLong, n.toLong, m.width, m.height))
       }
     }
   }

@@ -613,6 +613,43 @@ class OperatorsSpec extends SparkSpec {
     assert(fb.map(_.frame_idx).toSeq == Seq(0L) && fb.head.n_frames == 2L)
   }
 
+  test("video frame sample: MJPEG demux + per-frame JPEG decode; stub only for unreadable") {
+    import spark.implicits._
+    // doc 7: 2 + 7%7 = 2 frames; doc 9: 2 + 9%7 = 4 frames
+    val bytes = Multimodal.mjpegBytes(7L)
+    // a genuine MJPEG stream: opens with SOI, closes with EOI, and holds
+    // exactly n_frames SOI markers
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    assert((bytes(bytes.length - 2) & 0xff) == 0xff
+      && (bytes(bytes.length - 1) & 0xff) == 0xd9)
+    val docs = Seq((7L, "x", "en", "s", 1L), (9L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fs = Multimodal.videoFrameSample(spark, Multimodal.mjpegAssets(spark, docs))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(fs.filter(_.doc_id == 7L).map(_.frame_idx).toSeq == Seq(0L))
+    assert(fs.filter(_.doc_id == 9L).map(_.frame_idx).toSeq == Seq(0L, 2L))
+    fs.foreach { f =>
+      val (w, h) = if (f.doc_id == 7L) (8L, 11L) else (10L, 6L)
+      assert(f.width == w && f.height == h && f.n_frames == 2 + f.doc_id % 7, f.toString)
+    }
+    // the dims above can ONLY come from the decoded raster — the
+    // byte-window stub would report fakeDecode's 64 + len % 193 dims
+    assert(fs.forall(f => f.width < 64 && f.height < 64))
+    // a corrupted stream (EOI bytes zeroed → demux finds no frame) is
+    // pinned to the fallback: stub dims, byte-window frame count
+    val corrupt = Multimodal.mjpegBytes(9L).clone()
+    corrupt.indices.foreach { i =>
+      if ((corrupt(i) & 0xff) == 0xff) corrupt(i + 1) match {
+        case b if (b & 0xff) == 0xd9 => corrupt(i + 1) = 0x00
+        case _ => ()
+      }
+    }
+    val fb = Multimodal.videoFrameSample(spark,
+      Seq(Multimodal.Asset(9L, corrupt)).toDS()).collect()
+    assert(fb.forall(f => f.width >= 64L && f.height >= 64L),
+      "corrupt container must ride the stub, not half-real metadata")
+  }
+
   test("model-inference contract: opens once per partition, batches amortize") {
     import spark.implicits._
     val opens = spark.sparkContext.longAccumulator("opens")
