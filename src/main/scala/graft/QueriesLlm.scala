@@ -309,6 +309,24 @@ object QueriesLlm {
         .selectExpr("doc_id", "m",
           s"${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9")
     }),
+    // distributed NON-LINEAR model training: one-hidden-layer ReLU MLP,
+    // full-batch GD in pure dataflow (fixed-point gradients, exact ReLU,
+    // q9'd output sigmoid); dumps both weight layers
+    "mlp_train" -> ((s, dir) =>
+      graft.operators.Mlp.mlpTrain(Tables.read(s, dir, "documents"))),
+    // the trained MLP served through the partition-batched BatchModel
+    // contract — a REAL learned non-linear model behind the model
+    // runtime; the imperative forward pass is bit-equal to the
+    // relational spelling the oracle replays
+    "mm_mlp_infer" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val (m1, m2) = graft.operators.Mlp.trainedArrays(docs)
+      Multimodal.inferFeatures(s, Multimodal.assetsFromDocs(s, docs),
+          new Multimodal.MlpTextModel(m1, m2)).toDF()
+        .selectExpr("doc_id", "cast(element_at(embedding, 1) as double) as m")
+        .selectExpr("doc_id", "m",
+          s"${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9")
+    }),
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
@@ -1029,6 +1047,8 @@ object QueriesLlm {
     "text_entropy" -> TextOps.charEntropySql(),
     "lr_train" -> graft.operators.Classifier.lrTrainSql(),
     "mm_lr_infer" -> graft.operators.Classifier.lrInferSql(),
+    "mlp_train" -> graft.operators.Mlp.mlpTrainSql(),
+    "mm_mlp_infer" -> graft.operators.Mlp.mlpInferSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "lr_calibration" -> graft.operators.Classifier.lrCalibrationSql(),
     "lr_auc" -> graft.operators.Classifier.lrAucSql(),

@@ -621,6 +621,55 @@ object Multimodal {
     }
   }
 
+  /** REAL learned NON-LINEAR model behind the [[BatchModel]] contract: a
+    * one-hidden-layer ReLU MLP trained distributed by [[Mlp.mlpTrain]]
+    * (full-batch GD in pure dataflow). The imperative forward pass here
+    * replays the dataflow spelling term for term — tokenize via the same
+    * [[graft.functions.RollingHash.hash]], layer-1 pre-activations as
+    * per-term [[graft.oracle.Parity.fpSum]] fixed-point BIGINT sums,
+    * exact ReLU, the layer-2 margin as another fixed-point sum — so the
+    * emitted score is bit-equal to the relational spelling, which is
+    * what the `mm_mlp_infer` oracle (unrolled training CTEs + a scoring
+    * pass) hash-checks end to end. Weights are (buckets × hidden +
+    * hidden) doubles — the [[Pq]] bounded-collect precedent. */
+  final class MlpTextModel(w1: Array[Array[Double]], w2: Array[Double])
+      extends BatchModel {
+    def open(): BatchModel.Session = new BatchModel.Session {
+      private val (a52, b52) = graft.oracle.Parity.cwParams(52)
+      private val hiddenN = w2.length
+      def embed(batch: Array[Array[Byte]]): Array[Array[Float]] = batch.map { blob =>
+        val s = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+        var from = 0
+        var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        val toks = s.substring(from, to).split(" ", -1)
+        val cnt = new Array[Long](w1.length)
+        toks.foreach { t =>
+          val h = graft.functions.RollingHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          cnt((((h * a52 + b52) % graft.oracle.Parity.CwMod) % w1.length).toInt) += 1L
+        }
+        var macc = 0L
+        var j = 0
+        while (j < hiddenN) {
+          var zacc = 0L
+          var b = 0
+          while (b < w1.length) {
+            if (cnt(b) != 0L)
+              zacc += math.floor(w1(b)(j) * cnt(b).toDouble * 1048576.0 + 0.5).toLong
+            b += 1
+          }
+          val hj = math.max(zacc.toDouble / 1048576.0, 0.0)
+          macc += math.floor(w2(j) * hj * 1048576.0 + 0.5).toLong
+          j += 1
+        }
+        Array((macc.toDouble / 1048576.0).toFloat)
+      }
+      def close(): Unit = ()
+    }
+  }
+
   /** Partition-batched inference runner: one [[BatchModel.open]] per
     * non-empty partition, rows scored in `batchSize` micro-batches
     * through the lazy iterator (no partition-wide materialization), the

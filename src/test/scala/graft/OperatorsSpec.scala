@@ -650,6 +650,31 @@ class OperatorsSpec extends SparkSpec {
       "corrupt container must ride the stub, not half-real metadata")
   }
 
+  test("mlp: hidden layer activates, weights move, and the model separates classes") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", "en", "s", 20L)
+      else (i, "zzq qqz zqz qzz zzz", "xx", "s", 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = graft.operators.Mlp.mlpTrain(docs, buckets = 64, hidden = 4, iters = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // layer-2 weights moved off the dyadic init for >= 2 units (a frozen
+    // ReLU network would leave them at j%3-1 / 4 exactly)
+    val moved = (0 until 4).count { j =>
+      math.abs(w((2L, j.toLong, 0L)) - ((j % 3 - 1) / 4.0)) > 1e-9
+    }
+    assert(moved >= 2, s"layer-2 weights stuck at init: $w")
+    // the trained model separates the classes through the REAL serving path
+    val (m1, m2) = graft.operators.Mlp.trainedArrays(docs, buckets = 64, hidden = 4, iters = 6)
+    val scores = graft.operators.Multimodal.inferFeatures(spark,
+        graft.operators.Multimodal.assetsFromDocs(spark, docs),
+        new graft.operators.Multimodal.MlpTextModel(m1, m2)).collect()
+      .map(f => (f.doc_id, f.embedding(0).toDouble)).toMap
+    val en = (0L until 40L by 2).map(scores).sum / 20.0
+    val xx = (1L until 40L by 2).map(scores).sum / 20.0
+    assert(en > xx, s"trained MLP must rank 'en' docs above: en=$en xx=$xx")
+  }
+
   test("model-inference contract: opens once per partition, batches amortize") {
     import spark.implicits._
     val opens = spark.sparkContext.longAccumulator("opens")
