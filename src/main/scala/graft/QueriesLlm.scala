@@ -373,6 +373,12 @@ object QueriesLlm {
     // dedup_incremental, proven by sharing its oracle
     "dedup_incremental_bloom" -> ((s, dir) =>
       Dedup.incrementalBloom(Tables.read(s, dir, "documents"))),
+    // incremental NEAR-dup: today's shard vs the historical WINNOW
+    // fingerprint index (position-robust — catches the shifted
+    // near-copy exact hashes miss), exact integer containment
+    // predicate, per-doc kept/dup_history/dup_batch
+    "dedup_incremental_winnow" -> ((s, dir) =>
+      Dedup.incrementalWinnow(Tables.read(s, dir, "documents"))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -860,6 +866,7 @@ object QueriesLlm {
     "text_langmix" -> TextOps.langMixSql(),
     "vocab_coverage" -> TextOps.vocabCoverageSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
+    "dedup_incremental_winnow" -> Dedup.incrementalWinnowSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),

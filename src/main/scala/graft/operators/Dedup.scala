@@ -1019,6 +1019,80 @@ object Dedup {
         .selectExpr("doc_id", "fp", verdict))
   }
 
+  /** INCREMENTAL NEAR-dup — [[incremental]]'s production shape upgraded
+    * from exact hashes to MOSS winnowed fingerprints ([[TextOps.winnow]]):
+    * yesterday's index stores each ingested doc's winnow-fp set (16-byte
+    * fps, never text), and today's shard gets per-doc verdicts —
+    * `dup_history` when enough of an incoming doc's fingerprints are
+    * covered by ONE indexed doc, `dup_batch` when an EARLIER incoming
+    * doc covers it, else `kept`. This catches the single-insertion
+    * shifted near-copy that exact-hash [[incremental]] structurally
+    * misses, positioned exactly where production runs it (the
+    * "yesterday's index vs today's crawl" loop).
+    *
+    * Containment is scored against the INCOMING doc's own fp count —
+    * "how much of the new doc is already indexed" — as an exact integer
+    * predicate `n_shared · thrDen ≥ thrNum · n_fp` (no doubles, so the
+    * oracle matches bit-for-bit by construction). Scale shape: the
+    * history side ships only fps, both probes are fp-keyed equi-joins
+    * whose pair mass tracks realized overlap (increment × index, never
+    * |corpus|²), and the within-batch probe is increment-sized. Docs
+    * too short to emit a full winnow window have no fps and are outside
+    * the contract (same as the batch winnow operators). */
+  def incrementalWinnow(docs: DataFrame, minShared: Int = 3,
+                        thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    val hist = fps.filter(expr("doc_id % 5 < 4"))
+      .select(col("doc_id").as("hist_id"), col("fp"))
+    val inc = fps.filter(expr("doc_id % 5 >= 4"))
+    val incSz = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    def hits(matches: DataFrame, flag: String): DataFrame = matches
+      .filter(col("n_shared") >= minShared)
+      .join(incSz, "doc_id")
+      .filter(col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_fp"))
+      .select("doc_id").distinct().withColumn(flag, lit(1L))
+    val histHit = hits(
+      inc.join(hist, "fp")
+        .groupBy("doc_id", "hist_id").agg(count(lit(1)).as("n_shared")),
+      "hist_dup")
+    val batchHit = hits(
+      inc.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
+        .filter(col("e_id") < col("doc_id"))
+        .groupBy("doc_id", "e_id").agg(count(lit(1)).as("n_shared")),
+      "batch_dup")
+    incSz.join(histHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_fp",
+        "case when hist_dup is not null then 'dup_history' " +
+          "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
+  }
+
+  /** DuckDB mirror of [[incrementalWinnow]]. */
+  def incrementalWinnowSql(minShared: Int = 3, thrNum: Int = 1,
+                           thrDen: Int = 2, table: String = "documents"): String =
+    s"""with wn as materialized (${TextOps.winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |hist as materialized (select doc_id as hist_id, fp from fps
+       |  where doc_id % 5 < 4),
+       |inc as materialized (select doc_id, fp from fps where doc_id % 5 >= 4),
+       |isz as materialized (select doc_id, cast(count(*) as bigint) as n_fp
+       | from inc group by 1),
+       |hh as (select distinct s.doc_id from (
+       |  select i.doc_id, hist_id, cast(count(*) as bigint) as n_shared
+       |  from inc i join hist using (fp) group by 1, 2
+       |  having count(*) >= $minShared) s
+       | join isz using (doc_id) where n_shared * $thrDen >= $thrNum * n_fp),
+       |bh as (select distinct s.doc_id from (
+       |  select a.doc_id, b.doc_id as e_id, cast(count(*) as bigint) as n_shared
+       |  from inc a join inc b using (fp) where b.doc_id < a.doc_id
+       |  group by 1, 2 having count(*) >= $minShared) s
+       | join isz using (doc_id) where n_shared * $thrDen >= $thrNum * n_fp)
+       |select isz.doc_id, n_fp,
+       | case when hh.doc_id is not null then 'dup_history'
+       |  when bh.doc_id is not null then 'dup_batch' else 'kept' end as status
+       |from isz left join hh on isz.doc_id = hh.doc_id
+       | left join bh on isz.doc_id = bh.doc_id""".stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[incremental]]. */
   def incrementalSql(table: String = "documents"): String =
     s"""with h as (select distinct md5(text) as fp, 1 as seen from $table

@@ -650,6 +650,29 @@ class OperatorsSpec extends SparkSpec {
       "corrupt container must ride the stub, not half-real metadata")
   }
 
+  test("incremental winnow: shifted near-copy of an indexed doc is dup_history") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base, "en", "s", 64L),                    // history (0 % 5 < 4)
+      (1L, "completely different content with many other words", "en", "s", 48L),
+      (4L, "X " + base, "en", "s", 66L),             // incoming: shifted copy of doc 0
+      (9L, "unrelated fresh text nothing shared with anything at all", "en", "s", 56L),
+      (14L, "Y " + base + " tail", "en", "s", 70L))  // incoming: another near-copy
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Dedup.incrementalWinnow(docs).collect()
+      .map(x => (x.getLong(0), x.getString(2))).toMap
+    // the single-character-shift near-copies hit the history index even
+    // though their exact hashes differ (the case incremental() misses)
+    assert(r(4L) == "dup_history" && r(14L) == "dup_history", r.toString)
+    assert(r(9L) == "kept", r.toString)
+    // exact-hash incremental keeps all three incoming docs — the winnow
+    // upgrade is what catches the near-copies
+    val exact = graft.operators.Dedup.incremental(docs).collect()
+      .map(x => (x.getLong(0), x.getString(2))).toMap
+    assert(Seq(4L, 9L, 14L).forall(exact(_) == "kept"), exact.toString)
+  }
+
   test("mlp: hidden layer activates, weights move, and the model separates classes") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>
