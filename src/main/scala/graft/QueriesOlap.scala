@@ -227,6 +227,11 @@ object QueriesOlap {
     // Structured Streaming hourly agg — stream/batch differential: the
     // oracle is the BATCH hourly SQL
     "stream_hourly" -> ((s, dir) => graft.streaming.EventStream.runOnce(s, dir)),
+    // watermark DROP-semantics differential: two staged micro-batches
+    // with planted beyond-watermark (must drop) and within-watermark
+    // late (must merge) rows; oracle = batch agg over the admitted set
+    "stream_late_drop" -> ((s, dir) =>
+      graft.streaming.EventStream.runLateDropOnce(s, dir)),
     // streaming trending top-k (12th pattern): the stream maintains the
     // incremental (hour, type) counts; top-k is a tiny batch window over
     // the emitted aggregate — the dashboard topology
@@ -1455,6 +1460,7 @@ object QueriesOlap {
     "q_user_rolling" -> EventOps.rollingSql(),
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
+    "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
     "stream_trending" ->
       s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
          | event_type, cast(count(*) as bigint) as n from events group by 1, 2)

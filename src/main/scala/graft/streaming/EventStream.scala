@@ -75,6 +75,133 @@ object EventStream {
   def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame =
     runAvailableNow(spark, sfDir, "dedup", "complete", dedupCounts)
 
+  // --------------------------------------------------------------------
+  // Late-data / watermark drop-semantics gate
+  // --------------------------------------------------------------------
+
+  /** Hour-aligned engineered time base (seconds): 1600002000 / 3600 is
+    * integral, so every window boundary is :00 while every engineered
+    * event time sits at :10 or :40 — no window-end/watermark ties, the
+    * drop decision is never a boundary coin-flip. */
+  private val LateBase: Long = 1600002000L
+
+  /** Watermark DROP-semantics differential — the gate that PROVES late
+    * rows beyond the watermark are discarded and late rows within it are
+    * admitted, instead of assuming it (the other stream gates replay
+    * in-order data where the watermark never bites).
+    *
+    * Three staged files processed as three micro-batches
+    * (`maxFilesPerTrigger 1`, modification times pinned). Spark splits
+    * the watermark since SPARK-24634: late-event FILTERING in batch N
+    * uses the watermark committed after batch N−1 (one batch behind the
+    * eviction watermark), so a filler micro-batch sits between the
+    * on-time data and the late arrivals — without it the late filter
+    * still runs at the initial 0 watermark and nothing drops (verified
+    * empirically; the no-data batches a continuous deployment gets for
+    * free play this role there).
+    *
+    *  - batch 1 (event_id % 11 ≠ 0): event times spread over hours
+    *    0..47 after [[LateBase]] (+10 min) → the committed 1-hour
+    *    watermark stands at hour 46 + 10 min.
+    *  - batch 2: one 'tick' filler row at hour 47 + 10 min (equal to
+    *    the running max — advances nothing, admitted, ticks the batch
+    *    clock so the late filter catches up).
+    *  - batch 3 (event_id % 11 = 0): every id % 33 = 0 row arrives with
+    *    an event time 100 h BEFORE the base — far beyond the watermark,
+    *    and Structured Streaming must DROP it; the rest arrive at hour
+    *    46 + 40 min — late (their hour-46 peers were batch-1 rows) but
+    *    within the watermark, and must MERGE into the still-open
+    *    hour-46 window. One 'future' row at hour 72 + 10 min pushes the
+    *    final watermark past every real window's end so append mode
+    *    emits them all (its own window stays unemitted and is excluded
+    *    from the oracle).
+    *
+    * The oracle is the batch aggregate over exactly the
+    * watermark-admitted set (batch 1 ∪ the tick ∪ the within-watermark
+    * late rows), spelled with the same engineered-time arithmetic — if
+    * a beyond-watermark row leaked in, its negative-hour window appears
+    * and the row set mismatches; if a within-watermark late row were
+    * dropped, the hour-46 counts mismatch. */
+  def runLateDropOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = graft.sources.Tables.read(spark, sfDir, "events")
+    val baseNs = s"${LateBase}000000000"
+    val hourNs = "3600000000000"
+    val b1 = ev.filter(expr("event_id % 11 <> 0"))
+      .selectExpr(
+        s"cast($baseNs + (event_id % 48) * $hourNs + 600000000000 as bigint) as ts",
+        "event_type", "value")
+    val b2 = spark.sql(
+      s"select cast($baseNs + 47 * $hourNs + 600000000000 as bigint) as ts, " +
+        "'tick' as event_type, 0e0 as value")
+    val b3 = ev.filter(expr("event_id % 11 = 0"))
+      .selectExpr(
+        s"""cast(case when event_id % 33 = 0 then $baseNs - 100 * $hourNs
+           | else $baseNs + 46 * $hourNs + 2400000000000 end as bigint) as ts"""
+          .stripMargin.replace("\n", " "),
+        "event_type", "value")
+      .unionByName(spark.sql(
+        s"select cast($baseNs + 72 * $hourNs + 600000000000 as bigint) as ts, " +
+          "'future' as event_type, 0e0 as value"))
+    val src = graft.Scratch.path("graft_latedrop_src_")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = graft.Scratch.dir(s"graft_latedrop_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = src.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(b1, "a_batch1", 1000000L)
+    stage(b2, "b_batch2", 2000000L)
+    stage(b3, "c_batch3", 3000000L)
+    val stream = spark.readStream
+      .schema("ts BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val agg = stream
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("value")).as("v"))
+      .select(expr("unix_micros(w.start) div 1000000").as("hour_epoch"),
+        col("event_type"), col("n"), col("v"))
+    val qName = "graft_latedrop_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(qName)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(qName)
+  }
+
+  /** DuckDB mirror of [[runLateDropOnce]]: the batch aggregate over the
+    * watermark-ADMITTED set — beyond-watermark rows map to NULL and drop,
+    * the future row's unemitted window is excluded. Times in micros. */
+  def lateDropSql(table: String = "events"): String = {
+    val baseUs = s"${LateBase}000000"
+    s"""with m as (
+       | select case when event_id % 11 <> 0
+       |   then $baseUs + (event_id % 48) * 3600000000 + 600000000
+       |  when event_id % 33 <> 0
+       |   then $baseUs + 46 * 3600000000 + 2400000000
+       |  else null end as tsm,
+       |  event_type, value
+       | from $table
+       | union all
+       | select $baseUs + 47 * 3600000000 + 600000000 as tsm,
+       |  'tick' as event_type, 0e0 as value)
+       |select (tsm // 3600000000) * 3600 as hour_epoch, event_type,
+       | cast(count(*) as bigint) as n, ${Parity.fpSum("value")} as v
+       |from m where tsm is not null
+       |group by 1, 2""".stripMargin.replace("\n", " ")
+  }
+
   /** Stream-static join: the event stream enriched against the (small,
     * broadcast) customer dimension, aggregated per market segment — the
     * canonical streaming-enrichment shape (dimension broadcast to every
