@@ -232,6 +232,11 @@ object QueriesOlap {
     // late (must merge) rows; oracle = batch agg over the admitted set
     "stream_late_drop" -> ((s, dir) =>
       graft.streaming.EventStream.runLateDropOnce(s, dir)),
+    // exactly-once foreachBatch MERGE sink: planted post-commit crash,
+    // restart, re-delivered batch idempotently skipped; oracle = the
+    // single-shot batch MERGE (no dupes, no losses)
+    "stream_upsert" -> ((s, dir) =>
+      graft.streaming.EventStream.runUpsertOnce(s, dir)),
     // streaming trending top-k (12th pattern): the stream maintains the
     // incremental (hour, type) counts; top-k is a tiny batch window over
     // the emitted aggregate — the dashboard topology
@@ -1461,6 +1466,7 @@ object QueriesOlap {
     "q_events_sliding" -> EventOps.slidingSql(),
     "stream_hourly" -> EventOps.hourlySql(),
     "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
+    "stream_upsert" -> graft.streaming.EventStream.upsertSql(),
     "stream_trending" ->
       s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
          | event_type, cast(count(*) as bigint) as n from events group by 1, 2)

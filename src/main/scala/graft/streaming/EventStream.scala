@@ -180,6 +180,139 @@ object EventStream {
     spark.table(qName)
   }
 
+  // --------------------------------------------------------------------
+  // Exactly-once foreachBatch MERGE sink with restart-and-replay proof
+  // --------------------------------------------------------------------
+
+  /** Exactly-once streaming upsert into a keyed warehouse table, with a
+    * PLANTED mid-stream crash and restart — the end-to-end delivery
+    * guarantee gate, not just state + emit.
+    *
+    * The sink is the classic idempotent foreachBatch MERGE: per batch,
+    * the change micro-batch full-outer-merges into the current table
+    * version, the new version is written, a version pointer swaps, and a
+    * per-batchId transaction marker commits the side effect. Replayed
+    * batches (same batchId) hit the marker and SKIP — that marker is the
+    * idempotence that turns Structured Streaming's at-least-once batch
+    * re-delivery into exactly-once table contents (the same protocol a
+    * Delta/Iceberg MERGE runs with its txn log).
+    *
+    * The crash is injected AFTER the side effect commits but BEFORE
+    * Spark's own batch commit (thrown at the end of foreachBatch for
+    * batch 1, first run only): the restart re-delivers batch 1, the
+    * guard skips it, and the run `require`s both that the crash happened
+    * and that the replay was actually observed — without the guard the
+    * re-applied deltas would double and the oracle hash would catch it.
+    *
+    * Balances live in exact 2^-20 BIGINT units, so merge order and batch
+    * boundaries cannot perturb the result (integer adds are
+    * association-free; one double division at the end) — the oracle is
+    * the single-shot batch MERGE over the same change set. */
+  def runUpsertOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val wh = graft.Scratch.path("graft_upsert_wh_")
+    graft.sources.Tables.read(spark, sfDir, "customer")
+      .selectExpr("c_custkey as key",
+        "cast(floor(c_acctbal * 1048576e0 + 5e-1) as bigint) as units",
+        "cast(1 as bigint) as origin", "cast(0 as bigint) as n_upd")
+      .write.mode("overwrite").parquet(wh.resolve("v_init").toString)
+    Files.writeString(wh.resolve("CURRENT"), "v_init")
+    // the change stream: the q_upsert change set split into four files →
+    // four micro-batches (maxFilesPerTrigger 1, mtimes pinned)
+    val changes = graft.sources.Tables.read(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .selectExpr("o_orderkey",
+        "case when o_custkey % 10 = 0 then o_custkey + 10000000 " +
+          "else o_custkey end as u_key",
+        "cast(floor(o_totalprice * 1048576e0 + 5e-1) as bigint) as pu")
+    val src = graft.Scratch.path("graft_upsert_src_")
+    (0 until 4).foreach { i =>
+      val tmp = graft.Scratch.dir(s"graft_upsert_f$i")
+      changes.filter(expr(s"o_orderkey % 4 = $i")).select("u_key", "pu")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"f$i.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val ckpt = graft.Scratch.dir("graft_upsert_ckpt_")
+    def mergeBatch(df: DataFrame, batchId: Long): Unit = {
+      val applied = wh.resolve(s"_applied_$batchId")
+      if (Files.exists(applied)) {
+        // re-delivered batch after the crash: idempotent skip, recorded
+        // so the gate can require the replay actually happened
+        Files.deleteIfExists(wh.resolve(s"_replayed_$batchId"))
+        Files.createFile(wh.resolve(s"_replayed_$batchId"))
+      } else {
+        val cur = spark.read.parquet(
+          wh.resolve(Files.readString(wh.resolve("CURRENT"))).toString)
+        val delta = df.groupBy("u_key")
+          .agg(sum("pu").as("d_units"), count(lit(1)).as("d_n"))
+        val next = cur.join(delta, cur("key") === delta("u_key"), "full_outer")
+          .selectExpr("coalesce(key, u_key) as key",
+            "coalesce(units, 0) + coalesce(d_units, 0) as units",
+            "coalesce(origin, 0) as origin",
+            "coalesce(n_upd, 0) + coalesce(d_n, 0) as n_upd")
+        val vNext = s"v_$batchId"
+        next.write.mode("overwrite").parquet(wh.resolve(vNext).toString)
+        Files.writeString(wh.resolve("CURRENT"), vNext) // version swap
+        Files.createFile(applied)                       // transaction marker
+        val failMark = wh.resolve("_fail_injected")
+        if (batchId == 1 && !Files.exists(failMark)) {
+          Files.createFile(failMark)
+          throw new RuntimeException("graft: injected post-commit crash")
+        }
+      }
+    }
+    def run(): Option[Throwable] = {
+      val q = spark.readStream.schema("u_key BIGINT, pu BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(mergeBatch _)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None } catch { case e: Throwable => Some(e) }
+    }
+    val firstErr = run()
+    require(firstErr.exists(e =>
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(c => c.getMessage != null
+          && c.getMessage.contains("injected post-commit crash"))),
+      s"expected the planted mid-stream crash on the first run, got $firstErr")
+    val secondErr = run() // restart: replays batch 1, finishes the rest
+    require(secondErr.isEmpty, s"restarted run must complete: $secondErr")
+    require(Files.exists(wh.resolve("_replayed_1")),
+      "restart must re-deliver the crashed batch (idempotent-skip path untested)")
+    spark.read.parquet(wh.resolve(Files.readString(wh.resolve("CURRENT"))).toString)
+      .selectExpr("key", "cast(units as double) / 1048576e0 as bal",
+        "case when origin = 0 then 'insert' " +
+          "when n_upd = 0 then 'carry' else 'update' end as action")
+  }
+
+  /** DuckDB mirror of [[runUpsertOnce]]: the single-shot batch MERGE
+    * over the same change set — equality proves the restarted, replayed,
+    * four-batch streaming MERGE delivered each change exactly once. */
+  def upsertSql(): String =
+    s"""with ch as (select
+       |  case when o_custkey % 10 = 0 then o_custkey + 10000000
+       |   else o_custkey end as u_key,
+       |  cast(floor(o_totalprice * 1048576e0 + 5e-1) as bigint) as pu
+       | from orders where o_orderdate >= timestamp '1998-01-01'),
+       |agg as (select u_key, cast(sum(pu) as bigint) as units,
+       |  cast(count(*) as bigint) as n_upd from ch group by 1),
+       |base as (select c_custkey as key,
+       |  cast(floor(c_acctbal * 1048576e0 + 5e-1) as bigint) as units
+       | from customer)
+       |select coalesce(base.key, agg.u_key) as key,
+       | cast(coalesce(base.units, 0) + coalesce(agg.units, 0) as double)
+       |  / 1048576e0 as bal,
+       | case when base.key is null then 'insert'
+       |  when agg.u_key is null then 'carry' else 'update' end as action
+       |from base full outer join agg on base.key = agg.u_key"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[runLateDropOnce]]: the batch aggregate over the
     * watermark-ADMITTED set — beyond-watermark rows map to NULL and drop,
     * the future row's unemitted window is excluded. Times in micros. */
