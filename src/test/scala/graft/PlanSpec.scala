@@ -423,10 +423,18 @@ class PlanSpec extends SparkSpec {
     assert(sorts == 1, s"run-collapse + version + valid_to must share one sort, got $sorts:\n$p")
   }
 
-  test("phrase search: the 1-row phrase broadcasts to all three posting probes") {
+  test("phrase search: probes are literal posting-list cuts over the pinned postings") {
     val p = plan(SparkEntry.queries("phrase_search")(spark, sf("sf0.001")))
-    val bc = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bc >= 3, s"three phrase-term probes must broadcast:\n$p")
+    // the collected argmax phrase turns each term probe into a literal
+    // token filter on the checkpointed posting relation (no re-tokenize,
+    // no argmax re-execution per branch)
+    assert("Filter \\(+\\(?tok#\\d+ = ".r.findAllIn(p).length >= 3,
+      s"three literal term filters must cut the postings:\n$p")
+    // the postings come from the checkpoint, not a fresh corpus scan
+    assert(!p.contains("FileScan parquet"),
+      s"probes must read the pinned postings, not rescan the corpus:\n$p")
+    // the two adjacency joins broadcast (posting-list-sized sides)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
   }
 
   test("sink_zorder: rectangle predicates reach the clustered read-back scan") {
