@@ -102,6 +102,30 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("round-7 family is invariant to shuffle partitioning (1/4/13)") {
+    // skewJoin's salted aggregates are exact integers, MLP weights ride
+    // per-term fixed-point sums, incremental-winnow verdicts are integer
+    // containment predicates, video frame metas are per-row decode —
+    // none may depend on partition count or intra-partition order
+    def run(): Seq[String] = {
+      val sj = SparkEntry.queries("q_skew_join")(spark, sf("sf0.001"))
+        .orderBy("p_brand").collect().map(_.toString).toSeq
+      val mlp = SparkEntry.queries("mlp_train")(spark, sf("sf0.001"))
+        .orderBy("layer", "i", "j").collect().map(_.toString).toSeq
+      val iw = SparkEntry.queries("dedup_incremental_winnow")(spark, sf("sf0.001"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val mv = SparkEntry.queries("multimodal_video")(spark, sf("sf0.001"))
+        .orderBy("doc_id", "frame_idx").collect().map(_.toString).toSeq
+      sj ++ mlp ++ iw ++ mv
+    }
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0).nonEmpty)
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
   test("aggregated rank sums are bit-equal to per-cell rank sums (incl. NaN poisoning)") {
     for ((vals, gs) <- cases(4)) {
       val cells = cellsOf("f", vals, gs)
