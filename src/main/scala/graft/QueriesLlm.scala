@@ -379,6 +379,12 @@ object QueriesLlm {
     // predicate, per-doc kept/dup_history/dup_batch
     "dedup_incremental_winnow" -> ((s, dir) =>
       Dedup.incrementalWinnow(Tables.read(s, dir, "documents"))),
+    // bloom-prescreened incremental near-dup: constant-size history-fp
+    // bloom certifies absent fingerprints before the history join; no
+    // false negatives ⇒ verdicts identical to dedup_incremental_winnow,
+    // proven by sharing its oracle
+    "dedup_incremental_winnow_bloom" -> ((s, dir) =>
+      Dedup.incrementalWinnowBloom(Tables.read(s, dir, "documents"))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -867,6 +873,7 @@ object QueriesLlm {
     "vocab_coverage" -> TextOps.vocabCoverageSql(),
     "dedup_incremental" -> Dedup.incrementalSql(),
     "dedup_incremental_winnow" -> Dedup.incrementalWinnowSql(),
+    "dedup_incremental_winnow_bloom" -> Dedup.incrementalWinnowSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),

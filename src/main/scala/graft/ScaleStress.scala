@@ -789,10 +789,23 @@ object ScaleStress {
         requested
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // per-query watchdog (default 10 min, SPARK_GRAFT_SF1_CAP_SEC):
+    // a query whose realized mass blows up at 10× is CANCELLED and
+    // recorded as capped instead of spilling the disk to death and
+    // taking the rest of the sweep with it
+    val capMs = sys.env.getOrElse("SPARK_GRAFT_SF1_CAP_SEC", "600").toLong * 1000L
+    val timer = new java.util.Timer("sf1full-watchdog", true)
     names.foreach { q =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
+        val group = s"sf1full_$q"
+        spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
+        val cancel = new java.util.TimerTask {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }
+        timer.schedule(cancel, capMs)
+        try { SparkEntry.queries(q)(spark, dir).count() }
+        finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
         (System.nanoTime() - t0) / 1e9
       }
       try {
@@ -803,7 +816,14 @@ object ScaleStress {
         case e: Throwable =>
           println(s"""{"stress":"sf1full","query":"$q","error":"${e.getClass.getSimpleName}"}""")
       }
+      // free the localCheckpoint blocks the query pinned — across a
+      // 237-query double sweep they otherwise accumulate to tens of GB
+      // of dead block-manager storage
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc() // nudge ContextCleaner to reap shuffle files
     }
+    timer.cancel()
     spark.stop()
   }
 

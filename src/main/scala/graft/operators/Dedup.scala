@@ -1067,6 +1067,68 @@ object Dedup {
           "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
   }
 
+  /** [[incrementalWinnow]] with the bloom prescreen that makes the
+    * history probe index-size-independent ([[incrementalBloom]]'s
+    * pattern lifted to the NEAR-dup shape): history winnow fingerprints
+    * compress to their set of set bit positions — at most `mBits` rows,
+    * a constant-size broadcast no matter how large the index grows —
+    * and only bloom-POSITIVE incoming fp rows probe the history join;
+    * a clear bit certifies the fingerprint absent from history, and an
+    * absent fingerprint contributes nothing to any n_shared count, so
+    * the verdicts are IDENTICAL to [[incrementalWinnow]] (the driver
+    * query shares its oracle, which is the proof). The within-batch
+    * probe keeps every fp — bloom screens only the history side. At a
+    * corpus-sized index / day-sized increment the history join sees
+    * |true shared fps| + the deterministic false-positive dribble
+    * instead of |increment| fp rows. */
+  def incrementalWinnowBloom(docs: DataFrame, minShared: Int = 3,
+                             thrNum: Int = 1, thrDen: Int = 2,
+                             mBits: Int = 65536, kHash: Int = 3): DataFrame = {
+    val cw = graft.oracle.Parity.CwMod
+    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    val hist = fps.filter(expr("doc_id % 5 < 4"))
+      .select(col("doc_id").as("hist_id"), col("fp"))
+    val inc = fps.filter(expr("doc_id % 5 >= 4")).localCheckpoint()
+    val incSz = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // fp % CwMod brings the 33-bit winnow fp into CW range so the mixes
+    // stay overflow-free in BOTH engines (DuckDB raises on bigint wrap)
+    val bloom = hist
+      .select(expr(s"fp % $cw").as("code"),
+        explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+      .select(expr(bloomPosCase(kHash, mBits)).as("pos"))
+      .distinct()
+    val withPos = inc.withColumn("code", expr(s"fp % $cw"))
+      .select(col("doc_id") +: col("fp") +:
+        (0 until kHash).map(j =>
+          expr(s"(${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
+    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
+      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
+        col(s"p$j") === col(s"bp$j"), "left")
+    }.withColumn("bloom_pos",
+      (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
+      .select("doc_id", "fp", "bloom_pos")
+    def hits(matches: DataFrame, flag: String): DataFrame = matches
+      .filter(col("n_shared") >= minShared)
+      .join(incSz, "doc_id")
+      .filter(col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_fp"))
+      .select("doc_id").distinct().withColumn(flag, lit(1L))
+    val histHit = hits(
+      probed.filter(col("bloom_pos")).select("doc_id", "fp")
+        .join(hist, "fp")
+        .groupBy("doc_id", "hist_id").agg(count(lit(1)).as("n_shared")),
+      "hist_dup")
+    val batchHit = hits(
+      inc.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
+        .filter(col("e_id") < col("doc_id"))
+        .groupBy("doc_id", "e_id").agg(count(lit(1)).as("n_shared")),
+      "batch_dup")
+    incSz.join(histHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_fp",
+        "case when hist_dup is not null then 'dup_history' " +
+          "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
+  }
+
   /** DuckDB mirror of [[incrementalWinnow]]. */
   def incrementalWinnowSql(minShared: Int = 3, thrNum: Int = 1,
                            thrDen: Int = 2, table: String = "documents"): String =

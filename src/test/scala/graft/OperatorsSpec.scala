@@ -671,6 +671,11 @@ class OperatorsSpec extends SparkSpec {
     val exact = graft.operators.Dedup.incremental(docs).collect()
       .map(x => (x.getLong(0), x.getString(2))).toMap
     assert(Seq(4L, 9L, 14L).forall(exact(_) == "kept"), exact.toString)
+    // the bloom prescreen has no false negatives: verdicts identical,
+    // including at a tiny filter (64 bits) where false POSITIVES abound
+    val bloomed = graft.operators.Dedup.incrementalWinnowBloom(docs, mBits = 64)
+      .collect().map(x => (x.getLong(0), x.getString(2))).toMap
+    assert(bloomed == r, s"bloom-prescreened verdicts diverged: $bloomed vs $r")
   }
 
   test("mlp: hidden layer activates, weights move, and the model separates classes") {
