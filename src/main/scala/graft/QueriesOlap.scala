@@ -237,6 +237,11 @@ object QueriesOlap {
     // single-shot batch MERGE (no dupes, no losses)
     "stream_upsert" -> ((s, dir) =>
       graft.streaming.EventStream.runUpsertOnce(s, dir)),
+    // dropDuplicatesWithinWatermark state-TTL differential: dup with
+    // live state drops, dup after expiry re-emits; oracle = the TTL
+    // rule in set algebra
+    "stream_dedup_ttl" -> ((s, dir) =>
+      graft.streaming.EventStream.runDedupTtlOnce(s, dir)),
     // streaming trending top-k (12th pattern): the stream maintains the
     // incremental (hour, type) counts; top-k is a tiny batch window over
     // the emitted aggregate — the dashboard topology
@@ -1467,6 +1472,7 @@ object QueriesOlap {
     "stream_hourly" -> EventOps.hourlySql(),
     "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
     "stream_upsert" -> graft.streaming.EventStream.upsertSql(),
+    "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
     "stream_trending" ->
       s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
          | event_type, cast(count(*) as bigint) as n from events group by 1, 2)

@@ -181,6 +181,99 @@ object EventStream {
   }
 
   // --------------------------------------------------------------------
+  // Streaming dedup state-TTL gate (dropDuplicatesWithinWatermark)
+  // --------------------------------------------------------------------
+
+  /** State-TTL dedup differential — `dropDuplicatesWithinWatermark`'s
+    * BOTH guarantees proven against a batch oracle: a duplicate arriving
+    * while the first arrival's state is retained is DROPPED, and a
+    * duplicate arriving after the watermark expired that state is
+    * EMITTED AGAIN (the unbounded-state escape hatch plain
+    * `dropDuplicates` doesn't have — its state never expires).
+    *
+    * Engineered keys k = event_id % 60 over three staged micro-batches
+    * (same hour-aligned time discipline as [[runLateDropOnce]],
+    * including the filler batch that lets the lagged late-event
+    * watermark catch up):
+    *
+    *  - batch 1 (event_id % 7 ≠ 0, k < 40): keys k < 20 at hour 0+10min
+    *    ("old" first arrivals), keys 20..39 at hour 5+10min ("fresh"
+    *    first arrivals). Committed watermark (1 h delay) = 4h10.
+    *  - batch 2: one tick row (k = 1000) at 5h20.
+    *  - batch 3 (event_id % 7 = 0, all k) at 5h40: re-arrivals of k < 20
+    *    find their state EXPIRED (0h10 + 1h < watermark) → re-emitted;
+    *    re-arrivals of 20..39 find state ALIVE (5h10 + 1h ahead of the
+    *    watermark) → dropped; k ≥ 40 are new keys → emitted.
+    *
+    * Output collapses the sink to (k, n_emits): 2 for an expired-state
+    * re-arrival, 1 everywhere else — the oracle spells the same rule in
+    * set algebra over the events table. */
+  def runDedupTtlOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = graft.sources.Tables.read(spark, sfDir, "events")
+    val baseNs = s"${LateBase}000000000"
+    val hourNs = "3600000000000"
+    val b1 = ev.filter(expr("event_id % 7 <> 0 and event_id % 60 < 40"))
+      .selectExpr("event_id % 60 as k",
+        s"""cast(case when event_id % 60 < 20 then $baseNs + 600000000000
+           | else $baseNs + 5 * $hourNs + 600000000000 end as bigint) as ts"""
+          .stripMargin.replace("\n", " "))
+    val b2 = spark.sql(
+      s"select cast(1000 as bigint) as k, " +
+        s"cast($baseNs + 5 * $hourNs + 1200000000000 as bigint) as ts")
+    val b3 = ev.filter(expr("event_id % 7 = 0"))
+      .selectExpr("event_id % 60 as k",
+        s"cast($baseNs + 5 * $hourNs + 2400000000000 as bigint) as ts")
+    val src = graft.Scratch.path("graft_dedupttl_src_")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = graft.Scratch.dir(s"graft_dedupttl_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    stage(b1, "a_batch1", 1000000L)
+    stage(b2, "b_batch2", 2000000L)
+    stage(b3, "c_batch3", 3000000L)
+    val dedup = spark.readStream
+      .schema("k BIGINT, ts BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val qName = "graft_dedupttl_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = dedup.writeStream
+        .outputMode("append").format("memory").queryName(qName)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(qName).groupBy("k").agg(count(lit(1)).as("n_emits"))
+  }
+
+  /** DuckDB mirror of [[runDedupTtlOnce]]: the TTL rule in set algebra —
+    * one emit per key present in batch 1, one more for a batch-3 key
+    * whose batch-1 state expired (k < 20) or never existed. */
+  def dedupTtlSql(table: String = "events"): String =
+    s"""with b1 as (select distinct event_id % 60 as k from $table
+       |  where event_id % 7 <> 0 and event_id % 60 < 40),
+       |b3 as (select distinct event_id % 60 as k from $table
+       |  where event_id % 7 = 0),
+       |em as (
+       | select k from b1
+       | union all
+       | select k from b3 where k < 20 or k not in (select k from b1)
+       | union all select 1000 as k)
+       |select k, cast(count(*) as bigint) as n_emits
+       |from em group by k""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------------------------------------
   // Exactly-once foreachBatch MERGE sink with restart-and-replay proof
   // --------------------------------------------------------------------
 
