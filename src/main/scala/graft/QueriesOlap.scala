@@ -242,6 +242,10 @@ object QueriesOlap {
     // rule in set algebra
     "stream_dedup_ttl" -> ((s, dir) =>
       graft.streaming.EventStream.runDedupTtlOnce(s, dir)),
+    // stateful-agg restart/recovery: one window's contributions split
+    // across a checkpoint restart must combine; exactly-once file sink
+    "stream_restart_agg" -> ((s, dir) =>
+      graft.streaming.EventStream.runRestartAggOnce(s, dir)),
     // streaming trending top-k (12th pattern): the stream maintains the
     // incremental (hour, type) counts; top-k is a tiny batch window over
     // the emitted aggregate — the dashboard topology
@@ -1473,6 +1477,7 @@ object QueriesOlap {
     "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
     "stream_upsert" -> graft.streaming.EventStream.upsertSql(),
     "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
+    "stream_restart_agg" -> graft.streaming.EventStream.restartAggSql(),
     "stream_trending" ->
       s"""with h as (select ${Parity.hourEpoch(Parity.DuckD, "ts")} as hour_epoch,
          | event_type, cast(count(*) as bigint) as n from events group by 1, 2)

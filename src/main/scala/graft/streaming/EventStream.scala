@@ -181,6 +181,111 @@ object EventStream {
   }
 
   // --------------------------------------------------------------------
+  // Stateful-aggregation restart/recovery gate (checkpoint + file sink)
+  // --------------------------------------------------------------------
+
+  /** State RECOVERY differential: a windowed aggregation stopped and
+    * restarted from its checkpoint must resume its open-window state,
+    * not rebuild it — proven by splitting one window's contributions
+    * across the restart boundary.
+    *
+    * Run 1 processes hours 0..47 plus one opener row in hour 50; its
+    * final watermark (49h10) closes and emits hours 0..47 to an
+    * exactly-once FileStreamSink (parquet + `_spark_metadata` manifest),
+    * while the hour-50 window stays OPEN in checkpointed state. New
+    * files are staged, and run 2 — same checkpoint, same sink — feeds
+    * more hour-50 rows plus a future row that closes everything. The
+    * emitted hour-50 count must combine contributions from BOTH runs:
+    * lost state would emit a run-2-only count, and a sink without the
+    * manifest would double rows re-listed across restarts. The oracle
+    * is the batch aggregate over all admitted rows.
+    *
+    * (Run-2 additions sit at 50h40 — above run 1's committed watermark,
+    * so the lagged late-filter admits them on arrival.) */
+  def runRestartAggOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = graft.sources.Tables.read(spark, sfDir, "events")
+    val baseNs = s"${LateBase}000000000"
+    val hourNs = "3600000000000"
+    val b1 = ev.filter(expr("event_id % 11 <> 0"))
+      .selectExpr(
+        s"cast($baseNs + (event_id % 48) * $hourNs + 600000000000 as bigint) as ts",
+        "event_type", "value")
+    // run-1 opener: hour-50 state that must SURVIVE the restart
+    val b2 = spark.sql(
+      s"select cast($baseNs + 50 * $hourNs + 600000000000 as bigint) as ts, " +
+        "'opener' as event_type, 2e0 as value")
+    // run-2 additions: more hour-50 mass + the closing future row
+    val b3 = ev.filter(expr("event_id % 11 = 0"))
+      .selectExpr(
+        s"cast($baseNs + 50 * $hourNs + 2400000000000 as bigint) as ts",
+        "'opener' as event_type", "value")
+      .unionByName(spark.sql(
+        s"select cast($baseNs + 80 * $hourNs + 600000000000 as bigint) as ts, " +
+          "'future' as event_type, 0e0 as value"))
+    val src = graft.Scratch.path("graft_restart_src_")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = graft.Scratch.dir(s"graft_restart_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val ckpt = graft.Scratch.dir("graft_restart_ckpt_")
+    val sink = graft.Scratch.dir("graft_restart_sink_")
+    def run(): Unit = {
+      val agg = spark.readStream
+        .schema("ts BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(Parity.fpSum("value")).as("v"))
+        .select(expr("unix_micros(w.start) div 1000000").as("hour_epoch"),
+          col("event_type"), col("n"), col("v"))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream
+          .outputMode("append").format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    stage(b1, "a_batch1", 1000000L)
+    stage(b2, "b_batch2", 2000000L)
+    run() // emits hours 0..47; hour-50 opener held in checkpointed state
+    stage(b3, "c_batch3", 3000000L)
+    run() // resumes state; hour-50 emits with BOTH runs' contributions
+    spark.read.parquet(sink)
+  }
+
+  /** DuckDB mirror of [[runRestartAggOnce]]: the batch aggregate over
+    * every admitted row (the future row's unemitted window excluded) —
+    * hour 50 combines the pre- and post-restart contributions. */
+  def restartAggSql(table: String = "events"): String = {
+    val baseUs = s"${LateBase}000000"
+    s"""with m as (
+       | select case when event_id % 11 <> 0
+       |   then $baseUs + (event_id % 48) * 3600000000 + 600000000
+       |  else $baseUs + 50 * 3600000000 + 2400000000 end as tsm,
+       |  case when event_id % 11 <> 0 then event_type
+       |   else 'opener' end as event_type, value
+       | from $table
+       | union all
+       | select $baseUs + 50 * 3600000000 + 600000000 as tsm,
+       |  'opener' as event_type, 2e0 as value)
+       |select (tsm // 3600000000) * 3600 as hour_epoch, event_type,
+       | cast(count(*) as bigint) as n, ${Parity.fpSum("value")} as v
+       |from m group by 1, 2""".stripMargin.replace("\n", " ")
+  }
+
+  // --------------------------------------------------------------------
   // Streaming dedup state-TTL gate (dropDuplicatesWithinWatermark)
   // --------------------------------------------------------------------
 
