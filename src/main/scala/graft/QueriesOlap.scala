@@ -1115,6 +1115,12 @@ object QueriesOlap {
     // identical Morton keys from the raw table
     "sink_zorder" -> ((s, dir) =>
       graft.operators.Zorder.rectangleOverZSink(Tables.read(s, dir, "lineitem"))),
+    // Hilbert-curve clustered sink (the liquid-clustering layout):
+    // unit-adjacent index walk — tighter rectangles per file than the
+    // Morton diagonals; same pushed-bucket read-back, oracle recomputes
+    // the unrolled xy2d levels bit-for-bit
+    "sink_hilbert" -> ((s, dir) =>
+      graft.operators.Hilbert.rectangleOverHilbertSink(Tables.read(s, dir, "lineitem"))),
     "sink_sorted" -> ((s, dir) => {
       val tmp = graft.Scratch.dir("graft_sort_")
       Tables.read(s, dir, "lineitem")
@@ -1772,6 +1778,7 @@ object QueriesOlap {
          | and o_orderdate < timestamp '1998-01-01'
          |group by n_name""".stripMargin.replace("\n", " "),
     "sink_zorder" -> graft.operators.Zorder.rectangleSql(),
+    "sink_hilbert" -> graft.operators.Hilbert.rectangleSql(),
     "sink_sorted" ->
       s"""select cast(month(l_shipdate) as bigint) as m,
          | cast(count(*) as bigint) as n_items,

@@ -678,6 +678,34 @@ class OperatorsSpec extends SparkSpec {
     assert(bloomed == r, s"bloom-prescreened verdicts diverged: $bloomed vs $r")
   }
 
+  test("hilbert index: exhaustive bijection + unit adjacency over the 256x256 grid") {
+    // the defining Hilbert property, proven from the very SQL text the
+    // sink and the oracle share: the unrolled levels map the grid
+    // bijectively onto [0, 65536) and every consecutive pair of indices
+    // is grid-ADJACENT (|dx| + |dy| = 1) — Morton codes fail adjacency
+    // at every quadrant boundary
+    var df = spark.range(65536).selectExpr(
+      "id div 256 as bx", "id % 256 as by",
+      "id div 256 as hx", "id % 256 as hy", "cast(0 as bigint) as hd")
+    (0 until 8).foreach { i =>
+      val s = 128 >> i
+      val (nx, ny, nd) = graft.operators.Hilbert.level(s)
+      df = df.selectExpr("bx", "by", s"$nx as hx__", s"$ny as hy__", s"$nd as hd__")
+        .withColumnRenamed("hx__", "hx").withColumnRenamed("hy__", "hy")
+        .withColumnRenamed("hd__", "hd")
+    }
+    val m = df.selectExpr("hd", "bx", "by").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m.size == 65536 && m.keys.min == 0L && m.keys.max == 65535L,
+      "hilbert map must be a bijection onto [0, 65536)")
+    (1 until 65536).foreach { d =>
+      val (x0, y0) = m(d - 1L)
+      val (x1, y1) = m(d.toLong)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"d=$d jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+  }
+
   test("mlp: hidden layer activates, weights move, and the model separates classes") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>

@@ -444,6 +444,13 @@ class PlanSpec extends SparkSpec {
       s"both bucket bounds must reach the scan (min/max skipping):\n$p")
   }
 
+  test("sink_hilbert: rectangle predicates reach the clustered read-back scan") {
+    val p = plan(SparkEntry.queries("sink_hilbert")(spark, sf("sf0.001")))
+    assert("PushedFilters: \\[[^\\]]*bx".r.findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*by".r.findFirstIn(p).isDefined,
+      s"both bucket bounds must reach the scan (min/max skipping):\n$p")
+  }
+
   test("lr_auc: the only rank window runs over the grid-sized relation (post-agg)") {
     val p = plan(SparkEntry.queries("lr_auc")(spark, sf("sf0.001")))
     // the cumulative window must sit ABOVE the m9 grid aggregate, never
