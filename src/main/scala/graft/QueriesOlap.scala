@@ -1121,6 +1121,25 @@ object QueriesOlap {
     // the unrolled xy2d levels bit-for-bit
     "sink_hilbert" -> ((s, dir) =>
       graft.operators.Hilbert.rectangleOverHilbertSink(Tables.read(s, dir, "lineitem"))),
+    // SCHEMA EVOLUTION round trip (the add-a-column migration every
+    // long-lived warehouse table survives): era-1 files lack the
+    // priority column, era-2 files carry it, and a mergeSchema read
+    // reconciles both vintages — old rows surface the new column as
+    // NULL. Oracle computes the same union from the raw table.
+    "sink_evolve" -> ((s, dir) => {
+      val tmp = graft.Scratch.dir("graft_evolve_")
+      val o = Tables.read(s, dir, "orders")
+      o.filter(col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/era=1")
+      o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/era=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          expr(fpSum("o_totalprice")).as("total"))
+    }),
     "sink_sorted" -> ((s, dir) => {
       val tmp = graft.Scratch.dir("graft_sort_")
       Tables.read(s, dir, "lineitem")
@@ -1779,6 +1798,14 @@ object QueriesOlap {
          |group by n_name""".stripMargin.replace("\n", " "),
     "sink_zorder" -> graft.operators.Zorder.rectangleSql(),
     "sink_hilbert" -> graft.operators.Hilbert.rectangleSql(),
+    // era-1 rows surface the evolved column as NULL — same union the
+    // mergeSchema read reconciles
+    "sink_evolve" ->
+      s"""select case when o_orderdate >= timestamp '1997-01-01'
+         |  then o_orderpriority end as prio,
+         | cast(count(*) as bigint) as n,
+         | ${fpSum("o_totalprice")} as total
+         |from orders group by 1""".stripMargin.replace("\n", " "),
     "sink_sorted" ->
       s"""select cast(month(l_shipdate) as bigint) as m,
          | cast(count(*) as bigint) as n_items,
