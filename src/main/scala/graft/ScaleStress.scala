@@ -49,6 +49,7 @@ object ScaleStress {
     if (args.headOption.contains("semdedup")) { semDedupStress(args.drop(1)); return }
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
     if (args.headOption.contains("skewjoin")) { skewJoinStress(args.drop(1)); return }
+    if (args.headOption.contains("hilbert")) { hilbertStress(args.drop(1)); return }
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
@@ -487,6 +488,66 @@ object ScaleStress {
     println(f"""{"stress":"skew_join","rows":$n,"plain_sec":$plainSec%.2f,"salted_sec":$saltSec%.2f,"speedup":$speedup%.2f}""")
     assert(speedup > 1.2,
       f"salting a 90%% hot key must beat the one-reducer funnel: $speedup%.2f")
+    spark.stop()
+  }
+
+  /** Hilbert-vs-Morton pruning-effectiveness leg: write lineitem under
+    * BOTH clustered layouts at the same file count, then measure what
+    * min/max skipping actually prunes — per physical file, the (bx, by)
+    * bounds are read back (`input_file_name`) and a file "survives" a
+    * rectangle query iff its bounds intersect the rectangle, which is
+    * precisely the decision parquet row-group skipping makes from
+    * footer stats. Averaged over a 3×3 grid of query rectangles, the
+    * Hilbert layout must touch no more files than Morton (its
+    * unit-adjacent walk packs tighter rectangles per file — Morton's
+    * quadrant diagonals smear both dimensions across file boundaries).
+    * `sbt "runMain graft.ScaleStress hilbert [files]"` */
+  private def hilbertStress(args: Array[String]): Unit = {
+    val files = if (args.nonEmpty) args(0).toInt else 16
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+    val mx = li.agg(max("l_partkey").as("pmax"), max("l_suppkey").as("smax"))
+    val bucketed = li.select("l_partkey", "l_suppkey")
+      .crossJoin(broadcast(mx))
+      .withColumn("bx", expr(graft.operators.Zorder.bucket("l_partkey", "pmax")))
+      .withColumn("by", expr(graft.operators.Zorder.bucket("l_suppkey", "smax")))
+      .select("bx", "by").localCheckpoint()
+    def surviving(keyed: org.apache.spark.sql.DataFrame, keyCol: String): Double = {
+      val dir = graft.Scratch.dir(s"graft_prune_$keyCol")
+      keyed.repartitionByRange(files, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(dir)
+      val bounds = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("bx").as("x0"), max("bx").as("x1"),
+          min("by").as("y0"), max("by").as("y1"))
+        .collect()
+      // 3×3 grid of 64×64 query rectangles
+      val rects = for (i <- 0 until 3; j <- 0 until 3)
+        yield (i * 85L, i * 85L + 63L, j * 85L, j * 85L + 63L)
+      rects.map { case (qx0, qx1, qy0, qy1) =>
+        bounds.count { b =>
+          b.getLong(1) <= qx1 && b.getLong(2) >= qx0 &&
+            b.getLong(3) <= qy1 && b.getLong(4) >= qy0
+        }
+      }.sum.toDouble / rects.size
+    }
+    val zKeyed = bucketed.withColumn("zk",
+      expr(graft.operators.Zorder.morton("bx", "by")))
+    var hKeyed = bucketed.selectExpr("bx", "by",
+      "bx as hx", "by as hy", "cast(0 as bigint) as hd")
+    (0 until 8).foreach { i =>
+      val (nx, ny, nd) = graft.operators.Hilbert.level(128 >> i)
+      hKeyed = hKeyed.selectExpr("bx", "by", s"$nx as hx__", s"$ny as hy__", s"$nd as hd__")
+        .withColumnRenamed("hx__", "hx").withColumnRenamed("hy__", "hy")
+        .withColumnRenamed("hd__", "hd")
+    }
+    val zFiles = surviving(zKeyed.select("bx", "by", "zk"), "zk")
+    val hFiles = surviving(hKeyed.select("bx", "by", "hd"), "hd")
+    println(f"""{"stress":"hilbert_prune","files":$files,"morton_files_touched":$zFiles%.2f,"hilbert_files_touched":$hFiles%.2f}""")
+    assert(hFiles <= zFiles,
+      f"hilbert layout must prune at least as well as morton: $hFiles%.2f vs $zFiles%.2f")
     spark.stop()
   }
 
