@@ -50,9 +50,16 @@ object EventStream {
   private def runAvailableNow(spark: SparkSession, sfDir: String, prefix: String,
                               mode: String, build: DataFrame => DataFrame): DataFrame = {
     val src = graft.Scratch.path(s"graft_${prefix}_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      src.resolve("events.parquet"))
+    // the table may be a single parquet file (driver testdata) or a
+    // directory of part files (replica sets written by df.write) — stage
+    // every data file either way
+    val tbl = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    if (java.nio.file.Files.isDirectory(tbl)) {
+      val it = java.nio.file.Files.list(tbl)
+      try it.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p, src.resolve(p.getFileName.toString)))
+      finally it.close()
+    } else java.nio.file.Files.copy(tbl, src.resolve("events.parquet"))
     // declare the file's NATIVE schema, then normalize onto the
     // epoch-nanos contract — declaring the post-normalization schema
     // would make the reader reinterpret raw timestamp micros as longs
