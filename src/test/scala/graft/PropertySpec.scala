@@ -126,6 +126,32 @@ class PropertySpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("skewJoin ≡ plain join on randomized skew shapes (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 6).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(12)
+      val hotShare = rnd.nextInt(80)
+      val fact = (0 until 200).map { i =>
+        val k = if (rnd.nextInt(100) < hotShare) 0L else rnd.nextInt(nKeys).toLong
+        (k, i.toLong)
+      }.toDF("k", "payload")
+      // dim multiplicity 0..3 per key — fan-out and missing keys both occur
+      val dim = (0L until nKeys.toLong).flatMap { k =>
+        (0 until rnd.nextInt(4)).map(j => (k, s"d${k}_$j"))
+      }.toDF("k", "tag")
+      val nSalt = 2 + rnd.nextInt(6)
+      val hotRatio = 2 + rnd.nextInt(4)
+      def sorted(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "payload", "tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val got = sorted(SkewJoin.skewJoin(fact, dim, "k", nSalt, hotRatio))
+      val want = sorted(fact.join(dim, "k"))
+      assert(got == want,
+        s"trial $trial (nKeys=$nKeys hotShare=$hotShare nSalt=$nSalt hotRatio=$hotRatio)")
+    }
+  }
+
   test("aggregated rank sums are bit-equal to per-cell rank sums (incl. NaN poisoning)") {
     for ((vals, gs) <- cases(4)) {
       val cells = cellsOf("f", vals, gs)
