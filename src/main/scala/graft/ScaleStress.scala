@@ -50,6 +50,7 @@ object ScaleStress {
     if (args.headOption.contains("mwuskew")) { mwuSkewStress(args.drop(1)); return }
     if (args.headOption.contains("skewjoin")) { skewJoinStress(args.drop(1)); return }
     if (args.headOption.contains("hilbert")) { hilbertStress(args.drop(1)); return }
+    if (args.headOption.contains("metrics")) { metricsProbe(args.drop(1)); return }
     if (args.headOption.contains("curate")) { curateStress(args.drop(1)); return }
     if (args.headOption.contains("lm")) { lmStress(args.drop(1)); return }
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
@@ -488,6 +489,55 @@ object ScaleStress {
     println(f"""{"stress":"skew_join","rows":$n,"plain_sec":$plainSec%.2f,"salted_sec":$saltSec%.2f,"speedup":$speedup%.2f}""")
     assert(speedup > 1.2,
       f"salting a 90%% hot key must beat the one-reducer funnel: $speedup%.2f")
+    spark.stop()
+  }
+
+  /** Per-query physical-cost probe: run any registry query under a
+    * stage-metrics listener and report WHERE the bytes go — input read,
+    * shuffle write/read, memory+disk spill, peak execution memory, task
+    * count — the numbers that decide partitioning and memory sizing on
+    * a real cluster, which wall-clock alone hides. One JSON line per
+    * query.
+    * `sbt "runMain graft.ScaleStress metrics q1_agg,mwu_rank [sfDir]"` */
+  private def metricsProbe(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: metrics <q1,q2,...> [sfDir]")
+    val names = args(0).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = session()
+    names.foreach { q =>
+      val acc = new java.util.concurrent.atomic.AtomicReference(
+        (0L, 0L, 0L, 0L, 0L, 0L, 0L)) // input, shw, shr, memSpill, diskSpill, peakMem, tasks
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) acc.updateAndGet { case (i, sw, sr, ms, ds, pk, n) =>
+            (i + m.inputMetrics.bytesRead,
+              sw + m.shuffleWriteMetrics.bytesWritten,
+              sr + m.shuffleReadMetrics.totalBytesRead,
+              ms + m.memoryBytesSpilled, ds + m.diskBytesSpilled,
+              math.max(pk, m.peakExecutionMemory), n + 1)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async — wait until the task counter
+      // goes quiet (the public-API stand-in for listenerBus drain)
+      var last = -1L
+      var spins = 0
+      while (acc.get()._7 != last && spins < 40) {
+        last = acc.get()._7; Thread.sleep(50); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val (in, sw, sr, ms, ds, pk, n) = acc.get()
+      def mb(b: Long): Double = b / 1048576.0
+      println(f"""{"stress":"metrics","query":"$q","rows":$rows,"sec":$sec%.2f,"input_mb":${mb(in)}%.1f,"shuffle_write_mb":${mb(sw)}%.1f,"shuffle_read_mb":${mb(sr)}%.1f,"mem_spill_mb":${mb(ms)}%.1f,"disk_spill_mb":${mb(ds)}%.1f,"peak_task_mem_mb":${mb(pk)}%.1f,"tasks":$n}""")
+    }
     spark.stop()
   }
 
