@@ -497,7 +497,11 @@ object ScaleStress {
     * shuffle write/read, memory+disk spill, peak execution memory, task
     * count — the numbers that decide partitioning and memory sizing on
     * a real cluster, which wall-clock alone hides. One JSON line per
-    * query.
+    * query. Caveat: `input_mb` counts task-level inputMetrics (RDD /
+    * localCheckpoint reads); DSv2 parquet scans report bytes through
+    * SQL node metrics instead, so a pure-scan query can legitimately
+    * show input_mb 0 — the shuffle/spill/peak columns are the sizing
+    * signals this probe exists for.
     * `sbt "runMain graft.ScaleStress metrics q1_agg,mwu_rank [sfDir]"` */
   private def metricsProbe(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: metrics <q1,q2,...> [sfDir]")
