@@ -512,6 +512,11 @@ object QueriesLlm {
     // neighborhood) — the bitext-mining confidence filter
     "ann_margin" -> ((s, dir) =>
       Similarity.marginMine(Tables.read(s, dir, "embeddings"))),
+    // the bounded-scale margin miner: same ratio-margin tail over the
+    // fixed-quantizer IVF neighborhood (probed cells only) — fully
+    // hash-checked, the 100 TB shape of the bitext filter
+    "ann_margin_ivf" -> ((s, dir) =>
+      Similarity.marginMineIvf(Tables.read(s, dir, "embeddings"))),
     // contrastive training pairs: top-1 positive + hard negatives
     // (ranks 11..15) from one cosineTopK pass — dual-encoder data prep
     "train_pairs" -> ((s, dir) =>
@@ -613,6 +618,39 @@ object QueriesLlm {
   /** Brute cosine top-k oracle, parameterized by an extra predicate on
     * the search universe (shared by ann_cosine and the metadata
     * pre-filtered ann_filtered). */
+  /** Fixed-quantizer IVF as a reusable CTE chain ending in `ranked`
+    * (q_id, n_id, cos, rn over the probed-cell candidates) — shared by
+    * the `ann_ivf_label` top-k gate and the `ann_margin_ivf` miner. */
+  private def ivfLabelCtes: String = {
+    val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
+    val dotCC = Parity.dot(DuckD, "centroid", "centroid", dim)
+    val dotQC = Parity.dot(DuckD, "q_emb", "centroid", dim)
+    val dotQN = Parity.dot(DuckD, "p.q_emb", "nn.embedding", dim)
+    s"""with cg as (select cast(label as bigint) as cl, i as d,
+       |  cast(count(*) as bigint) as n,
+       |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
+       | from embeddings, generate_series(1, $dim) t(i) group by cl, i),
+       |cent as (select cl, list(cv order by d) as centroid from
+       |  (select cl, d, vs / cast(n as double) as cv from cg) group by cl),
+       |cn as (select * from (select cl, centroid, sqrt($dotCC) as c_norm from cent)
+       |  where c_norm > 0e0),
+       |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
+       |   sqrt($dotSelf) as norm from embeddings) where norm > 0e0),
+       |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
+       |  where vec_id % 50 = 0),
+       |probes as (select q_id, q_emb, q_norm, cl from (
+       |  select q.q_id, q.q_emb, q.q_norm, cn.cl,
+       |   row_number() over (partition by q.q_id
+       |     order by ($dotQC) / (q.q_norm * cn.c_norm) desc, cn.cl asc) as pr
+       |  from q cross join cn) where pr <= 3),
+       |ranked as (select q_id, n_id, cos,
+       |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
+       | from (select p.q_id, nn.vec_id as n_id,
+       |   ($dotQN) / (p.q_norm * nn.norm) as cos
+       |  from probes p join nn on p.cl = nn.cl and p.q_id <> nn.vec_id))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   private def annCosineSql(universePred: String): String = {
     val dotQN = Parity.dot(DuckD, "q_emb", "n_emb", dim)
     val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
@@ -1103,36 +1141,17 @@ object QueriesLlm {
         |      from documents)
         |group by token order by freq desc, token asc limit 100"""
         .stripMargin.replace("\n", " "),
-    "ann_ivf_label" -> {
-      val dotSelf = Parity.dot(DuckD, "embedding", "embedding", dim)
-      val dotCC = Parity.dot(DuckD, "centroid", "centroid", dim)
-      val dotQC = Parity.dot(DuckD, "q_emb", "centroid", dim)
-      val dotQN = Parity.dot(DuckD, "p.q_emb", "nn.embedding", dim)
-      s"""with cg as (select cast(label as bigint) as cl, i as d,
-         |  cast(count(*) as bigint) as n,
-         |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
-         | from embeddings, generate_series(1, $dim) t(i) group by cl, i),
-         |cent as (select cl, list(cv order by d) as centroid from
-         |  (select cl, d, vs / cast(n as double) as cv from cg) group by cl),
-         |cn as (select * from (select cl, centroid, sqrt($dotCC) as c_norm from cent)
-         |  where c_norm > 0e0),
-         |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
-         |   sqrt($dotSelf) as norm from embeddings) where norm > 0e0),
-         |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
-         |  where vec_id % 50 = 0),
-         |probes as (select q_id, q_emb, q_norm, cl from (
-         |  select q.q_id, q.q_emb, q.q_norm, cn.cl,
-         |   row_number() over (partition by q.q_id
-         |     order by ($dotQC) / (q.q_norm * cn.c_norm) desc, cn.cl asc) as pr
-         |  from q cross join cn) where pr <= 3)
-         |select q_id, n_id, cos, rn from (
-         | select q_id, n_id, cos,
-         |  cast(row_number() over (partition by q_id order by cos desc, n_id asc) as bigint) as rn
-         | from (select p.q_id, nn.vec_id as n_id,
-         |   ($dotQN) / (p.q_norm * nn.norm) as cos
-         |  from probes p join nn on p.cl = nn.cl and p.q_id <> nn.vec_id))
-         |where rn <= 10""".stripMargin.replace("\n", " ")
-    },
+    "ann_ivf_label" ->
+      s"""$ivfLabelCtes
+         |select q_id, n_id, cos, rn from ranked where rn <= 10"""
+        .stripMargin.replace("\n", " "),
+    // margin mining over the same fixed-quantizer IVF CTEs + the shared
+    // ratio-margin tail — the bounded-scale bitext miner, fully
+    // hash-checked (the brute ann_margin is its exactness baseline)
+    "ann_margin_ivf" ->
+      s"""$ivfLabelCtes,
+         |topk as (select q_id, n_id, cos from ranked where rn <= 10),
+         |${Similarity.marginMineSqlTail()}""".stripMargin.replace("\n", " "),
     "emb_centroids" ->
       s"""select cast(label as bigint) as label, cast(i as bigint) as dim,
          | cast(count(*) as bigint) as n,

@@ -273,11 +273,30 @@ object Similarity {
     * cosines) yields NULL in both engines rather than engine-divergent
     * inf/NaN. */
   def marginMine(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
-                 threshold: Double = 1.05): DataFrame = {
+                 threshold: Double = 1.05): DataFrame =
+    marginTail(cosineTopK(emb, k, queryEvery), threshold)
+
+  /** [[marginMine]] over the FIXED-quantizer IVF neighborhood instead of
+    * the brute scan — the bounded-scale margin miner: the top-k feeding
+    * the ratio margin comes from [[ivfLabelTopK]] (probed cells only, so
+    * candidate mass is cells-scanned-proportional, never |corpus|² — at
+    * 100 TB this is the only way the bitext-mining filter runs at all),
+    * and because the fixed quantizer is SQL-expressible the whole chain
+    * stays under the hash-checked oracle — unlike the k-means IVF's
+    * recall-style gate. */
+  def marginMineIvf(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                    nprobe: Int = 3, threshold: Double = 1.05): DataFrame =
+    marginTail(ivfLabelTopK(emb, k, queryEvery, nprobe)
+      .select("q_id", "n_id", "cos"), threshold)
+
+  /** The ratio-margin scoring tail over any (q_id, n_id, cos) top-k
+    * relation: per-query fixed-point mean cosine, margin = cos / mean,
+    * thresholded. */
+  private def marginTail(topk: DataFrame, threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
     val meanCos = (sum(expr("cast(floor(cos * 1048576e0 + 5e-1) as bigint)")).over(w)
       / lit(1048576.0)) / count(lit(1)).over(w).cast("double")
-    cosineTopK(emb, k, queryEvery)
+    topk
       .withColumn("mean_cos", meanCos)
       .withColumn("margin",
         when(abs(col("mean_cos")) > 0.0, col("cos") / col("mean_cos")))
