@@ -54,7 +54,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json preserves only a truncated log tail
+    // (round 7 kept 26 of 242 per-query times) — persist the FULL
+    // per-query map as a repo artifact so like-for-like regression
+    // checks across rounds never starve. Per-pass maps included: the
+    // min hides run-to-run variance the comparison needs to see.
+    try {
+      val perPass = passes.zipWithIndex.map { case (p, i) =>
+        "\"pass" + (i + 1) + "\":" + p.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      }.mkString(",")
+      val full = s"""{"artifact":"full per-query bench (min over $rounds passes; per-pass maps for variance)","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total_sec":$total,"pass_totals":$passTotals,"queries":$qs,$perPass}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH_FULL.json write skipped: $e")
+    }
     spark.stop()
   }
 }

@@ -429,10 +429,12 @@ object Dedup {
     // both sides are sample-bounded; the hint keeps the static plan
     // broadcast (AQE would get there at runtime anyway)
     val hit = truth.join(broadcast(cand), Seq("doc_a", "doc_b"))
+    // each arm is a single-row aggregate: hint them broadcast so the
+    // static plan is nested-loop-over-1-row, not a cartesian exchange
     val counts = sample.agg(count(lit(1)).as("n_sample"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
     counts.selectExpr("n_sample", "n_truth", "n_cand", "n_hit",
       "case when n_truth = 0 then 1e0 else cast(n_hit as double) / cast(n_truth as double) end as recall",
       "case when n_cand = 0 then 1e0 else cast(n_hit as double) / cast(n_cand as double) end as prec")

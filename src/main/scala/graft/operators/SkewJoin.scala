@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the per-key count aggregate combines map-side before
   * its shuffle; the flagged set is bounded by n_keys / hotRatio keys
   * (every hot key carries ≥ hotRatio · mean rows and the counts sum to
-  * n_keys · mean), and in real skewed data is far smaller — `hotRatio`
-  * is the knob that keeps it broadcastable (an adversarial corpus where
-  * n_keys/hotRatio itself is too big to broadcast would swap the two
-  * flag joins for shuffle joins, same semantics). The replicated small
+  * n_keys · mean), and in real skewed data is far smaller — when that
+  * bound exceeds `maxBroadcastKeys` the two flag joins fall back to
+  * shuffle joins automatically (same semantics, enforced in code, not
+  * left to the caller's hotRatio choice). The replicated small
   * side grows by |hot| × nSalt rows only, and the big fact relation is
   * scanned once and shuffled once, on (key, salt).
   *
@@ -39,16 +39,35 @@ object SkewJoin {
 
   /** Inner-join `fact` ⋈ `dim` on `key` (same column name both sides),
     * salting only the keys the skew profile flags as hot. Result is
-    * row-identical to `fact.join(dim, key)`. */
+    * row-identical to `fact.join(dim, key)`.
+    *
+    * The hot-flag set is broadcast ONLY when its proven upper bound
+    * n_keys / hotRatio (each flagged key carries ≥ hotRatio · mean rows
+    * of the n_keys · mean total) fits `maxBroadcastKeys`; an
+    * adversarial distribution where the flagged set itself is huge
+    * degrades to shuffle flag joins — same semantics, no driver OOM.
+    * The decision is driver-side from the pre-flight totals, never from
+    * collecting the hot keys themselves. Per-key counts materialize
+    * once (eager localCheckpoint, n_keys rows of (key, count) —
+    * distributed, ~tens of GB even at 1e9 keys) and feed the pre-flight
+    * read and both flag-join builds. */
   def skewJoin(fact: DataFrame, dim: DataFrame, key: String,
-               nSalt: Int = 8, hotRatio: Int = 10): DataFrame = {
+               nSalt: Int = 8, hotRatio: Int = 10,
+               maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val counts = fact.groupBy(key).agg(count(lit(1)).as("__c"))
-    val tot = counts.agg(count(lit(1)).as("__n_keys"), sum("__c").as("__n_rows"))
+      .localCheckpoint(true)
+    val totRow = counts.agg(count(lit(1)).as("__n_keys"),
+      coalesce(sum("__c"), lit(0L)).as("__n_rows")).head()
+    val nKeys = totRow.getLong(0)
+    val nRows = totRow.getLong(1)
     // hot  ⇔  c ≥ hotRatio · (n_rows / n_keys), as exact integers
-    val hot = counts.crossJoin(broadcast(tot))
-      .filter(col("__c") * col("__n_keys") >= col("__n_rows") * lit(hotRatio.toLong))
+    val hot = counts
+      .filter(col("__c") * lit(nKeys) >= lit(nRows) * lit(hotRatio.toLong))
       .select(col(key), lit(true).as("__hot"))
-    val factS = fact.join(broadcast(hot), Seq(key), "left")
+    val hotSide =
+      if (hotRatio > 0 && nKeys / hotRatio <= maxBroadcastKeys) broadcast(hot)
+      else hot
+    val factS = fact.join(hotSide, Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot"),
           pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(nSalt.toLong)).cast("int"))
@@ -56,7 +75,7 @@ object SkewJoin {
       .drop("__hot")
     // cold dim rows keep their single salt-0 copy; hot dim rows fan out
     // across every salt the fact side can scatter to
-    val dimS = dim.join(broadcast(hot), Seq(key), "left")
+    val dimS = dim.join(hotSide, Seq(key), "left")
       .withColumn("__salt", explode(
         when(col("__hot"), sequence(lit(0), lit(nSalt - 1)))
           .otherwise(array(lit(0)))))

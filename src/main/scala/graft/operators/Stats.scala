@@ -335,8 +335,17 @@ object Stats {
         expr("cast(mu as decimal(38,0)) * nv * (2 * cb + nv + 1)"))
       .agg(sum("nv").as("n"), sum(expr("mu * nv")).as("mass"),
         sum("r2m").as("r2m"))
+      // overflow guard: every r2m term is non-null (mu, nv, cb all
+      // non-null), so a NULL sum with rows present can ONLY be
+      // decimal(38,0) overflow — where DuckDB's HUGEINT (max ~1.7e38
+      // > 1e38) may still hold the value. Surface that divergence as
+      // an error inside the consumed expression (an unused guard
+      // column would be pruned by Catalyst), not a silent NULL.
       .selectExpr("n", "cast(mass as double) / 1048576e0 as total",
-        """(case when mass = 0 then null else
+        """(case when mass = 0 or n is null then null
+          | when r2m is null then cast(raise_error(
+          |   'gini: r2m overflowed decimal(38,0) cross-engine bound') as double)
+          | else
           | cast(r2m - cast(n + 1 as decimal(38,0)) * mass as double) /
           | cast(cast(n as decimal(38,0)) * mass as double) end) as gini"""
           .stripMargin.replace("\n", " "))

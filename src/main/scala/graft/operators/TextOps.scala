@@ -1385,11 +1385,20 @@ object TextOps {
     // the argmax phrase is ONE row: run the count/sort pass once and
     // collect it, so the three probes below are literal token filters
     // (posting-list cuts) instead of three re-executions of the argmax
-    val Array(t1, t2, t3) = tri
+    // headOption: a corpus with no >=3-token document has an empty
+    // argmax relation — return the empty (doc_id, n_hits, first_pos)
+    // frame instead of throwing at plan-build time
+    val top = tri
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
       .limit(1)
       .select("w1", "w2", "w3")
-      .head() match { case r => Array(r.getString(0), r.getString(1), r.getString(2)) }
+      .collect().headOption
+    if (top.isEmpty) {
+      return post.select(col("doc_id"), lit(0L).as("n_hits"),
+        lit(0L).as("first_pos")).limit(0)
+    }
+    val Array(t1, t2, t3) =
+      top.map(r => Array(r.getString(0), r.getString(1), r.getString(2))).get
     val p1 = post.filter(col("tok") === lit(t1))
       .select(col("doc_id"), col("p"))
     val p2 = post.filter(col("tok") === lit(t2))

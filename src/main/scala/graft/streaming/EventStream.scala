@@ -887,7 +887,9 @@ object EventStream {
     // densify: every (hour, bin) cell so cum fractions align across hours
     val hours = hist.select(col("hour_epoch").as("he")).distinct()
     val bins = hist.select(col("bin").as("bb")).distinct()
-    val dense = hours.crossJoin(bins)
+    // bins is histogram-bounded (distinct bin ids, dozens of rows):
+    // broadcast it so the densify fan-out never plans a cartesian exchange
+    val dense = hours.crossJoin(broadcast(bins))
       .join(hist, col("he") === col("hour_epoch") && col("bb") === col("bin"),
         "left")
       .select(col("he").as("hour_epoch"), col("bb").as("bin"),

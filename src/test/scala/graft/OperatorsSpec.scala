@@ -1123,6 +1123,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == 40 && got.toSeq == want.toSeq)
   }
 
+  test("skew join: broadcast cap 0 forces the shuffle-flag fallback, rows identical") {
+    import spark.implicits._
+    val fact = ((0 until 90).map(i => (7L, i.toLong)) ++
+      (0L until 7L).flatMap(k => Seq((k, 100 + k), (k, 200 + k))))
+      .toDF("k", "payload")
+    val dim = (Seq((7L, "h1"), (7L, "h2")) ++
+      (0L until 7L).map(k => (k, s"d$k"))).toDF("k", "tag")
+    // maxBroadcastKeys=0: n_keys/hotRatio (=4) exceeds it, so both flag
+    // joins must plan WITHOUT the broadcast hint (adversarial-hot-set
+    // degradation path) and still join exactly
+    val df = graft.operators.SkewJoin.skewJoin(fact, dim, "k",
+      nSalt = 5, hotRatio = 2, maxBroadcastKeys = 0L)
+    val got = df.select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = fact.join(dim, "k").select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("phrase search: corpus with no 3-token document returns empty, not an exception") {
+    val docs = Seq(
+      (0L, "alpha beta", "en", "s", 1L),
+      (1L, "solo", "en", "s", 1L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.phraseSearch(docs)
+    assert(r.columns.toSeq == Seq("doc_id", "n_hits", "first_pos"))
+    assert(r.count() == 0L)
+  }
+
   test("phrase search: finds the dominant trigram with positions, not substrings") {
     val docs = Seq(
       (0L, "alpha beta gamma x alpha beta gamma", "en", "s", 1L),
