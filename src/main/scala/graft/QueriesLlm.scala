@@ -525,6 +525,17 @@ object QueriesLlm {
     // trillion-scale layout (scan only probed buckets, m bytes/candidate)
     "ann_ivfpq" -> ((s, dir) =>
       graft.operators.Pq.ivfAdcTopK(Tables.read(s, dir, "embeddings"))),
+    // IVF-PQ served from the STORED index: the cell-keyed code table is
+    // hive-partitioned by cell + a centroid sidecar, written once; the
+    // query answers from the stored layout with the code scan statically
+    // pruned to the probed cells (PartitionFilters — PlanSpec pins it).
+    // Shares ann_ivfpq's oracle: stored == rebuilt, bit for bit
+    "ann_ivfpq_stored" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_ivfpq_")
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.operators.Pq.writeIvfPqIndex(emb, idx)
+      graft.operators.Pq.ivfAdcTopKStored(emb, idx)
+    }),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -978,6 +989,7 @@ object QueriesLlm {
          |${Similarity.marginMineSqlTail()}""".stripMargin.replace("\n", " ")
     },
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
+    "ann_ivfpq_stored" -> graft.operators.Pq.ivfAdcSql(),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),

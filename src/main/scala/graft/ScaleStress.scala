@@ -70,6 +70,7 @@ object ScaleStress {
     if (args.headOption.contains("cc")) { ccStress(args.drop(1)); return }
     if (args.headOption.contains("allpairs")) { allPairsStress(args.drop(1)); return }
     if (args.headOption.contains("pca")) { pcaStress(args.drop(1)); return }
+    if (args.headOption.contains("pqstored")) { pqStoredStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     if (args.headOption.contains("sf1full")) { sf1FullStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
@@ -1076,6 +1077,51 @@ object ScaleStress {
     val rows = graft.operators.Pq.adcTopK(blown, k = 10, queryEvery = 50 * replicas).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"ann_pq","replicas":$replicas,"vecs":$n,"out_rows":$rows,"sec":$sec%.2f,"vecs_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+
+  /** Stored-IVF-PQ stress — the index-as-a-system claim: build the
+    * cell-partitioned index ONCE per scale, then serve a FIXED query
+    * set from the stored layout, growing the corpus on the realistic
+    * IVF axis — NEW CELLS (fresh labels per replica; a deployment grows
+    * its coarse quantizer with the corpus), so per-cell size stays
+    * constant and each query still scans only its nprobe constant-sized
+    * probed slices. Claim under test: query-phase wall-clock holds
+    * ~flat while the corpus multiplies (the residual growth is the
+    * query-extraction filter pass and the centroid broadcast — narrow,
+    * model-shaped work), while the per-query REBUILD path
+    * ([[graft.operators.Pq.ivfAdcTopK]]) re-pays centroids + a full
+    * corpus encode every time. Reported per scale: build_sec (amortized
+    * once per index life), stored_query_sec, rebuild_sec.
+    * `sbt "runMain graft.ScaleStress pqstored [replicas]"` */
+  private def pqStoredStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    def blow(r: Int) = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
+      .select((col("vec_id") * r + col("rr")).as("vec_id"), col("embedding"),
+        (col("label").cast("long") * r + col("rr")).as("label"))
+    Seq(1, replicas).foreach { r =>
+      val b = blow(r).localCheckpoint()
+      val n = b.count()
+      val idx = graft.Scratch.dir("graft_pqstored_")
+      val tb0 = System.nanoTime()
+      graft.operators.Pq.writeIvfPqIndex(b, idx)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val tq0 = System.nanoTime()
+      val rows = graft.operators.Pq.ivfAdcTopKStored(b, idx,
+        queryEvery = 50 * r).count()
+      val querySec = (System.nanoTime() - tq0) / 1e9
+      val tr0 = System.nanoTime()
+      graft.operators.Pq.ivfAdcTopK(b, queryEvery = 50 * r).count()
+      val rebuildSec = (System.nanoTime() - tr0) / 1e9
+      val cells = b.select("label").distinct().count()
+      println(f"""{"stress":"pq_stored","replicas":$r,"vecs":$n,"cells":$cells,"out_rows":$rows,"build_sec":$buildSec%.2f,"stored_query_sec":$querySec%.2f,"rebuild_sec":$rebuildSec%.2f}""")
+      b.unpersist(blocking = true)
+    }
     spark.stop()
   }
 

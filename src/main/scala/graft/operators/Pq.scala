@@ -529,6 +529,89 @@ object Pq {
     perQueryTopK(pairs, k)
   }
 
+  /** Explicit read schemas for the stored index: providing the schema
+    * (a) pins the hive-partition column `cl` to BIGINT (inference would
+    * read `cl=3` as INT, and the resulting cast on the partition
+    * attribute can defeat static pruning), and (b) lets an EMPTY index
+    * directory read as an empty relation instead of failing schema
+    * inference. */
+  private val storedCodesSchema =
+    "vec_id long, " + (0 until m).map(j => s"c$j long").mkString(", ") + ", cl long"
+  private val storedCentroidsSchema = "cl long, centroid array<double>, c_norm double"
+
+  /** Persist the IVF-PQ index — index-as-a-system, not per-query
+    * rebuild. Two halves:
+    *   `dir/codes`     — the cell-keyed code table, hive-partitioned by
+    *                     `cl`: m bytes of payload per corpus vector laid
+    *                     out one directory per IVF cell, so a query
+    *                     physically scans only its `nprobe` probed
+    *                     slices (PartitionFilters prune the rest — at
+    *                     1000 cells and nprobe=3, 99.7% of the corpus is
+    *                     never opened);
+    *   `dir/centroids` — the model sidecar ([[Similarity.labelCentroids]]):
+    *                     n_cells rows of exact doubles.
+    * Both halves round-trip parquet bit-identically (longs and doubles),
+    * which is what lets [[ivfAdcTopKStored]] share [[ivfAdcSql]]'s
+    * oracle with the rebuild path. Write cost is one corpus encode pass
+    * + the hive-partitioned shuffle-free write; it amortizes over every
+    * query served from the layout (the checkpoint-or-compute discipline
+    * of `mwu_checkpoint`, applied to an ANN index). */
+  def writeIvfPqIndex(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val embF = emb.filter(size(col("embedding")) === dim)
+    val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
+    nn.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
+        col("label").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions(_.map { case (id, v, cl) =>
+        (id, cl, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
+          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
+          assign(v, 6).toLong, assign(v, 7).toLong)
+      })
+      .toDF("vec_id", "cl", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
+    Similarity.labelCentroids(embF)
+      .select("cl", "centroid", "c_norm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Serve IVF-PQ top-k from the STORED index ([[writeIvfPqIndex]]):
+    * centroids load from the sidecar (no centroid recompute), probes
+    * rank against them, and the code scan is STATICALLY pruned to the
+    * probed cells — the probed-cell set is bounded by the CELL COUNT
+    * (distinct labels), not by corpus or query count, so collecting it
+    * to the driver is a model-sized read that turns into a literal
+    * partition filter (`PartitionFilters: cl IN (...)`, pinned in
+    * PlanSpec). Query cost is therefore proportional to the probed
+    * slices' size, independent of how many unprobed cells the corpus
+    * grows — plus the m-byte-per-candidate ADC scan bandwidth.
+    * Bit-identical to [[ivfAdcTopK]] (shares [[ivfAdcSql]]'s oracle):
+    * stored longs/doubles round-trip exactly, and every downstream op
+    * is the same expression on the same bits. */
+  def ivfAdcTopKStored(emb: DataFrame, indexDir: String, k: Int = 10,
+                       queryEvery: Int = 50, nprobe: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val embF = emb.filter(size(col("embedding")) === dim)
+    val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
+    val cents = spark.read.schema(storedCentroidsSchema)
+      .parquet(s"$indexDir/centroids")
+    val probes = Similarity.probesFromCentroids(embF, cents, queryEvery, nprobe)
+      .select("q_id", "cl")
+    // bounded driver collect: ≤ n_cells values (the audited-collects
+    // family — model-sized, never corpus-proportional)
+    val probedCells = probes.select("cl").distinct().collect().map(_.getLong(0))
+    val codesStored = spark.read.schema(storedCodesSchema)
+      .parquet(s"$indexDir/codes")
+      .filter(col("cl").isin(probedCells.map(Long.box): _*))
+    val pairs = probes.join(codesStored, Seq("cl"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(queryTables(nn, queryEvery), Seq("q_id"))
+      .withColumn("dist", adcDist)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("dist"))
+    perQueryTopK(pairs, k)
+  }
+
   /** DuckDB mirror of [[ivfAdcTopK]] — the `ann_ivf_label` probe CTEs
     * composed with the PQ code CTEs and the ADC lookup. */
   def ivfAdcSql(k: Int = 10, queryEvery: Int = 50, nprobe: Int = 3,

@@ -229,9 +229,20 @@ object Similarity {
     * cell. Shared by [[ivfLabelTopK]] (exact re-rank) and
     * [[Pq.ivfAdcTopK]] (ADC re-rank — the IVF-PQ layout). */
   def labelProbes(emb: DataFrame, queryEvery: Int = 50,
-                  nprobe: Int = 3): DataFrame = {
+                  nprobe: Int = 3): DataFrame =
+    probesFromCentroids(emb, labelCentroids(emb), queryEvery, nprobe)
+
+  /** The model half of the fixed-quantizer IVF index: per-label
+    * fixed-point-mean centroids with their norms, zero-norm cells
+    * excluded (a cell of cancelling vectors has no cosine — x/0 is
+    * ±inf/NaN in Spark but NULL in DuckDB, so they must never reach the
+    * probe ordering). (cl, centroid, c_norm) — n_cells rows of exact
+    * doubles, which is why the relation round-trips a parquet sink
+    * bit-identically ([[Pq.writeIvfPqIndex]] stores it as the index
+    * sidecar). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cells = emb.select(col("label").cast("long").as("cl"),
+    emb.select(col("label").cast("long").as("cl"),
         explode(expr(s"sequence(1, $dim)")).as("d"), col("embedding"))
       .withColumn("v", expr("cast(element_at(embedding, d) as double)"))
       .groupBy("cl", "d")
@@ -240,12 +251,19 @@ object Similarity {
       .groupBy("cl")
       .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)")
         .as("centroid"))
-    // zero-norm centroids (a cell of cancelling vectors) have no cosine:
-    // exclude like zero-norm vectors — x/0 is ±inf/NaN in Spark but NULL
-    // in DuckDB, so they must never reach the probe ordering
-    val cNorm = broadcast(cells.withColumn("c_norm",
+      .withColumn("c_norm",
         expr(s"sqrt(${Parity.dot(SparkD, "centroid", "centroid", dim)})"))
-      .filter(col("c_norm") > 0.0))
+      .filter(col("c_norm") > 0.0)
+  }
+
+  /** Probe ranking against a GIVEN centroid relation — the query-time
+    * half shared by the in-memory path ([[labelProbes]]) and the
+    * stored-index path ([[Pq.ivfAdcTopKStored]], which loads the
+    * centroids from parquet instead of recomputing them). */
+  def probesFromCentroids(emb: DataFrame, centroids: DataFrame,
+                          queryEvery: Int = 50, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cNorm = broadcast(centroids)
     val n = withNorm(emb).filter(col("norm") > 0.0)
     val q = n.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))

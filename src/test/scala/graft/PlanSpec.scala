@@ -263,6 +263,16 @@ class PlanSpec extends SparkSpec {
       s"the lang = en predicate must prune directories, not filter rows:\n$p")
   }
 
+  test("stored IVF-PQ: the code scan statically prunes to the probed cells") {
+    val p = plan(SparkEntry.queries("ann_ivfpq_stored")(spark, sf("sf0.001")))
+    // the probed-cell literal set must land as PartitionFilters on the
+    // hive-partitioned code table — directory pruning, not a row filter:
+    // at 1000 cells / nprobe=3 this is the difference between opening
+    // 0.3% of the corpus and scanning all of it
+    assert("PartitionFilters: \\[cl#\\d+L? IN \\(".r.findFirstIn(p).isDefined,
+      s"probed cells must prune directories on the stored code scan:\n$p")
+  }
+
   test("q_local_supplier: nation/region broadcast; no cartesian from the dim-key equality") {
     val p = plan(SparkEntry.queries("q_local_supplier")(spark, sf("sf0.001")))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
