@@ -39,6 +39,40 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_distinct_users"))
 
+  /** RocksDB state-store provider (bundled with Spark; rocksdbjni on
+    * the classpath) — what a large deployment runs for heavy state:
+    * per-partition state lives in local SST files with changelog/
+    * snapshot files in the checkpoint instead of as JVM-heap hash maps,
+    * so state volume is bounded by local disk, not executor heap. The
+    * heavy-state gates below run under it, and ENGAGEMENT IS ASSERTED
+    * from query progress (rocksdb custom metrics on the state
+    * operator), never assumed from the conf — a typo'd provider class
+    * would otherwise fail open to the default. */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T =
+    withRocksDb0(spark, enabled = true)(body)
+
+  private def withRocksDb0[T](spark: SparkSession, enabled: Boolean)(body: => T): T =
+    if (!enabled) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, RocksDbProvider)
+      try body
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+
+  private def requireRocksDbEngaged(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    val engaged = q.recentProgress.exists(_.stateOperators.exists(
+      _.customMetrics.keySet().asScala.exists(_.toLowerCase.contains("rocksdb"))))
+    require(engaged, "RocksDB state-store provider did not engage: " +
+      "no rocksdb state metrics in query progress")
+  }
+
   /** Shared one-shot driver: stage the static events parquet as a stream
     * source, run the query AvailableNow, return the memory-sink table.
     * The streaming shuffle is narrowed to 8 partitions for the run
@@ -48,7 +82,8 @@ object EventStream {
     * volume" decision a cluster deploy makes. Results are
     * partitioning-invariant (asserted by the oracle gate). */
   private def runAvailableNow(spark: SparkSession, sfDir: String, prefix: String,
-                              mode: String, build: DataFrame => DataFrame): DataFrame = {
+                              mode: String, build: DataFrame => DataFrame,
+                              rocksDb: Boolean = false): DataFrame = {
     val src = graft.Scratch.path(s"graft_${prefix}_src_")
     // the table may be a single parquet file (driver testdata) or a
     // directory of part files (replica sets written by df.write) — stage
@@ -70,17 +105,22 @@ object EventStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = build(stream).writeStream
-        .outputMode(mode).format("memory").queryName(qName)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRocksDb0(spark, rocksDb) {
+        val q = build(stream).writeStream
+          .outputMode(mode).format("memory").queryName(qName)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (rocksDb) requireRocksDbEngaged(q)
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(qName)
   }
 
-  /** One-shot driver for [[dedupCounts]] over the static events parquet. */
+  /** One-shot driver for [[dedupCounts]] over the static events parquet.
+    * Heavy-state pattern (a state row per distinct key, unbounded) →
+    * runs on the RocksDB provider, engagement asserted. */
   def runDedupOnce(spark: SparkSession, sfDir: String): DataFrame =
-    runAvailableNow(spark, sfDir, "dedup", "complete", dedupCounts)
+    runAvailableNow(spark, sfDir, "dedup", "complete", dedupCounts, rocksDb = true)
 
   // --------------------------------------------------------------------
   // Late-data / watermark drop-semantics gate
@@ -257,11 +297,18 @@ object EventStream {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = agg.writeStream
-          .outputMode("append").format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // BOTH runs execute under RocksDB: state written by run 1 must
+        // load back in run 2 from the checkpoint — provider-format
+        // compatibility across restart, the thing a production upgrade
+        // of a 100 TB streaming deployment actually depends on
+        withRocksDb(spark) {
+          val q = agg.writeStream
+            .outputMode("append").format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          requireRocksDbEngaged(q)
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     stage(b1, "a_batch1", 1000000L)
@@ -361,10 +408,15 @@ object EventStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = dedup.writeStream
-        .outputMode("append").format("memory").queryName(qName)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state-TTL is the heaviest-state pattern here (a row per key
+      // until the watermark expires it) → RocksDB provider, asserted
+      withRocksDb(spark) {
+        val q = dedup.writeStream
+          .outputMode("append").format("memory").queryName(qName)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        requireRocksDbEngaged(q)
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(qName).groupBy("k").agg(count(lit(1)).as("n_emits"))
   }
@@ -638,7 +690,8 @@ object EventStream {
     * minus each user's last session — that complement IS the DuckDB
     * oracle, making the stateful streaming path fully hash-checked. */
   def runSessionsOnce(spark: SparkSession, sfDir: String): DataFrame =
-    runAvailableNow(spark, sfDir, "sess", "append", sessionizeStream(_))
+    runAvailableNow(spark, sfDir, "sess", "append", sessionizeStream(_),
+        rocksDb = true)
       .select(col("user_id"), col("session_id"), col("n_events"),
         expr("start_ns div 1000").as("start_us"),
         expr("end_ns div 1000").as("end_us"))
