@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema pre-flight BEFORE any query: a regenerated fixture whose
+    // types drifted fails here with one diagnostic naming the moved
+    // table.column, instead of a wall of per-query analysis errors
+    graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

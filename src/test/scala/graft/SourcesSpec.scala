@@ -42,6 +42,33 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("doc_id", "text").count() == 3)
   }
 
+  test("schema pre-flight: clean fixtures pass; a deliberate type mutation is named") {
+    import graft.sources.Preflight
+    // the shipped fixtures must be pre-flight-green (Verify now gates on it)
+    assert(Preflight.diagnose(spark, sf("sf0.001")).isEmpty)
+    // mutate ONE column type (documents.n_chars bigint -> double) in a
+    // copied fixture dir: the diagnostic must name exactly that column
+    val dir = java.nio.file.Files.createTempDirectory("graft_preflight_")
+    val src = java.nio.file.Paths.get(sf("sf0.001"))
+    val it = java.nio.file.Files.list(src)
+    try it.forEach(p => java.nio.file.Files.copy(p, dir.resolve(p.getFileName.toString)))
+    finally it.close()
+    val mutPath = dir.resolve("documents.parquet")
+    java.nio.file.Files.delete(mutPath)
+    spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .withColumn("n_chars", org.apache.spark.sql.functions.col("n_chars").cast("double"))
+      .coalesce(1).write.parquet(dir.resolve("documents_tmp").toString)
+    val part = new java.io.File(dir.resolve("documents_tmp").toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, mutPath)
+    val d = Preflight.diagnose(spark, dir.toString)
+    assert(d.exists(_.startsWith("documents.n_chars: double")),
+      s"expected the mutated column to be named, got: $d")
+    assert(d.size == 1, s"only the mutation should be flagged: $d")
+    val ex = intercept[IllegalStateException](Preflight.check(spark, dir.toString))
+    assert(ex.getMessage.contains("documents.n_chars"))
+  }
+
   test("approximate sketches track exact answers (HLL distinct, KLL quantile)") {
     val li = Tables.read(spark, sf("sf0.01"), "lineitem")
     val r = li.agg(
