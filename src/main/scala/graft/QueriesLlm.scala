@@ -327,6 +327,21 @@ object QueriesLlm {
         .selectExpr("doc_id", "m",
           s"${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9")
     }),
+    // the serving path proven WEIGHT-SOURCE-AGNOSTIC: train → dump the
+    // (layer, i, j, w9) artifact to parquet → load into the generalized
+    // L-layer stack model → infer. Shares mm_mlp_infer's oracle, so the
+    // stored round-trip is hash-equal to in-memory-trained inference
+    "mm_mlp_stored" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val art = graft.Scratch.dir("graft_mlp_w_")
+      graft.operators.Mlp.mlpTrain(docs).write.mode("overwrite").parquet(art)
+      val layers = graft.operators.Mlp.loadWeights(s, art)
+      Multimodal.inferFeatures(s, Multimodal.assetsFromDocs(s, docs),
+          new Multimodal.MlpStackModel(layers)).toDF()
+        .selectExpr("doc_id", "cast(element_at(embedding, 1) as double) as m")
+        .selectExpr("doc_id", "m",
+          s"${Parity.q9("1e0 / (1e0 + exp(-m))")} as p9")
+    }),
     // token-window chunking with overlap (context-window preparation)
     "text_chunk" -> ((s, dir) =>
       TextOps.chunk(Tables.read(s, dir, "documents"))),
@@ -1113,6 +1128,7 @@ object QueriesLlm {
     "mm_lr_infer" -> graft.operators.Classifier.lrInferSql(),
     "mlp_train" -> graft.operators.Mlp.mlpTrainSql(),
     "mm_mlp_infer" -> graft.operators.Mlp.mlpInferSql(),
+    "mm_mlp_stored" -> graft.operators.Mlp.mlpInferSql(),
     "lr_score" -> graft.operators.Classifier.lrScoreSql(),
     "lr_calibration" -> graft.operators.Classifier.lrCalibrationSql(),
     "lr_auc" -> graft.operators.Classifier.lrAucSql(),

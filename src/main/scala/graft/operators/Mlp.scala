@@ -124,6 +124,36 @@ object Mlp {
     (m1, m2)
   }
 
+  /** Load an L-layer weight artifact — [[mlpTrain]]'s (layer, i, j, w9)
+    * dump format generalized: layer ℓ ∈ 1..L, i = input index, j =
+    * output-unit index (the final 1-unit layer uses j = 0) — into dense
+    * per-layer matrices for [[Multimodal.MlpStackModel]]. A bounded,
+    * MODEL-sized driver collect (Σℓ nᵢ·nⱼ doubles — the [[Pq]]
+    * bounded-collect precedent), which is the point: the serving path
+    * consumes a parquet artifact, so weights can come from THIS
+    * engine's trainer, a previous run, or any external trainer that
+    * writes the format — weight-source-agnostic serving under the
+    * zero-deps constraint. Layer 1 is padded to `buckets` input rows
+    * (hash buckets the training corpus never populated score 0,
+    * exactly as [[trainedArrays]]' zero-initialized dense dump). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  buckets: Int = 256): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(dir).select("layer", "i", "j", "w9").collect()
+    require(rows.nonEmpty, s"empty weight artifact at $dir")
+    val byLayer = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val layerIds = byLayer.map(_._1)
+    require(layerIds == (1L to layerIds.length.toLong),
+      s"weight artifact layers must be contiguous from 1, got $layerIds")
+    byLayer.map { case (layer, rs) =>
+      val niData = rs.map(_.getLong(1)).max.toInt + 1
+      val ni = if (layer == 1L) math.max(niData, buckets) else niData
+      val nj = rs.map(_.getLong(2)).max.toInt + 1
+      val m = Array.ofDim[Double](ni, nj)
+      rs.foreach(r => m(r.getLong(1).toInt)(r.getLong(2).toInt) = r.getDouble(3))
+      m
+    }.toArray
+  }
+
   /** Shared CTE chain: features, labels, doc count, the hidden-unit
     * axis, and the unrolled two-layer weight iteration. CTEs referenced
     * more than once are `materialized` (the inlining-re-evaluation

@@ -670,6 +670,72 @@ object Multimodal {
     }
   }
 
+  /** Weight-source-AGNOSTIC L-layer serving model: the [[MlpTextModel]]
+    * forward pass generalized to an arbitrary ReLU stack loaded from a
+    * parquet weight artifact ([[Mlp.loadWeights]]) — layer 1 consumes
+    * the sparse hashed-token counts, every hidden layer applies the
+    * fixed-point matvec + exact ReLU, the FINAL layer emits raw
+    * pre-activations (the margin vector; no ReLU — a classifier head
+    * squashes downstream, exactly like [[MlpTextModel]]'s single-unit
+    * output). Every accumulation is the same floor(w·x·2^20 + ½) BIGINT
+    * fixed-point term the dataflow trainer and the oracle use, so for
+    * the 2-layer artifact this is BIT-EQUAL to [[MlpTextModel]] over
+    * the in-memory-trained arrays — which is what the `mm_mlp_stored`
+    * gate proves by sharing `mm_mlp_infer`'s oracle. */
+  final class MlpStackModel(layers: Array[Array[Array[Double]]])
+      extends BatchModel {
+    require(layers.nonEmpty && layers.forall(m => m.nonEmpty && m(0).nonEmpty))
+    def open(): BatchModel.Session = new BatchModel.Session {
+      private val (a52, b52) = graft.oracle.Parity.cwParams(52)
+      def embed(batch: Array[Array[Byte]]): Array[Array[Float]] = batch.map { blob =>
+        val s = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+        var from = 0
+        var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        val toks = s.substring(from, to).split(" ", -1)
+        val w1 = layers(0)
+        val cnt = new Array[Long](w1.length)
+        toks.foreach { t =>
+          val h = graft.functions.RollingHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          cnt((((h * a52 + b52) % graft.oracle.Parity.CwMod) % w1.length).toInt) += 1L
+        }
+        // layer 1: sparse counts → fixed-point pre-activations
+        var h: Array[Double] = Array.tabulate(w1(0).length) { j =>
+          var zacc = 0L
+          var b = 0
+          while (b < w1.length) {
+            if (cnt(b) != 0L)
+              zacc += math.floor(w1(b)(j) * cnt(b).toDouble * 1048576.0 + 0.5).toLong
+            b += 1
+          }
+          val z = zacc.toDouble / 1048576.0
+          if (layers.length == 1) z else math.max(z, 0.0)
+        }
+        // layers 2..L: dense fixed-point matvec; ReLU except on the head
+        var l = 1
+        while (l < layers.length) {
+          val w = layers(l)
+          val last = l == layers.length - 1
+          h = Array.tabulate(w(0).length) { j =>
+            var acc = 0L
+            var i = 0
+            while (i < w.length) {
+              acc += math.floor(w(i)(j) * h(i) * 1048576.0 + 0.5).toLong
+              i += 1
+            }
+            val z = acc.toDouble / 1048576.0
+            if (last) z else math.max(z, 0.0)
+          }
+          l += 1
+        }
+        h.map(_.toFloat)
+      }
+      def close(): Unit = ()
+    }
+  }
+
   /** Partition-batched inference runner: one [[BatchModel.open]] per
     * non-empty partition, rows scored in `batchSize` micro-batches
     * through the lazy iterator (no partition-wide materialization), the

@@ -731,6 +731,60 @@ class OperatorsSpec extends SparkSpec {
     assert(en > xx, s"trained MLP must rank 'en' docs above: en=$en xx=$xx")
   }
 
+  test("mlp stored stack: 2-layer artifact bit-equals MlpTextModel; 3-layer stack serves") {
+    import spark.implicits._
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", "en", "s", 20L)
+      else (i, "zzq qqz zqz qzz zzz", "xx", "s", 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // dump → load round-trip must serve bit-equal to the in-memory arrays
+    val art = graft.Scratch.dir("graft_mlp_spec_")
+    graft.operators.Mlp.mlpTrain(docs, buckets = 64, hidden = 4, iters = 3)
+      .write.mode("overwrite").parquet(art)
+    val layers = graft.operators.Mlp.loadWeights(spark, art, buckets = 64)
+    assert(layers.length == 2 && layers(0).length == 64 &&
+      layers(0)(0).length == 4 && layers(1).length == 4 && layers(1)(0).length == 1)
+    val (m1, m2) = graft.operators.Mlp.trainedArrays(docs, buckets = 64,
+      hidden = 4, iters = 3)
+    val assets = graft.operators.Multimodal.assetsFromDocs(spark, docs)
+    def score(m: graft.operators.Multimodal.BatchModel): Map[Long, Seq[Float]] =
+      graft.operators.Multimodal.inferFeatures(spark, assets, m).collect()
+        .map(f => f.doc_id -> f.embedding.toSeq).toMap
+    val viaStored = score(new graft.operators.Multimodal.MlpStackModel(layers))
+    val viaArrays = score(new graft.operators.Multimodal.MlpTextModel(m1, m2))
+    assert(viaStored == viaArrays, "stored-weight serving must be bit-equal")
+    // ARBITRARY depth: a hand-built 3-layer artifact (4->3 hidden, 3->2
+    // head) loads and serves; spot-check one doc against a scalar replay
+    // of the fixed-point forward pass
+    val w2h = Array.tabulate(4, 3)((i, j) => (i - j).toDouble / 8.0)
+    val w3 = Array.tabulate(3, 2)((i, j) => (i + j - 1).toDouble / 4.0)
+    val rows =
+      (for (b <- 0 until 64; j <- 0 until 4) yield (1L, b.toLong, j.toLong, m1(b)(j))) ++
+      (for (i <- 0 until 4; j <- 0 until 3) yield (2L, i.toLong, j.toLong, w2h(i)(j))) ++
+      (for (i <- 0 until 3; j <- 0 until 2) yield (3L, i.toLong, j.toLong, w3(i)(j)))
+    val art3 = graft.Scratch.dir("graft_mlp3_spec_")
+    rows.toDF("layer", "i", "j", "w9").write.mode("overwrite").parquet(art3)
+    val stack3 = graft.operators.Mlp.loadWeights(spark, art3, buckets = 64)
+    assert(stack3.length == 3)
+    val out3 = score(new graft.operators.Multimodal.MlpStackModel(stack3))
+    assert(out3.values.forall(_.length == 2), "3-layer head emits 2 outputs")
+    // scalar replay for doc 0: h1 from the 2-layer run's hidden layer is
+    // not exposed, so recompute from viaArrays' layer-1 semantics via the
+    // stack model with layers take(1): ReLU'd pre-activations
+    val h1 = score(new graft.operators.Multimodal.MlpStackModel(
+      Array(stack3(0))))(0L).map(_.toDouble).map(math.max(_, 0.0))
+    def fpMatvec(h: Seq[Double], w: Array[Array[Double]], relu: Boolean): Seq[Double] =
+      (0 until w(0).length).map { j =>
+        val acc = h.indices.map(i =>
+          math.floor(w(i)(j) * h(i) * 1048576.0 + 0.5).toLong).sum
+        val z = acc.toDouble / 1048576.0
+        if (relu) math.max(z, 0.0) else z
+      }
+    val want = fpMatvec(fpMatvec(h1, w2h, relu = true), w3, relu = false)
+      .map(_.toFloat)
+    assert(out3(0L) == want, s"3-layer forward mismatch: ${out3(0L)} vs $want")
+  }
+
   test("model-inference contract: opens once per partition, batches amortize") {
     import spark.implicits._
     val opens = spark.sparkContext.longAccumulator("opens")
