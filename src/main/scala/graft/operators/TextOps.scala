@@ -285,6 +285,126 @@ object TextOps {
        |where cast(n_shared as double) / cast(least(sa.n_fp, sb.n_fp) as double)
        |  >= ${graft.oracle.Parity.lit(threshold)}""".stripMargin.replace("\n", " ")
 
+  /** Banded winnow overlap — the bounded-candidate sibling of
+    * [[winnowOverlap]] (verdict r7 #3). The full operator's pair count
+    * is realized-overlap-proportional: on a template-heavy corpus the
+    * fp-keyed equi-join materializes EVERY co-occurrence row before the
+    * pair aggregate, which is what watchdog-capped it at sf1. Here the
+    * fp sets are first LSH-banded (the [[Dedup.minHashPairs]]
+    * discipline lifted from shingle codes to winnow fingerprints): a
+    * per-doc Carter-Wegman MinHash signature over the kept fp set —
+    * ONE map-side-combined aggregate, never an fp self-join — is split
+    * into `bands` buckets, candidates are same-bucket pairs, and the
+    * EXACT containment verify (linear-merge intersect over sorted fp
+    * arrays) runs only inside candidates. Verify arithmetic and the df
+    * stop cut are identical to [[winnowOverlap]], so the output is
+    * structurally a SUBSET of the full operator's (candidates ⊆ all
+    * pairs; scoring identical) with MinHash-LSH recall at the Jaccard
+    * the band curve targets ((1/b)^(1/r) ≈ 0.35 for 8×2) —
+    * TextOpsWinnowSpec measures recall = 1.0 on the planted near-dup
+    * corpus. Whole chain deterministic and SQL-expressible → the
+    * driver hash-checks the banded algorithm END-TO-END.
+    *
+    * Scale shape: candidate volume is bounded by bucket co-occupancy
+    * (near-dup cliques + CW hash noise), not by fp co-occurrence mass;
+    * per-pair verify is a linear merge of two fp arrays. The heavy
+    * relations shuffle (doc_id, 16 longs) and (doc_id, fp) only. */
+  def winnowOverlapBanded(docs: DataFrame, minShared: Int = 3,
+                          threshold: Double = 0.5,
+                          numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val r = numHashes / bands
+    val fps = winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    // bounded driver count — the measured winnowOverlap trade (riding
+    // n_docs through the dataflow cost +6s at sf0.1)
+    val nDocs = docs.select("doc_id").distinct().count()
+    // same df stop cut as winnowOverlap: boilerplate fps (>10% of docs)
+    // would otherwise dominate every signature AND the verify sets
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+        .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
+      "fp").localCheckpoint()
+    // fp < CwMod by the winnow packing (h < CwMod rides the high bits),
+    // so cwMix is overflow-free on it directly
+    val sigAggs = (0 until numHashes).map(j =>
+      min(expr(graft.oracle.Parity.cwMix(j, "fp"))).as(s"h$j"))
+    val sig = kept.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val bv = Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
+      struct(lit(b).as("band"), expr(bv).as("bv"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .localCheckpoint() // two join sides + nothing re-derives signatures
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify only inside candidates: sorted fp arrays for docs in
+    // ≥1 candidate pair; n_a/n_b are the FULL kept-set sizes (identical
+    // to winnowOverlap's containment denominator)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = kept.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("fp"))).as("fset"),
+        count(lit(1)).as("n_fp"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("fset").as("fa"), col("n_fp").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("fset").as("fb"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("score",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("score") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "score")
+  }
+
+  /** DuckDB mirror of [[winnowOverlapBanded]] — every constant
+    * (CW params, band fold, df cut, thresholds) interpolated from the
+    * same Scala source as the Spark plan. */
+  def winnowOverlapBandedSql(minShared: Int = 3, threshold: Double = 0.5,
+                             numHashes: Int = 16, bands: Int = 8,
+                             table: String = "documents"): String = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigCols = (0 until numHashes)
+      .map(j => s"min(${graft.oracle.Parity.cwMix(j, "fp")}) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until bands)
+      .map(b => s"select doc_id, $b as band, " +
+        s"${Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
+      .mkString(" union all ")
+    s"""with wn as materialized (${winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |nd as (select cast(count(distinct doc_id) as bigint) as n_docs from $table),
+       |kept as materialized (select doc_id, fp from fps
+       |  where fp in (select fp from fps, nd group by fp, n_docs
+       |               having cast(count(*) as bigint) * 10 <= n_docs)),
+       |sig as (select doc_id, $sigCols from kept group by doc_id),
+       |banded as ($bandRows),
+       |cand as (select distinct a.doc_id as doc_a, b.doc_id as doc_b
+       |  from banded a join banded b on a.band = b.band and a.bv = b.bv
+       |    and a.doc_id < b.doc_id),
+       |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
+       |  cast(count(*) as bigint) as n_fp from kept group by doc_id),
+       |vr as (select doc_a, doc_b,
+       |  cast(len(list_intersect(sa.fset, sb.fset)) as bigint) as n_shared,
+       |  sa.n_fp as n_a, sb.n_fp as n_b
+       |  from cand join sets sa on cand.doc_a = sa.doc_id
+       |    join sets sb on cand.doc_b = sb.doc_id)
+       |select doc_a, doc_b, n_shared, n_a, n_b,
+       | cast(n_shared as double) / cast(least(n_a, n_b) as double) as score
+       |from vr where n_shared >= $minShared
+       |  and cast(n_shared as double) / cast(least(n_a, n_b) as double)
+       |    >= ${graft.oracle.Parity.lit(threshold)}""".stripMargin.replace("\n", " ")
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText quality
     * filters): fraction of duplicate word n-grams and the share of the
     * most frequent token. All exact integer ratios over per-row array
@@ -751,14 +871,7 @@ object TextOps {
     * controls) without re-spelling the filter. */
   private def allPairsParts(docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
-      .select("doc_id", "token", "tfidf", "dfq")
-    val nrm = p.groupBy("doc_id")
-      .agg(expr(graft.oracle.Parity.fpSum("tfidf * tfidf")).as("nrm2"))
-    val w = p.join(nrm, "doc_id")
-      .withColumn("w", col("tfidf") / sqrt(col("nrm2")))
-      .select("doc_id", "token", "w", "dfq")
-      .localCheckpoint()
+    val w = normalizedPostings(docs)
     // suffix norm² in the canonical rare-first order: a token stays in
     // the prefix while the suffix STARTING at it could still reach t
     // (inclusive compare with a 1e-9 slack so float error in the
@@ -777,6 +890,20 @@ object TextOps {
               greatest(col("probe_id"), col("doc_id")).as("doc_hi"))
       .distinct()
     (w, cand)
+  }
+
+  /** Unit-normalized TF-IDF posting relation (doc_id, token, w, dfq) —
+    * shared by the Bayardo prefix filter and the banded variant; four+
+    * consumers, so it materializes once (the minHashPairs discipline). */
+  private def normalizedPostings(docs: DataFrame): DataFrame = {
+    val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
+      .select("doc_id", "token", "tfidf", "dfq")
+    val nrm = p.groupBy("doc_id")
+      .agg(expr(graft.oracle.Parity.fpSum("tfidf * tfidf")).as("nrm2"))
+    p.join(nrm, "doc_id")
+      .withColumn("w", col("tfidf") / sqrt(col("nrm2")))
+      .select("doc_id", "token", "w", "dfq")
+      .localCheckpoint()
   }
 
   /** Candidate pairs surviving the prefix filter at `threshold` — the
@@ -813,6 +940,97 @@ object TextOps {
        |  ${fp("p1.w * p2.w")} as score
        | from w p1 join w p2 using (token) where p1.doc_id < p2.doc_id
        | group by 1, 2)
+       |select doc_lo, doc_hi, score from sc
+       |where score >= $threshold""".stripMargin.replace("\n", " ")
+  }
+
+  /** Banded all-pairs similarity — the bounded-candidate sibling of
+    * [[allPairsSimilarity]] (the r7 verdict's second
+    * realized-overlap-proportional family member). The Bayardo prefix
+    * filter is lossless but its candidate set still tracks realized
+    * token co-occurrence, which is what watchdog-capped it on the sf1
+    * template-heavy corpus. Here candidates come from MinHash-LSH over
+    * each doc's TOKEN SET (the [[Dedup.minHashPairs]] discipline on the
+    * posting relation's token hashes): `numHashes` Carter-Wegman minima
+    * per doc — one map-side-combined aggregate, never a token
+    * self-join — fold into `bands` CwMod-range bucket values, so bucket
+    * population tracks near-dup cliques plus hash noise, NOT a
+    * fixed-size value range (a sign-bit SimHash band of r bits has only
+    * 2^r buckets and goes quadratic in n — measured: the 8×2-bit first
+    * cut of this operator blew the 600 s sf1 watchdog on candidate
+    * volume alone). The EXACT cosine verify (the fpSum the full
+    * operator uses) runs only inside same-bucket pairs — so the output
+    * is structurally a subset of [[allPairsSimilarity]]'s with
+    * identical scores, with the MinHash band curve over token-set
+    * Jaccard (1-(1-j^r)^b: →1 in the near-dup regime the bands target;
+    * a high-cosine/low-Jaccard pair can be missed — the documented
+    * recall contract, spec-measured 1.0 on planted near-dups). Whole
+    * chain deterministic and SQL-expressible → hash-gated end-to-end.
+    *
+    * Scale shape: after the posting pass the corpus is numHashes
+    * longs/doc; candidate volume is bucket co-occupancy. The verify
+    * join is the only stage that touches postings again, restricted to
+    * candidate docs. */
+  def allPairsBanded(docs: DataFrame, threshold: Double = 0.6,
+                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val r = numHashes / bands
+    val w = normalizedPostings(docs)
+      .withColumn("th", expr("rolling_hash(token)")) // hash once, not ×16
+    val sigAggs = (0 until numHashes).map(j =>
+      min(expr(graft.oracle.Parity.cwMix(j, "th"))).as(s"h$j"))
+    val bitsDf = w.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val bv = Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
+      struct(lit(b).as("band"), expr(bv).as("bv"))
+    }
+    val banded = bitsDf.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .localCheckpoint()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_lo"), col("b.doc_id").as("doc_hi"))
+      .distinct()
+    val pl = w.select(col("doc_id").as("doc_lo"), col("token"), col("w").as("wl"))
+    val pg = w.select(col("doc_id").as("doc_hi"), col("token"), col("w").as("wg"))
+    cand.join(pl, "doc_lo").join(pg, Seq("doc_hi", "token"))
+      .groupBy("doc_lo", "doc_hi")
+      .agg(expr(graft.oracle.Parity.fpSum("wl * wg")).as("score"))
+      .filter(col("score") >= threshold)
+      .select("doc_lo", "doc_hi", "score")
+  }
+
+  /** DuckDB mirror of [[allPairsBanded]] — CW params, band fold and the
+    * exact verify all interpolated from the same Scala source. */
+  def allPairsBandedSql(threshold: Double = 0.6, numHashes: Int = 16,
+                        bands: Int = 8, table: String = "documents"): String = {
+    val fp = graft.oracle.Parity.fpSum _
+    val r = numHashes / bands
+    val bitCols = (0 until numHashes)
+      .map(j => s"min(${graft.oracle.Parity.cwMix(j, "th")}) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val bv = Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
+      s"select doc_id, $b as band, $bv as bv from bits"
+    }.mkString(" union all ")
+    s"""with ${tfidfPostingsCtes(gram3DuckToks(table), table,
+            " where dfq * 10 <= nn", windowDf = true)},
+       |nrm as (select doc_id, ${fp("tfidf * tfidf")} as nrm2
+       |  from postings group by doc_id),
+       |w as materialized (select doc_id, token, tfidf / sqrt(nrm2) as w,
+       |  ${graft.oracle.Parity.rollingHashDuck("token")} as th
+       |  from postings join nrm using (doc_id)),
+       |bits as (select doc_id, $bitCols from w group by doc_id),
+       |banded as ($bandRows),
+       |cand as (select distinct a.doc_id as doc_lo, b.doc_id as doc_hi
+       |  from banded a join banded b on a.band = b.band and a.bv = b.bv
+       |    and a.doc_id < b.doc_id),
+       |sc as (select doc_lo, doc_hi, ${fp("p1.w * p2.w")} as score
+       | from cand join w p1 on cand.doc_lo = p1.doc_id
+       |   join w p2 on cand.doc_hi = p2.doc_id and p1.token = p2.token
+       | group by doc_lo, doc_hi)
        |select doc_lo, doc_hi, score from sc
        |where score >= $threshold""".stripMargin.replace("\n", " ")
   }

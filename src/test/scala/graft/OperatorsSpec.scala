@@ -265,6 +265,38 @@ class OperatorsSpec extends SparkSpec {
       "span hashing unexpectedly saw the unsegmented docs")
   }
 
+  test("dedup_winnow_banded: subset of the full operator with identical scoring; near-dup recall 1.0") {
+    // (1) structural contract: candidates ⊆ all pairs and the verify
+    // arithmetic is winnowOverlap's, so every banded row must appear in
+    // the full output with IDENTICAL n_shared/n_a/n_b/score
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val full = rows(TextOps.winnowOverlap(docs))
+    val banded = rows(TextOps.winnowOverlapBanded(docs))
+    assert(banded.nonEmpty, "banded variant found nothing on the corpus")
+    banded.foreach { case (k, v) =>
+      assert(full.get(k).contains(v),
+        s"banded pair $k -> $v not identical in full output: ${full.get(k)}")
+    }
+    // (2) recall on the near-dup regime the bands target: the shifted
+    // single-insertion copy (jac >> the 8x2 band curve's ~0.35 knee)
+    // must be caught, same as the full operator
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 6
+    val shifted = base.substring(0, 50) + "X" + base.substring(50)
+    val filler = (0 until 20).map(i =>
+      (10L + i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    val planted = (Seq((1L, base), (2L, shifted)) ++ filler).toDF("doc_id", "text")
+    val caught = rows(TextOps.winnowOverlapBanded(planted))
+    assert(caught.contains((1L, 2L)), s"shifted copy missed by bands: ${caught.keySet}")
+    assert(caught((1L, 2L))._4 >= 0.5)
+    // the planted high-jaccard regime loses NOTHING to banding
+    val fullPlanted = rows(TextOps.winnowOverlap(planted))
+    assert(fullPlanted.keySet == caught.keySet,
+      s"recall < 1.0 on the planted near-dup corpus: full=${fullPlanted.keySet} banded=${caught.keySet}")
+  }
+
   test("pipeline_curriculum: dense positions, contiguous bins, scored-docs universe") {
     import graft.operators.Lm
     val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
@@ -648,6 +680,74 @@ class OperatorsSpec extends SparkSpec {
       Seq(Multimodal.Asset(9L, corrupt)).toDS()).collect()
     assert(fb.forall(f => f.width >= 64L && f.height >= 64L),
       "corrupt container must ride the stub, not half-real metadata")
+  }
+
+  test("allpairs_banded: subset of the Bayardo operator with identical scores; near-dup recall 1.0") {
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = rows(TextOps.allPairsSimilarity(docs))
+    val banded = rows(TextOps.allPairsBanded(docs))
+    assert(banded.nonEmpty, "banded variant found nothing on the corpus")
+    // exact verify + identical fp arithmetic → every banded row appears
+    // in the full output with the same score
+    banded.foreach { case (k, v) =>
+      assert(full.get(k).contains(v),
+        s"banded pair $k -> $v not identical in full output: ${full.get(k)}")
+    }
+    // planted near-dup regime (cosine ≈ 1 ⇒ band-catch prob ≈ 1):
+    // token-level near-copies must all be caught
+    val base = (0 until 30).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val near = base + " extra tail token"
+    val filler = (0 until 20).map(i =>
+      (10L + i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    val planted = (Seq((1L, base), (2L, near)) ++ filler).toDF("doc_id", "text")
+    val fullP = rows(TextOps.allPairsSimilarity(planted))
+    val bandP = rows(TextOps.allPairsBanded(planted))
+    assert(fullP.contains((1L, 2L)), s"sanity: full operator missed the near-copy: ${fullP.keySet}")
+    assert(fullP.keySet == bandP.keySet,
+      s"recall < 1.0 on the planted near-dup corpus: full=${fullP.keySet} banded=${bandP.keySet}")
+  }
+
+  test("avi frame sample: RIFF demux + DIB pixel decode; compressed fourcc and corruption ride the stub") {
+    import spark.implicits._
+    // doc 7: 2 + 7%6 = 3 frames of (8, 11); doc 9: 2 + 9%6 = 5 of (10, 6)
+    val bytes = Multimodal.aviBytes(7L)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF"
+      && new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    val docs = Seq((7L, "x", "en", "s", 1L), (9L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fs = Multimodal.aviFrameSample(spark, Multimodal.aviAssets(spark, docs))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(fs.filter(_.doc_id == 7L).map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(fs.filter(_.doc_id == 9L).map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    fs.foreach { f =>
+      val (w, h) = if (f.doc_id == 7L) (8L, 11L) else (10L, 6L)
+      assert(f.width == w && f.height == h && f.n_frames == 2 + f.doc_id % 6, f.toString)
+      // decoded-pixel checks: top-left blue byte and the full pixel sum
+      // must match the encode arithmetic — only a correct bottom-up row
+      // flip + stride walk produces them (pad bytes are 0xAB sentinels)
+      assert(f.corner_b == (f.doc_id + f.frame_idx * 131L) % 256L, f.toString)
+      val expSum = (for { y <- 0L until h; x <- 0L until w } yield {
+        val b = (f.doc_id + f.frame_idx * 131L + x * 29L + y * 13L) % 256L
+        b + (b + 85L) % 256L + (b + 170L) % 256L
+      }).sum
+      assert(f.px_sum == expSum, s"pixel sum off: $f vs $expSum")
+    }
+    // compressed-codec fourcc (MJPG biCompression) — the documented
+    // boundary: same container shape, no JVM codec → byte-window stub
+    val mjpg = Multimodal.aviBytes(9L, compression = 0x47504A4D)
+    val fb = Multimodal.aviFrameSample(spark,
+      Seq(Multimodal.Asset(9L, mjpg)).toDS()).collect()
+    assert(fb.nonEmpty && fb.forall(f =>
+      f.width >= 64L && f.corner_b == -1L && f.px_sum == -1L),
+      "compressed-codec track must ride the stub, not half-real metadata")
+    // a truncated container (chunk overruns) rejects whole-asset too
+    val cut = Multimodal.aviBytes(9L).dropRight(40)
+    val fc = Multimodal.aviFrameSample(spark,
+      Seq(Multimodal.Asset(9L, cut)).toDS()).collect()
+    assert(fc.forall(f => f.corner_b == -1L && f.px_sum == -1L),
+      "truncated container must ride the stub")
   }
 
   test("incremental winnow: shifted near-copy of an indexed doc is dup_history") {
