@@ -569,6 +569,40 @@ object QueriesLlm {
       graft.operators.Pq.writeIvfPqIndex(emb, idx)
       graft.operators.Pq.ivfAdcTopKStored(emb, idx)
     }),
+    // incremental ingest: index yesterday's corpus, APPEND today's shard
+    // (shard-proportional encode + model-sized stats merge — the corpus
+    // is never rescanned), serve from the appended layout. Shares the
+    // whole-corpus oracle: append == full rebuild, bit for bit
+    "ann_ivfpq_append" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_ivfpq_app_")
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.operators.Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), idx)
+      graft.operators.Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 3 === 0), idx)
+      graft.operators.Pq.ivfAdcTopKStored(emb, idx)
+    }),
+    // index DELETE: tombstones stop the codes answering (no code-file
+    // rewrite), exact integer stats SUBTRACT (the append algebra run
+    // backwards), centroids rebuild. Oracle = a survivors-only rebuild
+    "ann_ivfpq_delete" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_ivfpq_del_")
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.operators.Pq.writeIvfPqIndex(emb, idx)
+      graft.operators.Pq.deleteFromIvfPqIndex(emb.filter(col("vec_id") % 5 === 3), idx)
+      graft.operators.Pq.ivfAdcTopKStored(emb.filter(col("vec_id") % 5 =!= 3), idx)
+    }),
+    // full lifecycle: write base → append shard → delete → COMPACT
+    // (tombstones applied physically, one sorted file per cell) → serve.
+    // Same survivors oracle as the delete gate: four different physical
+    // histories, one logical answer
+    "ann_ivfpq_compact" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_ivfpq_cmp_")
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.operators.Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), idx)
+      graft.operators.Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 3 === 0), idx)
+      graft.operators.Pq.deleteFromIvfPqIndex(emb.filter(col("vec_id") % 5 === 3), idx)
+      graft.operators.Pq.compactIvfPqIndex(s, idx)
+      graft.operators.Pq.ivfAdcTopKStored(emb.filter(col("vec_id") % 5 =!= 3), idx)
+    }),
     // KMV (k-minimum-values) distinct-count sketch per language — a
     // deterministic sketch over the CW hash family, so even the estimate
     // is oracle-checked (alongside the exact count it approximates)
@@ -1023,6 +1057,11 @@ object QueriesLlm {
     },
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "ann_ivfpq_stored" -> graft.operators.Pq.ivfAdcSql(),
+    "ann_ivfpq_append" -> graft.operators.Pq.ivfAdcSql(),
+    "ann_ivfpq_delete" -> graft.operators.Pq.ivfAdcSql(
+      table = "(select * from embeddings where vec_id % 5 <> 3)"),
+    "ann_ivfpq_compact" -> graft.operators.Pq.ivfAdcSql(
+      table = "(select * from embeddings where vec_id % 5 <> 3)"),
     "text_chunk" -> TextOps.chunkSql(),
     "text_pack" -> TextOps.packBinsSql(),
     "text_logprob" -> TextOps.unigramLogProbSql(),

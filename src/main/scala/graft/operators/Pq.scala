@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.oracle.Parity
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -538,6 +538,7 @@ object Pq {
   private val storedCodesSchema =
     "vec_id long, " + (0 until m).map(j => s"c$j long").mkString(", ") + ", cl long"
   private val storedCentroidsSchema = "cl long, centroid array<double>, c_norm double"
+  private val storedStatsSchema = "cl long, d int, n long, ivs long"
 
   /** Persist the IVF-PQ index — index-as-a-system, not per-query
     * rebuild. Two halves:
@@ -571,9 +572,124 @@ object Pq {
       })
       .toDF("vec_id", "cl", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
       .write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
+    // the mergeable exact moment relation behind the centroids — stored
+    // so a later APPEND can fold a new shard in without rescanning the
+    // already-indexed corpus (n_cells·dim BIGINT rows: model-sized)
+    Similarity.cellStats(embF)
+      .write.mode("overwrite").parquet(s"$dir/cellstats")
     Similarity.labelCentroids(embF)
       .select("cl", "centroid", "c_norm")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Incremental index ingest — fold a NEW shard into a stored IVF-PQ
+    * index ([[writeIvfPqIndex]]) WITHOUT rescanning the indexed corpus:
+    *   codes     — the shard encodes through the same fixed codebook
+    *               (per-row, shard-sized work) and APPENDS into the
+    *               cell-partitioned layout;
+    *   cellstats — the shard's exact integer moments ADD onto the
+    *               stored ones (BIGINT adds are associative/exact);
+    *   centroids — rebuilt from the merged stats with the identical
+    *               deferred-divide arithmetic ([[Similarity.centroidsFromStats]]).
+    * Both quantizers are fixed (codebook is deterministic; cells are the
+    * label quantizer), so encode(old ∪ new) = encode(old) ∪ encode(new)
+    * and the merged centroids equal the full-corpus centroids bit for
+    * bit — serving from the appended index is therefore IDENTICAL to a
+    * full rebuild, which is exactly what `ann_ivfpq_append` proves by
+    * sharing [[ivfAdcSql]]'s whole-corpus oracle. Ingest cost is
+    * shard-proportional + a model-sized stats merge — the shape a daily
+    * 100 TB ingestion pipeline needs (index the delta, not the world). */
+  def appendIvfPqIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    val embF = newEmb.filter(size(col("embedding")) === dim)
+    val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
+    nn.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
+        col("label").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions(_.map { case (id, v, cl) =>
+        (id, cl, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
+          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
+          assign(v, 6).toLong, assign(v, 7).toLong)
+      })
+      .toDF("vec_id", "cl", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+      .write.mode("append").partitionBy("cl").parquet(s"$dir/codes")
+    // merge stats, then REPLACE both sidecars: localCheckpoint breaks
+    // the read-overwrite cycle (Spark cannot lazily read the path it is
+    // overwriting) at a model-sized materialization
+    val merged = spark.read.schema(storedStatsSchema).parquet(s"$dir/cellstats")
+      .unionByName(Similarity.cellStats(embF))
+      .groupBy("cl", "d")
+      .agg(sum("n").as("n"), sum("ivs").as("ivs"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$dir/cellstats")
+    Similarity.centroidsFromStats(merged)
+      .select("cl", "centroid", "c_norm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Delete rows from a stored IVF-PQ index — the third lifecycle verb.
+    * Takes the deleted ROWS (vec_id, embedding, label), not bare ids:
+    * PQ codes are lossy, so the exact stats downdate needs the original
+    * vectors (the upstream table has them — the usual delete feed).
+    * Two halves:
+    *   tombstones — deleted ids append to `dir/tombstones`; serving
+    *                anti-joins them so the codes stop answering without
+    *                rewriting a single code file (O(deleted) write);
+    *   cellstats  — the deleted rows' exact integer moments SUBTRACT
+    *                from the stored ones (BIGINT stats form an abelian
+    *                group: the same algebra that makes append exact
+    *                makes delete exact), cells emptied to n=0 drop, and
+    *                the centroids rebuild — bit-identical to indexing
+    *                the survivor corpus from scratch, which is what
+    *                `ann_ivfpq_delete` proves by sharing the oracle
+    *                with a survivors-only rebuild. */
+  def deleteFromIvfPqIndex(deleted: DataFrame, dir: String): Unit = {
+    val spark = deleted.sparkSession
+    val embF = deleted.filter(size(col("embedding")) === dim)
+    embF.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val merged = spark.read.schema(storedStatsSchema).parquet(s"$dir/cellstats")
+      .unionByName(Similarity.cellStats(embF)
+        .select(col("cl"), col("d"), (-col("n")).as("n"), (-col("ivs")).as("ivs")))
+      .groupBy("cl", "d")
+      .agg(sum("n").as("n"), sum("ivs").as("ivs"))
+      .filter(col("n") > 0) // a fully-deleted cell leaves the model
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$dir/cellstats")
+    Similarity.centroidsFromStats(merged)
+      .select("cl", "centroid", "c_norm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Compact a stored IVF-PQ index: physically apply the tombstones and
+    * rewrite each cell's accumulated small files (every [[appendIvfPqIndex]]
+    * adds one file set per cell it touches) into ONE sorted file per
+    * cell. Pure layout maintenance — centroids/cellstats are already
+    * exact, so only the code table rewrites; serving before and after
+    * is bit-identical (`ann_ivfpq_compact` shares the survivors
+    * oracle), and the per-cell file count drops to 1 (spec-pinned).
+    * The rewrite materializes the live code table once (m+2 longs per
+    * vector — the compaction pass any LSM-shaped store pays) and the
+    * tombstone sidecar clears, restoring O(1) serve-side filtering. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    val tombDir = new java.io.File(s"$dir/tombstones")
+    val codes = spark.read.schema(storedCodesSchema).parquet(s"$dir/codes")
+    val live = if (tombDir.exists())
+      codes.join(spark.read.schema("vec_id long").parquet(s"$dir/tombstones"),
+        Seq("vec_id"), "left_anti")
+    else codes
+    // one task per cell → one file per cell; sorted for scan locality.
+    // localCheckpoint materializes before the overwrite of the path
+    // being read (Spark cannot lazily read what it is replacing).
+    val compacted = live.repartition(col("cl"))
+      .sortWithinPartitions("vec_id")
+      .localCheckpoint()
+    compacted.write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    if (tombDir.exists()) rm(tombDir)
   }
 
   /** Serve IVF-PQ top-k from the STORED index ([[writeIvfPqIndex]]):
@@ -604,7 +720,16 @@ object Pq {
     val codesStored = spark.read.schema(storedCodesSchema)
       .parquet(s"$indexDir/codes")
       .filter(col("cl").isin(probedCells.map(Long.box): _*))
-    val pairs = probes.join(codesStored, Seq("cl"))
+    // tombstone-aware serve ([[deleteFromIvfPqIndex]]): deleted ids stop
+    // answering without any code-file rewrite; the sidecar is deleted-
+    // rows-sized and broadcasts until a compaction clears it
+    val tombDir = new java.io.File(s"$indexDir/tombstones")
+    val codesLive = if (tombDir.exists())
+      codesStored.join(
+        spark.read.schema("vec_id long").parquet(s"$indexDir/tombstones"),
+        Seq("vec_id"), "left_anti")
+    else codesStored
+    val pairs = probes.join(codesLive, Seq("cl"))
       .filter(col("q_id") =!= col("vec_id"))
       .join(queryTables(nn, queryEvery), Seq("q_id"))
       .withColumn("dist", adcDist)

@@ -240,21 +240,40 @@ object Similarity {
     * doubles, which is why the relation round-trips a parquet sink
     * bit-identically ([[Pq.writeIvfPqIndex]] stores it as the index
     * sidecar). */
-  def labelCentroids(emb: DataFrame): DataFrame = {
+  def labelCentroids(emb: DataFrame): DataFrame =
+    centroidsFromStats(cellStats(emb))
+
+  /** Exact per-(cell, dimension) moment relation — the MERGEABLE form
+    * of [[labelCentroids]]: a row count and the 2^-20 fixed-point
+    * BIGINT sum (the integer inside [[Parity.fpSum]], before its final
+    * divide). Integer adds are associative and exact, so shard stats
+    * summed into stored stats equal the full-corpus stats bit for bit —
+    * which is what makes IVF-PQ index APPEND ([[Pq.appendIvfPqIndex]])
+    * provably identical to a full rebuild. n_cells·dim rows — model-
+    * sized at any corpus scale. */
+  def cellStats(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col("label").cast("long").as("cl"),
         explode(expr(s"sequence(1, $dim)")).as("d"), col("embedding"))
       .withColumn("v", expr("cast(element_at(embedding, d) as double)"))
       .groupBy("cl", "d")
-      .agg(count(lit(1)).as("n"), expr(Parity.fpSum("v")).as("vs"))
-      .withColumn("cv", col("vs") / col("n").cast("double"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(floor(v * 1048576e0 + 5e-1) as bigint))").as("ivs"))
+  }
+
+  /** Rebuild the centroid relation from (merged) [[cellStats]] — the
+    * fpSum divide deferred to here, so the arithmetic is exactly
+    * [[labelCentroids]]' original spelling on the same integers. */
+  def centroidsFromStats(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("cv",
+        expr("(cast(ivs as bigint) / 1048576e0) / cast(n as double)"))
       .groupBy("cl")
       .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)")
         .as("centroid"))
       .withColumn("c_norm",
         expr(s"sqrt(${Parity.dot(SparkD, "centroid", "centroid", dim)})"))
       .filter(col("c_norm") > 0.0)
-  }
 
   /** Probe ranking against a GIVEN centroid relation — the query-time
     * half shared by the in-memory path ([[labelProbes]]) and the

@@ -101,6 +101,88 @@ class PqSpec extends SparkSpec {
       flat.get(key).foreach(fd => assert(fd == d, s"$key dist mismatch")) }
   }
 
+  test("ivf-pq append: incremental ingest serves bit-identically to a full rebuild, incl. a brand-new cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base = two existing cells; shard adds rows to one of them AND a
+    // cell the stored index has never seen (new hive partition + new
+    // centroid row must both materialize through the stats merge)
+    def vec(seed: Long) = (1 to Pq.dim).map(i =>
+      (((seed * 31 + i * 17) % 19) - 9).toFloat / 4.0f).toArray
+    val base = (0 until 40).map(i =>
+      (i.toLong, vec(i), (i % 2).toLong)).toDF("vec_id", "embedding", "label")
+    val shard = (40 until 60).map(i =>
+      (i.toLong, vec(i), if (i % 3 == 0) 7L else (i % 2).toLong))
+      .toDF("vec_id", "embedding", "label")
+    val all = base.unionByName(shard)
+    val incDir = graft.Scratch.dir("pq_append_inc_")
+    Pq.writeIvfPqIndex(base, incDir)
+    Pq.appendIvfPqIndex(shard, incDir)
+    val fullDir = graft.Scratch.dir("pq_append_full_")
+    Pq.writeIvfPqIndex(all, fullDir)
+    // sidecars identical: centroids (exact doubles) and merged stats
+    def cents(d: String) = spark.read.parquet(s"$d/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    assert(cents(incDir) == cents(fullDir), "merged centroids diverge from rebuild")
+    assert(cents(incDir).exists(_._1 == 7L), "the shard-only cell never materialized")
+    def stats(d: String) = spark.read.parquet(s"$d/cellstats").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats(incDir) == stats(fullDir), "merged stats diverge from rebuild")
+    // serving identical on every row (queryEvery=7 exercises several queries)
+    def serve(d: String) = Pq.ivfAdcTopKStored(all, d, queryEvery = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val inc = serve(incDir)
+    assert(inc.nonEmpty && inc == serve(fullDir),
+      "appended index serves differently from the full rebuild")
+  }
+
+  test("ivf-pq delete + compact: tombstoned serving == survivors rebuild; compaction = 1 file/cell, clears tombstones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def vec(seed: Long) = (1 to Pq.dim).map(i =>
+      (((seed * 31 + i * 17) % 19) - 9).toFloat / 4.0f).toArray
+    // three cells; cell 9 exists ONLY in rows that will all be deleted —
+    // its centroid must leave the model entirely
+    val rows = (0 until 60).map { i =>
+      val lbl = if (i >= 54) 9L else (i % 2).toLong
+      (i.toLong, vec(i), lbl)
+    }
+    val all = rows.toDF("vec_id", "embedding", "label")
+    val doomed = all.filter(col("vec_id") % 4 === 1 || col("label") === 9L)
+    val survivors = all.filter(!(col("vec_id") % 4 === 1 || col("label") === 9L))
+    val delDir = graft.Scratch.dir("pq_del_")
+    Pq.writeIvfPqIndex(all, delDir)
+    Pq.appendIvfPqIndex(all.limit(0), delDir) // no-op append: files accrue
+    Pq.deleteFromIvfPqIndex(doomed, delDir)
+    val survDir = graft.Scratch.dir("pq_surv_")
+    Pq.writeIvfPqIndex(survivors, survDir)
+    def cents(d: String) = spark.read.parquet(s"$d/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    assert(cents(delDir) == cents(survDir), "downdated centroids diverge from survivors rebuild")
+    assert(!cents(delDir).exists(_._1 == 9L), "fully-deleted cell still has a centroid")
+    def serve(d: String) = Pq.ivfAdcTopKStored(survivors, d, queryEvery = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val tombServed = serve(delDir)
+    assert(tombServed.nonEmpty && tombServed == serve(survDir),
+      "tombstoned index serves differently from the survivors rebuild")
+    // compact: physical apply — identical serving, 1 data file per cell,
+    // tombstone sidecar gone
+    Pq.compactIvfPqIndex(spark, delDir)
+    assert(!new java.io.File(s"$delDir/tombstones").exists(), "compaction left tombstones")
+    assert(serve(delDir) == tombServed, "compaction changed the served answer")
+    val cellDirs = new java.io.File(s"$delDir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cl="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"cell ${cd.getName} has ${files.length} files after compaction")
+    }
+    // the deleted cell's partition may remain as an empty directory but
+    // must hold no rows
+    val live = spark.read.parquet(s"$delDir/codes")
+    assert(live.filter(col("cl") === 9L).count() == 0L, "deleted cell still has codes")
+  }
+
   test("pq: malformed (short) embeddings are excluded, never crash the kernels") {
     import org.apache.spark.sql.functions._
     // a 32-element non-zero vector: its SELF-dot has equal lengths, so a
