@@ -273,6 +273,39 @@ class PlanSpec extends SparkSpec {
       s"probed cells must prune directories on the stored code scan:\n$p")
   }
 
+  test("tombstoned IVF-PQ serve: partition pruning survives; the tombstone anti-join broadcasts") {
+    // build a tombstoned index, then pin the SERVING plan: the stored
+    // code scan must still prune to probed cells (the anti-join must not
+    // defeat static pruning) and the deleted-id filter must be a
+    // broadcast anti join (the sidecar is deleted-rows-sized)
+    val idx = graft.Scratch.dir("plan_ivfpq_del_")
+    val emb = Tables.read(spark, sf("sf0.001"), "embeddings")
+    graft.operators.Pq.writeIvfPqIndex(emb, idx)
+    graft.operators.Pq.deleteFromIvfPqIndex(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 3), idx)
+    val p = plan(graft.operators.Pq.ivfAdcTopKStored(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 3), idx))
+    assert("PartitionFilters: \\[cl#\\d+L? IN \\(".r.findFirstIn(p).isDefined,
+      s"probed-cell pruning must survive the tombstone filter:\n$p")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstones must anti-join as a broadcast:\n$p")
+  }
+
+  test("banded dedup siblings: candidate generation is pure equi-join — no cartesian, no nested loop") {
+    // the entire point of the banded variants is that candidates come
+    // from bucket equi-joins whose volume tracks clique co-occupancy;
+    // a cartesian or nested-loop anywhere would reintroduce the
+    // quadratic the bands exist to remove
+    Seq("dedup_winnow_banded", "allpairs_banded").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf("sf0.001")))
+      assert(!p.contains("Cartesian"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$p")
+      // (the signature aggregate itself sits behind the banded
+      // relation's localCheckpoint, so it is not in this plan segment)
+    }
+  }
+
   test("q_local_supplier: nation/region broadcast; no cartesian from the dim-key equality") {
     val p = plan(SparkEntry.queries("q_local_supplier")(spark, sf("sf0.001")))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
