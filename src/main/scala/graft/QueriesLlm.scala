@@ -289,6 +289,12 @@ object QueriesLlm {
     "multimodal_video_avi" -> ((s, dir) =>
       Multimodal.aviFrameSample(s,
         Multimodal.aviAssets(s, Tables.read(s, dir, "documents"))).toDF()),
+    // genuinely COMPRESSED codec decoded pure-JVM: BI_RLE8 frames
+    // (run-length packets + palette) decompressed with a strict decoder
+    // that rejects any structural violation; gate checks decoded pixels
+    "multimodal_video_rle" -> ((s, dir) =>
+      Multimodal.aviFrameSample(s,
+        Multimodal.aviRle8Assets(s, Tables.read(s, dir, "documents"))).toDF()),
     // REAL feature extraction: per-channel color histogram of the
     // DECODED raster (encode → decode → featurize, all genuine; pixel
     // content is arithmetic in (doc_id,x,y) so the oracle reproduces
@@ -1113,6 +1119,28 @@ object QueriesLlm {
         | cast((doc_id + i * 131) % 256 as bigint) as corner_b,
         | cast(sum(b + (b + 85) % 256 + (b + 170) % 256) as bigint) as px_sum
         |from bb group by doc_id, i, n_frames, w, h""".stripMargin.replace("\n", " "),
+    // RLE8 prediction: same frame/dim grid as the DIB gate; pixel INDEX
+    // p = (id + f·131 + (x div 4)·29 + y·13) % 256 (4-wide run blocks),
+    // palette B = p, G = 7p % 256, R = 13p % 256 — the gate hashes the
+    // DECOMPRESSED, palette-resolved pixels
+    "multimodal_video_rle" ->
+      """with f as (select doc_id,
+        |  unnest(generate_series(0, cast(1 + doc_id % 6 as bigint), 2)) as i,
+        |  cast(2 + doc_id % 6 as bigint) as n_frames,
+        |  cast(1 + doc_id % 13 as bigint) as w,
+        |  cast(1 + (doc_id * 3) % 11 as bigint) as h
+        | from documents),
+        |px as (select doc_id, i, n_frames, w, h,
+        |  unnest(generate_series(0, w - 1)) as x from f),
+        |pxy as (select doc_id, i, n_frames, w, h, x,
+        |  unnest(generate_series(0, h - 1)) as y from px),
+        |pp as (select doc_id, i, n_frames, w, h,
+        |  (doc_id + i * 131 + (x // 4) * 29 + y * 13) % 256 as p from pxy)
+        |select doc_id, cast(i as bigint) as frame_idx, n_frames,
+        | w as width, h as height,
+        | cast((doc_id + i * 131) % 256 as bigint) as corner_b,
+        | cast(sum(p + (p * 7) % 256 + (p * 13) % 256) as bigint) as px_sum
+        |from pp group by doc_id, i, n_frames, w, h""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),

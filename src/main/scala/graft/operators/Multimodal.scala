@@ -497,6 +497,133 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id => Asset(id, aviBytes(id))))
   }
 
+  /** Palette color for an 8-bit index, shared with the oracle text:
+    * B = i, G = 7i mod 256, R = 13i mod 256. */
+  private def rlePal(i: Int): (Int, Int, Int) = (i, (i * 7) % 256, (i * 13) % 256)
+
+  /** RLE8 pixel INDEX at (x, y) of frame f — constant over 4-wide x
+    * blocks so the encoder emits genuine multi-pixel runs. */
+  private def rleIdx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + f * 131L + (x / 4) * 29L + y * 13L) % 256L).toInt
+
+  /** REAL RIFF/AVI with BI_RLE8 frames — a genuinely COMPRESSED codec
+    * the JVM can still decode end-to-end: 8-bit palette indices
+    * run-length encoded per the BMP RLE8 wire format (run packets
+    * `(count, index)`, escape `00 00` end-of-line, `00 01` end-of-
+    * bitmap), palette = 256 RGBQUADs appended to the strf
+    * BITMAPINFOHEADER. Pixel indices are constant over 4-wide blocks so
+    * the stream contains real multi-pixel runs, not a degenerate
+    * 1-run-per-pixel spelling. */
+  private[graft] def aviRle8Bytes(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val n = aviFrameCount(id)
+    val frames = (0 until n).map { f =>
+      val out = new java.io.ByteArrayOutputStream()
+      var y = h - 1 // rows stored bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val idx = rleIdx(id, f, x, y)
+          var run = 1
+          while (x + run < w && rleIdx(id, f, x + run, y) == idx && run < 255) run += 1
+          out.write(run); out.write(idx)
+          x += run
+        }
+        if (y > 0) { out.write(0); out.write(0) } // EOL between rows
+        y -= 1
+      }
+      out.write(0); out.write(1) // EOB
+      leChunk("00dc", out.toByteArray) // compressed-frame chunk id
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0x10)
+        .putInt(n).putInt(0).putInt(1).putInt(frames.map(_.length).max)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MRLE".getBytes("US-ASCII"))
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(25).putInt(0).putInt(n)
+        .putInt(frames.map(_.length).max).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40 + 256 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(8)        // biPlanes, biBitCount = 8
+        .putInt(1).putInt(0)            // biCompression = 1 (BI_RLE8), biSizeImage
+        .putInt(0).putInt(0).putInt(256).putInt(0) // biClrUsed = 256
+      var i = 0
+      while (i < 256) { // RGBQUAD order: B, G, R, reserved
+        val (b, g, r) = rlePal(i)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte).put(0.toByte)
+        i += 1
+      }
+      bb.array()
+    }
+    val hdrl = leList("hdrl", leChunk("avih", avih),
+      leList("strl", leChunk("strh", strh), leChunk("strf", strf)))
+    val movi = leList("movi", frames: _*)
+    leChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** RLE8 asset source for the driver gate. */
+  def aviRle8Assets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => Asset(id, aviRle8Bytes(id))))
+  }
+
+  /** Strict RLE8 decompressor: run packets, absolute-mode packets
+    * (`00 n` + n literal indices, word-padded), `00 00` EOL, `00 01`
+    * EOB. Returns the w×h index raster (row 0 = BOTTOM row, as stored)
+    * or null on ANY structural violation (overrun, short row, EOB
+    * before the last row, trailing garbage) — the mis-split-rejects-
+    * whole-asset discipline of the other codec paths. Delta escapes
+    * (`00 02`) are rejected: they encode skipped (undefined) pixels,
+    * which have no deterministic decode. */
+  private def rle8Decode(blob: Array[Byte], off: Int, size: Int,
+                         w: Int, h: Int): Array[Array[Int]] = {
+    val rows = Array.ofDim[Int](h, w)
+    var x = 0
+    var row = 0
+    var i = off
+    val end = off + size
+    var done = false
+    while (!done) {
+      if (i + 2 > end || row >= h) return null
+      val b0 = blob(i) & 0xff
+      val b1 = blob(i + 1) & 0xff
+      i += 2
+      if (b0 > 0) {
+        if (x + b0 > w) return null
+        var k = 0
+        while (k < b0) { rows(row)(x + k) = b1; k += 1 }
+        x += b0
+      } else b1 match {
+        case 0 => // EOL: our rows are fully painted
+          if (x != w) return null
+          x = 0; row += 1
+        case 1 => // EOB: only legal at the end of the last row
+          if (!(row == h - 1 && x == w)) return null
+          done = true
+        case 2 => return null // delta = undefined pixels
+        case abs => // absolute mode: abs >= 3 literal indices + pad
+          if (i + abs + (abs & 1) > end || x + abs > w) return null
+          var k = 0
+          while (k < abs) { rows(row)(x + k) = blob(i + k) & 0xff; k += 1 }
+          x += abs
+          i += abs + (abs & 1)
+      }
+    }
+    rows
+  }
+
   /** REAL AVI demux + uncompressed-DIB frame decode: a strict RIFF
     * walker (fourcc + LE32 size + word alignment, list recursion with
     * bounds checks) finds the stream format (strf BITMAPINFOHEADER) and
@@ -508,11 +635,14 @@ object Multimodal {
     * row order flipped, 4-byte row padding skipped, per-pixel BGR bytes
     * read — reporting the top-left blue byte and the full pixel-byte
     * sum, which only a correct raster walk can produce (the 0xAB pad
-    * sentinel breaks any raw-chunk shortcut). Only biCompression=0,
-    * 24bpp, bottom-up tracks decode — compressed codecs (MJPG/H.264
-    * fourccs) are the documented fallback boundary (corner_b/px_sum =
-    * −1: the JDK has no such codec, and half-real metadata is worse
-    * than an honest stub). */
+    * sentinel breaks any raw-chunk shortcut). Two codec families
+    * decode: biCompression=0 24bpp DIB (raw), and biCompression=1
+    * 8-bit BI_RLE8 (a genuinely COMPRESSED codec — run/absolute
+    * packets decompressed by [[rle8Decode]], indices resolved through
+    * the strf palette; any structural violation rejects the whole
+    * asset). Everything else (MJPG/H.264 fourccs) is the documented
+    * fallback boundary (corner_b/px_sum = −1: the JDK has no such
+    * codec, and half-real metadata is worse than an honest stub). */
   def aviFrameSample(spark: SparkSession, assets: Dataset[Asset],
                      stride: Int = 2, maxFallbackFrames: Int = 8): Dataset[AviFrame] = {
     import spark.implicits._
@@ -530,6 +660,7 @@ object Multimodal {
           var bmpW, bmpH, bitCount, comp = -1
           var totalFrames = -1
           var isVids = false
+          var palette: Array[Int] = null // packed (b<<16 | g<<8 | r)
           val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           def walk(start: Int, end: Int): Unit = {
             var o = start
@@ -549,9 +680,20 @@ object Multimodal {
                 if (size >= 40) {
                   bmpW = le32(o + 8 + 4); bmpH = le32(o + 8 + 8)
                   bitCount = le16(o + 8 + 14); comp = le32(o + 8 + 16)
+                  if (bitCount == 8) {
+                    val declared = le32(o + 8 + 32) // biClrUsed; 0 = full
+                    val nPal = if (declared == 0) 256 else declared
+                    if (size >= 40 + nPal * 4) {
+                      palette = Array.tabulate(nPal) { pi =>
+                        val p = o + 8 + 40 + pi * 4 // RGBQUAD: B, G, R, _
+                        ((blob(p) & 0xff) << 16) | ((blob(p + 1) & 0xff) << 8) |
+                          (blob(p + 2) & 0xff)
+                      }
+                    }
+                  }
                 }
               } else if (id.length == 4 && id(0).isDigit && id(1).isDigit
-                && (id.endsWith("db") || id.endsWith("dd"))) {
+                && (id.endsWith("db") || id.endsWith("dd") || id.endsWith("dc"))) {
                 frames += ((o + 8, size))
               }
               o += 8 + size + (size & 1) // RIFF chunks are word-aligned
@@ -559,32 +701,59 @@ object Multimodal {
           }
           walk(12, blob.length)
           val rowStride = bmpStride(bmpW)
-          if (bmpW <= 0 || bmpH <= 0 || bitCount != 24 || comp != 0 ||
+          val isDib = bitCount == 24 && comp == 0
+          val isRle = bitCount == 8 && comp == 1 && palette != null
+          if (bmpW <= 0 || bmpH <= 0 || !(isDib || isRle) ||
             frames.isEmpty || frames.length != totalFrames ||
-            frames.exists(_._2 != rowStride * bmpH)) None
+            (isDib && frames.exists(_._2 != rowStride * bmpH))) None
           else {
             val n = frames.length
-            Some((0 until n by stride).map { fi =>
-              val (off, _) = frames(fi)
+            // per-frame decode; any RLE structural violation rejects the
+            // WHOLE asset (same rule as a demux mis-split)
+            val metas = (0 until n by stride).map { fi =>
+              val (off, size) = frames(fi)
               var cornerB = -1L
               var pxSum = 0L
-              var y = 0
-              while (y < bmpH) {
-                val rowOff = off + (bmpH - 1 - y) * rowStride // flip bottom-up
-                var x = 0
-                while (x < bmpW) {
-                  val b = blob(rowOff + x * 3) & 0xff
-                  val g = blob(rowOff + x * 3 + 1) & 0xff
-                  val r = blob(rowOff + x * 3 + 2) & 0xff
-                  if (x == 0 && y == 0) cornerB = b.toLong
-                  pxSum += b + g + r
-                  x += 1
+              if (isDib) {
+                var y = 0
+                while (y < bmpH) {
+                  val rowOff = off + (bmpH - 1 - y) * rowStride // flip bottom-up
+                  var x = 0
+                  while (x < bmpW) {
+                    val b = blob(rowOff + x * 3) & 0xff
+                    val g = blob(rowOff + x * 3 + 1) & 0xff
+                    val r = blob(rowOff + x * 3 + 2) & 0xff
+                    if (x == 0 && y == 0) cornerB = b.toLong
+                    pxSum += b + g + r
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+              } else {
+                val rows = rle8Decode(blob, off, size, bmpW, bmpH)
+                if (rows == null)
+                  throw new java.io.IOException("malformed RLE8 frame")
+                var y = 0
+                while (y < bmpH) {
+                  val stored = rows(bmpH - 1 - y) // flip bottom-up
+                  var x = 0
+                  while (x < bmpW) {
+                    val idx = stored(x)
+                    if (idx >= palette.length)
+                      throw new java.io.IOException("palette index out of range")
+                    val c = palette(idx)
+                    val b = (c >> 16) & 0xff
+                    if (x == 0 && y == 0) cornerB = b.toLong
+                    pxSum += b + ((c >> 8) & 0xff) + (c & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
               }
               AviFrame(a.doc_id, fi.toLong, n.toLong, bmpW.toLong, bmpH.toLong,
                 cornerB, pxSum)
-            })
+            }
+            Some(metas)
           }
         }
       } catch { case _: Exception => None }

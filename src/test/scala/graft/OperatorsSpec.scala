@@ -750,6 +750,77 @@ class OperatorsSpec extends SparkSpec {
       "truncated container must ride the stub")
   }
 
+  test("rle8 video: runs decompress to the oracle pixels; absolute mode decodes; delta/corruption reject") {
+    import spark.implicits._
+    // the stream contains REAL multi-pixel runs (4-wide blocks): doc 7
+    // is 8 px wide → 2 runs of 4 per row, not 8 singletons
+    val bytes = Multimodal.aviRle8Bytes(7L)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    val docs = Seq((7L, "x", "en", "s", 1L), (9L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fs = Multimodal.aviFrameSample(spark, Multimodal.aviRle8Assets(spark, docs))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(fs.nonEmpty)
+    fs.foreach { f =>
+      val (w, h) = if (f.doc_id == 7L) (8L, 11L) else (10L, 6L)
+      assert(f.width == w && f.height == h && f.n_frames == 2 + f.doc_id % 6, f.toString)
+      // decompressed + palette-resolved pixels must match the encode
+      // arithmetic exactly
+      assert(f.corner_b == (f.doc_id + f.frame_idx * 131L) % 256L, f.toString)
+      val expSum = (for { y <- 0L until h; x <- 0L until w } yield {
+        val p = (f.doc_id + f.frame_idx * 131L + (x / 4) * 29L + y * 13L) % 256L
+        p + (p * 7L) % 256L + (p * 13L) % 256L
+      }).sum
+      assert(f.px_sum == expSum, s"pixel sum off: $f vs $expSum")
+    }
+    // flipping a run packet into a DELTA escape (00 02) must reject the
+    // whole asset: delta encodes undefined pixels
+    val corrupt = Multimodal.aviRle8Bytes(7L).clone()
+    // find the first frame chunk '00dc' and break its first packet
+    val dcPos = corrupt.sliding(4).indexWhere(w =>
+      new String(w.toArray, "US-ASCII") == "00dc")
+    assert(dcPos > 0)
+    corrupt(dcPos + 8) = 0; corrupt(dcPos + 9) = 2
+    val fb = Multimodal.aviFrameSample(spark,
+      Seq(Multimodal.Asset(7L, corrupt)).toDS()).collect()
+    assert(fb.forall(f => f.corner_b == -1L && f.px_sum == -1L),
+      "delta escape must reject the asset to the stub")
+    // absolute-mode packet (00 n + literals) decodes: unit-test the
+    // decoder through a hand-built single-frame stream
+    val w9 = 6; val h9 = 1
+    val abs = Array[Byte](0, 3, 5, 6, 7, 0 /* pad to word */, 3, 9, 0, 1)
+    // row = [5, 6, 7, 9, 9, 9]; decoder is private — drive it through a
+    // minimal container by splicing: simplest is reflection-free reuse
+    // of the public path with a crafted frame via aviRle8Bytes' format.
+    // Build: RIFF(AVI (hdrl(avih,strl(strh,strf+pal)) movi(00dc)))
+    val pal = (0 until 256).flatMap(i =>
+      Seq((i % 256).toByte, ((i * 7) % 256).toByte, ((i * 13) % 256).toByte, 0.toByte))
+    def le(v: Int) = Seq((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    def chunk(id: String, d: Seq[Byte]) =
+      id.getBytes("US-ASCII").toSeq ++ le(d.length) ++ d ++
+        (if (d.length % 2 == 1) Seq(0.toByte) else Nil)
+    def list(t: String, d: Seq[Byte]) = chunk("LIST", t.getBytes("US-ASCII").toSeq ++ d)
+    val avih = le(40000) ++ le(0) ++ le(0) ++ le(0x10) ++ le(1) ++ le(0) ++
+      le(1) ++ le(16) ++ le(w9) ++ le(h9) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = "vids".getBytes("US-ASCII").toSeq ++ "MRLE".getBytes("US-ASCII").toSeq ++
+      le(0) ++ Seq[Byte](0, 0, 0, 0) ++ le(1) ++ le(25) ++ le(0) ++ le(1) ++
+      le(16) ++ le(-1) ++ le(0) ++ Seq[Byte](0, 0, 0, 0) ++
+      Seq((w9 & 255).toByte, 0.toByte, (h9 & 255).toByte, 0.toByte)
+    val strf = le(40) ++ le(w9) ++ le(h9) ++ Seq[Byte](1, 0, 8, 0) ++
+      le(1) ++ le(0) ++ le(0) ++ le(0) ++ le(256) ++ le(0) ++ pal
+    val crafted = chunk("RIFF", "AVI ".getBytes("US-ASCII").toSeq ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", chunk("00dc", abs.toSeq))).toArray
+    val fa = Multimodal.aviFrameSample(spark,
+      Seq(Multimodal.Asset(1L, crafted)).toDS(), stride = 1).collect()
+    assert(fa.length == 1 && fa.head.width == w9 && fa.head.height == h9, fa.toSeq.toString)
+    // pixels [5,6,7,9,9,9] under palette (p, 7p%256, 13p%256)
+    val expPx = Seq(5, 6, 7, 9, 9, 9).map(p => p + (p * 7) % 256 + (p * 13) % 256).sum
+    assert(fa.head.corner_b == 5L && fa.head.px_sum == expPx.toLong, fa.head.toString)
+  }
+
   test("incremental winnow: shifted near-copy of an indexed doc is dup_history") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
