@@ -237,6 +237,11 @@ object QueriesOlap {
     // single-shot batch MERGE (no dupes, no losses)
     "stream_upsert" -> ((s, dir) =>
       graft.streaming.EventStream.runUpsertOnce(s, dir)),
+    // streaming ANN index ingestion: micro-batches fold into the stored
+    // IVF-PQ index via the exact append algebra; the served answer is
+    // bit-identical to a batch rebuild (shares its oracle)
+    "stream_ann_ingest" -> ((s, dir) =>
+      graft.streaming.EventStream.runAnnIngestOnce(s, dir)),
     // dropDuplicatesWithinWatermark state-TTL differential: dup with
     // live state drops, dup after expiry re-emits; oracle = the TTL
     // rule in set algebra
@@ -367,6 +372,12 @@ object QueriesOlap {
         .withColumn("avg_gap_sec",
           col("sum_gap_sec").cast("double") / col("n_gaps").cast("double"))
     }),
+    // DAILY cohort retention matrix with rates — the fine-grained
+    // sibling of the weekly q_retention: cell (cohort, offset) carries
+    // distinct returning users, the cohort size, AND the rate; runs on
+    // the (user, day) grid, the event stream is touched once
+    "q_retention_daily" -> ((s, dir) =>
+      EventOps.retention(Tables.read(s, dir, "events"))),
     // as-of join: each purchase enriched with the user's latest
     // at-or-before click (EventOps.asofJoin — the merge-shape temporal
     // enrichment, one shuffle + one sort, never a per-row range scan)
@@ -1501,6 +1512,7 @@ object QueriesOlap {
     "stream_hourly" -> EventOps.hourlySql(),
     "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
     "stream_upsert" -> graft.streaming.EventStream.upsertSql(),
+    "stream_ann_ingest" -> graft.operators.Pq.ivfAdcSql(),
     "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
     "stream_restart_agg" -> graft.streaming.EventStream.restartAggSql(),
     "stream_trending" ->
@@ -1615,6 +1627,7 @@ object QueriesOlap {
         | where gap_sec is not null
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
+    "q_retention_daily" -> EventOps.retentionSql(),
     "q_scd2" -> EventOps.scd2Sql(),
     "stream_scd2" ->
       s"""select user_id, version, tier, valid_from, valid_to

@@ -27,6 +27,43 @@ object EventOps {
        | cast(count(*) as bigint) as n, ${Parity.fpSum("value")} as v
        |from $table group by 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Cohort retention matrix — the classic product-analytics operator:
+    * users cohort by their FIRST-activity day, cell (cohort, offset) =
+    * distinct users of that cohort active `offset` days later, with the
+    * rate against the cohort size. Runs entirely on the (user, day)
+    * GRID: one distinct projection collapses the event stream, then a
+    * per-user min and grid-sized aggregates/joins — the raw stream is
+    * touched once and nothing windows over it. Counts are exact
+    * integers; the rate is one exact division — full hash gate. */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+        expr(s"cast(${Parity.dayIdx(SparkD, "ts")} as bigint)").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("rate",
+        col("n_active").cast("double") / col("n_users").cast("double"))
+      .select("cohort", "day_offset", "n_active", "n_users", "rate")
+  }
+
+  /** DuckDB mirror of [[retention]]. */
+  def retentionSql(table: String = "events"): String =
+    s"""with days as (select distinct user_id,
+       |  cast(${Parity.dayIdx(DuckD, "ts")} as bigint) as day from $table),
+       |fst as (select user_id, min(day) as cohort from days group by 1),
+       |sizes as (select cohort, cast(count(*) as bigint) as n_users
+       |  from fst group by 1),
+       |act as (select cohort, day - cohort as day_offset,
+       |  cast(count(distinct user_id) as bigint) as n_active
+       | from days join fst using (user_id) group by 1, 2)
+       |select cohort, day_offset, n_active, n_users,
+       | cast(n_active as double) / cast(n_users as double) as rate
+       |from act join sizes using (cohort)""".stripMargin.replace("\n", " ")
+
   /** JSON prop extraction. The library path uses the native
     * `get_json_object`; the oracle extracts the same scalar with an
     * identical regex — both produce the digits as a string → BIGINT. */

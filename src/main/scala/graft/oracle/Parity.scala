@@ -243,4 +243,11 @@ object Parity {
     case SparkD => s"($tsNanos div 1000000000)"
     case DuckD  => s"(epoch_ns($tsNanos) // 1000000000)"
   }
+
+  /** Day index (floored epoch days) of an epoch-nanos BIGINT /
+    * TIMESTAMP_NS — the cohort/retention grid unit. */
+  def dayIdx(d: Dialect, tsNanos: String): String = d match {
+    case SparkD => s"($tsNanos div 86400000000000)"
+    case DuckD  => s"(epoch_ns($tsNanos) // 86400000000000)"
+  }
 }

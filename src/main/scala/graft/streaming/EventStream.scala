@@ -548,6 +548,51 @@ object EventStream {
           "when n_upd = 0 then 'carry' else 'update' end as action")
   }
 
+  /** 18th stateful pattern: STREAMING ANN INDEX INGESTION — the vector
+    * corpus arrives as a stream and each micro-batch folds into the
+    * STORED IVF-PQ index through [[graft.operators.Pq.appendIvfPqIndex]]
+    * (shard-proportional encode + exact integer stats merge; the
+    * already-indexed corpus is never rescanned). The index initializes
+    * EMPTY (schema'd reads make an empty index directory a legal
+    * relation), three pinned-mtime shard files drive three ordered
+    * micro-batches (`maxFilesPerTrigger 1`), and the final index serves
+    * through the stored-layout path. Because append is exact abelian
+    * algebra, the streamed index equals a single-shot batch rebuild BIT
+    * FOR BIT — the gate shares [[graft.operators.Pq.ivfAdcSql]]'s
+    * whole-corpus oracle, which is the strongest statement a streaming
+    * ingest can make: batch/stream parity on the served answer, not on
+    * an aggregate summary. (Restart/replay idempotence is `stream_upsert`'s
+    * contract; this gate proves the ingestion algebra composes with
+    * micro-batching.) */
+  def runAnnIngestOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val idx = graft.Scratch.dir("graft_ann_ingest_idx_")
+    graft.operators.Pq.writeIvfPqIndex(emb.limit(0), idx)
+    val src = graft.Scratch.path("graft_ann_ingest_src_")
+    (0 until 3).foreach { i =>
+      val tmp = graft.Scratch.dir(s"graft_ann_ingest_f$i")
+      emb.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"f$i.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val ckpt = graft.Scratch.dir("graft_ann_ingest_ckpt_")
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        graft.operators.Pq.appendIvfPqIndex(df, idx))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Pq.ivfAdcTopKStored(emb, idx)
+  }
+
   /** DuckDB mirror of [[runUpsertOnce]]: the single-shot batch MERGE
     * over the same change set — equality proves the restarted, replayed,
     * four-batch streaming MERGE delivered each change exactly once. */

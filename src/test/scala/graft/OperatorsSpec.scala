@@ -682,6 +682,24 @@ class OperatorsSpec extends SparkSpec {
       "corrupt container must ride the stub, not half-real metadata")
   }
 
+  test("q_retention: planted cohorts yield the exact matrix; offset 0 always covers the cohort") {
+    import graft.operators.EventOps
+    val day = 86400000000000L
+    // user 1: days 0,1,3; user 2: days 0,1; user 3: days 1,3 (cohort 1)
+    val events = Seq(
+      (1L, 0L * day + 5L), (1L, 1L * day + 9L), (1L, 3L * day),
+      (2L, 0L * day), (2L, 1L * day + day - 1L), // end-of-day still day 1
+      (3L, 1L * day), (3L, 3L * day + 7L))
+      .toDF("user_id", "ts")
+    val got = EventOps.retention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2L, 1.0), (0L, 1L) -> (2L, 2L, 1.0),
+      (0L, 3L) -> (1L, 2L, 0.5),
+      (1L, 0L) -> (1L, 1L, 1.0), (1L, 2L) -> (1L, 1L, 1.0)), got.toString)
+  }
+
   test("allpairs_banded: subset of the Bayardo operator with identical scores; near-dup recall 1.0") {
     val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
