@@ -21,7 +21,8 @@ object Explain {
         "decontaminate", "tfidf_top", "sketch_distinct", "q_anti_join",
         "bpe_train", "ann_ivfpq", "lr_train", "dedup_within",
         "ann_rerank", "ann_margin", "dedup_incremental_bloom",
-        "pipeline_curate")
+        "pipeline_curate", "ann_ivfpq_stored", "dedup_winnow_banded",
+        "allpairs_banded", "q_retention_daily")
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -201,6 +201,23 @@ object QueriesLlm {
     // all-pairs similarity join: every doc pair with TF-IDF cosine >= t
     // via the Bayardo prefix filter; oracle = the naive exact self-join,
     // so hash equality proves the filter lossless
+    // sparse retrieval served from the STORED index: the TF-IDF posting
+    // table persisted token-bucketed (write once, query many — the
+    // Lucene-segment shape), so the retrieval's token join inherits the
+    // bucket distribution on BOTH sides and plans with zero exchanges.
+    // Shares sparse_retrieval's oracle: stored == rebuilt, bit for bit
+    "sparse_stored" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = s"graft_postings_bucketed_$key"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/postings"
+      if (!s.catalog.tableExists(tbl)) {
+        s.sql(s"drop table if exists $tbl")
+        TextOps.sparsePostings(Tables.read(s, dir, "documents"))
+          .write.bucketBy(8, "token").sortBy("token")
+          .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
+      TextOps.sparseRetrievalFrom(s.table(tbl))
+    }),
     // bounded-candidate sibling: MinHash-LSH bands over each doc's
     // token set, exact cosine verify only inside candidates (the sf1
     // scale path for the Bayardo family)
@@ -1144,6 +1161,7 @@ object QueriesLlm {
     "text_repetition" ->
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
+    "sparse_stored" -> TextOps.sparseRetrievalSql(),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),

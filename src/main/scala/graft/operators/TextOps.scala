@@ -803,8 +803,7 @@ object TextOps {
     * [[graft.oracle.Parity.fpSum]] (order-free), and top-k is the
     * per-query window. At 100 TB the posting table is the stored
     * index, bucketed by token; a query reads only its terms' postings. */
-  def sparseRetrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def sparseRetrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame =
     // posting unit = word 3-gram, not unigram: the synthetic corpus has
     // a 31-token vocabulary (every unigram is a stop word by any df
     // cut), while its 3-gram universe is thousands-wide per language —
@@ -812,8 +811,26 @@ object TextOps {
     // same way: whatever makes postings selective. An OPEN token
     // universe grows with the corpus, so broadcastDf=false: the df
     // table meets tf in a token-keyed equi-join.
-    val postings = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
+    sparseRetrievalFrom(sparsePostings(docs), k, queryEvery)
+
+  /** The TF-IDF posting relation (doc_id, token, tfidf) — the stored
+    * form of the sparse index ([[sparseRetrievalFrom]] serves from it;
+    * `sparse_stored` persists it token-bucketed so the retrieval join
+    * runs with zero exchanges). */
+  def sparsePostings(docs: DataFrame): DataFrame =
+    tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
       .select("doc_id", "token", "tfidf")
+
+  /** Retrieval over a GIVEN posting relation — the query-time half
+    * shared by the rebuild path ([[sparseRetrieval]]) and the stored-
+    * index path. When `postings` is a token-bucketed table, BOTH join
+    * sides inherit the bucket distribution and the token join plans
+    * with zero exchanges (PlanSpec pins it) — the Lucene-segment shape
+    * of a 100 TB text index: postings are written once, a query only
+    * pays its own terms' lists. */
+  def sparseRetrievalFrom(postings: DataFrame, k: Int = 10,
+                          queryEvery: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = postings.filter(col("doc_id") % queryEvery === 0)
       .select(col("doc_id").as("q_id"), col("token"), col("tfidf").as("q_w"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)

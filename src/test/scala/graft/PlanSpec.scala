@@ -291,6 +291,19 @@ class PlanSpec extends SparkSpec {
       s"tombstones must anti-join as a broadcast:\n$p")
   }
 
+  test("stored sparse index: the token join inherits the bucket distribution — fewer exchanges than rebuild") {
+    val rebuild = plan(SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001")))
+    val stored = plan(SparkEntry.queries("sparse_stored")(spark, sf("sf0.001")))
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    // rebuild pays the token shuffle on both join sides; the bucketed
+    // table satisfies the join distribution from storage, leaving only
+    // the post-join aggregate/window exchanges
+    assert(exchanges(stored) <= 2,
+      s"stored retrieval should only shuffle post-join (got ${exchanges(stored)}):\n$stored")
+    assert(exchanges(stored) < exchanges(rebuild),
+      s"stored (${exchanges(stored)}) must beat rebuild (${exchanges(rebuild)})")
+  }
+
   test("banded dedup siblings: candidate generation is pure equi-join — no cartesian, no nested loop") {
     // the entire point of the banded variants is that candidates come
     // from bucket equi-joins whose volume tracks clique co-occupancy;
