@@ -1011,6 +1011,95 @@ object QueriesOlap {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
     }),
+    // ranking/navigation window-function SUITE in one gate — the SQL
+    // surface a migrating user reaches for daily: percent_rank,
+    // cume_dist, ntile, lag/lead with offsets + defaults, nth_value,
+    // and running first/last over an explicit ROWS frame. The synthetic
+    // lineitem has duplicate (l_orderkey, l_linenumber) pairs, so the
+    // sort key also carries l_quantity and l_extendedprice: rows tied
+    // on the FULL key are interchangeable for every output column
+    // (the navigated value l_quantity is itself in the key), making
+    // the output multiset order-invariant — full hash gate, no
+    // quantization (percent_rank/cume_dist are exact integer ratios)
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc)
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0) // keep the gate row count sane
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(7).over(w).cast("long").as("bucket"),
+          lag(col("l_quantity"), 2, -1.0).over(w).as("lag2"),
+          lead(col("l_quantity"), 3, -1.0).over(w).as("lead3"),
+          nth_value(col("l_quantity"), 5).over(wr).as("nth5"),
+          first(col("l_quantity")).over(wr).as("first_q"),
+          last(col("l_quantity")).over(wr).as("last_q"))
+    }),
+    // string-function SUITE in one gate — the everyday scalar surface a
+    // migrating user expects, restricted to functions whose semantics
+    // are provably identical across engines (char-based, 1-indexed,
+    // empty-on-out-of-range): translate, reverse, lpad/rpad, repeat,
+    // left/right, replace, instr, split_part, ascii (codepoint of the
+    // first char — exercised on multibyte text by the edge dataset),
+    // char_length, concat_ws. One row per document, no shuffle
+    "q_string_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").selectExpr(
+        "doc_id",
+        "substring(trim(coalesce(text, '')), 1, 40) as s40",
+        "translate(substring(trim(coalesce(text, '')), 1, 40), 'aeiou', '01234') as tr",
+        "reverse(substring(trim(coalesce(text, '')), 1, 12)) as rev",
+        "lpad(substring(trim(coalesce(text, '')), 1, 7), 12, '*') as lp",
+        "rpad(substring(trim(coalesce(text, '')), 1, 7), 12, '#') as rp",
+        "repeat(substring(trim(coalesce(text, '')), 1, 3), 3) as rep",
+        "left(trim(coalesce(text, '')), 5) as l5",
+        "right(trim(coalesce(text, '')), 5) as r5",
+        "replace(substring(trim(coalesce(text, '')), 1, 40), ' ', '_') as repl",
+        "cast(instr(trim(coalesce(text, '')), 'data') as bigint) as pos_data",
+        "split_part(trim(coalesce(text, '')), ' ', 2) as word2",
+        "cast(ascii(trim(coalesce(text, ''))) as bigint) as first_cp",
+        "cast(char_length(trim(coalesce(text, ''))) as bigint) as n_chars",
+        "concat_ws('|', left(trim(coalesce(text, '')), 3), right(trim(coalesce(text, '')), 3)) as cw")),
+    // datetime-function SUITE in one gate: calendar-field extraction
+    // (year/month/day/hour/minute), date_trunc to day and hour, and
+    // day-difference arithmetic — all on the µs grid under the UTC
+    // session both engines run with (the engine's epoch-nanos BIGINT
+    // contract converts via timestamp_micros; DuckDB's native micros
+    // timestamp reads the same instants). ISO day-of-week via the
+    // Jan-1-1970-was-a-Thursday modular identity — pure integer
+    // arithmetic, sidestepping the engines' different dow numbering
+    "q_datetime_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "events").selectExpr(
+        "event_id",
+        "cast(year(timestamp_micros(ts div 1000)) as bigint) as y",
+        "cast(month(timestamp_micros(ts div 1000)) as bigint) as mo",
+        "cast(day(timestamp_micros(ts div 1000)) as bigint) as d",
+        "cast(hour(timestamp_micros(ts div 1000)) as bigint) as h",
+        "cast(minute(timestamp_micros(ts div 1000)) as bigint) as mi",
+        "cast(unix_micros(date_trunc('day', timestamp_micros(ts div 1000))) as bigint) as day_us",
+        "cast(unix_micros(date_trunc('hour', timestamp_micros(ts div 1000))) as bigint) as hour_us",
+        "cast((ts div 86400000000000 + 3) % 7 + 1 as bigint) as iso_dow",
+        "cast(ts div 86400000000000 as bigint) as day_idx")),
+    // array/collection SUITE in one gate: size, membership, 1-based
+    // position (absent → 0 on both engines via coalesce), inclusive
+    // slicing, sorted distinct, negative indexing, and a fold to a
+    // string so the compare hashes scalars, not engine-specific list
+    // renderings. Spark's slice(start, LENGTH) is mirrored as DuckDB's
+    // inclusive list_slice(begin, END) — the one semantic seam, mapped
+    // explicitly
+    "q_array_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(size(split(trim(coalesce(text, '')), ' ')) as bigint) as n_tok",
+        "array_contains(split(trim(coalesce(text, '')), ' '), 'data') as has_data",
+        "cast(coalesce(nullif(array_position(split(trim(coalesce(text, '')), ' '), 'data'), 0), 0) as bigint) as pos_data",
+        "concat_ws('~', slice(split(trim(coalesce(text, '')), ' '), 2, 3)) as mid3",
+        "concat_ws('~', array_sort(array_distinct(split(trim(coalesce(text, '')), ' ')))) as uniq_sorted",
+        "element_at(split(trim(coalesce(text, '')), ' '), -1) as last_tok",
+        "element_at(split(trim(coalesce(text, '')), ' '), 1) as first_tok")),
     // CDC latest-row-per-key compaction: each user's most recent event —
     // row_number over (ts desc, event_id desc) = 1, which Spark executes
     // as WindowGroupLimit (per-partition running top-1, no full sort
@@ -1628,6 +1717,65 @@ object QueriesOlap {
         | group by event_type)""".stripMargin.replace("\n", " "),
     "q_asof" -> EventOps.asofSql(),
     "q_retention_daily" -> EventOps.retentionSql(),
+    "q_string_suite" ->
+      """select doc_id,
+        | substring(trim(coalesce(text, '')), 1, 40) as s40,
+        | translate(substring(trim(coalesce(text, '')), 1, 40), 'aeiou', '01234') as tr,
+        | reverse(substring(trim(coalesce(text, '')), 1, 12)) as rev,
+        | lpad(substring(trim(coalesce(text, '')), 1, 7), 12, '*') as lp,
+        | rpad(substring(trim(coalesce(text, '')), 1, 7), 12, '#') as rp,
+        | repeat(substring(trim(coalesce(text, '')), 1, 3), 3) as rep,
+        | left(trim(coalesce(text, '')), 5) as l5,
+        | right(trim(coalesce(text, '')), 5) as r5,
+        | replace(substring(trim(coalesce(text, '')), 1, 40), ' ', '_') as repl,
+        | cast(instr(trim(coalesce(text, '')), 'data') as bigint) as pos_data,
+        | split_part(trim(coalesce(text, '')), ' ', 2) as word2,
+        | cast(ascii(trim(coalesce(text, ''))) as bigint) as first_cp,
+        | cast(length(trim(coalesce(text, ''))) as bigint) as n_chars,
+        | concat_ws('|', left(trim(coalesce(text, '')), 3), right(trim(coalesce(text, '')), 3)) as cw
+        |from documents""".stripMargin.replace("\n", " "),
+    "q_array_suite" ->
+      """select doc_id,
+        | cast(len(string_split(trim(coalesce(text, '')), ' ')) as bigint) as n_tok,
+        | list_contains(string_split(trim(coalesce(text, '')), ' '), 'data') as has_data,
+        | cast(coalesce(list_position(string_split(trim(coalesce(text, '')), ' '), 'data'), 0) as bigint) as pos_data,
+        | coalesce(array_to_string(list_slice(string_split(trim(coalesce(text, '')), ' '), 2, 4), '~'), '') as mid3,
+        | coalesce(array_to_string(list_sort(list_distinct(string_split(trim(coalesce(text, '')), ' '))), '~'), '') as uniq_sorted,
+        | list_extract(string_split(trim(coalesce(text, '')), ' '), -1) as last_tok,
+        | list_extract(string_split(trim(coalesce(text, '')), ' '), 1) as first_tok
+        |from documents""".stripMargin.replace("\n", " "),
+    "q_datetime_suite" ->
+      """select event_id,
+        | cast(year(ts) as bigint) as y,
+        | cast(month(ts) as bigint) as mo,
+        | cast(day(ts) as bigint) as d,
+        | cast(hour(ts) as bigint) as h,
+        | cast(minute(ts) as bigint) as mi,
+        | cast(epoch_us(date_trunc('day', ts)) as bigint) as day_us,
+        | cast(epoch_us(date_trunc('hour', ts)) as bigint) as hour_us,
+        | cast((epoch_ns(ts) // 86400000000000 + 3) % 7 + 1 as bigint) as iso_dow,
+        | cast(epoch_ns(ts) // 86400000000000 as bigint) as day_idx
+        |from events""".stripMargin.replace("\n", " "),
+    "q_window_suite" ->
+      """select l_orderkey, cast(l_linenumber as bigint) as l_linenumber,
+        | l_returnflag,
+        | percent_rank() over w as pr,
+        | cume_dist() over w as cd,
+        | cast(ntile(7) over w as bigint) as bucket,
+        | lag(l_quantity, 2, -1e0) over w as lag2,
+        | lead(l_quantity, 3, -1e0) over w as lead3,
+        | nth_value(l_quantity, 5) over wr as nth5,
+        | first_value(l_quantity) over wr as first_q,
+        | last_value(l_quantity) over wr as last_q
+        |from lineitem where l_orderkey % 7 = 0
+        |window w as (partition by l_returnflag
+        |  order by l_orderkey asc, l_linenumber asc,
+        |   l_quantity asc, l_extendedprice asc),
+        |wr as (partition by l_returnflag
+        |  order by l_orderkey asc, l_linenumber asc,
+        |   l_quantity asc, l_extendedprice asc
+        |  rows between unbounded preceding and current row)"""
+        .stripMargin.replace("\n", " "),
     "q_scd2" -> EventOps.scd2Sql(),
     "stream_scd2" ->
       s"""select user_id, version, tier, valid_from, valid_to

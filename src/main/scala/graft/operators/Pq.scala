@@ -646,9 +646,22 @@ object Pq {
     *                with a survivors-only rebuild. */
   def deleteFromIvfPqIndex(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
-    val embF = deleted.filter(size(col("embedding")) === dim)
+    // idempotence guard: a re-delivered delete (same id twice, or an id
+    // already tombstoned by an earlier call) must be a NO-OP — without
+    // this, the stats would subtract twice and the centroids silently
+    // corrupt. dropDuplicates dedupes within the batch; the anti-join
+    // against existing tombstones dedupes across calls. localCheckpoint
+    // pins the filtered set BEFORE the tombstone append below changes
+    // the very relation the filter reads (deleted-rows-sized).
+    val tombPath = s"$dir/tombstones"
+    val incoming = deleted.filter(size(col("embedding")) === dim)
+      .dropDuplicates("vec_id")
+    val embF = (if (new java.io.File(tombPath).exists())
+      incoming.join(spark.read.schema("vec_id long").parquet(tombPath),
+        Seq("vec_id"), "left_anti")
+    else incoming).localCheckpoint()
     embF.select(col("vec_id").cast("long"))
-      .write.mode("append").parquet(s"$dir/tombstones")
+      .write.mode("append").parquet(tombPath)
     val merged = spark.read.schema(storedStatsSchema).parquet(s"$dir/cellstats")
       .unionByName(Similarity.cellStats(embF)
         .select(col("cl"), col("d"), (-col("n")).as("n"), (-col("ivs")).as("ivs")))

@@ -165,6 +165,12 @@ class PqSpec extends SparkSpec {
     val tombServed = serve(delDir)
     assert(tombServed.nonEmpty && tombServed == serve(survDir),
       "tombstoned index serves differently from the survivors rebuild")
+    // DOUBLE delete (re-delivered feed) must be a no-op: the stats
+    // algebra would otherwise subtract twice and corrupt the centroids
+    Pq.deleteFromIvfPqIndex(doomed, delDir)
+    assert(cents(delDir) == cents(survDir),
+      "re-delivered delete corrupted the centroids (stats subtracted twice)")
+    assert(serve(delDir) == tombServed, "re-delivered delete changed serving")
     // compact: physical apply — identical serving, 1 data file per cell,
     // tombstone sidecar gone
     Pq.compactIvfPqIndex(spark, delDir)
