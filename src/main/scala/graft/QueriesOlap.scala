@@ -1100,6 +1100,23 @@ object QueriesOlap {
         "concat_ws('~', array_sort(array_distinct(split(trim(coalesce(text, '')), ' ')))) as uniq_sorted",
         "element_at(split(trim(coalesce(text, '')), ' '), -1) as last_tok",
         "element_at(split(trim(coalesce(text, '')), ' '), 1) as first_tok")),
+    // exact-percentile + aggregate SUITE: percentile_cont at 25/50/75
+    // over the integral-valued quantity column (interpolation lands on
+    // exact halves — no float-formula drift), min/max, bool_and /
+    // bool_or, and a distinct count. Grouped by returnflag: three
+    // rows, every value exact
+    "q_agg_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25e0)").as("p25"),
+          expr("percentile(l_quantity, 0.5e0)").as("p50"),
+          expr("percentile(l_quantity, 0.75e0)").as("p75"),
+          min("l_quantity").as("qmin"),
+          max("l_quantity").as("qmax"),
+          expr("bool_and(l_quantity > 0e0)").as("all_pos"),
+          expr("bool_or(l_discount > 9e-2)").as("any_big_disc"),
+          count_distinct(col("l_linestatus")).as("n_status"))),
     // CDC latest-row-per-key compaction: each user's most recent event —
     // row_number over (ts desc, event_id desc) = 1, which Spark executes
     // as WindowGroupLimit (per-partition running top-1, no full sort
@@ -1744,6 +1761,17 @@ object QueriesOlap {
         | list_extract(string_split(trim(coalesce(text, '')), ' '), -1) as last_tok,
         | list_extract(string_split(trim(coalesce(text, '')), ' '), 1) as first_tok
         |from documents""".stripMargin.replace("\n", " "),
+    "q_agg_suite" ->
+      """select l_returnflag,
+        | quantile_cont(l_quantity, 0.25e0) as p25,
+        | quantile_cont(l_quantity, 0.5e0) as p50,
+        | quantile_cont(l_quantity, 0.75e0) as p75,
+        | min(l_quantity) as qmin,
+        | max(l_quantity) as qmax,
+        | bool_and(l_quantity > 0e0) as all_pos,
+        | bool_or(l_discount > 9e-2) as any_big_disc,
+        | cast(count(distinct l_linestatus) as bigint) as n_status
+        |from lineitem group by 1""".stripMargin.replace("\n", " "),
     "q_datetime_suite" ->
       """select event_id,
         | cast(year(ts) as bigint) as y,
