@@ -1117,6 +1117,43 @@ object QueriesOlap {
           expr("bool_and(l_quantity > 0e0)").as("all_pos"),
           expr("bool_or(l_discount > 9e-2)").as("any_big_disc"),
           count_distinct(col("l_linestatus")).as("n_status"))),
+    // PIVOT: long→wide reshaping through the DataFrame pivot API with an
+    // EXPLICIT value list (never values-discovery — that is a separate
+    // collect job and nondeterministic column order); sums ride the
+    // fixed-point grid. Oracle = conditional aggregation, which is
+    // exactly what Catalyst lowers pivot to
+    "q_pivot" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(expr(fpSum("l_extendedprice")))
+        .select(col("l_linestatus"), col("A").as("rev_a"),
+          col("N").as("rev_n"), col("R").as("rev_r"))),
+    // UNPIVOT (wide→long melt) through the Dataset.unpivot API — the
+    // relational inverse, the same reshaping the MWU melt path uses
+    "q_unpivot" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), expr(fpSum("val")).as("total"))),
+    // regex SUITE: extract (group 1), replace-all, match test, and
+    // match count — patterns follow the PII-scrub discipline (no
+    // backslash escapes: [0-9] not \d, so the same literal is an
+    // identically-interpreted regex in java.util.regex and RE2). The
+    // one semantic seam is replace: Spark replaces ALL matches while
+    // DuckDB defaults to FIRST — the oracle passes the 'g' flag
+    "q_regex_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").selectExpr(
+        "doc_id",
+        "regexp_extract(coalesce(text, ''), '([0-9]+)', 1) as first_num",
+        "regexp_replace(coalesce(text, ''), '[0-9]+', '#') as masked",
+        "coalesce(text, '') rlike '[0-9]' as has_digit",
+        "cast(size(regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)) as bigint) as n_nums",
+        "regexp_extract(coalesce(text, ''), '([a-z]+) ([a-z]+)', 2) as second_word")),
     // CDC latest-row-per-key compaction: each user's most recent event —
     // row_number over (ts desc, event_id desc) = 1, which Spark executes
     // as WindowGroupLimit (per-partition running top-1, no full sort
@@ -1761,6 +1798,28 @@ object QueriesOlap {
         | list_extract(string_split(trim(coalesce(text, '')), ' '), -1) as last_tok,
         | list_extract(string_split(trim(coalesce(text, '')), ' '), 1) as first_tok
         |from documents""".stripMargin.replace("\n", " "),
+    "q_regex_suite" ->
+      """select doc_id,
+        | regexp_extract(coalesce(text, ''), '([0-9]+)', 1) as first_num,
+        | regexp_replace(coalesce(text, ''), '[0-9]+', '#', 'g') as masked,
+        | regexp_matches(coalesce(text, ''), '[0-9]') as has_digit,
+        | cast(len(regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)) as bigint) as n_nums,
+        | regexp_extract(coalesce(text, ''), '([a-z]+) ([a-z]+)', 2) as second_word
+        |from documents""".stripMargin.replace("\n", " "),
+    "q_pivot" -> {
+      def rev(f: String) =
+        fpSum(s"case when l_returnflag = '$f' then l_extendedprice end")
+      s"""select l_linestatus, ${rev("A")} as rev_a, ${rev("N")} as rev_n,
+         | ${rev("R")} as rev_r
+         |from lineitem group by 1""".stripMargin.replace("\n", " ")
+    },
+    "q_unpivot" ->
+      s"""with u as (
+         | select l_orderkey, l_linenumber, 'l_quantity' as measure, l_quantity as val from lineitem
+         | union all select l_orderkey, l_linenumber, 'l_discount', l_discount from lineitem
+         | union all select l_orderkey, l_linenumber, 'l_tax', l_tax from lineitem)
+         |select measure, cast(count(*) as bigint) as n, ${fpSum("val")} as total
+         |from u where val is not null group by 1""".stripMargin.replace("\n", " "),
     "q_agg_suite" ->
       """select l_returnflag,
         | quantile_cont(l_quantity, 0.25e0) as p25,
