@@ -1154,6 +1154,18 @@ object QueriesOlap {
         "coalesce(text, '') rlike '[0-9]' as has_digit",
         "cast(size(regexp_extract_all(coalesce(text, ''), '[0-9]+', 0)) as bigint) as n_nums",
         "regexp_extract(coalesce(text, ''), '([a-z]+) ([a-z]+)', 2) as second_word")),
+    // JSON SUITE: path extraction as string and as BIGINT, a missing
+    // path (NULL in both engines), and schema introspection via the
+    // key list. Spark's get_json_object ↔ DuckDB's json_extract_string
+    // share the $.path syntax; json_object_keys ↔ json_keys both return
+    // the key array (folded to a string for hashing)
+    "q_json_suite" -> ((s, dir) =>
+      Tables.read(s, dir, "events").selectExpr(
+        "event_id",
+        "get_json_object(props, '$.k') as k_str",
+        "cast(get_json_object(props, '$.k') as bigint) as k_num",
+        "get_json_object(props, '$.missing') as absent",
+        "concat_ws(',', json_object_keys(props)) as keys")),
     // CDC latest-row-per-key compaction: each user's most recent event —
     // row_number over (ts desc, event_id desc) = 1, which Spark executes
     // as WindowGroupLimit (per-partition running top-1, no full sort
@@ -1798,6 +1810,14 @@ object QueriesOlap {
         | list_extract(string_split(trim(coalesce(text, '')), ' '), -1) as last_tok,
         | list_extract(string_split(trim(coalesce(text, '')), ' '), 1) as first_tok
         |from documents""".stripMargin.replace("\n", " "),
+    "q_json_suite" ->
+      """select event_id,
+        | case when json_valid(props) then json_extract_string(props, '$.k') end as k_str,
+        | cast(case when json_valid(props) then json_extract_string(props, '$.k') end as bigint) as k_num,
+        | case when json_valid(props) then json_extract_string(props, '$.missing') end as absent,
+        | coalesce(case when json_valid(props)
+        |   then array_to_string(json_keys(props), ',') end, '') as keys
+        |from events""".stripMargin.replace("\n", " "),
     "q_regex_suite" ->
       """select doc_id,
         | regexp_extract(coalesce(text, ''), '([0-9]+)', 1) as first_num,

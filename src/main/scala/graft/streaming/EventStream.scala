@@ -680,9 +680,11 @@ object EventStream {
   }
 
   /** One-shot driver for [[intervalJoin]] (four state stores per shuffle
-    * partition — the sizing in [[runAvailableNow]] matters most here). */
+    * partition — the sizing in [[runAvailableNow]] matters most here;
+    * join state is the heaviest streaming state there is, so this gate
+    * runs on the RocksDB provider with engagement asserted). */
   def runIntervalOnce(spark: SparkSession, sfDir: String): DataFrame =
-    runAvailableNow(spark, sfDir, "ivj", "append", intervalJoin)
+    runAvailableNow(spark, sfDir, "ivj", "append", intervalJoin, rocksDb = true)
 
   // ---- stateful sessionization ----------------------------------------
 
@@ -793,9 +795,11 @@ object EventStream {
       .toDF()
   }
 
-  /** One-shot driver for [[scd2Stream]]: emits the CLOSED versions. */
+  /** One-shot driver for [[scd2Stream]]: emits the CLOSED versions.
+    * Holds one open version per key forever (unbounded key universe) →
+    * RocksDB provider, engagement asserted. */
   def runScd2Once(spark: SparkSession, sfDir: String): DataFrame =
-    runAvailableNow(spark, sfDir, "scd2", "append", scd2Stream(_))
+    runAvailableNow(spark, sfDir, "scd2", "append", scd2Stream(_), rocksDb = true)
 
   // ---- streaming Markov transition counting -----------------------------
 
