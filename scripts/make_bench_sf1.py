@@ -12,8 +12,12 @@ import sys
 
 
 def main(log_path: str, rnd: int, out_path: str = "BENCH_sf1.json") -> None:
+    # lines process in order and the LAST row for a query wins either
+    # way: a later success supersedes an earlier error AND a later error
+    # supersedes a stale success (advice r8 — the old rows-dict-wins rule
+    # silently kept a pre-regression success)
     rows = {}
-    capped = []
+    capped = set()
     for line in open(log_path, errors="replace"):
         m = re.search(r'\{"stress":"sf1full".*\}', line)
         if not m:
@@ -21,13 +25,14 @@ def main(log_path: str, rnd: int, out_path: str = "BENCH_sf1.json") -> None:
         d = json.loads(m.group(0))
         q = d["query"]
         if "error" in d:
-            capped.append(q)
+            rows.pop(q, None)
+            capped.add(q)
         else:
+            capped.discard(q)
             rows[q] = {"sf01_sec": round(d["sf01_sec"], 2),
                        "sf1_sec": round(d["sf1_sec"], 2),
                        "ratio": round(d["ratio"], 2)}
-    # a later re-run row supersedes an earlier error row for the same query
-    capped = [q for q in capped if q not in rows]
+    capped = sorted(capped)
     ratios = sorted(v["ratio"] for v in rows.values())
     n = len(ratios)
     worst = max(rows.items(), key=lambda kv: kv[1]["ratio"]) if rows else (None, None)

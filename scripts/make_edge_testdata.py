@@ -29,9 +29,19 @@ SRC = "/root/testdata/sf0.001"
 
 def main(dst: str) -> None:
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "events"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     con = duckdb.connect()
+    # lineitem with ONE NULL-l_tax row appended (advice r8): pins the
+    # unpivot null seam (Spark's Dataset.unpivot RETAINS null measures,
+    # SQL UNPIVOT excludes them — q_unpivot filters explicitly) and
+    # exercises n vs n_nonnull in q_profile + the MWU null-propagation
+    # mask on a NULL (not just NaN) feature cell
+    con.execute("create table li as select * from"
+                f" read_parquet('{SRC}/lineitem.parquet')")
+    con.execute("insert into li select * replace (cast(null as double)"
+                " as l_tax) from li order by l_orderkey, l_linenumber limit 1")
+    con.execute(f"copy li to '{dst}/lineitem.parquet' (format parquet)")
     docs = [
         (0, "", "en", "edge", 0),
         (1, " ", "en", "edge", 1),

@@ -23,6 +23,12 @@ object QueriesLlm {
     // near-dup by character-3-gram Jaccard in (lang, length-band) buckets
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, band = 50, threshold = 0.4)),
+    // bounded-candidate sibling of dedup_ngram: CW-MinHash LSH over the
+    // trigram code sets generates candidates; exact Jaccard verify (the
+    // full operator's arithmetic) only inside candidates → output ⊆
+    // dedup_ngram with identical scores, linear candidate mass at scale
+    "dedup_ngram_banded" -> ((s, dir) =>
+      Dedup.ngramJaccardBanded(Tables.read(s, dir, "documents"))),
     // MinHash LSH near-dup (Carter-Wegman family → full hash check)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.read(s, dir, "documents"))),
@@ -207,10 +213,15 @@ object QueriesLlm {
     // bucket distribution on BOTH sides and plans with zero exchanges.
     // Shares sparse_retrieval's oracle: stored == rebuilt, bit for bit
     "sparse_stored" -> ((s, dir) => {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      // cache key = the FULL sanitized dir string, not its 32-bit
+      // hashCode (advice r8: a hashCode collision between two data dirs
+      // swept in one session would silently serve the wrong corpus's
+      // postings); the path-exists check below rebuilds if tmp was
+      // reaped under a live catalog entry
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = s"graft_postings_bucketed_$key"
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/postings"
-      if (!s.catalog.tableExists(tbl)) {
+      if (!s.catalog.tableExists(tbl) || !new java.io.File(path).exists()) {
         s.sql(s"drop table if exists $tbl")
         TextOps.sparsePostings(Tables.read(s, dir, "documents"))
           .write.bucketBy(8, "token").sortBy("token")
@@ -1244,6 +1255,7 @@ object QueriesLlm {
          | from sh a join sh b on a.lang = b.lang and a.bucket = b.bucket
          |  and a.doc_id < b.doc_id)
          |where jac >= 0.4""".stripMargin.replace("\n", " "),
+    "dedup_ngram_banded" -> Dedup.ngramJaccardBandedSql(shingleDuck),
     "lang_id" ->
       s"""select doc_id, lang, pred_lang, (pred_lang = lang) as is_correct from (
          |select doc_id, lang, ${TextOps.langPredExpr} as pred_lang from (

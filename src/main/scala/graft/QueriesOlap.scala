@@ -1138,6 +1138,12 @@ object QueriesOlap {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "measure", "val")
+        // Dataset.unpivot RETAINS rows whose measure value is NULL,
+        // unlike SQL UNPIVOT's default EXCLUDE NULLS — pin the SQL
+        // semantics explicitly so a null-carrying measure column cannot
+        // diverge `n` from the oracle's `where val is not null`
+        // (advice r8; null measure row planted in the edge dataset)
+        .filter(col("val").isNotNull)
         .groupBy("measure")
         .agg(count(lit(1)).as("n"), expr(fpSum("val")).as("total"))),
     // regex SUITE: extract (group 1), replace-all, match test, and

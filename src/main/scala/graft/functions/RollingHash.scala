@@ -81,6 +81,8 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head)),
     ("sorted_intersect_count", "|A intersect B| of two sorted BIGINT arrays",
       exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    ("sorted_jaccard", "Jaccard of two sorted distinct BIGINT arrays (single-pass)",
+      exprs => SortedJaccard(exprs.head, exprs(1))),
     ("char_trigram_codes", "sorted distinct packed char-trigram codes",
       exprs => CharTrigramCodes(exprs.head)),
     ("chain_dot", "left-associated dot product of two numeric arrays",

@@ -54,3 +54,52 @@ object SortedIntersectCount {
     c
   }
 }
+
+/** Jaccard |A∩B| / |A∪B| of two ASC-SORTED distinct BIGINT arrays in ONE
+  * expression — bit-identical to
+  * `cast(sorted_intersect_count(a,b) as double) /
+  *  cast(size(a) + size(b) - sorted_intersect_count(a,b) as double)`
+  * (same merge count, same long arithmetic, one IEEE division), but with
+  * the intersect referenced ONCE. That single reference is the point:
+  * when a Jaccard threshold filter collapses into a join condition, the
+  * composed form's two `inter` occurrences trigger codegen subexpression
+  * elimination, which hoists the O(|A|+|B|) merge to the START of the
+  * predicate — every collision row then pays the full intersect before
+  * the cheap band/prune conjuncts can short-circuit (measured 8× verify
+  * inflation on [[graft.operators.Dedup.ngramJaccardBanded]]'s clique-
+  * heavy buckets). A single-use expression stays inline as the LAST
+  * And-conjunct and runs only for rows the cheap filters pass. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val ok = ArrayType(LongType, containsNull = false)
+  private val okN = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType == ok || e.dataType == okN))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard expects ARRAY<BIGINT>, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccard.jac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedJaccard.jac($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccard {
+  def jac(a: ArrayData, b: ArrayData): Double = {
+    val inter = SortedIntersectCount.count(a, b)
+    val uni = a.numElements().toLong + b.numElements().toLong - inter
+    inter.toDouble / uni.toDouble
+  }
+}

@@ -112,6 +112,158 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Banded trigram-Jaccard — the bounded-candidate sibling of
+    * [[ngramJaccard]] (verdict r8 #1). The full operator's (lang,
+    * length-band) bucketed self-join is quadratic WITHIN buckets: most
+    * docs of a language share a length band, so at 100× data each bucket
+    * holds ~100× more docs and the pair mass grows ~10,000× (measured
+    * 31.7× at 10× data). Here candidates come from MinHash-LSH over the
+    * SAME trigram code sets (the [[graft.operators.TextOps.winnowOverlapBanded]]
+    * discipline): a per-doc Carter-Wegman signature — array transforms
+    * over the code array, zero shuffles until the band join — is split
+    * into `bands` buckets; candidates are same-bucket pairs; and the
+    * EXACT verify (the full operator's (lang, length-band) gate, its
+    * min/max prune, its `sorted_intersect_count` linear-merge intersect
+    * and its integer-ratio Jaccard — identical arithmetic) runs only
+    * inside candidates. Output is therefore a structural SUBSET of
+    * [[ngramJaccard]] with identical scores, at MinHash-LSH recall for
+    * the Jaccard regime the band curve targets ((1/b)^(1/r) ≈ 0.35 for
+    * 8×2, comfortably under the 0.4 report threshold); OperatorsSpec
+    * measures recall 1.0 on the planted near-dup corpus. Trigram codes
+    * pack 3 code points into ~2^63 so they exceed the Carter-Wegman
+    * domain; they are reduced `% CwMod` before mixing — collisions there
+    * only add candidates (verify is exact on the ORIGINAL codes).
+    * Deterministic and SQL-expressible end-to-end →
+    * [[ngramJaccardBandedSql]] lets the driver hash-check the banded
+    * algorithm itself.
+    *
+    * Scale shape: the join key is (band, band-value, lang, length-band)
+    * — content similarity AND the full operator's bucket gate TOGETHER —
+    * so per-key pair mass (one task per key) is co-occupancy of BOTH
+    * filters; on a boilerplate-heavy corpus where one band value
+    * captures much of the corpus (this synthetic word-soup corpus is the
+    * extreme: 60%+ of docs share the argmin trigram) the length slices
+    * keep every task clique-sized (measured max 1960 docs/key at 10×
+    * data vs 32k/key without the split). The code arrays ride into the
+    * band join (the minHashPairs trade, ×bands here) so the verify runs
+    * INLINE in the join stage and the quadratic pair mass never crosses
+    * a shuffle — an earlier cut attached arrays to a distinct pair list
+    * with two joins, re-shuffling pairs × both arrays (~100 GB at 10×),
+    * and watchdog-capped where this shape clears. Each pair verifies
+    * exactly once (first-colliding-band rule — 8 long compares), so
+    * total work = collision mass (cheap filter) + one exact intersect
+    * per candidate pair. */
+  def ngramJaccardBanded(docs: DataFrame, lenBand: Int = 50,
+                         threshold: Double = 0.4,
+                         numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val r = numHashes / bands
+    val mod = graft.oracle.Parity.CwMod
+    // One projection chain: trigram codes → 16 CW minima → 8 band folds.
+    // The code array RIDES INTO the band join (the minHashPairs trade:
+    // ~bands·|codes| longs per doc in one shuffle) so the verify runs
+    // inline in the join stage and the quadratic pair mass NEVER crosses
+    // a shuffle — the first cut of this operator attached arrays to a
+    // distinct pair list with two joins, which re-shuffled
+    // pairs × both arrays (~100 GB at 10× data on the template-heavy
+    // replica corpus) and watchdog-capped where this shape clears.
+    // one projection chain, zero shuffles until the band join: trigram
+    // codes → 16 CW minima (array transforms, codegen'd) → 8 band folds
+    val sigCols = (0 until numHashes).map(j =>
+      expr(s"array_min(transform(sh, c -> ${graft.oracle.Parity.cwMix(j, s"(c % $mod)")}))")
+        .as(s"h$j"))
+    val bvCols = (0 until bands).map(b =>
+      expr(bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))))
+    val banded = docs.select(col("doc_id"), col("lang"),
+        expr(s"n_chars div $lenBand").as("bucket"), col("text"))
+      // spread the per-doc signature work BEFORE the heavy projection:
+      // a single parquet input split would otherwise serialize the
+      // trigram + 16-hash chain (and, through localCheckpoint's
+      // partition-preserving materialization, every downstream stage)
+      // onto one task — raw text shuffles once, cheap vs the compute
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        expr("char_trigram_codes(text)").as("sh"))
+      .select(Seq(col("doc_id"), col("lang"), col("bucket"), col("sh")) ++ sigCols: _*)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sh"),
+        array(bvCols: _*).as("bvs"))
+      // checkpoint BEFORE the band explode: stores each code array once
+      // (not ×bands) and still cuts signature recompute for both join
+      // sides — the explode itself is free to repeat
+      .localCheckpoint()
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sh"), col("bvs"),
+        posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    // (lang, bucket) — the full operator's candidate gate — rides IN the
+    // join key, not as a post-filter: it splits any residual dense LSH
+    // bucket across length-band slices, so per-key pair mass (one task
+    // per key) stays clique-sized (measured max 420 docs/key at 10×)
+    def side(s: String) = banded.select(col("doc_id").as(s"doc_$s"),
+      col("sh").as(s"sh_$s"), col("bvs").as(s"bvs_$s"),
+      col("band"), col("bv"), col("lang"), col("bucket"))
+    side("a").join(side("b"), Seq("band", "bv", "lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      // verify each pair exactly ONCE, in its FIRST colliding band: a
+      // near-identical pair collides in all 8 bands, so verifying per
+      // collision would repeat the exact intersect 8× — the earlier-band
+      // equality check is 8 long compares
+      .filter(expr(
+        "!exists(slice(zip_with(bvs_a, bvs_b, (x, y) -> x = y), 1, band), v -> v)"))
+      // sound prune: jac <= min/max, so min < t*max can never pass
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      // sorted_jaccard = bit-identical to the full operator's
+      // inter/(la+lb−inter) arithmetic but referenced ONCE, so the
+      // threshold conjunct stays LAST in the join predicate and the
+      // cheap filters above short-circuit it (see SortedJaccard's doc)
+      .withColumn("jac", expr("sorted_jaccard(sh_a, sh_b)"))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** DuckDB mirror of [[ngramJaccardBanded]] — every constant (CW
+    * params, band fold, thresholds) interpolated from the same Scala
+    * source as the Spark plan. `shingle` is the caller's DuckDB trigram
+    * expression (the one its full-operator oracle already uses). */
+  def ngramJaccardBandedSql(shingle: String, lenBand: Int = 50,
+                            threshold: Double = 0.4,
+                            numHashes: Int = 16, bands: Int = 8,
+                            table: String = "documents"): String = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val mod = graft.oracle.Parity.CwMod
+    val sigCols = (0 until numHashes)
+      .map(j => s"list_min(list_transform(sh, c -> " +
+        s"${graft.oracle.Parity.cwMix(j, s"(c % $mod)")})) as h$j")
+      .mkString(", ")
+    val bvList = (0 until bands)
+      .map(b => bandValueSql((b * r until (b + 1) * r).map(j => s"h$j")))
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands)
+      .map(b => s"select doc_id, lang, bucket, sh, bvs, $b as band, " +
+        s"bvs[${b + 1}] as bv from sigv")
+      .mkString(" union all ")
+    // first-colliding-band rule mirrored: generate_series(1, band) is
+    // the EARLIER bands (1-based list index; empty for band 0) — the
+    // pair verifies only where no earlier band already collided
+    s"""with sh as materialized (select doc_id, lang, n_chars // $lenBand as bucket,
+       |  $shingle as sh from $table),
+       |sigs as (select doc_id, lang, bucket, sh, $sigCols from sh),
+       |sigv as materialized (select doc_id, lang, bucket, sh, $bvList as bvs from sigs),
+       |banded as ($bandRows),
+       |vr as (select a.doc_id as doc_a, b.doc_id as doc_b,
+       |  cast(len(list_intersect(a.sh, b.sh)) as double)
+       |   / cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) as jac
+       | from banded a join banded b on a.band = b.band and a.bv = b.bv
+       |   and a.lang = b.lang and a.bucket = b.bucket
+       |   and a.doc_id < b.doc_id
+       | where len(list_filter(generate_series(1, a.band),
+       |         i -> a.bvs[i] = b.bvs[i])) = 0)
+       |select doc_a, doc_b, jac from vr where jac >= ${graft.oracle.Parity.lit(threshold)}"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Production LSH banding parameters — ONE definition so
     * [[minHashPairs]], its oracle, and the [[lshEval]] audit can never
     * drift apart (the audit exists to validate exactly these). */

@@ -609,8 +609,13 @@ object Multimodal {
         case 0 => // EOL: our rows are fully painted
           if (x != w) return null
           x = 0; row += 1
-        case 1 => // EOB: only legal at the end of the last row
+        case 1 => // EOB: only legal at the end of the last row, and the
+          // chunk must be fully consumed — bytes after `00 01` are the
+          // trailing garbage the docstring promises to reject (advice
+          // r8); one slack byte allowed for encoders that count the RIFF
+          // word-pad inside the chunk size
           if (!(row == h - 1 && x == w)) return null
+          if (end - i > 1) return null
           done = true
         case 2 => return null // delta = undefined pixels
         case abs => // absolute mode: abs >= 3 literal indices + pad

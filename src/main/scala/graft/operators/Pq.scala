@@ -604,6 +604,25 @@ object Pq {
     import spark.implicits._
     val embF = newEmb.filter(size(col("embedding")) === dim)
     val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
+    // ordering constraint (re-insert): an id deleted earlier still has
+    // its physical code row in `codes`, suppressed only by the
+    // tombstone. Appending the id again would either resurface that
+    // stale row (if the tombstone were cleared) or leave the new row
+    // shadowed too (tombstone kept) — in both cases stats/centroids and
+    // the served answer diverge from a rebuild. Compaction physically
+    // drops tombstoned rows and clears the sidecar, after which the id
+    // appends cleanly — so a re-insert must compact first, and this
+    // shard-sized gate makes the constraint loud instead of letting the
+    // rebuild invariant silently break (advice r8).
+    val tombPath = s"$dir/tombstones"
+    if (new java.io.File(tombPath).exists()) {
+      val clash = nn.select(col("vec_id").cast("long"))
+        .join(spark.read.schema("vec_id long").parquet(tombPath),
+          Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L, "appendIvfPqIndex: incoming shard re-inserts " +
+        s"tombstoned vec_id(s); run compactIvfPqIndex('$dir') first")
+    }
     nn.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
         col("label").cast("long"))
       .as[(Long, Array[Float], Long)]

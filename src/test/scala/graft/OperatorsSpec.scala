@@ -265,6 +265,44 @@ class OperatorsSpec extends SparkSpec {
       "span hashing unexpectedly saw the unsegmented docs")
   }
 
+  test("dedup_ngram_banded: subset of the full operator with identical scoring; near-dup recall 1.0") {
+    // (1) structural contract: LSH candidates are verified with
+    // ngramJaccard's exact (lang, length-band) gate + Jaccard arithmetic,
+    // so every banded row must appear in the full output with an
+    // IDENTICAL jac value
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def jrows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = jrows(Dedup.ngramJaccard(docs))
+    val banded = jrows(Dedup.ngramJaccardBanded(docs))
+    assert(banded.nonEmpty, "banded variant found nothing on the corpus")
+    banded.foreach { case (k, v) =>
+      assert(full.get(k).contains(v),
+        s"banded pair $k -> $v not identical in full output: ${full.get(k)}")
+    }
+    // bulk recall on the real corpus: banding must keep the vast
+    // majority of the full operator's pairs (knee ~0.35 < report 0.4)
+    assert(banded.size * 10 >= full.size * 9,
+      s"recall ${banded.size}/${full.size} below 90% on sf0.001")
+    // (2) planted near-dup regime: a single-insertion copy (jac >> the
+    // 8x2 band knee) must be caught with the full operator's exact score
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 6
+    val shifted = base.substring(0, 50) + "X" + base.substring(50)
+    val filler = (0 until 20).map(i =>
+      (10L + i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    val planted = (Seq((1L, base), (2L, shifted)) ++ filler)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", char_length(col("text")).cast("long"))
+    val caught = jrows(Dedup.ngramJaccardBanded(planted))
+    assert(caught.contains((1L, 2L)), s"shifted copy missed by bands: ${caught.keySet}")
+    // the planted high-jaccard regime loses NOTHING to banding
+    val fullPlanted = jrows(Dedup.ngramJaccard(planted))
+    assert(fullPlanted.keySet == caught.keySet,
+      s"recall < 1.0 on planted corpus: full=${fullPlanted.keySet} banded=${caught.keySet}")
+    assert(caught((1L, 2L)) == fullPlanted((1L, 2L)))
+  }
+
   test("dedup_winnow_banded: subset of the full operator with identical scoring; near-dup recall 1.0") {
     // (1) structural contract: candidates ⊆ all pairs and the verify
     // arithmetic is winnowOverlap's, so every banded row must appear in
@@ -837,6 +875,17 @@ class OperatorsSpec extends SparkSpec {
     // pixels [5,6,7,9,9,9] under palette (p, 7p%256, 13p%256)
     val expPx = Seq(5, 6, 7, 9, 9, 9).map(p => p + (p * 7) % 256 + (p * 13) % 256).sum
     assert(fa.head.corner_b == 5L && fa.head.px_sum == expPx.toLong, fa.head.toString)
+    // trailing garbage AFTER the EOB escape (advice r8): the chunk is
+    // not fully consumed, so the decoder must reject the whole asset
+    // (one word-pad slack byte is allowed; two extra bytes are not)
+    val trailing = chunk("RIFF", "AVI ".getBytes("US-ASCII").toSeq ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", chunk("00dc", abs.toSeq ++ Seq[Byte](77, 78)))).toArray
+    val ft = Multimodal.aviFrameSample(spark,
+      Seq(Multimodal.Asset(1L, trailing)).toDS(), stride = 1).collect()
+    assert(ft.forall(f => f.corner_b == -1L && f.px_sum == -1L),
+      "bytes after EOB must reject the asset to the stub")
   }
 
   test("incremental winnow: shifted near-copy of an indexed doc is dup_history") {

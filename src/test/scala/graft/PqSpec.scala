@@ -171,6 +171,17 @@ class PqSpec extends SparkSpec {
     assert(cents(delDir) == cents(survDir),
       "re-delivered delete corrupted the centroids (stats subtracted twice)")
     assert(serve(delDir) == tombServed, "re-delivered delete changed serving")
+    // re-insert of a tombstoned id is GATED (advice r8): clearing the
+    // tombstone would resurface the stale physical code row, keeping it
+    // would shadow the new one — either way stats/centroids and serving
+    // diverge from a rebuild. The constraint is loud: compact first.
+    val reinsert = all.filter(col("vec_id") === 1L)
+    val gateErr = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(reinsert, delDir)
+    }
+    assert(gateErr.getMessage.contains("compactIvfPqIndex"))
+    assert(cents(delDir) == cents(survDir), "rejected re-insert mutated the index")
+    assert(serve(delDir) == tombServed, "rejected re-insert changed serving")
     // compact: physical apply — identical serving, 1 data file per cell,
     // tombstone sidecar gone
     Pq.compactIvfPqIndex(spark, delDir)
@@ -187,6 +198,15 @@ class PqSpec extends SparkSpec {
     // must hold no rows
     val live = spark.read.parquet(s"$delDir/codes")
     assert(live.filter(col("cl") === 9L).count() == 0L, "deleted cell still has codes")
+    // compaction cleared the sidecar → the same id now appends cleanly,
+    // and the re-inserted index equals a survivors+row rebuild
+    Pq.appendIvfPqIndex(reinsert, delDir)
+    val plusDir = graft.Scratch.dir("pq_plus_")
+    Pq.writeIvfPqIndex(survivors.unionByName(reinsert), plusDir)
+    assert(cents(delDir) == cents(plusDir),
+      "post-compact re-insert diverges from survivors+row rebuild")
+    assert(serve(delDir) == serve(plusDir),
+      "post-compact re-insert serves differently from rebuild")
   }
 
   test("pq: malformed (short) embeddings are excluded, never crash the kernels") {
