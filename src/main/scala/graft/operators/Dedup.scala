@@ -160,14 +160,6 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
     val mod = graft.oracle.Parity.CwMod
-    // One projection chain: trigram codes → 16 CW minima → 8 band folds.
-    // The code array RIDES INTO the band join (the minHashPairs trade:
-    // ~bands·|codes| longs per doc in one shuffle) so the verify runs
-    // inline in the join stage and the quadratic pair mass NEVER crosses
-    // a shuffle — the first cut of this operator attached arrays to a
-    // distinct pair list with two joins, which re-shuffled
-    // pairs × both arrays (~100 GB at 10× data on the template-heavy
-    // replica corpus) and watchdog-capped where this shape clears.
     // one projection chain, zero shuffles until the band join: trigram
     // codes → 16 CW minima (array transforms, codegen'd) → 8 band folds
     val sigCols = (0 until numHashes).map(j =>
@@ -198,7 +190,7 @@ object Dedup {
     // (lang, bucket) — the full operator's candidate gate — rides IN the
     // join key, not as a post-filter: it splits any residual dense LSH
     // bucket across length-band slices, so per-key pair mass (one task
-    // per key) stays clique-sized (measured max 420 docs/key at 10×)
+    // per key) stays bounded (measured max 1960 docs/key at 10×)
     def side(s: String) = banded.select(col("doc_id").as(s"doc_$s"),
       col("sh").as(s"sh_$s"), col("bvs").as(s"bvs_$s"),
       col("band"), col("bv"), col("lang"), col("bucket"))
