@@ -24,12 +24,15 @@ object Bench {
     // harness never sets it, so driver rounds always measure everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // two back-to-back passes: single-pass numbers mix first-execution JIT
-    // / codegen-compile time into whichever queries run early, which showed
-    // up as phantom 1.5-2× "regressions" between rounds. The reported
-    // per-query time is the min over passes (steady state); both pass
-    // totals are kept so run-to-run variance is visible in the artifact.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    // three back-to-back passes: single-pass numbers mix first-execution
+    // JIT / codegen-compile time into whichever queries run early, which
+    // showed up as phantom 1.5-2× "regressions" between rounds, and the
+    // round-8 two-pass totals still gapped 32% (349→265 s) — pass 1
+    // absorbs warm-up, so the min needs two steady-state passes behind
+    // it. The reported per-query time is the min over passes; all pass
+    // totals and per-pass maps are kept so run-to-run variance is
+    // visible in the artifact.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val passes = (1 to rounds).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
