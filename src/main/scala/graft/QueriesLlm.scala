@@ -273,6 +273,18 @@ object QueriesLlm {
     // certified upper bound on containment (no false negatives)
     "decontaminate_bloom" -> ((s, dir) =>
       Dedup.decontaminateBloom(Tables.read(s, dir, "documents"))),
+    // FIXED-eval decontamination — benchmark semantics at scale: the
+    // eval set is pinned to a constant membership (6 docs at every SF)
+    // instead of the corpus-proportional every-97th carve, so the
+    // doc×eval co-occurrence mass grows linearly with the corpus. This
+    // is the production contamination check (the benchmark does not
+    // grow because the corpus did); the uncapped variants above remain
+    // the large-eval oracle anchors
+    "decontaminate_fixed" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.read(s, dir, "documents"), maxEvalId = 582L)),
+    "decontaminate_winnow_fixed" -> ((s, dir) =>
+      Dedup.decontaminateWinnow(Tables.read(s, dir, "documents"),
+        maxEvalId = 582L)),
     // symmetric int8 embedding quantization (long format)
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.read(s, dir, "embeddings"))),
@@ -624,6 +636,17 @@ object QueriesLlm {
       graft.operators.Pq.deleteFromIvfPqIndex(emb.filter(col("vec_id") % 5 === 3), idx)
       graft.operators.Pq.ivfAdcTopKStored(emb.filter(col("vec_id") % 5 =!= 3), idx)
     }),
+    // IVF-routed exact re-rank — the production serving pattern with
+    // BOTH stages index-bounded: the ADC shortlist comes from the
+    // stored index's probed cells only (static partition pruning, no
+    // full-code scan), the exact re-rank reads full-precision vectors
+    // for just those candidates. Graduates ann_rerank's brute shortlist
+    "ann_rerank_ivf" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_ivfpq_rr_")
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.operators.Pq.writeIvfPqIndex(emb, idx)
+      graft.operators.Pq.ivfAdcRerankStored(emb, idx)
+    }),
     // full lifecycle: write base → append shard → delete → COMPACT
     // (tombstones applied physically, one sorted file per cell) → serve.
     // Same survivors oracle as the delete gate: four different physical
@@ -974,15 +997,18 @@ object QueriesLlm {
        |where cos >= 35e-2""".stripMargin.replace("\n", " ")
   }
 
-  /** DuckDB mirror of [[Dedup.decontaminate]]. */
-  private def decontamDuck: String = {
+  /** DuckDB mirror of [[Dedup.decontaminate]]. `maxEvalId` mirrors the
+    * fixed-benchmark eval cap (default = unbounded, the legacy carve). */
+  private def decontamDuck(maxEvalId: Long = Long.MaxValue): String = {
     val rh = Parity.rollingHashDuck("s")
     val shingle = "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
       "i -> array_to_string(list_slice(words, i, i + 2), ' ')))"
     s"""with doc as (select doc_id, string_split(trim(text), ' ') as words from documents),
        |sh as (select doc_id, list_sort(list_distinct(list_transform($shingle, s -> $rh))) as codes from doc),
-       |ev as (select doc_id as eval_id, codes as eval_codes from sh where doc_id % 97 = 0),
-       |corp as (select doc_id, codes from sh where doc_id % 97 <> 0)
+       |ev as (select doc_id as eval_id, codes as eval_codes from sh
+       |  where doc_id % 97 = 0 and doc_id < $maxEvalId),
+       |corp as (select doc_id, codes from sh
+       |  where not (doc_id % 97 = 0 and doc_id < $maxEvalId))
        |select doc_id, eval_id, contam from (
        | select doc_id, eval_id, contam,
        |  row_number() over (partition by doc_id order by contam desc, eval_id asc) as rk
@@ -1091,6 +1117,7 @@ object QueriesLlm {
     },
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "ann_ivfpq_stored" -> graft.operators.Pq.ivfAdcSql(),
+    "ann_rerank_ivf" -> graft.operators.Pq.ivfAdcRerankSql(),
     "ann_ivfpq_append" -> graft.operators.Pq.ivfAdcSql(),
     "ann_ivfpq_delete" -> graft.operators.Pq.ivfAdcSql(
       table = "(select * from embeddings where vec_id % 5 <> 3)"),
@@ -1207,8 +1234,11 @@ object QueriesLlm {
          |from win w join embeddings e on w.q_id = e.vec_id
          |where rk = 1""".stripMargin.replace("\n", " "),
     "tfidf_top" -> TextOps.tfIdfSql(),
-    "decontaminate" -> decontamDuck,
-    "decontaminate_join" -> decontamDuck,
+    "decontaminate" -> decontamDuck(),
+    "decontaminate_join" -> decontamDuck(),
+    "decontaminate_fixed" -> decontamDuck(maxEvalId = 582L),
+    "decontaminate_winnow_fixed" ->
+      Dedup.decontaminateWinnowSql(maxEvalId = 582L),
     "decontaminate_bloom" -> Dedup.decontaminateBloomSql(),
     "decontaminate_winnow" -> Dedup.decontaminateWinnowSql(),
     "text_pii" -> TextOps.piiSql(),

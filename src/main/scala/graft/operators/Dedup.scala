@@ -395,12 +395,20 @@ object Dedup {
     * the corpus is a single shuffle-free pass plus one per-doc top-1
     * window; at 100 TB this is the only shape that works — the corpus
     * never shuffles. Exact integer ratios → full oracle hash check. */
-  def decontaminate(docs: DataFrame, evalEvery: Int = 97): DataFrame = {
+  def decontaminate(docs: DataFrame, evalEvery: Int = 97,
+                    maxEvalId: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = withShingleCodes(docs, "text")
-    val evals = sh.filter(col("doc_id") % evalEvery === 0)
+    // benchmark-contamination semantics at scale: a real eval set is a
+    // FIXED benchmark, not a corpus fraction — `maxEvalId` caps the
+    // eval membership so the eval side stays constant-sized as the
+    // corpus grows (the every-97th default made the doc×eval mass grow
+    // quadratically in the sf1 sweep). Everything outside the capped
+    // eval set is corpus.
+    val isEval = col("doc_id") % evalEvery === 0 && col("doc_id") < maxEvalId
+    val evals = sh.filter(isEval)
       .select(col("doc_id").as("eval_id"), col("codes").as("eval_codes"))
-    val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
+    val corpus = sh.filter(!isEval)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("contam").desc, col("eval_id").asc)
     corpus.crossJoin(broadcast(evals))
@@ -428,14 +436,21 @@ object Dedup {
     * (never a cross join); per-doc argmax is one window over the match
     * relation. */
   def decontaminateWinnow(docs: DataFrame, evalEvery: Int = 97,
-                          minShared: Int = 2): DataFrame = {
+                          minShared: Int = 2,
+                          maxEvalId: Long = Long.MaxValue): DataFrame = {
     val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct()
-    val evalFps = fps.filter(col("doc_id") % evalEvery === 0)
+    // maxEvalId pins the eval set to a fixed membership (benchmark
+    // semantics — see [[decontaminate]]): with a constant-sized eval
+    // side every corpus fp joins to at most |eval| rows, so the match
+    // relation is LINEAR in the corpus instead of growing with the
+    // corpus-proportional every-97th eval carve.
+    val isEval = col("doc_id") % evalEvery === 0 && col("doc_id") < maxEvalId
+    val evalFps = fps.filter(isEval)
       .select(col("doc_id").as("eval_id"), col("fp"))
     val evalSz = evalFps.groupBy("eval_id").agg(count(lit(1)).as("n_eval_fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("contain").desc, col("eval_id").asc)
-    fps.filter(col("doc_id") % evalEvery =!= 0)
+    fps.filter(!isEval)
       .join(evalFps, "fp")
       .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -449,15 +464,17 @@ object Dedup {
 
   /** DuckDB mirror of [[decontaminateWinnow]]. */
   def decontaminateWinnowSql(evalEvery: Int = 97, minShared: Int = 2,
-                             table: String = "documents"): String =
+                             table: String = "documents",
+                             maxEvalId: Long = Long.MaxValue): String =
     s"""with wn as materialized (${TextOps.winnowSql(table)}),
        |fps as materialized (select distinct doc_id, fp from wn),
        |ev as materialized (select doc_id as eval_id, fp from fps
-       |  where doc_id % $evalEvery = 0),
+       |  where doc_id % $evalEvery = 0 and doc_id < $maxEvalId),
        |sz as (select eval_id, cast(count(*) as bigint) as n_eval_fp
        | from ev group by 1),
        |sh as (select doc_id, eval_id, cast(count(*) as bigint) as n_shared
-       | from (select doc_id, fp from fps where doc_id % $evalEvery <> 0) co
+       | from (select doc_id, fp from fps
+       |   where not (doc_id % $evalEvery = 0 and doc_id < $maxEvalId)) co
        |  join ev using (fp)
        | group by 1, 2 having count(*) >= $minShared)
        |select doc_id, eval_id, n_shared, contain from (

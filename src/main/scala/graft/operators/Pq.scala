@@ -372,11 +372,22 @@ object Pq {
     * so unlike the k-means paths this needs no recall carve-out. */
   def adcRerank(emb: DataFrame, k: Int = 10, shortlist: Int = 50,
                 queryEvery: Int = 50): DataFrame = {
+    val short = adcTopK(emb, shortlist, queryEvery)
+      .select(col("q_id"), col("n_id"))
+    rerankExact(emb, short, k, queryEvery)
+  }
+
+  /** The exact re-rank tail shared by [[adcRerank]] and
+    * [[ivfAdcRerankStored]]: join a (q_id, n_id) shortlist back to the
+    * original vectors and rank by exact L2 (d² = |q|² + |n|² − 2q·n via
+    * the codegen'd chain_dot). Shortlist-proportional work — the
+    * full-precision vectors are only ever read for candidates that
+    * survived the quantized screen. */
+  private def rerankExact(emb: DataFrame, short: DataFrame, k: Int,
+                          queryEvery: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.filter(size(col("embedding")) === dim)
       .withColumn("n2", expr("chain_dot(embedding, embedding)"))
-    val short = adcTopK(emb, shortlist, queryEvery)
-      .select(col("q_id"), col("n_id"))
     val cand = base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       col("n2").as("n_n2"))
     val q = base.filter(col("vec_id") % queryEvery === 0)
@@ -769,14 +780,69 @@ object Pq {
     perQueryTopK(pairs, k)
   }
 
+  /** IVF-routed exact re-rank — the production serving pattern with the
+    * shortlist stage ALSO index-bounded: [[ivfAdcTopKStored]] generates
+    * the `shortlist` cheapest-ADC candidates from the probed cells only
+    * (static partition pruning — the unprobed corpus is never opened),
+    * then [[rerankExact]] reads full-precision vectors for just those
+    * candidates. This graduates [[adcRerank]]'s one remaining brute
+    * stage (its shortlist scanned ALL codes): query cost is
+    * probed-slices ADC + shortlist-sized exact math, independent of how
+    * many unprobed cells the corpus grows. Answer quality is the IVF
+    * recall contract: exact ranking over the probed-cell shortlist
+    * (hash-gated vs the DuckDB mirror; recall vs [[exactL2TopK]]
+    * spec-gated). */
+  def ivfAdcRerankStored(emb: DataFrame, indexDir: String, k: Int = 10,
+                         shortlist: Int = 50, queryEvery: Int = 50,
+                         nprobe: Int = 3): DataFrame = {
+    val short = ivfAdcTopKStored(emb, indexDir, shortlist, queryEvery, nprobe)
+      .select(col("q_id"), col("n_id"))
+    rerankExact(emb, short, k, queryEvery)
+  }
+
   /** DuckDB mirror of [[ivfAdcTopK]] — the `ann_ivf_label` probe CTEs
     * composed with the PQ code CTEs and the ADC lookup. */
   def ivfAdcSql(k: Int = 10, queryEvery: Int = 50, nprobe: Int = 3,
-                table: String = "embeddings"): String = {
+                table: String = "embeddings"): String =
+    s"""with ${ivfPairsCtes(queryEvery, nprobe, table)},
+       |ranked as (select q_id, n_id, dist,
+       |  cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
+       | from pairs)
+       |select q_id, n_id, dist, rn from ranked where rn <= $k"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[ivfAdcRerankStored]]: the IVF pair CTEs cut at
+    * `shortlist`, joined back to the vectors for the exact re-rank
+    * ([[adcRerankSql]]'s tail over [[ivfAdcSql]]'s candidates). */
+  def ivfAdcRerankSql(k: Int = 10, shortlist: Int = 50, queryEvery: Int = 50,
+                      nprobe: Int = 3, table: String = "embeddings"): String = {
+    val dotQN = Parity.dot(Parity.DuckD, "q_emb", "n_emb", dim)
+    val dotQQ = Parity.dot(Parity.DuckD, "q_emb", "q_emb", dim)
+    val dotNN = Parity.dot(Parity.DuckD, "n_emb", "n_emb", dim)
+    s"""with ${ivfPairsCtes(queryEvery, nprobe, table)},
+       |sl as (select q_id, n_id from (select q_id, n_id, dist,
+       |  row_number() over (partition by q_id order by dist asc, n_id asc) as srn
+       | from pairs) where srn <= $shortlist),
+       |qv as (select vec_id as q_id, embedding as q_emb from $table
+       |  where vec_id % $queryEvery = 0 and len(embedding) = $dim),
+       |cv as (select vec_id as n_id, embedding as n_emb from $table
+       |  where len(embedding) = $dim),
+       |rr as (select sl.q_id, sl.n_id,
+       |  (($dotQQ) + ($dotNN) - 2e0 * ($dotQN)) as dist
+       | from sl join qv on sl.q_id = qv.q_id join cv on sl.n_id = cv.n_id)
+       |select q_id, n_id, dist,
+       | cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
+       |from rr qualify rn <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** The shared IVF-ADC CTE chain (through the probed-cell candidate
+    * `pairs` relation) behind [[ivfAdcSql]] and [[ivfAdcRerankSql]]. */
+  private def ivfPairsCtes(queryEvery: Int, nprobe: Int,
+                           table: String): String = {
     val dotSelf = Parity.dot(Parity.DuckD, "embedding", "embedding", dim)
     val dotCC = Parity.dot(Parity.DuckD, "centroid", "centroid", dim)
     val dotQC = Parity.dot(Parity.DuckD, "q_emb", "centroid", dim)
-    s"""with tf as (select * from $table where len(embedding) = $dim),
+    s"""tf as (select * from $table where len(embedding) = $dim),
        |cg as (select cast(label as bigint) as cl, i as d,
        |  cast(count(*) as bigint) as n,
        |  ${Parity.fpSum("cast(list_extract(embedding, i) as double)")} as vs
@@ -801,11 +867,7 @@ object Pq {
        |pairs as (select p.q_id, codes.vec_id as n_id, $adcLookup as dist
        | from probes p
        |  join codes on p.cl = codes.cl and p.q_id <> codes.vec_id
-       |  join qd on qd.q_id = p.q_id),
-       |ranked as (select q_id, n_id, dist,
-       |  cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
-       | from pairs)
-       |select q_id, n_id, dist, rn from ranked where rn <= $k"""
+       |  join qd on qd.q_id = p.q_id)"""
       .stripMargin.replace("\n", " ")
   }
 

@@ -425,6 +425,29 @@ class OperatorsSpec extends SparkSpec {
     assert(ij.contains((3L, 0L, 0.0)))
   }
 
+  test("decontaminate fixed-eval cap: membership pinned, over-cap eval ids become corpus") {
+    import spark.implicits._
+    // ids 0 and 97 are under the cap (eval); 194 is %97==0 but OVER the
+    // 150-cap, so it must be scored as a CORPUS doc, not serve as eval
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (97L, "one two three four five six seven eight nine"),
+      (194L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "one two three four five other words here now")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(docs, maxEvalId = 150L).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet == Set(194L, 5L), s"corpus rows: ${r.keySet}")
+    // 194 duplicates eval doc 0 verbatim → containment 1.0 against it
+    assert(r(194L)._1 == 0L && r(194L)._2 == 1.0, s"got ${r(194L)}")
+    assert(r(5L)._1 == 97L, s"got ${r(5L)}")
+    // winnow sibling under the same cap: the verbatim dup of eval 0 is
+    // flagged against it; 194 appears as a corpus doc_id, never an eval_id
+    val w = Dedup.decontaminateWinnow(docs, minShared = 1, maxEvalId = 150L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(w.get(194L).contains(0L), s"winnow rows: $w")
+    assert(!w.values.toSet.contains(194L))
+  }
+
   test("chain_dot: strict length + null-element semantics (NULL, not a truncated dot)") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

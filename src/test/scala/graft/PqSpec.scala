@@ -77,6 +77,43 @@ class PqSpec extends SparkSpec {
     assert(rrR >= 2 * flatR, s"shortlist-50 re-rank should at least double flat ADC recall")
   }
 
+  test("ivf-routed rerank: recall vs exact L2 within the IVF contract, shortlist ⊆ probed cells") {
+    import org.apache.spark.sql.functions._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.Scratch.dir("graft_pqspec_rr_")
+    Pq.writeIvfPqIndex(emb, idx)
+    val exact = asSet(Pq.exactL2TopK(emb))
+    val ivfFlat = asSet(Pq.ivfAdcTopK(emb))
+    val rr = asSet(Pq.ivfAdcRerankStored(emb, idx))
+    val probed = graft.operators.Similarity.labelProbes(
+        emb.filter(size(col("embedding")) === Pq.dim), 50, 3)
+      .select("q_id", "cl").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = emb.select(col("vec_id").cast("long"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the recall CEILING of any probed-cell method: the fraction of
+    // exact neighbors that live inside their query's probed cells —
+    // exact re-rank fixes ADC quantization misses, never probe misses
+    val ceiling = exact.count { case (q, n) => probed((q, cells(n))) }
+      .toDouble / exact.size
+    val ivfR = (exact & ivfFlat).size.toDouble / exact.size
+    val rrR = (exact & rr).size.toDouble / exact.size
+    info(s"recall@10 ivf-flat=$ivfR ivf-rerank=$rrR probe-ceiling=$ceiling")
+    assert(rrR >= ivfR, s"ivf rerank $rrR < ivf flat $ivfR")
+    // shortlist truncation is the only slack below the ceiling: with a
+    // shortlist as large as any probed-cell population, the re-rank IS
+    // exact L2 over the probed cells, so recall must EQUAL the ceiling
+    val rrWide = asSet(Pq.ivfAdcRerankStored(emb, idx, shortlist = 500))
+    val wideR = (exact & rrWide).size.toDouble / exact.size
+    info(s"recall@10 ivf-rerank-wide=$wideR (must equal ceiling)")
+    assert(math.abs(wideR - ceiling) < 1e-12,
+      s"untruncated ivf rerank recall $wideR != probe ceiling $ceiling")
+    // every served neighbor must come from the query's probed cells
+    // (the shortlist is index-bounded, never a full-code scan)
+    val escapees = rr.filterNot { case (q, n) => probed((q, cells(n))) }
+    assert(escapees.isEmpty, s"neighbors outside probed cells: $escapees")
+  }
+
   test("trained codebook: degenerate corpus falls back to the fixed grid") {
     val tiny = emb.limit(10)
     assert(Pq.trainCodebook(tiny) eq Pq.codebook)
