@@ -229,6 +229,46 @@ object QueriesLlm {
       }
       TextOps.sparseRetrievalFrom(s.table(tbl))
     }),
+    // sparse index LIFECYCLE (the IVF-PQ verbs on the posting index):
+    // raw tf postings append as segments, df moments add/subtract as
+    // exact BIGINTs, tfidf recomputes from the merged moments at serve —
+    // so every physical history below serves bit-identically to a
+    // from-scratch build, proven by sharing sparse_retrieval's oracle.
+    // append: index two-thirds, fold the last third in as a shard
+    "sparse_append" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_sidx_app_")
+      val docs = Tables.read(s, dir, "documents")
+      graft.operators.SparseIndex.writeSparseIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), idx)
+      graft.operators.SparseIndex.appendSparseIndex(
+        docs.filter(col("doc_id") % 3 === 0), idx)
+      graft.operators.SparseIndex.sparseRetrievalStored(s, idx)
+    }),
+    // delete: tombstones + df downdate; oracle = survivors-only rebuild
+    "sparse_delete" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_sidx_del_")
+      val docs = Tables.read(s, dir, "documents")
+      graft.operators.SparseIndex.writeSparseIndex(docs, idx)
+      graft.operators.SparseIndex.deleteFromSparseIndex(
+        docs.filter(col("doc_id") % 5 === 3), idx)
+      graft.operators.SparseIndex.sparseRetrievalStored(s, idx)
+    }),
+    // full lifecycle: write → append → delete → compact (segments fold
+    // to one file per bucket, tombstones apply physically) → serve;
+    // same survivors oracle as the delete gate — three physical
+    // histories, one logical answer
+    "sparse_lifecycle" -> ((s, dir) => {
+      val idx = graft.Scratch.dir("graft_sidx_cmp_")
+      val docs = Tables.read(s, dir, "documents")
+      graft.operators.SparseIndex.writeSparseIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), idx)
+      graft.operators.SparseIndex.appendSparseIndex(
+        docs.filter(col("doc_id") % 3 === 0), idx)
+      graft.operators.SparseIndex.deleteFromSparseIndex(
+        docs.filter(col("doc_id") % 5 === 3), idx)
+      graft.operators.SparseIndex.compactSparseIndex(s, idx)
+      graft.operators.SparseIndex.sparseRetrievalStored(s, idx)
+    }),
     // bounded-candidate sibling: MinHash-LSH bands over each doc's
     // token set, exact cosine verify only inside candidates (the sf1
     // scale path for the Bayardo family)
@@ -1200,6 +1240,11 @@ object QueriesLlm {
       s"select ${TextOps.repetitionSelects(DuckD).mkString(", ")} from documents",
     "sparse_retrieval" -> TextOps.sparseRetrievalSql(),
     "sparse_stored" -> TextOps.sparseRetrievalSql(),
+    "sparse_append" -> TextOps.sparseRetrievalSql(),
+    "sparse_delete" -> TextOps.sparseRetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)"),
+    "sparse_lifecycle" -> TextOps.sparseRetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)"),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse (inverted-index) retrieval as a STORED INDEX WITH A LIFECYCLE —
+  * the text-retrieval twin of the IVF-PQ index verbs ([[Pq.writeIvfPqIndex]]
+  * / append / delete / compact): write once, then fold daily shards in,
+  * tombstone deletions, and compact, with serving bit-identical to a full
+  * rebuild after every history.
+  *
+  * The trick that makes the algebra exact: the index does NOT store tfidf.
+  * TF-IDF couples every posting to the whole corpus through df and N, so a
+  * stored tfidf goes stale the moment one document arrives. Instead the
+  * stored halves are the mergeable moments the score derives from:
+  *
+  *   `dir` table `…_postings` — raw term-frequency rows
+  *                `(doc_id, token, c, n_tok)`: per-document values, so a
+  *                shard's rows are computable from the shard alone and
+  *                APPEND without touching indexed data (token-bucketed —
+  *                the Lucene-segment layout; each append adds one segment
+  *                of bucket files, compaction folds them);
+  *   `dir` table `…_dfstats`  — `(token, dfq)` document-frequency moments:
+  *                BIGINT counts form an abelian group, so a shard's df
+  *                ADDS on append and a delete's df SUBTRACTS — the same
+  *                algebra that makes the ANN index's cell moments exact;
+  *   `dir/meta`       — the corpus document count `nn` (one row);
+  *   `dir/tombstones` — deleted doc ids; serving anti-joins them so the
+  *                postings stop answering without rewriting a file.
+  *
+  * Serving recomputes `tfidf = (c / n_tok) · idfQ9(dfq, nn)` from the
+  * merged moments — identical arithmetic on identical integers to what a
+  * from-scratch [[TextOps.sparseRetrieval]] computes, which is why the
+  * lifecycle gates (`sparse_append`, `sparse_delete`, `sparse_lifecycle`)
+  * share its DuckDB oracle bit for bit.
+  *
+  * Scale shape at 100 TB: ingest cost is shard-proportional (tokenize the
+  * shard, one df-moment merge at vocabulary size — model-sized next to the
+  * corpus); the posting table is bucketed by token on BOTH stored relations
+  * so the serve-time df attach and the query⋈corpus token join inherit the
+  * bucket distribution; a delete is an O(deleted) tombstone append plus the
+  * df downdate. Nothing ever rescans the indexed corpus.
+  *
+  * Reference for the retrieval semantics: alexdaiii/dask-mwu has no text
+  * retrieval — this extends the engine's training-data surface (the
+  * `sparse_retrieval` family) with the index-maintenance verbs a daily
+  * ingestion pipeline needs.
+  */
+object SparseIndex {
+
+  private val nBuckets = 8
+
+  /** Catalog-safe table-name stem for an index directory (the full
+    * sanitized dir string, never a hashCode — the `sparse_stored` advice:
+    * 32-bit collisions between two dirs must not alias their indexes). */
+  private def stem(dir: String): String =
+    "graft_sidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def postingsTbl(dir: String) = stem(dir) + "_postings"
+  private def dfTbl(dir: String) = stem(dir) + "_dfstats"
+
+  /** Raw term-frequency relation of a document set — per-document values
+    * only (tf count and doc length), so it is computable shard-locally:
+    * the append path's whole write is this relation over the shard. */
+  private def tfRelation(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), explode(expr(TextOps.gram3Spark)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
+  }
+
+  /** The df moments of a document set: one row per token, counting the
+    * documents that contain it (tf has one row per (doc, token), so a
+    * count over tf is the df). Exact BIGINTs — the mergeable half. */
+  private def dfMoments(docs: DataFrame): DataFrame =
+    tfRelation(docs).groupBy("token").agg(count(lit(1)).as("dfq"))
+
+  private def writeBucketed(df: DataFrame, tbl: String, dir: String,
+                            sub: String, mode: String): Unit =
+    df.write.format("parquet").mode(mode)
+      .bucketBy(nBuckets, "token").sortBy("token")
+      .option("path", s"$dir/$sub").saveAsTable(tbl)
+
+  /** Build the stored index from scratch. */
+  def writeSparseIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"drop table if exists ${postingsTbl(dir)}")
+    spark.sql(s"drop table if exists ${dfTbl(dir)}")
+    writeBucketed(tfRelation(docs), postingsTbl(dir), dir, "postings", "overwrite")
+    writeBucketed(dfMoments(docs), dfTbl(dir), dir, "dfstats", "overwrite")
+    docs.agg(count(lit(1)).as("nn")).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold a NEW document shard into the stored index without rescanning
+    * the indexed corpus: the shard's tf rows append as a new segment of
+    * bucket files, its df moments ADD onto the stored ones, and the doc
+    * count bumps. Append cost = tokenize the shard + a vocabulary-sized
+    * moment merge. Same ordering constraint as the ANN index: an id
+    * deleted earlier must compact before it can re-insert, or the
+    * lingering tombstone would shadow the new rows while its df/nn
+    * contributions re-enter — stats and serving would diverge from a
+    * rebuild. The shard-sized gate makes that loud. */
+  def appendSparseIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val tombPath = s"$dir/tombstones"
+    if (new java.io.File(tombPath).exists()) {
+      val clash = newDocs.select(col("doc_id").cast("long"))
+        .join(spark.read.schema("doc_id long").parquet(tombPath),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L, "appendSparseIndex: incoming shard re-inserts " +
+        s"tombstoned doc_id(s); run compactSparseIndex('$dir') first")
+    }
+    writeBucketed(tfRelation(newDocs), postingsTbl(dir), dir, "postings", "append")
+    // merged moments REPLACE the sidecar; localCheckpoint breaks the
+    // read-overwrite cycle at a vocabulary-sized materialization
+    val merged = spark.table(dfTbl(dir))
+      .unionByName(dfMoments(newDocs))
+      .groupBy("token").agg(sum("dfq").as("dfq"))
+      .localCheckpoint()
+    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite")
+    val nn = spark.read.parquet(s"$dir/meta")
+      .unionByName(newDocs.agg(count(lit(1)).as("nn")))
+      .agg(sum("nn").as("nn")).localCheckpoint()
+    nn.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Delete documents from the stored index. Takes the deleted ROWS
+    * (with text), not bare ids: df is derivable only from the documents'
+    * tokens, the usual delete-feed shape (the ANN delete takes vectors
+    * for the same reason). Tombstones stop the postings answering with
+    * an O(deleted) write; the df moments SUBTRACT (append run backwards,
+    * emptied tokens drop), and the doc count decrements. Idempotent: a
+    * re-delivered delete (within a batch or across calls) is a no-op. */
+  def deleteFromSparseIndex(deletedDocs: DataFrame, dir: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    val tombPath = s"$dir/tombstones"
+    val incoming = deletedDocs.dropDuplicates("doc_id")
+    val eff = (if (new java.io.File(tombPath).exists())
+      incoming.join(spark.read.schema("doc_id long").parquet(tombPath),
+        Seq("doc_id"), "left_anti")
+    else incoming).localCheckpoint()
+    eff.select(col("doc_id").cast("long"))
+      .write.mode("append").parquet(tombPath)
+    val merged = spark.table(dfTbl(dir))
+      .unionByName(dfMoments(eff).select(col("token"), (-col("dfq")).as("dfq")))
+      .groupBy("token").agg(sum("dfq").as("dfq"))
+      .filter(col("dfq") > 0) // a token with no surviving docs leaves
+      .localCheckpoint()
+    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite")
+    val nn = spark.read.parquet(s"$dir/meta")
+      .unionByName(eff.agg((-count(lit(1))).as("nn")))
+      .agg(sum("nn").as("nn")).localCheckpoint()
+    nn.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Compact: physically apply the tombstones and fold each bucket's
+    * accumulated append segments into ONE file per bucket (the LSM
+    * merge). Pure layout maintenance — df moments and doc count are
+    * already exact, so only the posting table rewrites; serving before
+    * and after is bit-identical and the tombstone sidecar clears. */
+  def compactSparseIndex(spark: SparkSession, dir: String): Unit = {
+    val tombDir = new java.io.File(s"$dir/tombstones")
+    val posts = spark.table(postingsTbl(dir))
+    val live = if (tombDir.exists())
+      posts.join(spark.read.schema("doc_id long").parquet(s"$dir/tombstones"),
+        Seq("doc_id"), "left_anti")
+    else posts
+    // localCheckpoint materializes before overwriting the table being
+    // read; the repartition on the bucket column comes AFTER it (the
+    // checkpoint collapses upstream partitioning to the runtime's task
+    // count), so the write sees exactly nBuckets partitions, each
+    // holding one bucket's tokens (same murmur-pmod hash) — one file
+    // per bucket.
+    val compacted = live.localCheckpoint().repartition(nBuckets, col("token"))
+    writeBucketed(compacted, postingsTbl(dir), dir, "postings", "overwrite")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    if (tombDir.exists()) rm(tombDir)
+  }
+
+  /** Serve TF-IDF retrieval from the stored index: recompute the score
+    * inputs from the merged moments — `tfidf = (c / n_tok) · idf(dfq, nn)`
+    * with the identical quantized-idf arithmetic ([[TextOps.idfQ9]]) and
+    * the identical df stop cut a from-scratch build applies, on integers
+    * that equal the rebuild's by the merge algebra. Both stored relations
+    * are token-bucketed, so the df attach and the downstream query⋈corpus
+    * join inherit the bucket distribution. Tombstoned docs are anti-joined
+    * out (O(deleted) sidecar until a compaction clears it). */
+  def sparseRetrievalStored(spark: SparkSession, dir: String, k: Int = 10,
+                            queryEvery: Int = 50): DataFrame = {
+    val tombDir = new java.io.File(s"$dir/tombstones")
+    val tf0 = spark.table(postingsTbl(dir))
+    val tf = if (tombDir.exists())
+      tf0.join(spark.read.schema("doc_id long").parquet(s"$dir/tombstones"),
+        Seq("doc_id"), "left_anti")
+    else tf0
+    val postings = tf
+      .join(spark.table(dfTbl(dir)), "token")
+      .crossJoin(broadcast(spark.read.parquet(s"$dir/meta")))
+      .filter(col("dfq") * 10 <= col("nn"))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("n_tok").cast("double"))
+          * expr(TextOps.idfQ9))
+      .select("doc_id", "token", "tfidf")
+    TextOps.sparseRetrievalFrom(postings, k, queryEvery)
+  }
+}

@@ -448,7 +448,7 @@ object TextOps {
   /** Word-3-gram tokenizer, Spark side — the OPEN posting universe the
     * retrieval family shares (unigrams degenerate to stop words on a
     * small vocabulary; the kmvDistinct precedent). */
-  private val gram3Spark: String =
+  private[operators] val gram3Spark: String =
     "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)), " +
       "i -> concat_ws(' ', slice(split(trim(text), ' '), i, 3)))"
 
@@ -462,7 +462,7 @@ object TextOps {
   /** q9-quantized idf snippet shared by every TF-IDF consumer (idf goes
     * through ln — a 1-ulp divergence risk — so it is quantized BEFORE
     * any product; identical operands make the products bit-equal). */
-  private val idfQ9: String = graft.oracle.Parity.q9(
+  private[operators] val idfQ9: String = graft.oracle.Parity.q9(
     "ln((1e0 + cast(nn as double)) / (1e0 + cast(dfq as double)))")
 
   /** Shared TF-IDF posting builder: tokenize with `tokenExpr`, count tf

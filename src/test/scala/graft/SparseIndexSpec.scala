@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.SparseIndex
+import org.apache.spark.sql.DataFrame
+
+/** Sparse posting-index lifecycle specs — the invariant under test is the
+  * same one the ANN index proved: every physical history (append segments,
+  * tombstones, compaction) serves bit-identically to a from-scratch build
+  * of the logical corpus, because the stored halves are exact mergeable
+  * moments, never derived scores. (Cross-engine exactness is the oracle
+  * gate's job — sparse_append / sparse_delete / sparse_lifecycle share
+  * sparse_retrieval's DuckDB mirror.) */
+class SparseIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** ~60 synthetic docs over a shared phrase pool so 3-gram postings
+    * overlap across docs (retrieval returns non-trivial neighbors). */
+  private def mkDocs(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump",
+      "sphinx of black quartz judge my vow",
+      "the five boxing wizards jump quickly")
+    ids.map { i =>
+      val a = pool((i % 5).toInt); val b = pool(((i / 5) % 5).toInt)
+      (i, s"$a $b tail${i % 7}")
+    }.toDF("doc_id", "text")
+  }
+
+  private def serve(dir: String) =
+    SparseIndex.sparseRetrievalStored(spark, dir, queryEvery = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  private def dfstats(dir: String) =
+    spark.read.parquet(s"$dir/dfstats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def postingFiles(dir: String): Int =
+    new java.io.File(s"$dir/postings").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("sparse append: shard ingest == full rebuild (df moments, nn, serving), incl. brand-new tokens") {
+    val all = mkDocs(0L until 60L)
+    val base = all.filter(col("doc_id") % 3 =!= 0)
+    val shard = all.filter(col("doc_id") % 3 === 0)
+    val inc = graft.Scratch.dir("sidx_spec_inc_")
+    SparseIndex.writeSparseIndex(base, inc)
+    SparseIndex.appendSparseIndex(shard, inc)
+    val full = graft.Scratch.dir("sidx_spec_full_")
+    SparseIndex.writeSparseIndex(all, full)
+    assert(dfstats(inc) == dfstats(full), "merged df moments diverge from rebuild")
+    // the shard carries tokens the base never saw (tail-word trigrams of
+    // shard-only docs) — they must materialize through the moment merge
+    val baseTokens = {
+      val d = graft.Scratch.dir("sidx_spec_base_")
+      SparseIndex.writeSparseIndex(base, d); dfstats(d).keySet
+    }
+    assert((dfstats(inc).keySet -- baseTokens).nonEmpty, "no shard-new token exercised")
+    def nn(d: String) = spark.read.parquet(s"$d/meta").collect().head.getLong(0)
+    assert(nn(inc) == 60L && nn(full) == 60L)
+    val s1 = serve(inc)
+    assert(s1.nonEmpty && s1 == serve(full),
+      "appended index serves differently from the full rebuild")
+  }
+
+  test("sparse delete + compact: tombstoned == survivors rebuild; double-delete no-op; re-insert gated until compact; 1 file/bucket after") {
+    val all = mkDocs(0L until 60L)
+    val doomed = all.filter(col("doc_id") % 4 === 1)
+    val survivors = all.filter(col("doc_id") % 4 =!= 1)
+    val idx = graft.Scratch.dir("sidx_spec_del_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") < 40), idx)
+    SparseIndex.appendSparseIndex(all.filter(col("doc_id") >= 40), idx)
+    SparseIndex.deleteFromSparseIndex(doomed, idx)
+    val surv = graft.Scratch.dir("sidx_spec_surv_")
+    SparseIndex.writeSparseIndex(survivors, surv)
+    assert(dfstats(idx) == dfstats(surv), "downdated df moments diverge from survivors rebuild")
+    val served = serve(idx)
+    assert(served.nonEmpty && served == serve(surv),
+      "tombstoned index serves differently from the survivors rebuild")
+    // re-delivered delete must be a no-op (else df subtracts twice)
+    SparseIndex.deleteFromSparseIndex(doomed, idx)
+    assert(dfstats(idx) == dfstats(surv), "re-delivered delete corrupted df moments")
+    assert(serve(idx) == served, "re-delivered delete changed serving")
+    // re-insert of a tombstoned doc is gated until compaction: the
+    // tombstone would shadow the new rows while df/nn re-enter
+    val ex = intercept[IllegalArgumentException] {
+      SparseIndex.appendSparseIndex(all.filter(col("doc_id") === 1L), idx)
+    }
+    assert(ex.getMessage.contains("compactSparseIndex"))
+    // compact: serving unchanged, tombstones cleared, segments fold to
+    // at most one file per bucket (write + append left multiple)
+    val before = postingFiles(idx)
+    SparseIndex.compactSparseIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(), "tombstones survived compaction")
+    val after = postingFiles(idx)
+    assert(after <= 8 && after < before, s"compaction files: $before -> $after")
+    assert(serve(idx) == served, "compaction changed serving")
+    // post-compact, the gated re-insert proceeds and equals a rebuild
+    // of (survivors + doc 1)
+    SparseIndex.appendSparseIndex(all.filter(col("doc_id") === 1L), idx)
+    val target = graft.Scratch.dir("sidx_spec_reins_")
+    SparseIndex.writeSparseIndex(
+      all.filter(col("doc_id") % 4 =!= 1 || col("doc_id") === 1L), target)
+    assert(dfstats(idx) == dfstats(target), "post-compact re-insert diverges from rebuild")
+    assert(serve(idx) == serve(target), "post-compact re-insert serves differently")
+  }
+}
