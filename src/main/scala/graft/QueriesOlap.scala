@@ -242,6 +242,14 @@ object QueriesOlap {
     // bit-identical to a batch rebuild (shares its oracle)
     "stream_ann_ingest" -> ((s, dir) =>
       graft.streaming.EventStream.runAnnIngestOnce(s, dir)),
+    // streaming ANN index CRUD: interleaved append + DELETE micro-
+    // batches (CDC-shaped op column) fold into the stored index via the
+    // exact append algebra and the idempotent tombstone path; the
+    // served answer after the mixed history is bit-identical to a
+    // survivors-only batch rebuild (the fifth physical history on
+    // ann_ivfpq_delete's oracle)
+    "stream_ann_crud" -> ((s, dir) =>
+      graft.streaming.EventStream.runAnnCrudOnce(s, dir)),
     // dropDuplicatesWithinWatermark state-TTL differential: dup with
     // live state drops, dup after expiry re-emits; oracle = the TTL
     // rule in set algebra
@@ -1674,6 +1682,8 @@ object QueriesOlap {
     "stream_late_drop" -> graft.streaming.EventStream.lateDropSql(),
     "stream_upsert" -> graft.streaming.EventStream.upsertSql(),
     "stream_ann_ingest" -> graft.operators.Pq.ivfAdcSql(),
+    "stream_ann_crud" -> graft.operators.Pq.ivfAdcSql(
+      table = "(select * from embeddings where vec_id % 5 <> 3)"),
     "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
     "stream_restart_agg" -> graft.streaming.EventStream.restartAggSql(),
     "stream_trending" ->

@@ -593,6 +593,69 @@ object EventStream {
     graft.operators.Pq.ivfAdcTopKStored(emb, idx)
   }
 
+  /** Streaming ANN index CRUD — [[runAnnIngestOnce]] extended with
+    * interleaved DELETE micro-batches: a CDC-shaped feed where each file
+    * carries an `op` column (`add`/`del`) and foreachBatch dispatches
+    * adds through the exact append algebra and dels through the
+    * idempotent tombstone path ([[graft.operators.Pq.deleteFromIvfPqIndex]]).
+    * History staged (maxFilesPerTrigger=1 → five micro-batches):
+    * add ⅓ → add ⅓ → delete the doomed slice of what's ingested so far
+    * → add the last ⅓ → delete the doomed slice of that. The served
+    * answer after this mixed history is bit-identical to a batch
+    * rebuild of the survivors — the FIFTH physical history sharing
+    * `ann_ivfpq_delete`'s oracle (after rebuild / append / delete /
+    * compact), and the streaming proof that the index's CRUD verbs
+    * compose under micro-batch delivery. Scale shape: per-batch work is
+    * shard-proportional (append) or deleted-rows-proportional
+    * (tombstone + model-sized stats downdate); nothing rescans the
+    * indexed corpus. */
+  def runAnnCrudOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val idx = graft.Scratch.dir("graft_ann_crud_idx_")
+    graft.operators.Pq.writeIvfPqIndex(emb.limit(0), idx)
+    val doomed = col("vec_id") % 5 === 3
+    val batches: Seq[(String, DataFrame)] = Seq(
+      "add" -> emb.filter(col("vec_id") % 3 === 0),
+      "add" -> emb.filter(col("vec_id") % 3 === 1),
+      "del" -> emb.filter(doomed && col("vec_id") % 3 =!= 2),
+      "add" -> emb.filter(col("vec_id") % 3 === 2),
+      "del" -> emb.filter(doomed && col("vec_id") % 3 === 2))
+    val src = graft.Scratch.path("graft_ann_crud_src_")
+    batches.zipWithIndex.foreach { case ((op, df), i) =>
+      val tmp = graft.Scratch.dir(s"graft_ann_crud_f$i")
+      df.withColumn("op", lit(op))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"f$i.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val ckpt = graft.Scratch.dir("graft_ann_crud_ckpt_")
+    val schema = org.apache.spark.sql.types.StructType(
+      emb.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "op", org.apache.spark.sql.types.StringType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // a mixed CDC batch applies adds before dels, so a same-batch
+        // add+del nets to a tombstoned row (standard CDC ordering);
+        // the staged history keeps each batch homogeneous, the handler
+        // does not rely on it
+        val adds = df.filter(col("op") === "add").drop("op")
+        val dels = df.filter(col("op") === "del").drop("op")
+        if (!adds.isEmpty) graft.operators.Pq.appendIvfPqIndex(adds, idx)
+        if (!dels.isEmpty) graft.operators.Pq.deleteFromIvfPqIndex(dels, idx)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Pq.ivfAdcTopKStored(emb.filter(!doomed), idx)
+  }
+
   /** DuckDB mirror of [[runUpsertOnce]]: the single-shot batch MERGE
     * over the same change set — equality proves the restarted, replayed,
     * four-batch streaming MERGE delivered each change exactly once. */
