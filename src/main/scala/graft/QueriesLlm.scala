@@ -285,6 +285,11 @@ object QueriesLlm {
     // leave-one-out accuracy flag
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.read(s, dir, "embeddings"))),
+    // the bounded-scale weak labeler: votes from the fixed-quantizer
+    // IVF neighborhood (probed cells only) — classification cost tracks
+    // cells-scanned, never |corpus|²; fully hash-checked
+    "knn_classify_ivf" -> ((s, dir) =>
+      Similarity.knnClassifyIvf(Tables.read(s, dir, "embeddings"))),
     // SemDeDup: embedding-space near-dup clusters, keep one
     // representative per cluster
     "semantic_dedup" -> ((s, dir) =>
@@ -640,6 +645,12 @@ object QueriesLlm {
     // (ranks 11..15) from one cosineTopK pass — dual-encoder data prep
     "train_pairs" -> ((s, dir) =>
       Similarity.trainPairs(Tables.read(s, dir, "embeddings"))),
+    // the bounded-scale contrastive miner: positives + hard negatives
+    // from the fixed-quantizer IVF neighborhood (probed cells only) —
+    // pair-mining cost tracks cells-scanned, never |corpus|²; the IVF
+    // negatives are if anything harder (every candidate shares a cell)
+    "train_pairs_ivf" -> ((s, dir) =>
+      Similarity.trainPairsIvf(Tables.read(s, dir, "embeddings"))),
     // IVF-PQ: fixed-quantizer cell prune + ADC re-rank over codes — the
     // trillion-scale layout (scan only probed buckets, m bytes/candidate)
     "ann_ivfpq" -> ((s, dir) =>
@@ -1388,6 +1399,31 @@ object QueriesLlm {
       s"""$ivfLabelCtes
          |select q_id, n_id, cos, rn from ranked where rn <= 10"""
         .stripMargin.replace("\n", " "),
+    // IVF-routed contrastive pairs: the shared IVF CTEs cut at 15, the
+    // same positive × hard-negative assembly as the brute train_pairs
+    "train_pairs_ivf" ->
+      s"""$ivfLabelCtes,
+         |topk as (select q_id, n_id, cos, rn from ranked where rn <= 15)
+         |select p.q_id, p.n_id as pos_id, p.cos as pos_cos,
+         | n.n_id as neg_id, n.cos as neg_cos, n.rn - 10 as slot
+         |from (select * from topk where rn = 1) p
+         |join (select * from topk where rn between 11 and 15) n using (q_id)"""
+        .stripMargin.replace("\n", " "),
+    // IVF-routed kNN weak labeling: votes from the probed-cell top-10
+    "knn_classify_ivf" ->
+      s"""$ivfLabelCtes,
+         |nbrs as (select q_id, n_id from ranked where rn <= 10),
+         |votes as (select q_id, label, count(*) as votes
+         |  from nbrs join embeddings on n_id = vec_id
+         |  group by q_id, label),
+         |win as (select q_id, label, votes,
+         |  row_number() over (partition by q_id order by votes desc, label asc) as rk
+         | from votes)
+         |select w.q_id as q_id, cast(w.label as bigint) as pred_label, votes,
+         |  cast(e.label as bigint) as true_label,
+         |  (w.label = e.label) as is_correct
+         |from win w join embeddings e on w.q_id = e.vec_id
+         |where rk = 1""".stripMargin.replace("\n", " "),
     // margin mining over the same fixed-quantizer IVF CTEs + the shared
     // ratio-margin tail — the bounded-scale bitext miner, fully
     // hash-checked (the brute ann_margin is its exactness baseline)

@@ -367,11 +367,29 @@ object Similarity {
     * no new shuffle of the corpus. Deterministic end-to-end ⇒ fully
     * hash-checked. */
   def trainPairs(emb: DataFrame, negFrom: Int = 11, negTo: Int = 15,
-                 queryEvery: Int = 50): DataFrame = {
-    val top = cosineTopK(emb, negTo, queryEvery)
+                 queryEvery: Int = 50): DataFrame =
+    pairsTail(cosineTopK(emb, negTo, queryEvery), negFrom)
+
+  /** [[trainPairs]] over the FIXED-quantizer IVF neighborhood — the
+    * bounded-scale contrastive miner (the [[marginMineIvf]] precedent):
+    * the top-k feeding the positive/hard-negative assembly comes from
+    * [[ivfLabelTopK]]'s probed cells only, so pair-mining cost tracks
+    * cells-scanned, never |corpus|², and — the fixed quantizer being
+    * SQL-expressible — the whole chain stays under the hash-checked
+    * oracle. IVF hard negatives are, if anything, HARDER: every
+    * candidate already shares a coarse cell with the anchor. */
+  def trainPairsIvf(emb: DataFrame, negFrom: Int = 11, negTo: Int = 15,
+                    queryEvery: Int = 50, nprobe: Int = 3): DataFrame =
+    pairsTail(ivfLabelTopK(emb, negTo, queryEvery, nprobe), negFrom)
+
+  /** The positive × hard-negative assembly over any (q_id, n_id, cos,
+    * rn ≤ negTo) top-k relation: rank 1 is the positive, ranks
+    * [negFrom, negTo] the negatives — a self-join on q_id over k-pruned
+    * rows (tiny), no second corpus scan. */
+  private def pairsTail(top: DataFrame, negFrom: Int): DataFrame = {
     val pos = top.filter(col("rn") === 1)
       .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
-    val neg = top.filter(col("rn").between(negFrom, negTo))
+    val neg = top.filter(col("rn") >= negFrom)
       .select(col("q_id"), col("n_id").as("neg_id"), col("cos").as("neg_cos"),
         (col("rn") - negFrom + 1).as("slot"))
     pos.join(neg, Seq("q_id"))
@@ -620,9 +638,24 @@ object Similarity {
     * corpus — the vote join shuffles only (q_id, label, count) tuples,
     * never embeddings; the heavy lifting stays in the retriever with
     * its own IVF scale path. */
-  def knnClassify(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+  def knnClassify(emb: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame =
+    classifyTail(emb, cosineTopK(emb, k, queryEvery))
+
+  /** [[knnClassify]] over the FIXED-quantizer IVF neighborhood — the
+    * bounded-scale weak labeler: votes come from [[ivfLabelTopK]]'s
+    * probed cells only (classification cost tracks cells-scanned, never
+    * |corpus|²), fully hash-checked through the SQL-expressible fixed
+    * quantizer. */
+  def knnClassifyIvf(emb: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                     nprobe: Int = 3): DataFrame =
+    classifyTail(emb, ivfLabelTopK(emb, k, queryEvery, nprobe))
+
+  /** Majority-vote tail over any (q_id, n_id) neighbor relation:
+    * label votes, deterministic tie-break, leave-one-out correctness
+    * flag. k-pruned inputs — every join here is tiny. */
+  private def classifyTail(emb: DataFrame, nbrs: DataFrame): DataFrame = {
     val lbl = emb.select(col("vec_id"), col("label"))
-    val votes = cosineTopK(emb, k, queryEvery)
+    val votes = nbrs
       .join(lbl.withColumnRenamed("vec_id", "n_id"), "n_id")
       .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
     val w = org.apache.spark.sql.expressions.Window

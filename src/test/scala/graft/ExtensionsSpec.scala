@@ -30,6 +30,7 @@ class ExtensionsSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; table is shared
     assert(graft.functions.GraftFunctions.all.map(_._1).toSet ==
-      Set("rolling_hash", "sorted_intersect_count", "char_trigram_codes", "chain_dot", "cody_erfc"))
+      Set("rolling_hash", "sorted_intersect_count", "sorted_jaccard",
+        "char_trigram_codes", "chain_dot", "cody_erfc"))
   }
 }

@@ -304,6 +304,43 @@ class PlanSpec extends SparkSpec {
       s"stored (${exchanges(stored)}) must beat rebuild (${exchanges(rebuild)})")
   }
 
+  test("IVF-routed rerank: probed-cell pruning reaches the stored code scan under the rerank composition") {
+    val idx = graft.Scratch.dir("plan_ivfpq_rr_")
+    val emb = Tables.read(spark, sf("sf0.001"), "embeddings")
+    graft.operators.Pq.writeIvfPqIndex(emb, idx)
+    val p = plan(graft.operators.Pq.ivfAdcRerankStored(emb, idx))
+    // the shortlist stage must keep the stored index's static pruning —
+    // the whole point of routing the rerank through the index is that
+    // no stage scans unprobed cells
+    assert("PartitionFilters: \\[cl#\\d+L? IN \\(".r.findFirstIn(p).isDefined,
+      s"probed cells must prune the shortlist's code scan:\n$p")
+    assert(!p.contains("Cartesian"), s"rerank plans a cartesian:\n$p")
+  }
+
+  test("sparse lifecycle serve: tombstones broadcast-anti-join; no more exchanges than a rebuild") {
+    val docs = Tables.read(spark, sf("sf0.001"), "documents")
+    val idx = graft.Scratch.dir("plan_sidx_")
+    graft.operators.SparseIndex.writeSparseIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0), idx)
+    graft.operators.SparseIndex.appendSparseIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), idx)
+    graft.operators.SparseIndex.deleteFromSparseIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 3), idx)
+    val p = plan(graft.operators.SparseIndex.sparseRetrievalStored(spark, idx))
+    // the deleted-id filter is deleted-rows-sized — it must broadcast,
+    // never shuffle the posting table
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstones must anti-join as a broadcast:\n$p")
+    // both stored relations are token-bucketed: the df attach and the
+    // retrieval join read the bucket distribution from storage, so the
+    // serve plan must not exceed the rebuild's exchange count even
+    // while adding the tombstone filter and the moment join
+    def exchanges(s: String) = "Exchange hashpartitioning".r.findAllIn(s).length
+    val rebuild = plan(SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001")))
+    assert(exchanges(p) <= exchanges(rebuild),
+      s"lifecycle serve (${exchanges(p)}) must not exceed rebuild (${exchanges(rebuild)}):\n$p")
+  }
+
   test("banded dedup siblings: candidate generation is pure equi-join — no cartesian, no nested loop") {
     // the entire point of the banded variants is that candidates come
     // from bucket equi-joins whose volume tracks clique co-occupancy;
