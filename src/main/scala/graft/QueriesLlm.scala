@@ -327,6 +327,9 @@ object QueriesLlm {
     // the large-eval oracle anchors
     "decontaminate_fixed" -> ((s, dir) =>
       Dedup.decontaminate(Tables.read(s, dir, "documents"), maxEvalId = 582L)),
+    "decontaminate_join_fixed" -> ((s, dir) =>
+      Dedup.decontaminateJoin(Tables.read(s, dir, "documents"),
+        maxEvalId = 582L)),
     "decontaminate_winnow_fixed" -> ((s, dir) =>
       Dedup.decontaminateWinnow(Tables.read(s, dir, "documents"),
         maxEvalId = 582L)),
@@ -1293,6 +1296,7 @@ object QueriesLlm {
     "decontaminate" -> decontamDuck(),
     "decontaminate_join" -> decontamDuck(),
     "decontaminate_fixed" -> decontamDuck(maxEvalId = 582L),
+    "decontaminate_join_fixed" -> decontamDuck(maxEvalId = 582L),
     "decontaminate_winnow_fixed" ->
       Dedup.decontaminateWinnowSql(maxEvalId = 582L),
     "decontaminate_bloom" -> Dedup.decontaminateBloomSql(),

@@ -786,12 +786,15 @@ object Dedup {
     * FIRST on both sides — containment against a capped shingle set is
     * a different (documented) measure, so it is a caller decision, not
     * a silent default here. */
-  def decontaminateJoin(docs: DataFrame, evalEvery: Int = 97): DataFrame = {
+  def decontaminateJoin(docs: DataFrame, evalEvery: Int = 97,
+                        maxEvalId: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = withShingleCodes(docs, "text")
-    val evals = sh.filter(col("doc_id") % evalEvery === 0)
+    // maxEvalId: fixed-benchmark eval membership (see [[decontaminate]])
+    val isEval = col("doc_id") % evalEvery === 0 && col("doc_id") < maxEvalId
+    val evals = sh.filter(isEval)
       .select(col("doc_id").as("eval_id"), col("codes").as("eval_codes"))
-    val corpus = sh.filter(col("doc_id") % evalEvery =!= 0)
+    val corpus = sh.filter(!isEval)
     val corpusIdx = corpus.select(col("doc_id"), explode(col("codes")).as("code"))
     val evalIdx = evals.select(col("eval_id"),
       size(col("eval_codes")).cast("long").as("eval_n"),
