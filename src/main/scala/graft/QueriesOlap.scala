@@ -250,6 +250,11 @@ object QueriesOlap {
     // ann_ivfpq_delete's oracle)
     "stream_ann_crud" -> ((s, dir) =>
       graft.streaming.EventStream.runAnnCrudOnce(s, dir)),
+    // streaming SPARSE index CRUD: the same CDC history folded into the
+    // token-bucketed posting index via the exact df-moment algebra +
+    // idempotent doc tombstones; serve == survivors-only rebuild
+    "stream_sparse_crud" -> ((s, dir) =>
+      graft.streaming.EventStream.runSparseCrudOnce(s, dir)),
     // dropDuplicatesWithinWatermark state-TTL differential: dup with
     // live state drops, dup after expiry re-emits; oracle = the TTL
     // rule in set algebra
@@ -1684,6 +1689,8 @@ object QueriesOlap {
     "stream_ann_ingest" -> graft.operators.Pq.ivfAdcSql(),
     "stream_ann_crud" -> graft.operators.Pq.ivfAdcSql(
       table = "(select * from embeddings where vec_id % 5 <> 3)"),
+    "stream_sparse_crud" -> graft.operators.TextOps.sparseRetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)"),
     "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
     "stream_restart_agg" -> graft.streaming.EventStream.restartAggSql(),
     "stream_trending" ->

@@ -656,6 +656,59 @@ object EventStream {
     graft.operators.Pq.ivfAdcTopKStored(emb.filter(!doomed), idx)
   }
 
+  /** Streaming SPARSE index CRUD — [[runAnnCrudOnce]]'s twin on the
+    * posting index ([[graft.operators.SparseIndex]]): the same CDC-shaped
+    * five-batch history (add ⅓ → add ⅓ → delete the doomed slice so far
+    * → add the last ⅓ → delete its doomed slice) folds into the stored
+    * token-bucketed index via the exact df-moment algebra (adds) and the
+    * idempotent doc-tombstone path (dels). The served TF-IDF retrieval
+    * after the mixed history is bit-identical to a survivors-only batch
+    * rebuild — shares `sparse_delete`'s oracle. Per-batch cost is
+    * shard-proportional tokenize + a vocabulary-sized moment merge;
+    * the indexed corpus is never rescanned. */
+  def runSparseCrudOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val idx = graft.Scratch.dir("graft_sparse_crud_idx_")
+    graft.operators.SparseIndex.writeSparseIndex(docs.limit(0), idx)
+    val doomed = col("doc_id") % 5 === 3
+    val batches: Seq[(String, DataFrame)] = Seq(
+      "add" -> docs.filter(col("doc_id") % 3 === 0),
+      "add" -> docs.filter(col("doc_id") % 3 === 1),
+      "del" -> docs.filter(doomed && col("doc_id") % 3 =!= 2),
+      "add" -> docs.filter(col("doc_id") % 3 === 2),
+      "del" -> docs.filter(doomed && col("doc_id") % 3 === 2))
+    val src = graft.Scratch.path("graft_sparse_crud_src_")
+    batches.zipWithIndex.foreach { case ((op, df), i) =>
+      val tmp = graft.Scratch.dir(s"graft_sparse_crud_f$i")
+      df.withColumn("op", lit(op))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"f$i.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val ckpt = graft.Scratch.dir("graft_sparse_crud_ckpt_")
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "op", org.apache.spark.sql.types.StringType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val adds = df.filter(col("op") === "add").drop("op")
+        val dels = df.filter(col("op") === "del").drop("op")
+        if (!adds.isEmpty) graft.operators.SparseIndex.appendSparseIndex(adds, idx)
+        if (!dels.isEmpty) graft.operators.SparseIndex.deleteFromSparseIndex(dels, idx)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.SparseIndex.sparseRetrievalStored(spark, idx)
+  }
+
   /** DuckDB mirror of [[runUpsertOnce]]: the single-shot batch MERGE
     * over the same change set — equality proves the restarted, replayed,
     * four-batch streaming MERGE delivered each change exactly once. */

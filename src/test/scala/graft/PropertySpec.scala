@@ -21,6 +21,47 @@ class PropertySpec extends SparkSpec {
   def cases(k: Int): Seq[(List[Double], List[String])] =
     (1 to k).flatMap(i => genCase.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("sparse index merge algebra: any shard partition, any append order == one-shot build — 4 random cases") {
+    import spark.implicits._
+    // the df moments and corpus count form a commutative monoid under
+    // shard append, so EVERY partition of the corpus into shards, folded
+    // in EVERY order, must produce the identical stored index (moments,
+    // count) and the identical served answer as a one-shot build
+    val genShards: Gen[(Int, List[Int])] = for {
+      n <- Gen.choose(12, 36)
+      kShards <- Gen.choose(2, 4)
+      assign <- Gen.listOfN(n, Gen.choose(0, kShards - 1))
+    } yield (kShards, assign)
+    val pool = Vector("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "alpha beta eta theta")
+    for (i <- 1 to 4) {
+      val (k, assign) = genShards.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val docs = assign.zipWithIndex.map { case (sh, id) =>
+        (id.toLong, s"${pool(id % 4)} ${pool((id / 4) % 4)} w${id % 5}", sh)
+      }.toDF("doc_id", "text", "shard")
+      val oneShot = graft.Scratch.dir(s"prop_sidx_one_$i")
+      SparseIndex.writeSparseIndex(docs.drop("shard"), oneShot)
+      // fold shards in a seed-dependent order (reversed for odd cases)
+      val order = if (i % 2 == 1) (0 until k).reverse else 0 until k
+      val inc = graft.Scratch.dir(s"prop_sidx_inc_$i")
+      SparseIndex.writeSparseIndex(docs.limit(0).drop("shard"), inc)
+      order.foreach { sh =>
+        SparseIndex.appendSparseIndex(
+          docs.filter(col("shard") === sh).drop("shard"), inc)
+      }
+      def dfstats(d: String) = spark.read.parquet(s"$d/dfstats").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def nn(d: String) = spark.read.parquet(s"$d/meta").collect().head.getLong(0)
+      assert(dfstats(inc) == dfstats(oneShot),
+        s"case $i (k=$k, order=$order): df moments diverge")
+      assert(nn(inc) == nn(oneShot), s"case $i: corpus count diverges")
+      def serve(d: String) = SparseIndex
+        .sparseRetrievalStored(spark, d, queryEvery = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(serve(inc) == serve(oneShot), s"case $i: served answers diverge")
+    }
+  }
+
   test("rank-sum identity, U1+U2=n1*n2, p in [0,1], BH bounds — 6 random cases") {
     for ((vals, gs) <- cases(6)) {
       val cells = cellsOf("f", vals, gs)
