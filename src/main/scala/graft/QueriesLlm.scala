@@ -719,6 +719,12 @@ object QueriesLlm {
     // is oracle-checked (alongside the exact count it approximates)
     "sketch_distinct" -> ((s, dir) =>
       TextOps.kmvDistinct(Tables.read(s, dir, "documents"))),
+    // KMV sketch SET ALGEBRA (theta-sketch shape): per-language sketches
+    // combined into union/intersection cardinality estimates for every
+    // language pair, next to the exact values — deterministic CW hash
+    // family, so even the estimates hash-check
+    "sketch_set_ops" -> ((s, dir) =>
+      TextOps.kmvSetOps(Tables.read(s, dir, "documents"))),
     // HyperLogLog cardinality sketch over the same 3-gram universe —
     // m=1024 register maxes (merge = register-wise max at any scale);
     // the harmonic sum is exact dyadic arithmetic, so even the estimate
@@ -1093,6 +1099,7 @@ object QueriesLlm {
         .stripMargin.replace("\n", " ")
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
+    "sketch_set_ops" -> TextOps.kmvSetOpsSql(),
     "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
     "sketch_hll_merge" -> graft.operators.Hll.hllMergedSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),

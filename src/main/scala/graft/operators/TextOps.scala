@@ -543,44 +543,55 @@ object TextOps {
     * codes across the domain), so the sketch is DETERMINISTIC and the
     * estimate itself oracle-checks — a sketch whose accuracy the gate
     * measures rather than takes on faith. k=256 → ~6% rel. error. */
-  def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val mod = graft.oracle.Parity.CwMod
-    // sketch the word-3-gram universe (thousands of distinct values per
-    // language — the 31-token synthetic vocabulary itself never exceeds
-    // k, which would reduce the sketch to its exact fallback branch)
-    // the exploded multiset collapses through ONE distinct; the exact
-    // count, the hash set, and the k-minimum scan all run on the small
-    // distinct relation. Words materialize in a lower projection (the
-    // split-inside-the-shingle-lambda form is O(words²) per doc).
-    val dt = docs.select(col("lang"), expr("split(trim(text), ' ')").as("words"))
+  /** The distinct (lang, t) word-3-gram universe — the set the KMV
+    * sketch family estimates over. The exploded multiset collapses
+    * through ONE distinct; words materialize in a lower projection (the
+    * split-inside-the-shingle-lambda form is O(words²) per doc). */
+  private def trigramUniverse(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), expr("split(trim(text), ' ')").as("words"))
       .select(col("lang"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), " +
           "i -> concat_ws(' ', slice(words, i, 3))))")).as("t"))
       .distinct()
-    val exact = dt.groupBy("lang").agg(count(lit(1)).as("n_exact"))
-    val w = Window.partitionBy("lang").orderBy(col("h").asc)
+
+  /** Per-language k-minimum hash values of the trigram universe — the
+    * stored form of the KMV sketch, shared by the cardinality estimate
+    * ([[kmvDistinct]]) and the set algebra ([[kmvSetOps]]).
+    * Two-phase top-k: a single per-lang window would sort each
+    * language's ENTIRE distinct hash set in one task (millions of rows
+    * feeding a 256-row answer — the r2 bench's slowest query). Phase 1
+    * keeps each physical partition's k smallest per lang (any global
+    * top-k row is also top-k within its own partition, so nothing the
+    * final window needs is lost); the per-lang sort then runs over at
+    * most partitions·k survivors. distinct() leaves the data hashed on
+    * (lang, h), so phase 1's groups are partition-local slices. */
+  private def kmvMinima(dt: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dh = dt
       .select(col("lang"), expr(graft.oracle.Parity.cwMix(0, "rolling_hash(t)")).as("h"))
       .distinct() // hash collisions collapse (the sketch sees the h-set)
-    // two-phase top-k: a single per-lang window would sort each
-    // language's ENTIRE distinct hash set in one task (millions of rows
-    // feeding a 256-row answer — the r2 bench's slowest query). Phase 1
-    // keeps each physical partition's k smallest per lang (any global
-    // top-k row is also top-k within its own partition, so nothing the
-    // final window needs is lost); the per-lang sort then runs over at
-    // most partitions·k survivors. distinct() leaves the data hashed on
-    // (lang, h), so phase 1's groups are partition-local slices.
     val local = dh
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .withColumn("lrn", row_number().over(
         Window.partitionBy("lang", "pid").orderBy(col("h").asc)))
       .filter(col("lrn") <= k)
       .drop("pid", "lrn")
-    val sketch = local
-      .withColumn("rn", row_number().over(w))
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc)))
       .filter(col("rn") <= k)
+      .select("lang", "h")
+  }
+
+  def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mod = graft.oracle.Parity.CwMod
+    // sketch the word-3-gram universe (thousands of distinct values per
+    // language — the 31-token synthetic vocabulary itself never exceeds
+    // k, which would reduce the sketch to its exact fallback branch)
+    val dt = trigramUniverse(docs)
+    val exact = dt.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    val sketch = kmvMinima(dt, k)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"))
       .withColumn("kmv_est",
@@ -610,6 +621,134 @@ object TextOps {
        | case when n_kept < $k then cast(n_kept as double)
        |  else ${graft.oracle.Parity.lit((k - 1).toDouble)} * ${graft.oracle.Parity.lit(1.0e9 + 7.0)} / cast(h_k as double) end as kmv_est
        |from exact join sk on exact.lang = sk.lang""".stripMargin.replace("\n", " ")
+  }
+
+  /** KMV sketch SET ALGEBRA — the theta-sketch shape (Dasgupta et al.,
+    * "Theta-Sketch Framework", public): per-language KMV sketches
+    * combined into UNION and INTERSECTION cardinality estimates for
+    * every language pair, next to the exact values they estimate.
+    *   union    — the k smallest of S_a ∪ S_b are exactly the KMV
+    *              sketch of universe(a) ∪ universe(b), so the estimator
+    *              is [[kmvDistinct]]'s applied to the merged minima;
+    *   intersect — of the union sketch's n_kept hashes (all < θ, a
+    *              uniform sample of the union), the fraction present in
+    *              BOTH input sketches estimates the Jaccard ρ;
+    *              inter_est = ρ · union_est.
+    * Built on the Carter-Wegman family, so the whole estimate —
+    * collisions and all — is DETERMINISTIC and oracle-checks, like the
+    * KMV/CMS/HLL siblings. Scale shape: only the k-sized sketches meet
+    * the pair logic (O(pairs·k) work — at 100 TB the sketches are what
+    * ships between daily partitions/sources); the exact columns are the
+    * differential's ground truth, computed from the same distinct
+    * universe relation the sketch reads (materialized ONCE). */
+  def kmvSetOps(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mod = graft.oracle.Parity.CwMod
+    val dt = trigramUniverse(docs).localCheckpoint() // 3 consumers
+    val sk = kmvMinima(dt, k).localCheckpoint()      // 4 consumers
+    val langs = dt.select("lang").distinct()
+    val pairs = langs.select(col("lang").as("lang_a"))
+      .crossJoin(broadcast(langs.select(col("lang").as("lang_b"))))
+      .filter(col("lang_a") < col("lang_b"))
+    val skA = pairs.join(sk.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+      .select("lang_a", "lang_b", "h")
+    val skB = pairs.join(sk.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+      .select("lang_a", "lang_b", "h")
+    // union sketch per pair: k smallest of the merged minima (≤ 2k rows
+    // per pair feed the window — pair-count · k, never corpus-sized)
+    val wp = Window.partitionBy("lang_a", "lang_b").orderBy(col("h").asc)
+    val merged = skA.unionByName(skB).distinct()
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+      .select("lang_a", "lang_b", "h")
+    val flagged = merged
+      .join(skA.withColumn("in_a", lit(true)), Seq("lang_a", "lang_b", "h"), "left")
+      .join(skB.withColumn("in_b", lit(true)), Seq("lang_a", "lang_b", "h"), "left")
+    val stats = flagged.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("theta"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("common"))
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(mod.toDouble)
+            / col("theta").cast("double")))
+      .withColumn("inter_est",
+        col("common").cast("double") / col("n_kept").cast("double")
+          * col("union_est"))
+    val exactU = pairs.join(dt.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+      .select("lang_a", "lang_b", "t")
+      .unionByName(pairs.join(dt.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+        .select("lang_a", "lang_b", "t"))
+      .distinct()
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_union_exact"))
+    val exactI = pairs
+      .join(dt.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+      .join(dt.withColumnRenamed("lang", "lang_b").withColumnRenamed("t", "t")
+        .select(col("lang_b"), col("t")), Seq("lang_b", "t"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter_exact"))
+    stats.join(exactU, Seq("lang_a", "lang_b"))
+      .join(exactI, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .select("lang_a", "lang_b", "n_union_exact", "n_inter_exact",
+        "n_kept", "theta", "common", "union_est", "inter_est")
+  }
+
+  /** DuckDB mirror of [[kmvSetOps]]. */
+  def kmvSetOpsSql(k: Int = 256): String = {
+    val rh = graft.oracle.Parity.rollingHashDuck("t")
+    val mix = graft.oracle.Parity.cwMix(0, rh)
+    val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
+      "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
+    val estK = graft.oracle.Parity.lit((k - 1).toDouble)
+    val estP = graft.oracle.Parity.lit(1.0e9 + 7.0)
+    s"""with doc as (select lang, string_split(trim(text), ' ') as words from documents),
+       |dt as materialized (select distinct lang, t from
+       |  (select lang, unnest(list_distinct($shingle)) as t from doc)),
+       |dh as (select distinct lang, $mix as h from dt),
+       |sk as materialized (select lang, h from
+       |  (select lang, h, row_number() over (partition by lang order by h asc) as rn
+       |   from dh) where rn <= $k),
+       |pr as materialized (select a.lang as lang_a, b.lang as lang_b
+       | from (select distinct lang from dt) a
+       |  join (select distinct lang from dt) b on a.lang < b.lang),
+       |mu as (select distinct lang_a, lang_b, h from (
+       |  select pr.lang_a, pr.lang_b, sk.h from pr join sk on sk.lang = pr.lang_a
+       |  union all
+       |  select pr.lang_a, pr.lang_b, sk.h from pr join sk on sk.lang = pr.lang_b)),
+       |mk as (select lang_a, lang_b, h from
+       |  (select lang_a, lang_b, h,
+       |    row_number() over (partition by lang_a, lang_b order by h asc) as rn
+       |   from mu) where rn <= $k),
+       |fl as (select mk.lang_a, mk.lang_b, mk.h,
+       |  (sa.h is not null) as in_a, (sb.h is not null) as in_b
+       | from mk
+       |  left join sk sa on sa.lang = mk.lang_a and sa.h = mk.h
+       |  left join sk sb on sb.lang = mk.lang_b and sb.h = mk.h),
+       |st as (select lang_a, lang_b, cast(count(*) as bigint) as n_kept,
+       |  max(h) as theta,
+       |  cast(sum(case when in_a and in_b then 1 else 0 end) as bigint) as common
+       | from fl group by 1, 2),
+       |se as (select lang_a, lang_b, n_kept, theta, common,
+       |  case when n_kept < $k then cast(n_kept as double)
+       |   else $estK * $estP / cast(theta as double) end as union_est
+       | from st),
+       |exu as (select lang_a, lang_b, cast(count(*) as bigint) as n_union_exact
+       | from (select distinct lang_a, lang_b, t from (
+       |   select pr.lang_a, pr.lang_b, dt.t from pr join dt on dt.lang = pr.lang_a
+       |   union all
+       |   select pr.lang_a, pr.lang_b, dt.t from pr join dt on dt.lang = pr.lang_b))
+       | group by 1, 2),
+       |exi as (select pr.lang_a, pr.lang_b, cast(count(*) as bigint) as n_inter_exact
+       | from pr join dt da on da.lang = pr.lang_a
+       |  join dt db on db.lang = pr.lang_b and db.t = da.t
+       | group by 1, 2)
+       |select se.lang_a, se.lang_b, n_union_exact,
+       | coalesce(n_inter_exact, cast(0 as bigint)) as n_inter_exact,
+       | n_kept, theta, common, union_est,
+       | cast(common as double) / cast(n_kept as double) * union_est as inter_est
+       |from se join exu on se.lang_a = exu.lang_a and se.lang_b = exu.lang_b
+       | left join exi on se.lang_a = exi.lang_a and se.lang_b = exi.lang_b"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** Shared Carter-Wegman bucket text for [[cmsHeavy]]: row j of the

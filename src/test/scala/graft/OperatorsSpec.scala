@@ -425,6 +425,38 @@ class OperatorsSpec extends SparkSpec {
     assert(ij.contains((3L, 0L, 0.0)))
   }
 
+  test("kmv set algebra: exact in the sub-k regime, within KMV error above it") {
+    import spark.implicits._
+    // sub-k regime: universes far below k=256 — the union sketch holds
+    // every hash, so union_est == exact and inter_est == exact inter
+    // (barring 1e-9-probability CW collisions on 60 values)
+    def doc(lang: String, id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), lang)
+    val w = (0 until 40).map(i => s"w$i")
+    val small = (
+      (0 until 10).map(i => doc("aa", i.toLong, w.slice(i, i + 3))) ++
+      (0 until 10).map(i => doc("bb", 100L + i, w.slice(i + 5, i + 8)))
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.operators.TextOps.kmvSetOps(small).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nU, nI) = (row.getLong(2), row.getLong(3))
+    assert(row.getDouble(7) == nU.toDouble, s"sub-k union_est ${row.getDouble(7)} != $nU")
+    assert(row.getDouble(8) == nI.toDouble, s"sub-k inter_est ${row.getDouble(8)} != $nI")
+    assert(nI > 0, "planted overlap missing")
+    // above-k regime on the real fixture: estimates within 25% of exact
+    // (KMV k=256 std err ~6%; intersection inflates it by 1/rho)
+    val big = graft.operators.TextOps
+      .kmvSetOps(graft.sources.Tables.read(spark, sf("sf0.001"), "documents"))
+      .collect()
+    assert(big.nonEmpty)
+    big.foreach { x =>
+      val (exU, estU) = (x.getLong(2).toDouble, x.getDouble(7))
+      assert(math.abs(estU - exU) / exU < 0.25,
+        s"${x.getString(0)}/${x.getString(1)}: union est $estU vs exact $exU")
+    }
+  }
+
   test("decontaminate fixed-eval cap: membership pinned, over-cap eval ids become corpus") {
     import spark.implicits._
     // ids 0 and 97 are under the cap (eval); 194 is %97==0 but OVER the
