@@ -73,6 +73,7 @@ object ScaleStress {
     if (args.headOption.contains("pqstored")) { pqStoredStress(args.drop(1)); return }
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     if (args.headOption.contains("sf1full")) { sf1FullStress(args.drop(1)); return }
+    if (args.headOption.contains("appendproof")) { appendProofStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -879,6 +880,69 @@ object ScaleStress {
     * queries) grow their QUERY COUNT with the corpus by construction —
     * their ratios read as work×queries, documented in STATUS.
     * `sbt "runMain graft.ScaleStress sf1full [replicas]"` */
+  /** Append-cost flatness proof — the QUANTITATIVE form of the index
+    * lifecycle claim ("ingest cost is shard-proportional; the indexed
+    * corpus is never rescanned"): append an IDENTICAL fixed-size shard
+    * to a 1× index and to an M×-replica index of the same corpus, for
+    * both stored indexes (sparse postings and IVF-PQ). If append read
+    * the indexed corpus, the M× time would be ~M× the 1× time; if it is
+    * shard-proportional + sidecar-sized, the ratio stays near 1 (the
+    * sparse df sidecar grows mildly with vocabulary — replicas add
+    * replica-tagged trigrams — so its ratio may sit slightly above 1,
+    * which the printed sidecar sizes make visible).
+    * `sbt "runMain graft.ScaleStress appendproof [replicas]"` */
+  private def appendProofStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .localCheckpoint()
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+      .localCheckpoint()
+    val nDocs = docs.count()
+    def blowDocs(r: Int) = docs
+      .select(col("doc_id"), col("text"), explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
+      .select((col("doc_id") * r + col("rr")).as("doc_id"),
+        when(col("rr") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("rr").cast("string"))).as("text"))
+    def blowEmb(r: Int) = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
+      .select((col("vec_id") * r + col("rr")).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + cast(rr as float) * 1e-3f as float))").as("embedding"),
+        col("label"))
+    // fresh-id shards, identical content for both targets
+    val docShard = docs.select((col("doc_id") + 100000000L * replicas).as("doc_id"),
+      col("text")).localCheckpoint()
+    val embShard = emb.select((col("vec_id") + 100000000L * replicas).as("vec_id"),
+      col("embedding"), col("label")).localCheckpoint()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def sparseLeg(r: Int): (Double, Long) = {
+      val idx = graft.Scratch.dir(s"appendproof_sidx_${r}x_")
+      graft.operators.SparseIndex.writeSparseIndex(
+        if (r == 1) docs else blowDocs(r), idx)
+      val t = timed(graft.operators.SparseIndex.appendSparseIndex(docShard, idx))
+      (t, spark.read.parquet(s"$idx/dfstats").count())
+    }
+    def annLeg(r: Int): (Double, Long) = {
+      val idx = graft.Scratch.dir(s"appendproof_pq_${r}x_")
+      graft.operators.Pq.writeIvfPqIndex(
+        if (r == 1) emb else blowEmb(r), idx)
+      val t = timed(graft.operators.Pq.appendIvfPqIndex(embShard, idx))
+      (t, spark.read.parquet(s"$idx/cellstats").count())
+    }
+    // warm both code paths once so neither leg absorbs first-run JIT
+    sparseLeg(1); annLeg(1)
+    val (s1, v1) = sparseLeg(1)
+    val (sM, vM) = sparseLeg(replicas)
+    val (a1, c1) = annLeg(1)
+    val (aM, cM) = annLeg(replicas)
+    println(f"""{"stress":"appendproof","replicas":$replicas,"shard_docs":$nDocs,"sparse_append_1x_sec":$s1%.2f,"sparse_append_${replicas}x_sec":$sM%.2f,"sparse_ratio":${sM / s1}%.2f,"sparse_vocab_1x":$v1,"sparse_vocab_${replicas}x":$vM,"ann_append_1x_sec":$a1%.2f,"ann_append_${replicas}x_sec":$aM%.2f,"ann_ratio":${aM / a1}%.2f,"ann_cells_1x":$c1,"ann_cells_${replicas}x":$cM}""")
+    spark.stop()
+  }
+
   private def sf1FullStress(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
