@@ -763,6 +763,12 @@ object QueriesLlm {
         .withColumn("keep", col("reason") === "keep")
         .select("doc_id", "lang", "pred_lang", "quality", "keep", "reason")
     }),
+    // DATA CARD: the per-(source, lang) dataset datasheet — volumes,
+    // order-free quality distribution (fpSum mean + exact min/max),
+    // and the global-dup rate attributed to the slice carrying the
+    // copy. Composes individually-gated signals; hash-checks end to end
+    "data_card" -> ((s, dir) =>
+      graft.operators.Curation.dataCard(Tables.read(s, dir, "documents"))),
     // PII scrub: detect + redact emails/phones/IPv4 (counts + redacted-
     // text fingerprint); the corpus is deterministically PII-seeded so
     // every detector arm fires on every row
@@ -1100,6 +1106,7 @@ object QueriesLlm {
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "sketch_set_ops" -> TextOps.kmvSetOpsSql(),
+    "data_card" -> graft.operators.Curation.dataCardSql(),
     "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
     "sketch_hll_merge" -> graft.operators.Hll.hllMergedSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),

@@ -239,4 +239,63 @@ object Curation {
          |""".stripMargin.replace("\n", " ")
     TextOps.bm25RetrievalSql(k, queryEvery, "c2", prefix)
   }
+
+  /** DATA CARD — the per-(source, lang) dataset datasheet a training
+    * pipeline publishes next to its corpus (doc/token/char volumes,
+    * quality distribution, duplication rate). Every column is an exact
+    * or order-free aggregate of signals that are individually
+    * gate-checked elsewhere (statsSelects/qualityExpr from
+    * `curate_filter`, min-id exact-dedup keepers from `dedup_exact`),
+    * so the composed report hash-checks end to end:
+    *   - volumes: BIGINT sums;
+    *   - quality: fpSum mean (order-free fixed point) + exact min/max
+    *     — deliberately NOT a percentile, so no interpolation seam;
+    *   - dup_rate: duplicates are non-keeper docs of a GLOBAL md5
+    *     text group, attributed to the duplicate's own (source, lang)
+    *     slice (a copy counts against the slice that carries it).
+    * One pass over the stats relation + one global dedup aggregate —
+    * the report costs two shuffles at any corpus size. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val c = docs.selectExpr(TextOps.statsSelects(SparkD): _*)
+      .withColumn("quality", expr(TextOps.qualityExpr))
+    val keepers = Dedup.exact(docs)
+      .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
+    c.join(keepers, Seq("doc_id"), "left")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars_m").as("n_chars"),
+        expr(Parity.fpSum("quality")).as("q_sum"),
+        min("quality").as("q_min"),
+        max("quality").as("q_max"),
+        sum(when(col("is_keeper").isNull, 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("q_mean", col("q_sum") / col("n_docs").cast("double"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "q_mean", "q_min", "q_max", "n_dups", "dup_rate")
+  }
+
+  /** DuckDB mirror of [[dataCard]]. */
+  def dataCardSql(table: String = "documents"): String = {
+    val combined = TextOps.statsSelects(DuckD).mkString(", ")
+    s"""with st as (select *, ${TextOps.qualityExpr} as quality
+       |  from (select $combined from $table)),
+       |k as (select min(doc_id) as doc_id, true as is_keeper
+       | from $table group by md5(text)),
+       |g as (select source, lang,
+       |  cast(count(*) as bigint) as n_docs,
+       |  cast(sum(n_tokens) as bigint) as n_tokens,
+       |  cast(sum(n_chars_m) as bigint) as n_chars,
+       |  ${Parity.fpSum("quality")} as q_sum,
+       |  min(quality) as q_min, max(quality) as q_max,
+       |  cast(sum(case when is_keeper is null then 1 else 0 end) as bigint) as n_dups
+       | from st left join k on st.doc_id = k.doc_id
+       | group by 1, 2)
+       |select source, lang, n_docs, n_tokens, n_chars,
+       | q_sum / cast(n_docs as double) as q_mean, q_min, q_max, n_dups,
+       | cast(n_dups as double) / cast(n_docs as double) as dup_rate
+       |from g""".stripMargin.replace("\n", " ")
+  }
 }

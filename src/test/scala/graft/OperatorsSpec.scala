@@ -425,6 +425,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ij.contains((3L, 0L, 0.0)))
   }
 
+  test("data_card: global dup attributed to the slice carrying the copy; fpSum mean exact") {
+    import spark.implicits._
+    // doc 10 (web/fr) duplicates doc 1 (web/en): the keeper is doc 1,
+    // so the DUP counts against (web, fr) — the slice that carries the
+    // copy — not against the keeper's slice
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (2L, "pack my box with five dozen liquor jugs", "en", "web"),
+      (10L, "the quick brown fox jumps over the lazy dog", "fr", "web"),
+      (11L, "sphinx of black quartz judge my vow", "fr", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.Curation.dataCard(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("web", "en")).getLong(8) == 0L, "keeper slice must carry no dup")
+    assert(r(("web", "fr")).getLong(8) == 1L &&
+      r(("web", "fr")).getDouble(9) == 1.0, "copy slice must carry the dup")
+    assert(r(("books", "fr")).getLong(8) == 0L)
+    // single-doc slice: mean == min == max (the fpSum mean is exact on
+    // one value up to the 2^-20 fixed-point grid)
+    val b = r(("books", "fr"))
+    assert(math.abs(b.getDouble(5) - b.getDouble(6)) < 1e-6 &&
+      b.getDouble(6) == b.getDouble(7))
+  }
+
   test("kmv set algebra: exact in the sub-k regime, within KMV error above it") {
     import spark.implicits._
     // sub-k regime: universes far below k=256 — the union sketch holds
