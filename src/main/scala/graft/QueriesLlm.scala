@@ -213,15 +213,16 @@ object QueriesLlm {
     // bucket distribution on BOTH sides and plans with zero exchanges.
     // Shares sparse_retrieval's oracle: stored == rebuilt, bit for bit
     "sparse_stored" -> ((s, dir) => {
-      // cache key = the FULL sanitized dir string, not its 32-bit
-      // hashCode (advice r8: a hashCode collision between two data dirs
-      // swept in one session would silently serve the wrong corpus's
-      // postings); the path-exists check below rebuilds if tmp was
-      // reaped under a live catalog entry
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // cache key = IndexFs.dirKey: injective (sanitized tail + full
+      // SHA-256), so no two data dirs can alias one cached index — the
+      // r8 fix dropped the 32-bit hashCode but its plain sanitizer was
+      // still lossy (/a/b.c vs /a/b_c, advice r9). The Hadoop-FS
+      // path-exists check rebuilds if tmp was reaped under a live
+      // catalog entry, and works against cluster URIs too.
+      val key = graft.operators.IndexFs.dirKey(dir)
       val tbl = s"graft_postings_bucketed_$key"
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/postings"
-      if (!s.catalog.tableExists(tbl) || !new java.io.File(path).exists()) {
+      if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
         s.sql(s"drop table if exists $tbl")
         TextOps.sparsePostings(Tables.read(s, dir, "documents"))
           .write.bucketBy(8, "token").sortBy("token")

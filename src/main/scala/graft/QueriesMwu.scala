@@ -90,11 +90,14 @@ object QueriesMwu {
       // the rank checkpoint (S7): a deterministic per-sfDir location is
       // reused when the table already exists (and the catalog entry is
       // re-registered if a fresh session lost it)
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      // injective cache key (IndexFs.dirKey) + Hadoop-FS path re-check:
+      // the same discipline as sparse_stored — a 32-bit hashCode (or a
+      // lossy sanitizer) could alias two data dirs onto one cached
+      // bucket table and silently serve the wrong corpus's cells
+      val key = graft.operators.IndexFs.dirKey(dir)
       val tbl = s"graft_cells_bucketed_$key"
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/cells"
-      val exists = s.catalog.tableExists(tbl)
-      if (!exists) {
+      if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
         s.sql(s"drop table if exists $tbl")
         liCells(s, dir).write.bucketBy(8, "feature_id").sortBy("feature_id", "value")
           .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Sidecar filesystem operations for the stored indexes (tombstones,
+  * bucket caches), through the Hadoop `FileSystem` API so the lifecycle
+  * verbs work on ANY Spark-supported filesystem — HDFS, S3A, `file://` —
+  * not only the local disk. This matters for correctness, not just
+  * portability: `new java.io.File("hdfs://...").exists()` is ALWAYS
+  * false, so a local-FS existence check on a cluster filesystem would
+  * silently skip the tombstone anti-join at serve (deleted documents
+  * resurrect) and never fire the append-time re-insert guard. Same
+  * pattern as the rank-checkpoint gate ([[Pipeline.rankedCells]]): the
+  * filesystem is resolved FROM the path's scheme against the session's
+  * Hadoop configuration, so a `file:/...` URI, a bare local path, and a
+  * cluster URI all route to the right implementation.
+  */
+object IndexFs {
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Does `path` exist on ITS filesystem (scheme-resolved)? */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p)
+  }
+
+  /** Recursively delete `path` on its filesystem (no-op when absent). */
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Injective catalog/filesystem-safe key for a directory string: a
+    * readable sanitized tail plus the full SHA-256 of the UTF-8 bytes.
+    * The plain `replaceAll("[^A-Za-z0-9]", "_")` sanitizer is LOSSY —
+    * `/a/b.c` and `/a/b_c` both map to `_a_b_c`, so two distinct data
+    * dirs could alias one cached index and silently serve the wrong
+    * corpus. The SHA-256 suffix makes the mapping injective (advice r9).
+    */
+  def dirKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tail = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
+    s"${tail}_$sha"
+  }
+}

@@ -626,7 +626,7 @@ object Pq {
     // shard-sized gate makes the constraint loud instead of letting the
     // rebuild invariant silently break (advice r8).
     val tombPath = s"$dir/tombstones"
-    if (new java.io.File(tombPath).exists()) {
+    if (IndexFs.exists(spark, tombPath)) {
       val clash = nn.select(col("vec_id").cast("long"))
         .join(spark.read.schema("vec_id long").parquet(tombPath),
           Seq("vec_id"), "left_semi")
@@ -686,7 +686,7 @@ object Pq {
     val tombPath = s"$dir/tombstones"
     val incoming = deleted.filter(size(col("embedding")) === dim)
       .dropDuplicates("vec_id")
-    val embF = (if (new java.io.File(tombPath).exists())
+    val embF = (if (IndexFs.exists(spark, tombPath))
       incoming.join(spark.read.schema("vec_id long").parquet(tombPath),
         Seq("vec_id"), "left_anti")
     else incoming).localCheckpoint()
@@ -716,10 +716,10 @@ object Pq {
     * vector — the compaction pass any LSM-shaped store pays) and the
     * tombstone sidecar clears, restoring O(1) serve-side filtering. */
   def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
-    val tombDir = new java.io.File(s"$dir/tombstones")
+    val tombPath = s"$dir/tombstones"
     val codes = spark.read.schema(storedCodesSchema).parquet(s"$dir/codes")
-    val live = if (tombDir.exists())
-      codes.join(spark.read.schema("vec_id long").parquet(s"$dir/tombstones"),
+    val live = if (IndexFs.exists(spark, tombPath))
+      codes.join(spark.read.schema("vec_id long").parquet(tombPath),
         Seq("vec_id"), "left_anti")
     else codes
     // one task per cell → one file per cell; sorted for scan locality.
@@ -729,10 +729,7 @@ object Pq {
       .sortWithinPartitions("vec_id")
       .localCheckpoint()
     compacted.write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-    }
-    if (tombDir.exists()) rm(tombDir)
+    IndexFs.deleteRecursive(spark, tombPath)
   }
 
   /** Serve IVF-PQ top-k from the STORED index ([[writeIvfPqIndex]]):
@@ -766,10 +763,10 @@ object Pq {
     // tombstone-aware serve ([[deleteFromIvfPqIndex]]): deleted ids stop
     // answering without any code-file rewrite; the sidecar is deleted-
     // rows-sized and broadcasts until a compaction clears it
-    val tombDir = new java.io.File(s"$indexDir/tombstones")
-    val codesLive = if (tombDir.exists())
+    val tombPath = s"$indexDir/tombstones"
+    val codesLive = if (IndexFs.exists(spark, tombPath))
       codesStored.join(
-        spark.read.schema("vec_id long").parquet(s"$indexDir/tombstones"),
+        spark.read.schema("vec_id long").parquet(tombPath),
         Seq("vec_id"), "left_anti")
     else codesStored
     val pairs = probes.join(codesLive, Seq("cl"))

@@ -48,13 +48,34 @@ import org.apache.spark.sql.functions._
   */
 object SparseIndex {
 
-  private val nBuckets = 8
+  /** Default posting-bucket count. A parameter, not a constant, because
+    * the bucket count caps BOTH the serve join's parallelism and the
+    * per-bucket file size: at 100 TB with 8 buckets each bucket file is
+    * ~12 TB and only 8 tasks ever serve. Sizing rule: buckets ≈ cluster
+    * cores × a small factor (2–4), rounded to a power of two so elastic
+    * resize stays aligned — e.g. a 1000-executor × 4-core cluster wants
+    * 8192–16384 buckets. Local tests keep 8 (32 threads, tiny files).
+    * Append/delete/compact/serve never take the parameter: they read the
+    * count back from the stored table's catalog bucket spec, so a
+    * mismatched-count append is impossible by construction. */
+  val DefaultBuckets = 8
 
-  /** Catalog-safe table-name stem for an index directory (the full
-    * sanitized dir string, never a hashCode — the `sparse_stored` advice:
-    * 32-bit collisions between two dirs must not alias their indexes). */
+  /** Catalog-safe table-name stem for an index directory — injective
+    * ([[IndexFs.dirKey]]): neither a 32-bit hashCode (r8 advice) nor the
+    * lossy plain sanitizer (r9 advice: `/a/b.c` and `/a/b_c` alias)
+    * may map two index dirs onto one catalog entry. */
   private def stem(dir: String): String =
-    "graft_sidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    "graft_sidx_" + IndexFs.dirKey(dir)
+
+  /** The bucket count a stored index was built with, read back from its
+    * posting table's catalog bucket spec — append segments and the
+    * compaction rewrite MUST use the build's count or the bucket hash
+    * contract (and the zero-exchange serve plan) silently breaks. */
+  private def bucketCount(spark: SparkSession, dir: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(postingsTbl(dir)))
+      .bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
 
   private def postingsTbl(dir: String) = stem(dir) + "_postings"
   private def dfTbl(dir: String) = stem(dir) + "_dfstats"
@@ -76,18 +97,23 @@ object SparseIndex {
     tfRelation(docs).groupBy("token").agg(count(lit(1)).as("dfq"))
 
   private def writeBucketed(df: DataFrame, tbl: String, dir: String,
-                            sub: String, mode: String): Unit =
+                            sub: String, mode: String, nBuckets: Int): Unit =
     df.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, "token").sortBy("token")
       .option("path", s"$dir/$sub").saveAsTable(tbl)
 
-  /** Build the stored index from scratch. */
-  def writeSparseIndex(docs: DataFrame, dir: String): Unit = {
+  /** Build the stored index from scratch. `nBuckets` follows the sizing
+    * rule documented at [[DefaultBuckets]]; every later verb reads the
+    * count back from the catalog, so only the build chooses it. */
+  def writeSparseIndex(docs: DataFrame, dir: String,
+                       nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
     spark.sql(s"drop table if exists ${postingsTbl(dir)}")
     spark.sql(s"drop table if exists ${dfTbl(dir)}")
-    writeBucketed(tfRelation(docs), postingsTbl(dir), dir, "postings", "overwrite")
-    writeBucketed(dfMoments(docs), dfTbl(dir), dir, "dfstats", "overwrite")
+    writeBucketed(tfRelation(docs), postingsTbl(dir), dir, "postings",
+      "overwrite", nBuckets)
+    writeBucketed(dfMoments(docs), dfTbl(dir), dir, "dfstats",
+      "overwrite", nBuckets)
     docs.agg(count(lit(1)).as("nn")).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -103,7 +129,7 @@ object SparseIndex {
   def appendSparseIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     val tombPath = s"$dir/tombstones"
-    if (new java.io.File(tombPath).exists()) {
+    if (IndexFs.exists(spark, tombPath)) {
       val clash = newDocs.select(col("doc_id").cast("long"))
         .join(spark.read.schema("doc_id long").parquet(tombPath),
           Seq("doc_id"), "left_semi")
@@ -111,14 +137,16 @@ object SparseIndex {
       require(clash == 0L, "appendSparseIndex: incoming shard re-inserts " +
         s"tombstoned doc_id(s); run compactSparseIndex('$dir') first")
     }
-    writeBucketed(tfRelation(newDocs), postingsTbl(dir), dir, "postings", "append")
+    writeBucketed(tfRelation(newDocs), postingsTbl(dir), dir, "postings",
+      "append", bucketCount(spark, dir))
     // merged moments REPLACE the sidecar; localCheckpoint breaks the
     // read-overwrite cycle at a vocabulary-sized materialization
     val merged = spark.table(dfTbl(dir))
       .unionByName(dfMoments(newDocs))
       .groupBy("token").agg(sum("dfq").as("dfq"))
       .localCheckpoint()
-    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite")
+    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite",
+      bucketCount(spark, dir))
     val nn = spark.read.parquet(s"$dir/meta")
       .unionByName(newDocs.agg(count(lit(1)).as("nn")))
       .agg(sum("nn").as("nn")).localCheckpoint()
@@ -131,15 +159,33 @@ object SparseIndex {
     * for the same reason). Tombstones stop the postings answering with
     * an O(deleted) write; the df moments SUBTRACT (append run backwards,
     * emptied tokens drop), and the doc count decrements. Idempotent: a
-    * re-delivered delete (within a batch or across calls) is a no-op. */
+    * re-delivered delete (within a batch or across calls) is a no-op.
+    *
+    * Contract (enforced loud, advice r9): every surviving delete id must
+    * actually be INDEXED — a delete for a doc_id the index never held
+    * would subtract df moments that were never added and decrement nn,
+    * permanently diverging serving from a rebuild, so it fails here
+    * instead (same discipline as the append-side re-insert guard). The
+    * check is an O(deleted)-result semi-join against the posting table's
+    * column-pruned doc_id column. The row's TEXT must equal the indexed
+    * text (df is derivable only from the tokens) — that half stays a
+    * documented contract, as revalidating tokens would re-tokenize the
+    * delete feed twice for a corruption only a buggy feed produces. */
   def deleteFromSparseIndex(deletedDocs: DataFrame, dir: String): Unit = {
     val spark = deletedDocs.sparkSession
     val tombPath = s"$dir/tombstones"
     val incoming = deletedDocs.dropDuplicates("doc_id")
-    val eff = (if (new java.io.File(tombPath).exists())
+    val eff = (if (IndexFs.exists(spark, tombPath))
       incoming.join(spark.read.schema("doc_id long").parquet(tombPath),
         Seq("doc_id"), "left_anti")
     else incoming).localCheckpoint()
+    val foreign = eff.select(col("doc_id").cast("long"))
+      .join(spark.table(postingsTbl(dir)).select(col("doc_id").cast("long")),
+        Seq("doc_id"), "left_anti")
+      .limit(1).count()
+    require(foreign == 0L, "deleteFromSparseIndex: delete feed contains " +
+      s"doc_id(s) never indexed in '$dir' — subtracting their df moments " +
+      "would corrupt the sidecars; fix the feed")
     eff.select(col("doc_id").cast("long"))
       .write.mode("append").parquet(tombPath)
     val merged = spark.table(dfTbl(dir))
@@ -147,7 +193,8 @@ object SparseIndex {
       .groupBy("token").agg(sum("dfq").as("dfq"))
       .filter(col("dfq") > 0) // a token with no surviving docs leaves
       .localCheckpoint()
-    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite")
+    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite",
+      bucketCount(spark, dir))
     val nn = spark.read.parquet(s"$dir/meta")
       .unionByName(eff.agg((-count(lit(1))).as("nn")))
       .agg(sum("nn").as("nn")).localCheckpoint()
@@ -160,10 +207,11 @@ object SparseIndex {
     * already exact, so only the posting table rewrites; serving before
     * and after is bit-identical and the tombstone sidecar clears. */
   def compactSparseIndex(spark: SparkSession, dir: String): Unit = {
-    val tombDir = new java.io.File(s"$dir/tombstones")
+    val tombPath = s"$dir/tombstones"
+    val nBuckets = bucketCount(spark, dir)
     val posts = spark.table(postingsTbl(dir))
-    val live = if (tombDir.exists())
-      posts.join(spark.read.schema("doc_id long").parquet(s"$dir/tombstones"),
+    val live = if (IndexFs.exists(spark, tombPath))
+      posts.join(spark.read.schema("doc_id long").parquet(tombPath),
         Seq("doc_id"), "left_anti")
     else posts
     // localCheckpoint materializes before overwriting the table being
@@ -173,11 +221,9 @@ object SparseIndex {
     // holding one bucket's tokens (same murmur-pmod hash) — one file
     // per bucket.
     val compacted = live.localCheckpoint().repartition(nBuckets, col("token"))
-    writeBucketed(compacted, postingsTbl(dir), dir, "postings", "overwrite")
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-    }
-    if (tombDir.exists()) rm(tombDir)
+    writeBucketed(compacted, postingsTbl(dir), dir, "postings", "overwrite",
+      nBuckets)
+    IndexFs.deleteRecursive(spark, tombPath)
   }
 
   /** Serve TF-IDF retrieval from the stored index: recompute the score
@@ -190,10 +236,10 @@ object SparseIndex {
     * out (O(deleted) sidecar until a compaction clears it). */
   def sparseRetrievalStored(spark: SparkSession, dir: String, k: Int = 10,
                             queryEvery: Int = 50): DataFrame = {
-    val tombDir = new java.io.File(s"$dir/tombstones")
+    val tombPath = s"$dir/tombstones"
     val tf0 = spark.table(postingsTbl(dir))
-    val tf = if (tombDir.exists())
-      tf0.join(spark.read.schema("doc_id long").parquet(s"$dir/tombstones"),
+    val tf = if (IndexFs.exists(spark, tombPath))
+      tf0.join(spark.read.schema("doc_id long").parquet(tombPath),
         Seq("doc_id"), "left_anti")
     else tf0
     val postings = tf

@@ -106,4 +106,67 @@ class SparseIndexSpec extends SparkSpec {
     assert(dfstats(idx) == dfstats(target), "post-compact re-insert diverges from rebuild")
     assert(serve(idx) == serve(target), "post-compact re-insert serves differently")
   }
+
+  test("lifecycle through a file:-prefixed URI: tombstones still apply (Hadoop-FS sidecar ops, verdict r9 #1)") {
+    // `new java.io.File("file:/x").exists()` is ALWAYS false, so the old
+    // local-FS checks would silently skip the tombstone anti-join here
+    // and resurrect the deleted docs — exactly the HDFS/S3 failure mode.
+    // Every sidecar op must resolve the filesystem from the path scheme.
+    val all = mkDocs(0L until 60L)
+    val doomed = all.filter(col("doc_id") % 4 === 1)
+    val survivors = all.filter(col("doc_id") % 4 =!= 1)
+    val local = graft.Scratch.dir("sidx_spec_uri_")
+    val idx = s"file:$local"
+    SparseIndex.writeSparseIndex(all, idx)
+    SparseIndex.deleteFromSparseIndex(doomed, idx)
+    val surv = graft.Scratch.dir("sidx_spec_uris_")
+    SparseIndex.writeSparseIndex(survivors, surv)
+    assert(dfstats(local) == dfstats(surv),
+      "df downdate diverged through the file: URI")
+    val served = serve(idx)
+    assert(served.nonEmpty && served == serve(surv),
+      "tombstones did not apply through the file: URI — deleted docs resurfaced")
+    // the re-insert guard must also see the tombstones through the URI
+    val ex = intercept[IllegalArgumentException] {
+      SparseIndex.appendSparseIndex(all.filter(col("doc_id") === 1L), idx)
+    }
+    assert(ex.getMessage.contains("compactSparseIndex"))
+    // compaction clears the sidecar through the URI too
+    SparseIndex.compactSparseIndex(spark, idx)
+    assert(!new java.io.File(s"$local/tombstones").exists(),
+      "compaction failed to clear tombstones through the file: URI")
+    assert(serve(idx) == served, "compaction changed serving through the file: URI")
+  }
+
+  test("foreign delete (doc_id never indexed) fails loud instead of corrupting the sidecars") {
+    val all = mkDocs(0L until 30L)
+    val idx = graft.Scratch.dir("sidx_spec_foreign_")
+    SparseIndex.writeSparseIndex(all, idx)
+    val before = dfstats(idx)
+    val ex = intercept[IllegalArgumentException] {
+      SparseIndex.deleteFromSparseIndex(mkDocs(Seq(999L)), idx)
+    }
+    assert(ex.getMessage.contains("never indexed"))
+    assert(dfstats(idx) == before, "failed foreign delete still mutated df moments")
+    // a mixed feed fails whole (no partial subtract), sidecars untouched
+    intercept[IllegalArgumentException] {
+      SparseIndex.deleteFromSparseIndex(mkDocs(Seq(3L, 999L)), idx)
+    }
+    assert(dfstats(idx) == before, "mixed foreign delete partially applied")
+  }
+
+  test("non-default bucket count: verbs read the build's count from the catalog; serving equals rebuild") {
+    val all = mkDocs(0L until 60L)
+    val idx = graft.Scratch.dir("sidx_spec_b4_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") < 40), idx, nBuckets = 4)
+    SparseIndex.appendSparseIndex(all.filter(col("doc_id") >= 40), idx)
+    SparseIndex.deleteFromSparseIndex(all.filter(col("doc_id") % 4 === 1), idx)
+    SparseIndex.compactSparseIndex(spark, idx)
+    assert(postingFiles(idx) <= 4,
+      "compaction must fold to at most one file per bucket at the BUILD's count")
+    val surv = graft.Scratch.dir("sidx_spec_b4s_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") % 4 =!= 1), surv)
+    assert(serve(idx) == serve(surv),
+      "4-bucket lifecycle serves differently from the 8-bucket rebuild")
+  }
 }
