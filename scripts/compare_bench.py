@@ -21,9 +21,13 @@ def main(old_path: str, new_path: str, top_n: int = 8) -> None:
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     ratios = {q: nq[q] / oq[q] for q in shared if oq[q] > 0}
-    med = statistics.median(ratios.values())
     tot_old = sum(oq[q] for q in shared)
     tot_new = sum(nq[q] for q in shared)
+    if not ratios or tot_old <= 0:
+        sys.exit(f"no comparable shared queries between {old_path} and "
+                 f"{new_path} ({len(shared)} shared, old shared total "
+                 f"{tot_old:.1f}s) — nothing to compare")
+    med = statistics.median(ratios.values())
     print(f"shared queries: {len(shared)}  "
           f"(old-only: {len(set(oq) - set(nq))}, new-only: {len(set(nq) - set(oq))})")
     print(f"median per-query ratio (new/old): {med:.3f}")

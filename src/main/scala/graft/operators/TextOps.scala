@@ -699,8 +699,11 @@ object TextOps {
     val mix = graft.oracle.Parity.cwMix(0, rh)
     val shingle = "list_transform(generate_series(1, greatest(len(words) - 2, 1)), " +
       "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
+    // estimator modulus derives from the ONE CW-hash modulus both engines
+    // share (advice r9: a hard-coded 1.0e9+7.0 literal here would drift
+    // silently if Parity.CwMod ever changed)
     val estK = graft.oracle.Parity.lit((k - 1).toDouble)
-    val estP = graft.oracle.Parity.lit(1.0e9 + 7.0)
+    val estP = graft.oracle.Parity.lit(graft.oracle.Parity.CwMod.toDouble)
     s"""with doc as (select lang, string_split(trim(text), ' ') as words from documents),
        |dt as materialized (select distinct lang, t from
        |  (select lang, unnest(list_distinct($shingle)) as t from doc)),
