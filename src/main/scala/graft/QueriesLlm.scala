@@ -16,6 +16,31 @@ object QueriesLlm {
 
   private val dim = Similarity.dim
 
+  /** Cache-or-compute the FULL sparse-index lifecycle (write 2/3 →
+    * append 1/3 → delete %5==3 → compact) for a data dir, at a
+    * deterministic location keyed injectively by the dir
+    * ([[graft.operators.IndexFs.dirKey]]). First call per (session, dir)
+    * pays the build; later calls — bench passes 2..n — serve from the
+    * standing index, which is the point: the serve-only gates measure
+    * index QUERY cost, not build cost. The content is identical to what
+    * `sparse_lifecycle` builds, so those gates share its survivors
+    * oracle. */
+  private def cachedLifecycleIndex(s: SparkSession, dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxlc_" +
+      graft.operators.IndexFs.dirKey(dir)
+    if (!graft.operators.SparseIndex.isIndexed(s, idx)) {
+      val docs = Tables.read(s, dir, "documents")
+      graft.operators.SparseIndex.writeSparseIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), idx)
+      graft.operators.SparseIndex.appendSparseIndex(
+        docs.filter(col("doc_id") % 3 === 0), idx)
+      graft.operators.SparseIndex.deleteFromSparseIndex(
+        docs.filter(col("doc_id") % 5 === 3), idx)
+      graft.operators.SparseIndex.compactSparseIndex(s, idx)
+    }
+    idx
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash multiplicity + deterministic keeper
     "dedup_exact" -> ((s, dir) =>
@@ -269,6 +294,28 @@ object QueriesLlm {
         docs.filter(col("doc_id") % 5 === 3), idx)
       graft.operators.SparseIndex.compactSparseIndex(s, idx)
       graft.operators.SparseIndex.sparseRetrievalStored(s, idx)
+    }),
+    // SERVE-ONLY leg of the lifecycle (verdict r9 #3): the build-
+    // inclusive gates above time build+mutate+serve in one query, so
+    // their scale rows measure BUILD scaling. Here the full lifecycle
+    // runs ONCE per data dir into a deterministic cached location (the
+    // sparse_stored cache-or-compute discipline) and the timed query is
+    // the serve alone — a bench min-of-3 over this gate measures what a
+    // standing index costs per query. Same survivors oracle as
+    // sparse_lifecycle: the physical history cannot change the answer.
+    "sparse_lifecycle_serve" -> ((s, dir) => {
+      graft.operators.SparseIndex.sparseRetrievalStored(
+        s, cachedLifecycleIndex(s, dir))
+    }),
+    // ...and its FIXED-QUERY sibling (verdict r9 #6): the default
+    // every-50th-id query set grows with the corpus, so even a
+    // serve-only row still scales as queries×postings. Capping query
+    // membership at a constant (doc_id < 500 — exactly the ids present
+    // at every SF; the decontaminate_fixed discipline) isolates the
+    // per-query serve cost as the index grows.
+    "sparse_serve_fixedq" -> ((s, dir) => {
+      graft.operators.SparseIndex.sparseRetrievalStored(
+        s, cachedLifecycleIndex(s, dir), maxQ = 500L)
     }),
     // bounded-candidate sibling: MinHash-LSH bands over each doc's
     // token set, exact cosine verify only inside candidates (the sf1
@@ -1274,6 +1321,11 @@ object QueriesLlm {
       table = "(select * from documents where doc_id % 5 <> 3)"),
     "sparse_lifecycle" -> TextOps.sparseRetrievalSql(
       table = "(select * from documents where doc_id % 5 <> 3)"),
+    "sparse_lifecycle_serve" -> TextOps.sparseRetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)"),
+    "sparse_serve_fixedq" -> TextOps.sparseRetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)",
+      maxQ = 500L),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),

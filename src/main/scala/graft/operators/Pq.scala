@@ -571,6 +571,10 @@ object Pq {
   def writeIvfPqIndex(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a from-scratch build owns the dir: stale tombstones (a previous
+    // lifecycle that died between delete and compact) would silently
+    // suppress freshly indexed vec_ids at serve
+    IndexFs.deleteRecursive(spark, s"$dir/tombstones")
     val embF = emb.filter(size(col("embedding")) === dim)
     val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
     nn.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),

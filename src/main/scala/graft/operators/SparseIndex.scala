@@ -102,6 +102,16 @@ object SparseIndex {
       .bucketBy(nBuckets, "token").sortBy("token")
       .option("path", s"$dir/$sub").saveAsTable(tbl)
 
+  /** Is a servable stored index present at `dir` for THIS session —
+    * catalog entry registered AND the posting files still on the
+    * filesystem (a reaped tmp under a live catalog entry must read as
+    * absent)? The cache-or-compute guard for serve-only gates. */
+  def isIndexed(spark: SparkSession, dir: String): Boolean =
+    spark.catalog.tableExists(postingsTbl(dir)) &&
+      spark.catalog.tableExists(dfTbl(dir)) &&
+      IndexFs.exists(spark, s"$dir/postings") &&
+      IndexFs.exists(spark, s"$dir/meta")
+
   /** Build the stored index from scratch. `nBuckets` follows the sizing
     * rule documented at [[DefaultBuckets]]; every later verb reads the
     * count back from the catalog, so only the build chooses it. */
@@ -110,6 +120,10 @@ object SparseIndex {
     val spark = docs.sparkSession
     spark.sql(s"drop table if exists ${postingsTbl(dir)}")
     spark.sql(s"drop table if exists ${dfTbl(dir)}")
+    // a from-scratch build owns the dir: stale tombstones (e.g. a
+    // previous lifecycle that died between delete and compact) would
+    // silently suppress freshly indexed doc_ids at serve
+    IndexFs.deleteRecursive(spark, s"$dir/tombstones")
     writeBucketed(tfRelation(docs), postingsTbl(dir), dir, "postings",
       "overwrite", nBuckets)
     writeBucketed(dfMoments(docs), dfTbl(dir), dir, "dfstats",
@@ -235,7 +249,8 @@ object SparseIndex {
     * join inherit the bucket distribution. Tombstoned docs are anti-joined
     * out (O(deleted) sidecar until a compaction clears it). */
   def sparseRetrievalStored(spark: SparkSession, dir: String, k: Int = 10,
-                            queryEvery: Int = 50): DataFrame = {
+                            queryEvery: Int = 50,
+                            maxQ: Long = Long.MaxValue): DataFrame = {
     val tombPath = s"$dir/tombstones"
     val tf0 = spark.table(postingsTbl(dir))
     val tf = if (IndexFs.exists(spark, tombPath))
@@ -250,6 +265,6 @@ object SparseIndex {
         (col("c").cast("double") / col("n_tok").cast("double"))
           * expr(TextOps.idfQ9))
       .select("doc_id", "token", "tfidf")
-    TextOps.sparseRetrievalFrom(postings, k, queryEvery)
+    TextOps.sparseRetrievalFrom(postings, k, queryEvery, maxQ)
   }
 }

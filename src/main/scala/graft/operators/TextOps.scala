@@ -975,9 +975,16 @@ object TextOps {
     * of a 100 TB text index: postings are written once, a query only
     * pays its own terms' lists. */
   def sparseRetrievalFrom(postings: DataFrame, k: Int = 10,
-                          queryEvery: Int = 50): DataFrame = {
+                          queryEvery: Int = 50,
+                          maxQ: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = postings.filter(col("doc_id") % queryEvery === 0)
+    // maxQ caps the query-set MEMBERSHIP at a constant (the
+    // decontaminate_fixed discipline): the default every-50th-id query
+    // set grows WITH the corpus, so a bench row over it measures
+    // queries×postings, not the serve path — a fixed set isolates how
+    // one query's cost scales as the index grows
+    val q = postings.filter(col("doc_id") % queryEvery === 0 &&
+        col("doc_id") < maxQ)
       .select(col("doc_id").as("q_id"), col("token"), col("tfidf").as("q_w"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
     q.join(postings, "token").filter(col("q_id") =!= col("doc_id"))
@@ -990,11 +997,13 @@ object TextOps {
 
   /** DuckDB mirror of [[sparseRetrieval]]. */
   def sparseRetrievalSql(k: Int = 10, queryEvery: Int = 50,
-                         table: String = "documents"): String = {
+                         table: String = "documents",
+                         maxQ: Long = Long.MaxValue): String = {
+    val qCap = if (maxQ == Long.MaxValue) "" else s" and doc_id < $maxQ"
     s"""with ${tfidfPostingsCtes(gram3DuckToks(table), table,
             " where dfq * 10 <= nn", windowDf = true)},
        |q as (select doc_id as q_id, token, tfidf as q_w from postings
-       |  where doc_id % $queryEvery = 0),
+       |  where doc_id % $queryEvery = 0$qCap),
        |sc as (select q_id, p.doc_id as doc_id,
        |  ${graft.oracle.Parity.fpSum("q_w * tfidf")} as score
        | from q join postings p using (token) where q_id <> p.doc_id
