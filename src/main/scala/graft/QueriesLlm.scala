@@ -250,7 +250,8 @@ object QueriesLlm {
       if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
         s.sql(s"drop table if exists $tbl")
         TextOps.sparsePostings(Tables.read(s, dir, "documents"))
-          .write.bucketBy(8, "token").sortBy("token")
+          .write.bucketBy(graft.operators.SparseIndex.DefaultBuckets, "token")
+          .sortBy("token")
           .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)
       }
       TextOps.sparseRetrievalFrom(s.table(tbl))

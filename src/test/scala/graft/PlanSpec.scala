@@ -317,28 +317,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Cartesian"), s"rerank plans a cartesian:\n$p")
   }
 
-  test("sparse lifecycle serve: tombstones broadcast-anti-join; no more exchanges than a rebuild") {
+  test("sparse lifecycle serve: tombstones broadcast-anti-join; no more exchanges than a rebuild — at BOTH bucket counts") {
     val docs = Tables.read(spark, sf("sf0.001"), "documents")
-    val idx = graft.Scratch.dir("plan_sidx_")
-    graft.operators.SparseIndex.writeSparseIndex(
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0), idx)
-    graft.operators.SparseIndex.appendSparseIndex(
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), idx)
-    graft.operators.SparseIndex.deleteFromSparseIndex(
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 3), idx)
-    val p = plan(graft.operators.SparseIndex.sparseRetrievalStored(spark, idx))
-    // the deleted-id filter is deleted-rows-sized — it must broadcast,
-    // never shuffle the posting table
-    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
-      s"tombstones must anti-join as a broadcast:\n$p")
-    // both stored relations are token-bucketed: the df attach and the
-    // retrieval join read the bucket distribution from storage, so the
-    // serve plan must not exceed the rebuild's exchange count even
-    // while adding the tombstone filter and the moment join
     def exchanges(s: String) = "Exchange hashpartitioning".r.findAllIn(s).length
     val rebuild = plan(SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001")))
-    assert(exchanges(p) <= exchanges(rebuild),
-      s"lifecycle serve (${exchanges(p)}) must not exceed rebuild (${exchanges(rebuild)}):\n$p")
+    // the bucket count is a sizing parameter (buckets ≈ cluster cores ×
+    // a small factor — SparseIndex.DefaultBuckets docs); the
+    // zero-extra-exchange serve plan must be a property of the BUCKETED
+    // LAYOUT, not of the literal 8, so the pin runs at two counts
+    for (nb <- Seq(graft.operators.SparseIndex.DefaultBuckets, 4)) {
+      val idx = graft.Scratch.dir(s"plan_sidx_b${nb}_")
+      graft.operators.SparseIndex.writeSparseIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0), idx,
+        nBuckets = nb)
+      graft.operators.SparseIndex.appendSparseIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), idx)
+      graft.operators.SparseIndex.deleteFromSparseIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 3), idx)
+      val p = plan(graft.operators.SparseIndex.sparseRetrievalStored(spark, idx))
+      // the deleted-id filter is deleted-rows-sized — it must broadcast,
+      // never shuffle the posting table
+      assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+        s"[$nb buckets] tombstones must anti-join as a broadcast:\n$p")
+      // both stored relations are token-bucketed: the df attach and the
+      // retrieval join read the bucket distribution from storage, so the
+      // serve plan must not exceed the rebuild's exchange count even
+      // while adding the tombstone filter and the moment join
+      assert(exchanges(p) <= exchanges(rebuild),
+        s"[$nb buckets] lifecycle serve (${exchanges(p)}) must not exceed " +
+          s"rebuild (${exchanges(rebuild)}):\n$p")
+    }
   }
 
   test("banded dedup siblings: candidate generation is pure equi-join — no cartesian, no nested loop") {
