@@ -259,6 +259,37 @@ object Dedup {
       .stripMargin.replace("\n", " ")
   }
 
+  /** Keep-first dedup DECISION — the relation a production 100 TB dedup
+    * pass actually materializes: ONE row per document with a keep/drop
+    * verdict, not the quadratic near-dup pair list. Policy: a document
+    * drops iff it has at least one near-duplicate with a smaller
+    * doc_id (the keep-earliest rule of the public corpus-dedup
+    * pipelines); `dup_of` records the smallest such id for lineage.
+    * Candidates and scores come from [[ngramJaccardBanded]] (recall
+    * contract inherited), but the pair mass collapses in a map-side
+    * min-aggregate the moment it exists — output and every shuffled
+    * relation after the band join are LINEAR in documents, which is
+    * what lets the decision run at corpus scales where materializing
+    * the pair list (output ~quadratic on template-heavy corpora — 105×
+    * at 10× data, measured) cannot. */
+  def keepFirst(docs: DataFrame): DataFrame = {
+    val dupOf = ngramJaccardBanded(docs)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    docs.select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
+  /** DuckDB mirror of [[keepFirst]] — the banded-pair CTE chain wrapped
+    * in the min-neighbor aggregate and the keep verdict. */
+  def keepFirstSql(shingle: String, table: String = "documents"): String =
+    s"""select d.doc_id, p.dup_of, p.dup_of is null as keep
+       |from $table d left join (
+       |  select doc_b as doc_id, cast(min(doc_a) as bigint) as dup_of
+       |  from (${ngramJaccardBandedSql(shingle, table = table)})
+       |  group by doc_b) p using (doc_id)""".stripMargin.replace("\n", " ")
+
   /** Production LSH banding parameters — ONE definition so
     * [[minHashPairs]], its oracle, and the [[lshEval]] audit can never
     * drift apart (the audit exists to validate exactly these). */

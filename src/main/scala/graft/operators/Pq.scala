@@ -252,12 +252,13 @@ object Pq {
     * survives a query set proportional to the corpus (the round-3 fix:
     * the previous version `collect()`ed every query to the driver). */
   private def queryTables(emb: DataFrame, queryEvery: Int,
-                          cb: Codebook = codebook): DataFrame = {
+                          cb: Codebook = codebook,
+                          maxQ: Long = Long.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
       .filter(size(col("embedding")) === dim)
-      .filter(col("vec_id") % queryEvery === 0)
+      .filter(col("vec_id") % queryEvery === 0 && col("vec_id") < maxQ)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
@@ -750,13 +751,15 @@ object Pq {
     * stored longs/doubles round-trip exactly, and every downstream op
     * is the same expression on the same bits. */
   def ivfAdcTopKStored(emb: DataFrame, indexDir: String, k: Int = 10,
-                       queryEvery: Int = 50, nprobe: Int = 3): DataFrame = {
+                       queryEvery: Int = 50, nprobe: Int = 3,
+                       maxQ: Long = Long.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     val embF = emb.filter(size(col("embedding")) === dim)
     val nn = Similarity.withNorm(embF).filter(col("norm") > 0.0)
     val cents = spark.read.schema(storedCentroidsSchema)
       .parquet(s"$indexDir/centroids")
-    val probes = Similarity.probesFromCentroids(embF, cents, queryEvery, nprobe)
+    val probes = Similarity.probesFromCentroids(embF, cents, queryEvery, nprobe,
+        maxQ)
       .select("q_id", "cl")
     // bounded driver collect: ≤ n_cells values (the audited-collects
     // family — model-sized, never corpus-proportional)
@@ -775,11 +778,20 @@ object Pq {
     else codesStored
     val pairs = probes.join(codesLive, Seq("cl"))
       .filter(col("q_id") =!= col("vec_id"))
-      .join(queryTables(nn, queryEvery), Seq("q_id"))
+      .join(queryTables(nn, queryEvery, codebook, maxQ), Seq("q_id"))
       .withColumn("dist", adcDist)
       .select(col("q_id"), col("vec_id").as("n_id"), col("dist"))
     perQueryTopK(pairs, k)
   }
+
+  /** Is a servable stored IVF-PQ index present at `dir` — all three
+    * halves (codes, cellstats, centroids) on the filesystem? The
+    * cache-or-compute guard for serve-only gates; scheme-resolved
+    * ([[IndexFs]]), so it works against cluster URIs. */
+  def isIndexed(spark: SparkSession, dir: String): Boolean =
+    IndexFs.exists(spark, s"$dir/codes") &&
+      IndexFs.exists(spark, s"$dir/cellstats") &&
+      IndexFs.exists(spark, s"$dir/centroids")
 
   /** IVF-routed exact re-rank — the production serving pattern with the
     * shortlist stage ALSO index-bounded: [[ivfAdcTopKStored]] generates
@@ -804,8 +816,9 @@ object Pq {
   /** DuckDB mirror of [[ivfAdcTopK]] — the `ann_ivf_label` probe CTEs
     * composed with the PQ code CTEs and the ADC lookup. */
   def ivfAdcSql(k: Int = 10, queryEvery: Int = 50, nprobe: Int = 3,
-                table: String = "embeddings"): String =
-    s"""with ${ivfPairsCtes(queryEvery, nprobe, table)},
+                table: String = "embeddings",
+                maxQ: Long = Long.MaxValue): String =
+    s"""with ${ivfPairsCtes(queryEvery, nprobe, table, maxQ)},
        |ranked as (select q_id, n_id, dist,
        |  cast(row_number() over (partition by q_id order by dist asc, n_id asc) as bigint) as rn
        | from pairs)
@@ -839,10 +852,12 @@ object Pq {
   /** The shared IVF-ADC CTE chain (through the probed-cell candidate
     * `pairs` relation) behind [[ivfAdcSql]] and [[ivfAdcRerankSql]]. */
   private def ivfPairsCtes(queryEvery: Int, nprobe: Int,
-                           table: String): String = {
+                           table: String,
+                           maxQ: Long = Long.MaxValue): String = {
     val dotSelf = Parity.dot(Parity.DuckD, "embedding", "embedding", dim)
     val dotCC = Parity.dot(Parity.DuckD, "centroid", "centroid", dim)
     val dotQC = Parity.dot(Parity.DuckD, "q_emb", "centroid", dim)
+    val qCap = if (maxQ == Long.MaxValue) "" else s" and vec_id < $maxQ"
     s"""tf as (select * from $table where len(embedding) = $dim),
        |cg as (select cast(label as bigint) as cl, i as d,
        |  cast(count(*) as bigint) as n,
@@ -855,7 +870,7 @@ object Pq {
        |nn as (select * from (select vec_id, embedding, cast(label as bigint) as cl,
        |   sqrt($dotSelf) as norm from tf) where norm > 0e0),
        |q as (select vec_id as q_id, embedding as q_emb, norm as q_norm from nn
-       |  where vec_id % $queryEvery = 0),
+       |  where vec_id % $queryEvery = 0$qCap),
        |probes as (select q_id, cl from (
        |  select q.q_id, cn.cl,
        |   row_number() over (partition by q.q_id

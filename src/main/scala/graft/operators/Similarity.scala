@@ -280,11 +280,12 @@ object Similarity {
     * stored-index path ([[Pq.ivfAdcTopKStored]], which loads the
     * centroids from parquet instead of recomputing them). */
   def probesFromCentroids(emb: DataFrame, centroids: DataFrame,
-                          queryEvery: Int = 50, nprobe: Int = 3): DataFrame = {
+                          queryEvery: Int = 50, nprobe: Int = 3,
+                          maxQ: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cNorm = broadcast(centroids)
     val n = withNorm(emb).filter(col("norm") > 0.0)
-    val q = n.filter(col("vec_id") % queryEvery === 0)
+    val q = n.filter(col("vec_id") % queryEvery === 0 && col("vec_id") < maxQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("c_cos").desc, col("cl").asc)

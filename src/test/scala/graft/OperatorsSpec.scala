@@ -303,6 +303,26 @@ class OperatorsSpec extends SparkSpec {
     assert(caught((1L, 2L)) == fullPlanted((1L, 2L)))
   }
 
+  test("dedup_decide: keep-first verdicts agree with the pair relation; one row per doc") {
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    val decide = Dedup.keepFirst(docs).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2))).toMap
+    assert(decide.size.toLong == docs.count(), "must emit exactly one verdict per doc")
+    // ground truth from the pair relation the decision is defined over
+    val pairs = Dedup.ngramJaccardBanded(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minDup = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    decide.foreach { case (id, (dupOf, keep)) =>
+      assert(dupOf == minDup.get(id),
+        s"doc $id: dup_of $dupOf != smallest smaller-id near-dup ${minDup.get(id)}")
+      assert(keep == minDup.get(id).isEmpty, s"doc $id: keep flag inconsistent")
+    }
+    // the corpus must exercise both verdicts
+    assert(decide.values.exists(_._2) && decide.values.exists(!_._2),
+      "corpus exercises only one verdict")
+  }
+
   test("dedup_winnow_banded: subset of the full operator with identical scoring; near-dup recall 1.0") {
     // (1) structural contract: candidates ⊆ all pairs and the verify
     // arithmetic is winnowOverlap's, so every banded row must appear in
