@@ -74,6 +74,7 @@ object ScaleStress {
     if (args.headOption.contains("sf1")) { sf1Stress(args.drop(1)); return }
     if (args.headOption.contains("sf1full")) { sf1FullStress(args.drop(1)); return }
     if (args.headOption.contains("appendproof")) { appendProofStress(args.drop(1)); return }
+    if (args.headOption.contains("serveproof")) { serveProofStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -940,6 +941,68 @@ object ScaleStress {
     val (a1, c1) = annLeg(1)
     val (aM, cM) = annLeg(replicas)
     println(f"""{"stress":"appendproof","replicas":$replicas,"shard_docs":$nDocs,"sparse_append_1x_sec":$s1%.2f,"sparse_append_${replicas}x_sec":$sM%.2f,"sparse_ratio":${sM / s1}%.2f,"sparse_vocab_1x":$v1,"sparse_vocab_${replicas}x":$vM,"ann_append_1x_sec":$a1%.2f,"ann_append_${replicas}x_sec":$aM%.2f,"ann_ratio":${aM / a1}%.2f,"ann_cells_1x":$c1,"ann_cells_${replicas}x":$cM}""")
+    spark.stop()
+  }
+
+  /** Serve-cost flatness proof — the QUANTITATIVE form of the stored-
+    * index serving claim ("query cost is proportional to the probed /
+    * matched slices, decoupled from how much unqueried corpus the index
+    * holds"): build a standing index over a 1× corpus and over an
+    * M×-replica corpus, then serve the SAME fixed query set (constant
+    * membership — the `*_serve_fixedq` discipline) from both, for both
+    * stored indexes. If a serve rescanned the corpus, the M× time would
+    * be ~M× the 1× time; index-bounded serving stays near 1. (The
+    * sparse ratio sits above the ANN's: a fixed text query still joins
+    * postings whose per-token lists grow with the corpus — df-capped,
+    * but not partition-pruned away like unprobed IVF cells.) Round-10
+    * sibling of [[appendProofStress]], which proved the same flatness
+    * for the INGEST verbs. `sbt "runMain graft.ScaleStress serveproof
+    * [replicas]"` */
+  private def serveProofStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .localCheckpoint()
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+      .localCheckpoint()
+    // replica ids = id*M+r so the fixed query ids (< 500) EXIST at both
+    // sizes; the query membership count is identical by construction
+    def blowDocs(r: Int) = docs
+      .select(col("doc_id"), col("text"), explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
+      .select((col("doc_id") * r + col("rr")).as("doc_id"),
+        when(col("rr") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("rr").cast("string"))).as("text"))
+    def blowEmb(r: Int) = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
+      .select((col("vec_id") * r + col("rr")).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + cast(rr as float) * 1e-3f as float))").as("embedding"),
+        col("label"))
+    val maxQ = 500L
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def sparseLeg(r: Int): (Double, Long) = {
+      val idx = graft.Scratch.dir(s"serveproof_sidx_${r}x_")
+      graft.operators.SparseIndex.writeSparseIndex(
+        if (r == 1) docs else blowDocs(r), idx)
+      timed(graft.operators.SparseIndex
+        .sparseRetrievalStored(spark, idx, maxQ = maxQ).count())
+    }
+    def annLeg(r: Int): (Double, Long) = {
+      val idx = graft.Scratch.dir(s"serveproof_pq_${r}x_")
+      graft.operators.Pq.writeIvfPqIndex(if (r == 1) emb else blowEmb(r), idx)
+      timed(graft.operators.Pq
+        .ivfAdcTopKStored(emb, idx, maxQ = maxQ).count())
+    }
+    // warm both code paths once so neither leg absorbs first-run JIT
+    sparseLeg(1); annLeg(1)
+    val (s1, sr1) = sparseLeg(1)
+    val (sM, srM) = sparseLeg(replicas)
+    val (a1, ar1) = annLeg(1)
+    val (aM, arM) = annLeg(replicas)
+    println(f"""{"stress":"serveproof","replicas":$replicas,"fixed_q_cap":$maxQ,"sparse_serve_1x_sec":$s1%.2f,"sparse_serve_${replicas}x_sec":$sM%.2f,"sparse_ratio":${sM / s1}%.2f,"sparse_rows_1x":$sr1,"sparse_rows_${replicas}x":$srM,"ann_serve_1x_sec":$a1%.2f,"ann_serve_${replicas}x_sec":$aM%.2f,"ann_ratio":${aM / a1}%.2f,"ann_rows_1x":$ar1,"ann_rows_${replicas}x":$arM}""")
     spark.stop()
   }
 
