@@ -230,6 +230,10 @@ object QueriesLlm {
     // query-by-example BM25 over the same 3-gram posting index
     "bm25_retrieval" -> ((s, dir) =>
       TextOps.bm25Retrieval(Tables.read(s, dir, "documents"))),
+    // ...and its fixed-query bench sibling (constant query membership —
+    // completes the fixed-query family: sparse / ANN / BM25)
+    "bm25_fixedq" -> ((s, dir) =>
+      TextOps.bm25Retrieval(Tables.read(s, dir, "documents"), maxQ = 500L)),
     // exact-phrase search over positional postings (Lucene PhraseQuery
     // shape): data-driven top-trigram query, broadcast 1-row phrase,
     // (doc, pos+offset) posting-adjacency joins
@@ -1349,6 +1353,7 @@ object QueriesLlm {
       table = "(select * from documents where doc_id % 5 <> 3)",
       maxQ = 500L),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
+    "bm25_fixedq" -> TextOps.bm25RetrievalSql(maxQ = 500L),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),
     "allpairs_banded" -> TextOps.allPairsBandedSql(),

@@ -1418,7 +1418,8 @@ object TextOps {
     * df·10 > N (which also keeps the idf positive), scores are fpSum'd,
     * top-k per query. Same 100 TB shape as [[sparseRetrieval]]: the
     * posting table is the stored index, bucketed by token. */
-  def bm25Retrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50): DataFrame = {
+  def bm25Retrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50,
+                    maxQ: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(expr(gram3Spark)).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -1431,7 +1432,10 @@ object TextOps {
         "cast(floor(ln((cast(nd as double) - cast(dfq as double) + 5e-1) / " +
           "(cast(dfq as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint)"))
       .withColumn("avglen", expr("cast(tot as double) / cast(nd as double)"))
-    val q = postings.filter(col("doc_id") % queryEvery === 0)
+    // maxQ caps query membership at a constant (the *_fixedq bench
+    // discipline — see sparseRetrievalFrom)
+    val q = postings.filter(col("doc_id") % queryEvery === 0 &&
+        col("doc_id") < maxQ)
       .select(col("doc_id").as("q_id"), col("token"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
     q.join(postings, "token").filter(col("q_id") =!= col("doc_id"))
@@ -1446,7 +1450,8 @@ object TextOps {
     * pipeline prepend its own CTEs (must end with a comma). */
   def bm25RetrievalSql(k: Int = 10, queryEvery: Int = 50,
                        table: String = "documents",
-                       withPrefix: String = ""): String =
+                       withPrefix: String = "",
+                       maxQ: Long = Long.MaxValue): String =
     s"""with ${withPrefix}toks as (${gram3DuckToks(table)}),
        |tf as (select doc_id, token, count(*) as tf,
        |  sum(count(*)) over (partition by doc_id) as len
@@ -1460,7 +1465,8 @@ object TextOps {
        |  cast(tot as double) / cast(nd as double) as avglen
        | from tfd, totals where dfq * 10 <= nd),
        |q as (select doc_id as q_id, token from postings
-       |  where doc_id % $queryEvery = 0),
+       |  where doc_id % $queryEvery = 0${
+           if (maxQ == Long.MaxValue) "" else s" and doc_id < $maxQ"}),
        |sc as (select q_id, p.doc_id as doc_id,
        |  ${graft.oracle.Parity.fpSum(bm25Term)} as score
        | from q join postings p using (token) where q_id <> p.doc_id

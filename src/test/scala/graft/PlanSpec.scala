@@ -349,6 +349,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_decide: pair mass collapses in a partial min-aggregate before the exchange; no cartesian") {
+    val p = plan(SparkEntry.queries("dedup_decide")(spark, sf("sf0.001")))
+    assert(!p.contains("Cartesian"), s"dedup_decide plans a cartesian:\n$p")
+    // the whole point of the decision relation: the ~quadratic banded
+    // pair stream must reduce map-side (partial_min inside the join
+    // stage) so only doc-proportional rows ever cross the shuffle
+    assert("partial_min".r.findFirstIn(p).isDefined,
+      s"pair mass must partial-aggregate before shuffling:\n$p")
+  }
+
   test("banded dedup siblings: candidate generation is pure equi-join — no cartesian, no nested loop") {
     // the entire point of the banded variants is that candidates come
     // from bucket equi-joins whose volume tracks clique co-occupancy;
