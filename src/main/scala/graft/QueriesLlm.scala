@@ -25,9 +25,20 @@ object QueriesLlm {
     * index QUERY cost, not build cost. The content is identical to what
     * `sparse_lifecycle` builds, so those gates share its survivors
     * oracle. */
+  /** Cache key for a standing index serving data dir `dir`: the
+    * injective path key PLUS a content snapshot id
+    * ([[graft.operators.IndexFs.snapshotKey]]) — a dirKey-only cache
+    * survives the data dir being REGENERATED under the same path across
+    * sessions and would silently serve a stale index (advice r10); the
+    * snapshot id rolls the key whenever any input file's length or
+    * mtime changes, at the cost of one metadata listing. */
+  private def dataKey(s: SparkSession, dir: String): String =
+    graft.operators.IndexFs.dirKey(dir) + "_s" +
+      graft.operators.IndexFs.snapshotKey(s, dir)
+
   private def cachedLifecycleIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxlc_" +
-      graft.operators.IndexFs.dirKey(dir)
+      dataKey(s, dir)
     if (!graft.operators.SparseIndex.isIndexed(s, idx)) {
       val docs = Tables.read(s, dir, "documents")
       graft.operators.SparseIndex.writeSparseIndex(
@@ -38,6 +49,20 @@ object QueriesLlm {
         docs.filter(col("doc_id") % 5 === 3), idx)
       graft.operators.SparseIndex.compactSparseIndex(s, idx)
     }
+    idx
+  }
+
+  /** Cache-or-compute the FULL-corpus stored sparse index for a data
+    * dir — the standing index the `bm25_stored` / `bm25_serve_fixedq`
+    * gates serve from (whole corpus, so they share `bm25_retrieval`'s
+    * oracle verbatim; the lifecycle cache above proves the same serve
+    * over a mutated history). */
+  private def cachedFullIndex(s: SparkSession, dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxfull_" +
+      dataKey(s, dir)
+    if (!graft.operators.SparseIndex.isIndexed(s, idx))
+      graft.operators.SparseIndex.writeSparseIndex(
+        Tables.read(s, dir, "documents"), idx)
     idx
   }
 
@@ -234,6 +259,31 @@ object QueriesLlm {
     // completes the fixed-query family: sparse / ANN / BM25)
     "bm25_fixedq" -> ((s, dir) =>
       TextOps.bm25Retrieval(Tables.read(s, dir, "documents"), maxQ = 500L)),
+    // BM25 served from the STORED sparse index (verdict r10 #1): the
+    // rebuild gates above pay a full corpus tokenize + posting/df/len
+    // build inside every query — bm25_fixedq proved that build is the
+    // whole 6.2x scale row. Here every score input reads from the
+    // standing token-bucketed relations (postings carry tf and doc
+    // length; dfstats the df moments; meta nn + tot => idf, avglen), so
+    // a query pays only its own terms' posting lists. Shares
+    // bm25_retrieval's oracle: stored == rebuilt, bit for bit
+    "bm25_stored" -> ((s, dir) =>
+      graft.operators.SparseIndex.bm25RetrievalStored(
+        s, cachedFullIndex(s, dir))),
+    // ...fixed-query sibling: constant query membership over the cached
+    // standing index — the serve-only row whose scale slope is the
+    // per-query cost as the index grows
+    "bm25_serve_fixedq" -> ((s, dir) =>
+      graft.operators.SparseIndex.bm25RetrievalStored(
+        s, cachedFullIndex(s, dir), maxQ = 500L)),
+    // ...and BM25 over the MUTATED standing index (write 2/3 -> append
+    // 1/3 -> delete %5==3 -> compact): proves the new meta moments (tot
+    // for avglen) merge exactly under the append/delete algebra — the
+    // survivors-rebuild oracle is the same bit-exact contract the
+    // sparse lifecycle gates carry
+    "bm25_lifecycle_serve" -> ((s, dir) =>
+      graft.operators.SparseIndex.bm25RetrievalStored(
+        s, cachedLifecycleIndex(s, dir))),
     // exact-phrase search over positional postings (Lucene PhraseQuery
     // shape): data-driven top-trigram query, broadcast 1-row phrase,
     // (doc, pos+offset) posting-adjacency joins
@@ -248,13 +298,13 @@ object QueriesLlm {
     // bucket distribution on BOTH sides and plans with zero exchanges.
     // Shares sparse_retrieval's oracle: stored == rebuilt, bit for bit
     "sparse_stored" -> ((s, dir) => {
-      // cache key = IndexFs.dirKey: injective (sanitized tail + full
-      // SHA-256), so no two data dirs can alias one cached index — the
-      // r8 fix dropped the 32-bit hashCode but its plain sanitizer was
-      // still lossy (/a/b.c vs /a/b_c, advice r9). The Hadoop-FS
-      // path-exists check rebuilds if tmp was reaped under a live
-      // catalog entry, and works against cluster URIs too.
-      val key = graft.operators.IndexFs.dirKey(dir)
+      // cache key = dataKey: injective dirKey (sanitized tail + full
+      // SHA-256 — no two data dirs alias one cached index) PLUS the
+      // content snapshot id (regenerated data under the same path rolls
+      // the key, advice r10). The Hadoop-FS path-exists check rebuilds
+      // if tmp was reaped under a live catalog entry, and works against
+      // cluster URIs too.
+      val key = dataKey(s, dir)
       val tbl = s"graft_postings_bucketed_$key"
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/postings"
       if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
@@ -632,6 +682,13 @@ object QueriesLlm {
       graft.operators.Curation.searchPipeline(Tables.read(s, dir, "documents"))),
     "pipeline_curate" -> ((s, dir) =>
       graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"))),
+    // ...and the pipeline WITH the near-dup keep-first stage composed
+    // between exact dedup and line dedup (verdict r10 #2): the banded
+    // candidate pass + keep-earliest drop rule the dedup_decide gate
+    // proved linear, running where a production corpus pass runs it
+    "pipeline_curate_neardup" -> ((s, dir) =>
+      graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"),
+        nearDup = true)),
     // L2-normalized embeddings in long format (bit-exact: shared chain
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
@@ -736,7 +793,7 @@ object QueriesLlm {
     // (probed slices + sidecars — never the unprobed corpus)
     "ann_serve_fixedq" -> ((s, dir) => {
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqserve_" +
-        graft.operators.IndexFs.dirKey(dir)
+        dataKey(s, dir)
       val emb = Tables.read(s, dir, "embeddings")
       if (!graft.operators.Pq.isIndexed(s, idx))
         graft.operators.Pq.writeIvfPqIndex(emb, idx)
@@ -1179,7 +1236,8 @@ object QueriesLlm {
     },
     "sketch_distinct" -> TextOps.kmvDistinctSql(),
     "sketch_set_ops" -> TextOps.kmvSetOpsSql(),
-    "data_card" -> graft.operators.Curation.dataCardSql(),
+    "data_card" -> graft.operators.Curation.dataCardSql(
+      shingle = shingleDuck),
     "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
     "sketch_hll_merge" -> graft.operators.Hll.hllMergedSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),
@@ -1200,6 +1258,8 @@ object QueriesLlm {
     "mix_plan" -> Sampling.mixPlanSql(),
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
+    "pipeline_curate_neardup" -> graft.operators.Curation.pipelineSql(
+      nearDupShingle = shingleDuck),
     "pipeline_search" -> graft.operators.Curation.searchPipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
     "emb_standardize" -> Similarity.standardizeSql,
@@ -1354,6 +1414,10 @@ object QueriesLlm {
       maxQ = 500L),
     "bm25_retrieval" -> TextOps.bm25RetrievalSql(),
     "bm25_fixedq" -> TextOps.bm25RetrievalSql(maxQ = 500L),
+    "bm25_stored" -> TextOps.bm25RetrievalSql(),
+    "bm25_serve_fixedq" -> TextOps.bm25RetrievalSql(maxQ = 500L),
+    "bm25_lifecycle_serve" -> TextOps.bm25RetrievalSql(
+      table = "(select * from documents where doc_id % 5 <> 3)"),
     "phrase_search" -> TextOps.phraseSearchSql(),
     "allpairs_similarity" -> TextOps.allPairsSimilaritySql(),
     "allpairs_banded" -> TextOps.allPairsBandedSql(),

@@ -966,11 +966,17 @@ object ScaleStress {
       .localCheckpoint()
     val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
       .localCheckpoint()
-    // replica ids = id*M+r so the fixed query ids (< 500) EXIST at both
-    // sizes; the query membership count is identical by construction
+    // replica ids = id + rr*N (N = max original id + 1): the ORIGINAL
+    // low ids — and hence the fixed query membership (doc_id % 50 == 0,
+    // < 500) — are STABLE across replica factors, so the 1x and Mx legs
+    // serve literally the same query documents. The old id*M+rr scheme
+    // kept the query COUNT equal but swapped in different originals at
+    // each size (advice r10), so part of the measured ratio was query
+    // composition, not index growth.
+    val nOrigDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
     def blowDocs(r: Int) = docs
       .select(col("doc_id"), col("text"), explode(expr(s"sequence(0, ${r - 1})")).as("rr"))
-      .select((col("doc_id") * r + col("rr")).as("doc_id"),
+      .select((col("doc_id") + col("rr") * nOrigDocs).as("doc_id"),
         when(col("rr") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" replica"), col("rr").cast("string"))).as("text"))
     def blowEmb(r: Int) = emb

@@ -69,30 +69,54 @@ object Curation {
 
   /** Run the composed pipeline. Returns one row per SURVIVING document:
     * (doc_id, lang, n_tokens, h, shard, pos, bin) where n_tokens is the
-    * post-line-dedup token count the mix/pack stages budget with. */
+    * post-line-dedup token count the mix/pack stages budget with.
+    *
+    * `nearDup = true` inserts the NEAR-dup keep-first stage (verdict
+    * r10 #2) between exact dedup and line dedup — the one production
+    * dedup stage the composed chain was missing: the banded trigram-
+    * Jaccard candidates of [[Dedup.ngramJaccardBanded]] over the
+    * exact-dedup survivors, applied as the keep-earliest DROP rule of
+    * [[Dedup.keepFirst]] (a doc drops iff some smaller-id near-dup
+    * exists). Composition shape: the candidate pass checkpoints its
+    * signature relation internally, the drop set is near-dup-sized, and
+    * it anti-joins the survivor stream — no corpus-sized re-shuffle, no
+    * pair list ever materialized downstream. */
   def pipeline(docs: DataFrame, evalEvery: Int = 97, qualityMin: Double = 0.5,
                lineTokens: Int = 10, mBits: Int = 65536, kHash: Int = 3,
                contamMax: Double = 0.5, budgetTokens: Long = 20000L,
-               nShards: Int = 8, binBudget: Int = 256): DataFrame = {
+               nShards: Int = 8, binBudget: Int = 256,
+               nearDup: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
 
-    // stage 1 (row-local): quality + language-consistency filter
+    // stage 1 (row-local): quality + language-consistency filter.
+    // n_chars (the raw column, not the recomputed n_chars_m) rides
+    // along because the near-dup stage bands on it — the standalone
+    // dedup gates' exact banding input.
     val scored = docs
       .filter(col("doc_id") % evalEvery =!= 0)
-      .selectExpr("text" +:
+      .selectExpr("text" +: "n_chars" +:
         (TextOps.statsSelects(SparkD) ++ TextOps.langIdSelects(SparkD).drop(2)): _*)
       .withColumn("quality", expr(TextOps.qualityExpr))
       .withColumn("pred_lang", expr(TextOps.langPredExpr))
     val c1 = scored
       .filter(col("quality") >= qualityMin && col("pred_lang") === col("lang"))
-      .select("doc_id", "lang", "text")
+      .select("doc_id", "lang", "text", "n_chars")
 
     // stage 2: exact dedup — keep the min-id copy of each distinct text
     // (a window, not an agg+join: the relation flows straight through)
-    val c2 = c1
+    val c2x = c1
       .withColumn("keeper", min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "lang", "text")
+      .select("doc_id", "lang", "text", "n_chars")
+
+    // stage 2b (optional): near-dup keep-first — drop every survivor
+    // with a smaller-id banded near-duplicate ([[Dedup.keepFirst]]'s
+    // verdict as an anti-join; doc_b is always the larger id, so the
+    // distinct doc_b set IS the drop set)
+    val c2 = if (!nearDup) c2x
+      else c2x.join(
+        Dedup.ngramJaccardBanded(c2x).select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
 
     // stage 3: cross-doc line dedup over the survivors — fp multiplicity
     // via a count window on the line relation (conservative rule: ALL
@@ -148,20 +172,32 @@ object Curation {
                   lineTokens: Int = 10, mBits: Int = 65536, kHash: Int = 3,
                   contamMax: Double = 0.5, budgetTokens: Long = 20000L,
                   nShards: Int = 8, binBudget: Int = 256,
-                  table: String = "documents"): String = {
+                  table: String = "documents",
+                  nearDupShingle: String = ""): String = {
     val combined = (TextOps.statsSelects(DuckD) ++ TextOps.langIdSelects(DuckD).drop(2))
       .mkString(", ")
     val h9 = Parity.cwMix(9, s"(doc_id % ${Parity.CwMod})")
     val u = Sampling.mixHash(Parity.rollingHashDuck("cast(doc_id as varchar)"))
-    s"""with st as (select text, $combined from $table where doc_id % $evalEvery <> 0),
-       |c1 as (select doc_id, lang, text from (
-       |  select doc_id, lang, text, ${TextOps.qualityExpr} as quality,
+    // nearDupShingle non-empty mirrors `pipeline(nearDup = true)`: the
+    // banded-candidate chain (nested WITH, the keepFirstSql pattern)
+    // over the c2x survivors, distinct larger ids = the drop set
+    val ndCtes =
+      if (nearDupShingle.isEmpty) ""
+      else s"""nd as (select distinct doc_b as doc_id
+           | from (${Dedup.ngramJaccardBandedSql(nearDupShingle, table = "c2x")})),
+           |c2 as (select c2x.* from c2x
+           | where not exists (select 1 from nd where nd.doc_id = c2x.doc_id)),
+           |""".stripMargin.replace("\n", " ")
+    val c2Name = if (nearDupShingle.isEmpty) "c2" else "c2x"
+    s"""with st as (select text, n_chars, $combined from $table where doc_id % $evalEvery <> 0),
+       |c1 as (select doc_id, lang, text, n_chars from (
+       |  select doc_id, lang, text, n_chars, ${TextOps.qualityExpr} as quality,
        |   ${TextOps.langPredExpr} as pred_lang from st)
        | where quality >= ${Parity.lit(qualityMin)} and pred_lang = lang),
-       |c2 as (select doc_id, lang, text from (
-       |  select doc_id, lang, text, min(doc_id) over (partition by md5(text)) as keeper
+       |$c2Name as (select doc_id, lang, text, n_chars from (
+       |  select doc_id, lang, text, n_chars, min(doc_id) over (partition by md5(text)) as keeper
        |  from c1) where doc_id = keeper),
-       |${Dedup.linesCteSql(lineTokens, "c2", ", lang").replace("\n", " ")},
+       |$ndCtes${Dedup.linesCteSql(lineTokens, "c2", ", lang").replace("\n", " ")},
        |lc as (select doc_id, lang, line,
        |  count(*) over (partition by md5(line)) as cnt from l),
        |c3 as (select * from (
@@ -252,15 +288,23 @@ object Curation {
     *     — deliberately NOT a percentile, so no interpolation seam;
     *   - dup_rate: duplicates are non-keeper docs of a GLOBAL md5
     *     text group, attributed to the duplicate's own (source, lang)
-    *     slice (a copy counts against the slice that carries it).
-    * One pass over the stats relation + one global dedup aggregate —
-    * the report costs two shuffles at any corpus size. */
+    *     slice (a copy counts against the slice that carries it);
+    *   - neardup_rate (r11): the share of the slice a NEAR-dup pass
+    *     would additionally drop — exact-unique docs whose
+    *     [[Dedup.keepFirst]] verdict is keep = false (a smaller-id
+    *     banded trigram-Jaccard neighbor exists). Exact dups are
+    *     excluded so the two rates report disjoint drop reasons.
+    * One pass over the stats relation + one global dedup aggregate +
+    * the banded keep-first decision relation (linear output — the
+    * `dedup_decide` gate's production shape). */
   def dataCard(docs: DataFrame): DataFrame = {
     val c = docs.selectExpr(TextOps.statsSelects(SparkD): _*)
       .withColumn("quality", expr(TextOps.qualityExpr))
     val keepers = Dedup.exact(docs)
       .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
+    val nd = Dedup.keepFirst(docs).select(col("doc_id"), col("keep"))
     c.join(keepers, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"))
       .groupBy("source", "lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -269,33 +313,44 @@ object Curation {
         expr(Parity.fpSum("quality")).as("q_sum"),
         min("quality").as("q_min"),
         max("quality").as("q_max"),
-        sum(when(col("is_keeper").isNull, 1L).otherwise(0L)).as("n_dups"))
+        sum(when(col("is_keeper").isNull, 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("is_keeper").isNotNull && !col("keep"), 1L)
+          .otherwise(0L)).as("n_neardups"))
       .withColumn("q_mean", col("q_sum") / col("n_docs").cast("double"))
       .withColumn("dup_rate",
         col("n_dups").cast("double") / col("n_docs").cast("double"))
+      .withColumn("neardup_rate",
+        col("n_neardups").cast("double") / col("n_docs").cast("double"))
       .select("source", "lang", "n_docs", "n_tokens", "n_chars",
-        "q_mean", "q_min", "q_max", "n_dups", "dup_rate")
+        "q_mean", "q_min", "q_max", "n_dups", "dup_rate",
+        "n_neardups", "neardup_rate")
   }
 
-  /** DuckDB mirror of [[dataCard]]. */
-  def dataCardSql(table: String = "documents"): String = {
+  /** DuckDB mirror of [[dataCard]]. `shingle` is the caller's DuckDB
+    * trigram expression (the keepFirst oracle's). */
+  def dataCardSql(table: String = "documents", shingle: String): String = {
     val combined = TextOps.statsSelects(DuckD).mkString(", ")
     s"""with st as (select *, ${TextOps.qualityExpr} as quality
        |  from (select $combined from $table)),
        |k as (select min(doc_id) as doc_id, true as is_keeper
        | from $table group by md5(text)),
+       |nd as (select doc_id, keep from (${Dedup.keepFirstSql(shingle, table)})),
        |g as (select source, lang,
        |  cast(count(*) as bigint) as n_docs,
        |  cast(sum(n_tokens) as bigint) as n_tokens,
        |  cast(sum(n_chars_m) as bigint) as n_chars,
        |  ${Parity.fpSum("quality")} as q_sum,
        |  min(quality) as q_min, max(quality) as q_max,
-       |  cast(sum(case when is_keeper is null then 1 else 0 end) as bigint) as n_dups
+       |  cast(sum(case when is_keeper is null then 1 else 0 end) as bigint) as n_dups,
+       |  cast(sum(case when is_keeper is not null and not keep then 1 else 0 end) as bigint) as n_neardups
        | from st left join k on st.doc_id = k.doc_id
+       |  join nd on st.doc_id = nd.doc_id
        | group by 1, 2)
        |select source, lang, n_docs, n_tokens, n_chars,
        | q_sum / cast(n_docs as double) as q_mean, q_min, q_max, n_dups,
-       | cast(n_dups as double) / cast(n_docs as double) as dup_rate
+       | cast(n_dups as double) / cast(n_docs as double) as dup_rate,
+       | n_neardups,
+       | cast(n_neardups as double) / cast(n_docs as double) as neardup_rate
        |from g""".stripMargin.replace("\n", " ")
   }
 }

@@ -48,4 +48,28 @@ object IndexFs {
     val tail = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
     s"${tail}_$sha"
   }
+
+  /** Content fingerprint of a data directory: SHA-256 over the sorted
+    * recursive file listing's (relative path, length, modification
+    * time) triples, truncated to 16 hex chars. A cache keyed by
+    * [[dirKey]] alone survives the data dir's CONTENT being regenerated
+    * under the same path — a later session would silently serve a stale
+    * index (advice r10). Folding this snapshot id into the cache key
+    * makes regeneration produce a fresh key instead; the cost is one
+    * filesystem listing (file-count-proportional metadata, never data).
+    */
+  def snapshotKey(spark: SparkSession, dir: String): String = {
+    val (fs, p) = fsFor(spark, dir)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath.toString.stripPrefix(p.toString)}|${st.getLen}|${st.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
 }

@@ -1345,6 +1345,18 @@ object TextOps {
       "(cast(tf as double) * 22e-1) / " +
       "(cast(tf as double) + 12e-1 * (25e-2 + 75e-2 * (cast(len as double) / avglen))))"
 
+  /** Fixed-point BM25 idf over a df column `dfq` and the corpus-count
+    * column named by `ndCol` — the textbook ln((N − df + ½)/(df + ½))
+    * quantized to 1e-9 BIGINT units BEFORE any product (ln is the 1-ulp
+    * divergence risk, same rationale as [[idfQ9]]). Shared verbatim by
+    * the rebuild ([[bm25Retrieval]], ndCol = the in-query `nd`) and the
+    * stored-index serve ([[SparseIndex.bm25RetrievalStored]], ndCol =
+    * the meta sidecar's `nn`) so identical integers produce identical
+    * idf. */
+  private[operators] def bm25Idf9(ndCol: String): String =
+    s"cast(floor(ln((cast($ndCol as double) - cast(dfq as double) + 5e-1) / " +
+      "(cast(dfq as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint)"
+
   /** BM25 retrieval scoring for a fixed conjunctive-ish term set — the
     * classic search primitive over the corpus statistics the TF-IDF op
     * already maintains: idf from doc frequencies (fixed-point ln, same
@@ -1428,12 +1440,27 @@ object TextOps {
     val totals = tf.agg(countDistinct("doc_id").as("nd"), sum("tf").as("tot"))
     val postings = tf.crossJoin(broadcast(totals))
       .filter(col("dfq") * 10 <= col("nd"))
-      .withColumn("idf9", expr(
-        "cast(floor(ln((cast(nd as double) - cast(dfq as double) + 5e-1) / " +
-          "(cast(dfq as double) + 5e-1)) * 1.0e9 + 5e-1) as bigint)"))
+      .withColumn("idf9", expr(bm25Idf9("nd")))
       .withColumn("avglen", expr("cast(tot as double) / cast(nd as double)"))
-    // maxQ caps query membership at a constant (the *_fixedq bench
-    // discipline — see sparseRetrievalFrom)
+      .select("doc_id", "token", "tf", "len", "idf9", "avglen")
+    bm25RetrievalFrom(postings, k, queryEvery, maxQ)
+  }
+
+  /** BM25 retrieval over a GIVEN scored-posting relation
+    * `(doc_id, token, tf, len, idf9, avglen)` — the query-time half
+    * shared by the rebuild ([[bm25Retrieval]]) and the stored-index
+    * serve ([[SparseIndex.bm25RetrievalStored]]), exactly the
+    * [[sparseRetrievalFrom]] split: when the relation derives from the
+    * token-bucketed stored index, the query⋈corpus token join inherits
+    * the bucket distribution. All score inputs ride the DOCUMENT side
+    * (BM25 scores the matched document; the query contributes only its
+    * term set), so the query projection is (q_id, token). `maxQ` caps
+    * query-set membership at a constant (the *_fixedq bench
+    * discipline). */
+  def bm25RetrievalFrom(postings: DataFrame, k: Int = 10,
+                        queryEvery: Int = 50,
+                        maxQ: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = postings.filter(col("doc_id") % queryEvery === 0 &&
         col("doc_id") < maxQ)
       .select(col("doc_id").as("q_id"), col("token"))
