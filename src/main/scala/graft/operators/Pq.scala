@@ -569,7 +569,8 @@ object Pq {
     * + the hive-partitioned shuffle-free write; it amortizes over every
     * query served from the layout (the checkpoint-or-compute discipline
     * of `mwu_checkpoint`, applied to an ANN index). */
-  def writeIvfPqIndex(emb: DataFrame, dir: String): Unit = {
+  def writeIvfPqIndex(emb: DataFrame, dir: String,
+                      cb: Codebook = codebook): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     // a from-scratch build owns the dir: stale tombstones (a previous
@@ -582,9 +583,10 @@ object Pq {
         col("label").cast("long"))
       .as[(Long, Array[Float], Long)]
       .mapPartitions(_.map { case (id, v, cl) =>
-        (id, cl, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
-          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
-          assign(v, 6).toLong, assign(v, 7).toLong)
+        (id, cl, assign(v, 0, cb).toLong, assign(v, 1, cb).toLong,
+          assign(v, 2, cb).toLong, assign(v, 3, cb).toLong,
+          assign(v, 4, cb).toLong, assign(v, 5, cb).toLong,
+          assign(v, 6, cb).toLong, assign(v, 7, cb).toLong)
       })
       .toDF("vec_id", "cl", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
       .write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
@@ -596,6 +598,39 @@ object Pq {
     Similarity.labelCentroids(embF)
       .select("cl", "centroid", "c_norm")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // the index OWNS its codebook (verdict r10 #4): m·ksub rows of
+    // exact doubles (model-sized — 1024 values), written for every
+    // build so append-time encode and serve-time ADC read back the
+    // quantizer the codes were produced with. Doubles round-trip
+    // parquet bit-exactly, so a stored-then-read codebook encodes and
+    // ranks identically to the in-memory one — at 100 TB this is the
+    // production shape: train once, sidecar the model, every later
+    // verb derives from the artifact, never from "the same default".
+    val rows = for (j <- 0 until m; c <- 0 until ksub)
+      yield (j, c, cb(j)(c).toSeq)
+    spark.createDataFrame(rows).toDF("j", "c", "vals")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  private val storedCodebookSchema = "j int, c int, vals array<double>"
+
+  /** The codebook a stored index was built with, read back from its
+    * sidecar; indexes written before the sidecar existed fall back to
+    * the fixed default grid (they were encoded with it by construction).
+    */
+  def readCodebook(spark: SparkSession, dir: String): Codebook = {
+    if (!IndexFs.exists(spark, s"$dir/codebook")) return codebook
+    val rows = spark.read.schema(storedCodebookSchema)
+      .parquet(s"$dir/codebook").collect()
+    val cb: Codebook = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Double](2).toArray
+    }
+    require(cb.forall(_.forall(_ != null)),
+      s"stored codebook at '$dir/codebook' is incomplete")
+    cb
   }
 
   /** Incremental index ingest — fold a NEW shard into a stored IVF-PQ
@@ -639,13 +674,18 @@ object Pq {
       require(clash == 0L, "appendIvfPqIndex: incoming shard re-inserts " +
         s"tombstoned vec_id(s); run compactIvfPqIndex('$dir') first")
     }
+    // the shard encodes through the codebook STORED WITH THE INDEX —
+    // an append may run sessions/days after the build, and encoding
+    // with anything but the build's quantizer silently corrupts ADC
+    val cb = readCodebook(spark, dir)
     nn.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"),
         col("label").cast("long"))
       .as[(Long, Array[Float], Long)]
       .mapPartitions(_.map { case (id, v, cl) =>
-        (id, cl, assign(v, 0).toLong, assign(v, 1).toLong, assign(v, 2).toLong,
-          assign(v, 3).toLong, assign(v, 4).toLong, assign(v, 5).toLong,
-          assign(v, 6).toLong, assign(v, 7).toLong)
+        (id, cl, assign(v, 0, cb).toLong, assign(v, 1, cb).toLong,
+          assign(v, 2, cb).toLong, assign(v, 3, cb).toLong,
+          assign(v, 4, cb).toLong, assign(v, 5, cb).toLong,
+          assign(v, 6, cb).toLong, assign(v, 7, cb).toLong)
       })
       .toDF("vec_id", "cl", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
       .write.mode("append").partitionBy("cl").parquet(s"$dir/codes")
@@ -778,7 +818,11 @@ object Pq {
     else codesStored
     val pairs = probes.join(codesLive, Seq("cl"))
       .filter(col("q_id") =!= col("vec_id"))
-      .join(queryTables(nn, queryEvery, codebook, maxQ), Seq("q_id"))
+      // ADC LUT from the codebook stored WITH the index — fixed-grid
+      // indexes read back the grid bit-identically, trained indexes
+      // rank with the quantizer their codes were produced by
+      .join(queryTables(nn, queryEvery, readCodebook(spark, indexDir), maxQ),
+        Seq("q_id"))
       .withColumn("dist", adcDist)
       .select(col("q_id"), col("vec_id").as("n_id"), col("dist"))
     perQueryTopK(pairs, k)
