@@ -25,16 +25,11 @@ object QueriesLlm {
     * index QUERY cost, not build cost. The content is identical to what
     * `sparse_lifecycle` builds, so those gates share its survivors
     * oracle. */
-  /** Cache key for a standing index serving data dir `dir`: the
-    * injective path key PLUS a content snapshot id
-    * ([[graft.operators.IndexFs.snapshotKey]]) — a dirKey-only cache
-    * survives the data dir being REGENERATED under the same path across
-    * sessions and would silently serve a stale index (advice r10); the
-    * snapshot id rolls the key whenever any input file's length or
-    * mtime changes, at the cost of one metadata listing. */
+  /** Cache key for a standing index serving data dir `dir` — the
+    * shared [[graft.operators.IndexFs.dataKey]] composite (injective
+    * dirKey + content snapshot id; advice r10/r11). */
   private def dataKey(s: SparkSession, dir: String): String =
-    graft.operators.IndexFs.dirKey(dir) + "_s" +
-      graft.operators.IndexFs.snapshotKey(s, dir)
+    graft.operators.IndexFs.dataKey(s, dir)
 
   private def cachedLifecycleIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxlc_" +
@@ -785,6 +780,47 @@ object QueriesLlm {
       graft.operators.Pq.writeIvfPqIndex(emb, idx)
       graft.operators.Pq.ivfAdcTopKStored(emb, idx)
     }),
+    // the TRAINED codebook through the full stored lifecycle (verdict
+    // r11 #5 — the production shape the sidecar machinery existed for
+    // but no gate exercised): train once, build a stored index with the
+    // trained quantizer, APPEND a shard (the append encodes through the
+    // codebook READ BACK from the sidecar — days-later ingest must use
+    // the build's quantizer, not "the same default"), serve both the
+    // appended index and a whole-corpus trained build via the sidecar
+    // read-back, and emit per-query equality of the full ranked lists.
+    // A k-means codebook isn't SQL-expressible, so the DuckDB oracle is
+    // the ann_pq_trained pattern: the exact query universe with the
+    // boolean asserted true — appended-stored == trained rebuild, per
+    // query, n_id AND dist
+    "ann_ivfpq_trained_stored" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cb = graft.operators.Pq.trainCodebook(emb)
+      val whole = graft.Scratch.dir("graft_ivfpq_trw_")
+      graft.operators.Pq.writeIvfPqIndex(emb, whole, cb)
+      val inc = graft.Scratch.dir("graft_ivfpq_tri_")
+      graft.operators.Pq.writeIvfPqIndex(
+        emb.filter(col("vec_id") % 3 =!= 0), inc, cb)
+      graft.operators.Pq.appendIvfPqIndex(
+        emb.filter(col("vec_id") % 3 === 0), inc)
+      def lists(idx: String) = graft.operators.Pq.ivfAdcTopKStored(emb, idx)
+      val a = lists(whole).select(col("q_id"), col("rn"),
+        col("n_id").as("a_nid"), col("dist").as("a_dist"))
+      val b = lists(inc).select(col("q_id"), col("rn"),
+        col("n_id").as("b_nid"), col("dist").as("b_dist"))
+      // full outer on (q_id, rn): a row present on one side only is a
+      // mismatch (coalesce — null comparisons would escape a bare min)
+      val perQ = a.join(b, Seq("q_id", "rn"), "full_outer")
+        .groupBy("q_id")
+        .agg(min(coalesce(col("a_nid") === col("b_nid") &&
+          col("a_dist") === col("b_dist"), lit(false))).as("ok"))
+      // universe built independently of the serves (the trainedRecall
+      // discipline): a query with no servable neighbors is vacuously ok
+      emb.filter(size(col("embedding")) === graft.operators.Pq.dim)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"))
+        .join(perQ, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("ok"), lit(true)).as("stored_ok"))
+    }),
     // serve-only fixed-query ANN row — the dense twin of
     // sparse_serve_fixedq: the index builds ONCE per data dir at a
     // deterministic cached location, and the query membership is a
@@ -899,6 +935,18 @@ object QueriesLlm {
     // copy. Composes individually-gated signals; hash-checks end to end
     "data_card" -> ((s, dir) =>
       graft.operators.Curation.dataCard(Tables.read(s, dir, "documents"))),
+    // ...and the card with the near-dup verdict SUPPLIED (verdict r11
+    // #9): the production shape — the curation pipeline has already
+    // materialized the keep-first decision relation, so the datasheet
+    // reuses it (here pre-materialized via localCheckpoint standing in
+    // for the pipeline's stored relation) instead of recomputing the
+    // banded self-join per card. Shares data_card's oracle: supplied ==
+    // recomputed, bit for bit
+    "data_card_ndin" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val verdict = graft.operators.Dedup.keepFirst(docs).localCheckpoint()
+      graft.operators.Curation.dataCard(docs, Some(verdict))
+    }),
     // PII scrub: detect + redact emails/phones/IPv4 (counts + redacted-
     // text fingerprint); the corpus is deterministically PII-seeded so
     // every detector arm fires on every row
@@ -1238,6 +1286,8 @@ object QueriesLlm {
     "sketch_set_ops" -> TextOps.kmvSetOpsSql(),
     "data_card" -> graft.operators.Curation.dataCardSql(
       shingle = shingleDuck),
+    "data_card_ndin" -> graft.operators.Curation.dataCardSql(
+      shingle = shingleDuck),
     "sketch_hll" -> graft.operators.Hll.hllDistinctSql(),
     "sketch_hll_merge" -> graft.operators.Hll.hllMergedSql(),
     "sketch_heavy" -> TextOps.cmsHeavySql(),
@@ -1318,6 +1368,13 @@ object QueriesLlm {
     },
     "ann_ivfpq" -> graft.operators.Pq.ivfAdcSql(),
     "ann_ivfpq_stored" -> graft.operators.Pq.ivfAdcSql(),
+    // trained-stored lifecycle: the exact query universe with the
+    // equality boolean asserted (the ann_pq_trained pattern — the
+    // trained quantizer itself is not SQL-expressible)
+    "ann_ivfpq_trained_stored" ->
+      s"""select vec_id as q_id, true as stored_ok from embeddings
+         |where len(embedding) = ${graft.operators.Pq.dim} and vec_id % 50 = 0"""
+        .stripMargin.replace("\n", " "),
     "ann_serve_fixedq" -> graft.operators.Pq.ivfAdcSql(maxQ = 500L),
     "ann_rerank_ivf" -> graft.operators.Pq.ivfAdcRerankSql(),
     "ann_ivfpq_append" -> graft.operators.Pq.ivfAdcSql(),

@@ -26,6 +26,37 @@ object QueriesMwu {
   def liCells(s: SparkSession, dir: String): DataFrame =
     Tables.melt(Tables.read(s, dir, "lineitem"), "l_returnflag", liFeatures)
 
+  /** Default bucket count for the persisted cells table — a sizing
+    * PARAMETER (the [[graft.operators.SparseIndex.DefaultBuckets]]
+    * rule: buckets ≈ cluster cores × 2–4, rounded to a power of two;
+    * local tests keep 8), no longer a hard-coded literal (verdict r11
+    * #6). The zero-exchange rank plan is a property of the bucketed
+    * LAYOUT, not of the count — PlanSpec pins it at two counts. */
+  val DefaultCellBuckets = 8
+
+  /** Cache-or-compute the BUCKETED cells table for a data dir — written
+    * once, queried many times (the rank checkpoint's S7 discipline
+    * applied to storage layout). Cache key = the shared
+    * [[graft.operators.IndexFs.dataKey]] composite (injective dirKey —
+    * no two data dirs alias one table — PLUS the content snapshot id,
+    * so a data dir REGENERATED under the same path rolls the key
+    * instead of silently serving stale cells; advice r11) and the
+    * bucket count (two counts are two layouts). The Hadoop-FS path
+    * re-check rebuilds if tmp was reaped under a live catalog entry. */
+  def bucketedCells(s: SparkSession, dir: String,
+                    nBuckets: Int = DefaultCellBuckets): DataFrame = {
+    val key = graft.operators.IndexFs.dataKey(s, dir) + s"_b$nBuckets"
+    val tbl = s"graft_cells_bucketed_$key"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/cells"
+    if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
+      s.sql(s"drop table if exists $tbl")
+      liCells(s, dir).write.bucketBy(nBuckets, "feature_id")
+        .sortBy("feature_id", "value")
+        .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   private val cellsSql = Tables.meltSql("lineitem", "l_returnflag", liFeatures)
 
   /** Per-row fixed-point log1p used by the lfc leg: quantizing to 2^-20
@@ -85,24 +116,7 @@ object QueriesMwu {
     // downstream distribution; PlanSpec asserts it), same numbers as
     // mwu_rank (shared oracle)
     "mwu_rank_bucket" -> ((s, dir) => {
-      // bucketed tables are written ONCE and queried many times — that is
-      // their entire point — so the write is a cache-or-compute gate like
-      // the rank checkpoint (S7): a deterministic per-sfDir location is
-      // reused when the table already exists (and the catalog entry is
-      // re-registered if a fresh session lost it)
-      // injective cache key (IndexFs.dirKey) + Hadoop-FS path re-check:
-      // the same discipline as sparse_stored — a 32-bit hashCode (or a
-      // lossy sanitizer) could alias two data dirs onto one cached
-      // bucket table and silently serve the wrong corpus's cells
-      val key = graft.operators.IndexFs.dirKey(dir)
-      val tbl = s"graft_cells_bucketed_$key"
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$key/cells"
-      if (!s.catalog.tableExists(tbl) || !graft.operators.IndexFs.exists(s, path)) {
-        s.sql(s"drop table if exists $tbl")
-        liCells(s, dir).write.bucketBy(8, "feature_id").sortBy("feature_id", "value")
-          .option("path", path).format("parquet").mode("overwrite").saveAsTable(tbl)
-      }
-      Ranking.withRanks(s.table(tbl))
+      Ranking.withRanks(bucketedCells(s, dir))
         .groupBy("feature_id", "value")
         .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
     }),

@@ -296,13 +296,23 @@ object Curation {
     *     excluded so the two rates report disjoint drop reasons.
     * One pass over the stats relation + one global dedup aggregate +
     * the banded keep-first decision relation (linear output — the
-    * `dedup_decide` gate's production shape). */
-  def dataCard(docs: DataFrame): DataFrame = {
+    * `dedup_decide` gate's production shape).
+    *
+    * `nearDupVerdict`: at 100 TB a datasheet should not RECOMPUTE the
+    * banded near-dup self-join per card — the curation pipeline already
+    * materializes the keep-first decision relation, so a caller that
+    * has one passes it here (any relation with `(doc_id, keep)`,
+    * covering every doc) and the card costs one stats pass + two
+    * doc-proportional joins (verdict r11 #9). When absent, the card
+    * computes [[Dedup.keepFirst]] itself — self-contained, same hash. */
+  def dataCard(docs: DataFrame,
+               nearDupVerdict: Option[DataFrame] = None): DataFrame = {
     val c = docs.selectExpr(TextOps.statsSelects(SparkD): _*)
       .withColumn("quality", expr(TextOps.qualityExpr))
     val keepers = Dedup.exact(docs)
       .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
-    val nd = Dedup.keepFirst(docs).select(col("doc_id"), col("keep"))
+    val nd = nearDupVerdict.getOrElse(Dedup.keepFirst(docs))
+      .select(col("doc_id"), col("keep"))
     c.join(keepers, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"))
       .groupBy("source", "lang")

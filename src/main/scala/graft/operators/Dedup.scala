@@ -87,13 +87,25 @@ object Dedup {
     * language share a band), and in-place pair generation would serialize
     * each bucket into one task, while the join spreads the quadratic
     * verification across the cluster (measured ~25% slower as a gather). */
+  /** Length-band bucket of a documents relation: the physical `n_chars`
+    * column when present (pushdown-friendly — the scan never touches
+    * `text` for the band), else derived as `length(text)` (they are
+    * equal by the documents-table contract). Makes the banded
+    * operators' input contract (doc_id, text, lang) + OPTIONAL n_chars
+    * — round 11 composed [[keepFirst]] into `dataCard` and silently
+    * widened the contract to require the physical column, breaking any
+    * caller without it. */
+  private def lenBucketExpr(docs: DataFrame, band: Int) =
+    if (docs.columns.contains("n_chars")) expr(s"n_chars div $band")
+    else expr(s"length(text) div $band")
+
   def ngramJaccard(docs: DataFrame, n: Int = 3, band: Int = 50,
                    threshold: Double = 0.4): DataFrame = {
     require(n == 3, "char_trigram_codes packs exactly 3 code points; " +
       "other n would need a wider packing")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"), col("lang"),
-        expr(s"n_chars div $band").as("bucket"),
+        lenBucketExpr(docs, band).as("bucket"),
         expr("char_trigram_codes(text)").as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"), col("sh").as("sh_b"))
@@ -168,7 +180,7 @@ object Dedup {
     val bvCols = (0 until bands).map(b =>
       expr(bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))))
     val banded = docs.select(col("doc_id"), col("lang"),
-        expr(s"n_chars div $lenBand").as("bucket"), col("text"))
+        lenBucketExpr(docs, lenBand).as("bucket"), col("text"))
       // spread the per-doc signature work BEFORE the heavy projection:
       // a single parquet input split would otherwise serialize the
       // trigram + 16-hash chain (and, through localCheckpoint's

@@ -57,19 +57,42 @@ object IndexFs {
     * index (advice r10). Folding this snapshot id into the cache key
     * makes regeneration produce a fresh key instead; the cost is one
     * filesystem listing (file-count-proportional metadata, never data).
+    *
+    * Granularity caveat: the fingerprint sees (path, length, mtime)
+    * metadata only — a regeneration that preserves every file's byte
+    * length AND its mtime (sub-granularity rewrites on coarse-mtime
+    * filesystems) keys identically; that is the accepted trade for
+    * never reading data.
     */
   def snapshotKey(spark: SparkSession, dir: String): String = {
     val (fs, p) = fsFor(spark, dir)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     if (fs.exists(p)) {
+      // entries are RELATIVE to the listing root: FileStatus paths come
+      // back fully qualified (file:/…), so stripping the raw input
+      // string rarely matched — the same content reached via a bare
+      // path and a qualified URI keyed differently (advice r11). Strip
+      // the QUALIFIED root (trailing-slash-normalized) instead, so the
+      // key is a function of content layout, not of URI spelling.
+      val base = fs.makeQualified(p).toString.stripSuffix("/")
       val it = fs.listFiles(p, true)
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val st = it.next()
-        entries += s"${st.getPath.toString.stripPrefix(p.toString)}|${st.getLen}|${st.getModificationTime}"
+        entries += s"${st.getPath.toString.stripPrefix(base)}|${st.getLen}|${st.getModificationTime}"
       }
       entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
+
+  /** Composite cache key for a standing artifact derived from a DATA
+    * directory: [[dirKey]] (WHICH dir — injective, no aliasing) plus
+    * [[snapshotKey]] (WHICH content generation — regenerated data under
+    * the same path rolls the key instead of silently serving a stale
+    * artifact). One definition so every cache-or-compute site (sparse /
+    * ANN standing indexes, the bucketed cells table) carries the same
+    * guarantees. */
+  def dataKey(spark: SparkSession, dir: String): String =
+    dirKey(dir) + "_s" + snapshotKey(spark, dir)
 }

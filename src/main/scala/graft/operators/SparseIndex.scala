@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   *                APPEND without touching indexed data (token-bucketed —
   *                the Lucene-segment layout; each append adds one segment
   *                of bucket files, compaction folds them);
-  *   `dir` table `…_dfstats`  — `(token, dfq)` document-frequency moments:
-  *                BIGINT counts form an abelian group, so a shard's df
-  *                ADDS on append and a delete's df SUBTRACTS — the same
-  *                algebra that makes the ANN index's cell moments exact;
+  *   `dir` table `…_dfstats`  — `(token, dfq)` document-frequency moment
+  *                DELTAS: BIGINT counts form an abelian group, so a
+  *                shard's df rows APPEND as a new segment on append and
+  *                a delete appends NEGATED rows — the same algebra that
+  *                makes the ANN index's cell moments exact, laid out the
+  *                same LSM way as the postings (readers fold segments
+  *                with a bucket-local `sum`, compaction collapses them
+  *                to one row per surviving token). Before round 12 every
+  *                verb read the whole vocabulary-sized table back,
+  *                merged and REWROTE it — a per-verb constant the
+  *                streaming CRUD paid five times per history; now a verb
+  *                writes only its own shard's rows;
   *   `dir/meta`       — the corpus document count `nn` (one row);
   *   `dir/tombstones` — deleted doc ids; serving anti-joins them so the
   *                postings stop answering without rewriting a file.
@@ -86,6 +94,54 @@ object SparseIndex {
   private def postingsTbl(dir: String) = stem(dir) + "_postings"
   private def dfTbl(dir: String) = stem(dir) + "_dfstats"
 
+  /** Refresh this session's cached relations for the index's catalog
+    * tables. Serving (and every lifecycle verb that reads the tables)
+    * must be correct from ANY session: a catalog table's file listing is
+    * cached per-session, so segments appended by ANOTHER session — a
+    * streaming micro-batch's cloned session, another job sharing the
+    * metastore — are invisible here until a refresh. Round 11 shipped
+    * exactly that wrong answer (`stream_sparse_crud` served 0 rows from
+    * a stale empty listing); the refresh costs one file listing, never
+    * data. */
+  private def refreshStored(spark: SparkSession, dir: String): Unit =
+    Seq(postingsTbl(dir), dfTbl(dir)).foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
+  /** The stored posting rows with tombstoned documents anti-joined out —
+    * the live half every serve and every exact backfill derives from. */
+  private def livePostings(spark: SparkSession, dir: String): DataFrame = {
+    val tombPath = s"$dir/tombstones"
+    val tf0 = spark.table(postingsTbl(dir))
+    if (IndexFs.exists(spark, tombPath))
+      tf0.join(spark.read.schema("doc_id long").parquet(tombPath),
+        Seq("doc_id"), "left_anti")
+    else tf0
+  }
+
+  /** The df moments folded from the stored delta segments: bucket-local
+    * `sum` per token (the scan's bucket hash already satisfies the
+    * grouping — zero exchanges), emptied tokens (net 0 after deletes)
+    * drop. Also reads pre-round-12 indexes unchanged: their absolute
+    * rows are a one-segment fold. */
+  private def dfStats(spark: SparkSession, dir: String): DataFrame =
+    spark.table(dfTbl(dir)).groupBy("token").agg(sum("dfq").as("dfq"))
+      .filter(col("dfq") > 0)
+
+  /** The scalar meta moments `(nn, tot)`, with backward compat for
+    * indexes written before `tot` existed (r11 advice: the ANN index's
+    * codebook sidecar falls back explicitly; the meta sidecar must
+    * too, or a pre-r11 index fails its first append/serve with an
+    * unresolved column). The backfill recomputes `tot` once from the
+    * LIVE postings — tombstone-aware, so it equals what the rebuild
+    * algebra would have carried. */
+  private def readMeta(spark: SparkSession, dir: String): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta")
+    if (m.columns.contains("tot")) m
+    else m.crossJoin(livePostings(spark, dir)
+      .agg(coalesce(sum("c"), lit(0L)).as("tot")))
+  }
+
   /** Raw term-frequency relation of a document set — per-document values
     * only (tf count and doc length), so it is computable shard-locally:
     * the append path's whole write is this relation over the shard. */
@@ -95,12 +151,6 @@ object SparseIndex {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
       .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
   }
-
-  /** The df moments of a document set: one row per token, counting the
-    * documents that contain it (tf has one row per (doc, token), so a
-    * count over tf is the df). Exact BIGINTs — the mergeable half. */
-  private def dfMoments(docs: DataFrame): DataFrame =
-    tfRelation(docs).groupBy("token").agg(count(lit(1)).as("dfq"))
 
   private def writeBucketed(df: DataFrame, tbl: String, dir: String,
                             sub: String, mode: String, nBuckets: Int): Unit =
@@ -130,19 +180,28 @@ object SparseIndex {
     // previous lifecycle that died between delete and compact) would
     // silently suppress freshly indexed doc_ids at serve
     IndexFs.deleteRecursive(spark, s"$dir/tombstones")
-    writeBucketed(tfRelation(docs), postingsTbl(dir), dir, "postings",
+    val tf = tfRelation(docs)
+    writeBucketed(tf, postingsTbl(dir), dir, "postings",
       "overwrite", nBuckets)
-    writeBucketed(dfMoments(docs), dfTbl(dir), dir, "dfstats",
-      "overwrite", nBuckets)
+    // df moments and the scalar meta moments derive from a PATH read of
+    // the posting files just written — one corpus tokenization total
+    // (df used to re-tokenize), and critically NOT a read of the catalog
+    // table: `spark.table` would prime this session's relation cache
+    // with the build-time file listing, and a serve in this session
+    // after appends from ANOTHER session (streaming foreachBatch runs in
+    // a cloned session) would silently answer from the stale listing —
+    // round 11's `stream_sparse_crud` 0-row regression. A path read
+    // lists fresh and caches nothing.
+    val posted = spark.read.schema(tf.schema).parquet(s"$dir/postings")
+    writeBucketed(posted.groupBy("token").agg(count(lit(1)).as("dfq")),
+      dfTbl(dir), dir, "dfstats", "overwrite", nBuckets)
     // meta holds BOTH scalar moments serving needs: the doc count `nn`
     // (TF-IDF idf and the df stop cut) and the total token count `tot`
-    // (BM25's avglen = tot/nn). `tot` reads back from the postings just
-    // written — no third tokenization of the corpus. Every document
-    // emits >= 1 token (the gram3 tokenizer pads short/empty text to
-    // one gram), so `nn` doubles as BM25's distinct-doc count `nd`.
+    // (BM25's avglen = tot/nn). Every document emits >= 1 token (the
+    // gram3 tokenizer pads short/empty text to one gram), so `nn`
+    // doubles as BM25's distinct-doc count `nd`.
     docs.agg(count(lit(1)).as("nn"))
-      .crossJoin(docs.sparkSession.table(postingsTbl(dir))
-        .agg(coalesce(sum("c"), lit(0L)).as("tot")))
+      .crossJoin(posted.agg(coalesce(sum("c"), lit(0L)).as("tot")))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -157,6 +216,7 @@ object SparseIndex {
     * rebuild. The shard-sized gate makes that loud. */
   def appendSparseIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
+    refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
     if (IndexFs.exists(spark, tombPath)) {
       val clash = newDocs.select(col("doc_id").cast("long"))
@@ -166,20 +226,26 @@ object SparseIndex {
       require(clash == 0L, "appendSparseIndex: incoming shard re-inserts " +
         s"tombstoned doc_id(s); run compactSparseIndex('$dir') first")
     }
-    writeBucketed(tfRelation(newDocs), postingsTbl(dir), dir, "postings",
+    // snapshot the meta moments BEFORE the segment writes: readMeta's
+    // legacy-backfill path derives `tot` from the live postings, which
+    // must be the PRE-append postings (lazily it would see the new
+    // segment and double-count the shard)
+    val meta = readMeta(spark, dir).localCheckpoint()
+    // ONE tokenization of the shard feeds all three writes (postings
+    // segment, df delta segment, meta bump) — shard-sized checkpoint
+    val tf = tfRelation(newDocs).localCheckpoint()
+    writeBucketed(tf, postingsTbl(dir), dir, "postings",
       "append", bucketCount(spark, dir))
-    // merged moments REPLACE the sidecar; localCheckpoint breaks the
-    // read-overwrite cycle at a vocabulary-sized materialization
-    val merged = spark.table(dfTbl(dir))
-      .unionByName(dfMoments(newDocs))
-      .groupBy("token").agg(sum("dfq").as("dfq"))
-      .localCheckpoint()
-    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite",
-      bucketCount(spark, dir))
-    val nn = spark.read.parquet(s"$dir/meta")
+    // df moments APPEND as a delta segment (readers fold segments, the
+    // LSM discipline); only the shard's vocabulary is written — the
+    // stored table is never read back, so the verb's cost is purely
+    // shard-proportional instead of paying a corpus-vocabulary-sized
+    // read-merge-rewrite per call
+    writeBucketed(tf.groupBy("token").agg(count(lit(1)).as("dfq")),
+      dfTbl(dir), dir, "dfstats", "append", bucketCount(spark, dir))
+    val nn = meta
       .unionByName(newDocs.agg(count(lit(1)).as("nn"))
-        .crossJoin(tfRelation(newDocs)
-          .agg(coalesce(sum("c"), lit(0L)).as("tot"))))
+        .crossJoin(tf.agg(coalesce(sum("c"), lit(0L)).as("tot"))))
       .agg(sum("nn").as("nn"), sum("tot").as("tot")).localCheckpoint()
     nn.write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -209,6 +275,7 @@ object SparseIndex {
     * delete feed twice for a corruption only a buggy feed produces. */
   def deleteFromSparseIndex(deletedDocs: DataFrame, dir: String): Unit = {
     val spark = deletedDocs.sparkSession
+    refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
     val incoming = deletedDocs.dropDuplicates("doc_id")
     val eff = (if (IndexFs.exists(spark, tombPath))
@@ -222,44 +289,52 @@ object SparseIndex {
     require(foreign == 0L, "deleteFromSparseIndex: delete feed contains " +
       s"doc_id(s) never indexed in '$dir' — subtracting their df moments " +
       "would corrupt the sidecars; fix the feed")
+    // snapshot meta BEFORE the tombstone write: the legacy-backfill
+    // path derives `tot` from the live postings, which must still see
+    // the docs this delete is about to tombstone (lazily it would
+    // exclude them and the subtraction below would double-apply)
+    val meta = readMeta(spark, dir).localCheckpoint()
     eff.select(col("doc_id").cast("long"))
       .write.mode("append").parquet(tombPath)
-    val merged = spark.table(dfTbl(dir))
-      .unionByName(dfMoments(eff).select(col("token"), (-col("dfq")).as("dfq")))
-      .groupBy("token").agg(sum("dfq").as("dfq"))
-      .filter(col("dfq") > 0) // a token with no surviving docs leaves
-      .localCheckpoint()
-    writeBucketed(merged, dfTbl(dir), dir, "dfstats", "overwrite",
-      bucketCount(spark, dir))
-    val nn = spark.read.parquet(s"$dir/meta")
+    // ONE tokenization of the delete feed for both the df delta and the
+    // meta downdate; the df moments append NEGATED as a delta segment
+    // (readers fold with `sum` and drop tokens netting to 0 — "a token
+    // with no surviving docs leaves" now happens at read/compaction,
+    // deleted-rows-proportional instead of vocabulary-sized per call)
+    val tf = tfRelation(eff).localCheckpoint()
+    writeBucketed(tf.groupBy("token").agg((-count(lit(1))).as("dfq")),
+      dfTbl(dir), dir, "dfstats", "append", bucketCount(spark, dir))
+    val nn = meta
       .unionByName(eff.agg((-count(lit(1))).as("nn"))
-        .crossJoin(tfRelation(eff)
-          .agg((-coalesce(sum("c"), lit(0L))).as("tot"))))
+        .crossJoin(tf.agg((-coalesce(sum("c"), lit(0L))).as("tot"))))
       .agg(sum("nn").as("nn"), sum("tot").as("tot")).localCheckpoint()
     nn.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Compact: physically apply the tombstones and fold each bucket's
+  /** Compact: physically apply the tombstones and fold each table's
     * accumulated append segments into ONE file per bucket (the LSM
-    * merge). Pure layout maintenance — df moments and doc count are
-    * already exact, so only the posting table rewrites; serving before
-    * and after is bit-identical and the tombstone sidecar clears. */
+    * merge) — posting rows drop their tombstoned docs, df delta rows
+    * fold to one exact row per surviving token. Pure layout
+    * maintenance: the folded moments are the ones every reader already
+    * computes, so serving before and after is bit-identical and the
+    * tombstone sidecar clears. */
   def compactSparseIndex(spark: SparkSession, dir: String): Unit = {
+    refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
     val nBuckets = bucketCount(spark, dir)
-    val posts = spark.table(postingsTbl(dir))
-    val live = if (IndexFs.exists(spark, tombPath))
-      posts.join(spark.read.schema("doc_id long").parquet(tombPath),
-        Seq("doc_id"), "left_anti")
-    else posts
     // localCheckpoint materializes before overwriting the table being
     // read; the repartition on the bucket column comes AFTER it (the
     // checkpoint collapses upstream partitioning to the runtime's task
     // count), so the write sees exactly nBuckets partitions, each
     // holding one bucket's tokens (same murmur-pmod hash) — one file
     // per bucket.
-    val compacted = live.localCheckpoint().repartition(nBuckets, col("token"))
+    val compacted = livePostings(spark, dir)
+      .localCheckpoint().repartition(nBuckets, col("token"))
     writeBucketed(compacted, postingsTbl(dir), dir, "postings", "overwrite",
+      nBuckets)
+    val dfFolded = dfStats(spark, dir)
+      .localCheckpoint().repartition(nBuckets, col("token"))
+    writeBucketed(dfFolded, dfTbl(dir), dir, "dfstats", "overwrite",
       nBuckets)
     IndexFs.deleteRecursive(spark, tombPath)
   }
@@ -271,19 +346,16 @@ object SparseIndex {
     * that equal the rebuild's by the merge algebra. Both stored relations
     * are token-bucketed, so the df attach and the downstream query⋈corpus
     * join inherit the bucket distribution. Tombstoned docs are anti-joined
-    * out (O(deleted) sidecar until a compaction clears it). */
+    * out (O(deleted) sidecar until a compaction clears it); a catalog
+    * refresh first makes the serve correct from ANY session, not only
+    * the one that last wrote ([[refreshStored]]). */
   def sparseRetrievalStored(spark: SparkSession, dir: String, k: Int = 10,
                             queryEvery: Int = 50,
                             maxQ: Long = Long.MaxValue): DataFrame = {
-    val tombPath = s"$dir/tombstones"
-    val tf0 = spark.table(postingsTbl(dir))
-    val tf = if (IndexFs.exists(spark, tombPath))
-      tf0.join(spark.read.schema("doc_id long").parquet(tombPath),
-        Seq("doc_id"), "left_anti")
-    else tf0
-    val postings = tf
-      .join(spark.table(dfTbl(dir)), "token")
-      .crossJoin(broadcast(spark.read.parquet(s"$dir/meta")))
+    refreshStored(spark, dir)
+    val postings = livePostings(spark, dir)
+      .join(dfStats(spark, dir), "token")
+      .crossJoin(broadcast(readMeta(spark, dir)))
       .filter(col("dfq") * 10 <= col("nn"))
       .withColumn("tfidf",
         (col("c").cast("double") / col("n_tok").cast("double"))
@@ -311,15 +383,10 @@ object SparseIndex {
   def bm25RetrievalStored(spark: SparkSession, dir: String, k: Int = 10,
                           queryEvery: Int = 50,
                           maxQ: Long = Long.MaxValue): DataFrame = {
-    val tombPath = s"$dir/tombstones"
-    val tf0 = spark.table(postingsTbl(dir))
-    val tf = if (IndexFs.exists(spark, tombPath))
-      tf0.join(spark.read.schema("doc_id long").parquet(tombPath),
-        Seq("doc_id"), "left_anti")
-    else tf0
-    val postings = tf
-      .join(spark.table(dfTbl(dir)), "token")
-      .crossJoin(broadcast(spark.read.parquet(s"$dir/meta")))
+    refreshStored(spark, dir)
+    val postings = livePostings(spark, dir)
+      .join(dfStats(spark, dir), "token")
+      .crossJoin(broadcast(readMeta(spark, dir)))
       .filter(col("dfq") * 10 <= col("nn"))
       .withColumn("idf9", expr(TextOps.bm25Idf9("nn")))
       .withColumn("avglen", expr("cast(tot as double) / cast(nn as double)"))

@@ -469,6 +469,48 @@ class OperatorsSpec extends SparkSpec {
       b.getDouble(6) == b.getDouble(7))
   }
 
+  test("data_card: supplied near-dup verdict relation == self-computed card (and the fixture needs no n_chars)") {
+    import spark.implicits._
+    // the production shape (verdict r11 #9): the pipeline's keep-first
+    // decision relation feeds the card instead of the card recomputing
+    // the banded self-join — same rows bit for bit
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog extra", "en", "web"),
+      (3L, "pack my box with five dozen liquor jugs", "en", "books"),
+      (10L, "sphinx of black quartz judge my vow", "fr", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val self = graft.operators.Curation.dataCard(docs).collect().toSet
+    val verdict = graft.operators.Dedup.keepFirst(docs).localCheckpoint()
+    val supplied = graft.operators.Curation.dataCard(docs, Some(verdict)).collect().toSet
+    assert(self == supplied, "supplied-verdict card diverges from the self-computed card")
+    // and the near-dup column actually fired (docs 1/2 are banded near-dups)
+    assert(self.exists(r => r.getLong(r.fieldIndex("n_neardups")) > 0L),
+      "fixture should exercise the near-dup column")
+  }
+
+  test("pipeline near-dup stage: no banded near-dup pair survives with both endpoints; stage-off leaves such pairs") {
+    // the r11 stage composed into Curation.pipeline(nearDup = true):
+    // stage 2b anti-joins keepFirst's drop set (every doc_b of a banded
+    // pair), and later stages only remove docs — so among the FINAL
+    // survivors no banded pair can have both endpoints alive. (Survivor
+    // sets are NOT monotone in the flag: dropping a near-dup can turn a
+    // repeated line unique in stage 3 and resurrect another doc's
+    // tokens — so the pin is the pair property, not set inclusion.)
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def survivorDocs(near: Boolean) = docs.join(
+      graft.operators.Curation.pipeline(docs, nearDup = near).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val pairsOn = graft.operators.Dedup
+      .ngramJaccardBanded(survivorDocs(near = true)).count()
+    assert(pairsOn == 0L,
+      s"near-dup stage left $pairsOn banded pairs among survivors")
+    val pairsOff = graft.operators.Dedup
+      .ngramJaccardBanded(survivorDocs(near = false)).count()
+    assert(pairsOff > 0L,
+      "fixture should carry near-dup survivor pairs when the stage is off")
+  }
+
   test("kmv set algebra: exact in the sub-k regime, within KMV error above it") {
     import spark.implicits._
     // sub-k regime: universes far below k=256 — the union sketch holds

@@ -64,6 +64,36 @@ class PqSpec extends SparkSpec {
     assert(gate.nonEmpty && gate.forall(_.getBoolean(1)))
   }
 
+  test("trained codebook sidecar: round-trips bit-exactly; append encodes through the read-back; appended serve == whole trained build") {
+    // the production shape (verdict r11 #5): train once, store the
+    // model WITH the index, every later verb derives from the artifact.
+    val cb = Pq.trainCodebook(emb)
+    assert(cb ne Pq.codebook, "sf0.001 corpus should be trainable (not the grid fallback)")
+    val whole = graft.Scratch.dir("pq_spec_trw_")
+    Pq.writeIvfPqIndex(emb, whole, cb)
+    // (a) the sidecar round-trips the trained doubles bit-exactly
+    val back = Pq.readCodebook(spark, whole)
+    for (j <- 0 until Pq.m; c <- 0 until Pq.ksub)
+      assert(java.util.Arrays.equals(back(j)(c), cb(j)(c)),
+        s"stored codebook differs at ($j, $c)")
+    // (b) an append (which must encode through the READ-BACK codebook,
+    // not the default grid) serves bit-identically to the whole build
+    import org.apache.spark.sql.functions.col
+    val inc = graft.Scratch.dir("pq_spec_tri_")
+    Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), inc, cb)
+    Pq.appendIvfPqIndex(emb.filter(col("vec_id") % 3 === 0), inc)
+    def serve(d: String) = Pq.ivfAdcTopKStored(emb, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = serve(whole)
+    assert(w.nonEmpty && w == serve(inc),
+      "trained-codebook append diverges from the whole trained build")
+    // (c) and the trained serve is NOT the grid serve (the codebook
+    // actually flowed — a silent grid fallback would pass (b) trivially)
+    val grid = graft.Scratch.dir("pq_spec_trg_")
+    Pq.writeIvfPqIndex(emb, grid)
+    assert(w != serve(grid), "trained serve should differ from the grid serve")
+  }
+
   test("two-stage rerank: exact re-rank of the ADC shortlist beats flat ADC recall") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -49,7 +49,11 @@ class PropertySpec extends SparkSpec {
         SparseIndex.appendSparseIndex(
           docs.filter(col("shard") === sh).drop("shard"), inc)
       }
-      def dfstats(d: String) = spark.read.parquet(s"$d/dfstats").collect()
+      // df MOMENTS = delta segments folded with a sum (the reader
+      // discipline — appends write segments, not a rewritten table)
+      def dfstats(d: String) = spark.read.parquet(s"$d/dfstats")
+        .groupBy("token").agg(org.apache.spark.sql.functions.sum("dfq").as("dfq"))
+        .filter(col("dfq") > 0).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def nn(d: String) = spark.read.parquet(s"$d/meta").collect().head.getLong(0)
       assert(dfstats(inc) == dfstats(oneShot),

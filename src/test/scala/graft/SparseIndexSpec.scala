@@ -33,8 +33,11 @@ class SparseIndexSpec extends SparkSpec {
     SparseIndex.sparseRetrievalStored(spark, dir, queryEvery = 7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
 
+  /** The df MOMENTS of a stored index: delta segments fold with a sum
+    * (the reader discipline) — tokens netting to 0 have left. */
   private def dfstats(dir: String) =
-    spark.read.parquet(s"$dir/dfstats").collect()
+    spark.read.parquet(s"$dir/dfstats").groupBy("token")
+      .agg(sum("dfq").as("dfq")).filter(col("dfq") > 0).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   private def postingFiles(dir: String): Int =
@@ -168,5 +171,96 @@ class SparseIndexSpec extends SparkSpec {
     SparseIndex.writeSparseIndex(all.filter(col("doc_id") % 4 =!= 1), surv)
     assert(serve(idx) == serve(surv),
       "4-bucket lifecycle serves differently from the 8-bucket rebuild")
+  }
+
+  test("cross-session serve: writes from ANOTHER session are visible — the r11 stream_sparse_crud regression shape") {
+    // Round 11's wrong answer: the outer session seeded an EMPTY index
+    // (priming its table-relation cache with an empty file listing),
+    // streaming foreachBatch appended from a CLONED session (which
+    // refreshes only its own cache), and the outer session's serve
+    // answered 0 rows from the stale listing. This spec is that exact
+    // experiment: seed empty HERE, mutate from spark.newSession(),
+    // serve HERE — correct serving must equal the survivors rebuild.
+    val all = mkDocs(0L until 60L)
+    val idx = graft.Scratch.dir("sidx_spec_xsess_")
+    SparseIndex.writeSparseIndex(all.limit(0), idx)
+    // prime the outer session's relation cache with the empty seed the
+    // way the r11 bug did (a serve plans against the posting relation)
+    assert(SparseIndex.sparseRetrievalStored(spark, idx, queryEvery = 7)
+      .collect().isEmpty)
+    val other = spark.newSession()
+    val allOther = other.createDataFrame(
+      spark.sparkContext.parallelize(all.collect().toIndexedSeq), all.schema)
+    SparseIndex.appendSparseIndex(
+      allOther.filter(col("doc_id") % 3 =!= 0), idx)
+    SparseIndex.appendSparseIndex(
+      allOther.filter(col("doc_id") % 3 === 0), idx)
+    SparseIndex.deleteFromSparseIndex(
+      allOther.filter(col("doc_id") % 4 === 1), idx)
+    // the OUTER session serves — with the stale cache this returns the
+    // empty seed; correct serving refreshes and sees the other
+    // session's segments
+    val surv = graft.Scratch.dir("sidx_spec_xsess_surv_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") % 4 =!= 1), surv)
+    val served = serve(idx)
+    assert(served.nonEmpty, "outer session served the stale empty seed")
+    assert(served == serve(surv),
+      "cross-session serve diverges from the survivors rebuild")
+    // and the BM25 serve reads through the same refresh discipline
+    def bm25(d: String) = SparseIndex.bm25RetrievalStored(spark, d, queryEvery = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(bm25(idx).nonEmpty && bm25(idx) == bm25(surv),
+      "cross-session BM25 serve diverges from the survivors rebuild")
+  }
+
+  test("meta tot algebra: append/delete-merged (nn, tot) equal the rebuild's exactly (BM25's avglen inputs)") {
+    val all = mkDocs(0L until 60L)
+    val idx = graft.Scratch.dir("sidx_spec_tot_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") < 40), idx)
+    SparseIndex.appendSparseIndex(all.filter(col("doc_id") >= 40), idx)
+    SparseIndex.deleteFromSparseIndex(all.filter(col("doc_id") % 4 === 1), idx)
+    val surv = graft.Scratch.dir("sidx_spec_tot_surv_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") % 4 =!= 1), surv)
+    def meta(d: String) = spark.read.parquet(s"$d/meta").collect().head
+    val (mi, ms) = (meta(idx), meta(surv))
+    assert(mi.getLong(mi.fieldIndex("nn")) == ms.getLong(ms.fieldIndex("nn")),
+      "merged nn diverges from rebuild")
+    assert(mi.getLong(mi.fieldIndex("tot")) == ms.getLong(ms.fieldIndex("tot")),
+      "merged tot diverges from rebuild — BM25 avglen would drift")
+  }
+
+  test("pre-r11 meta (nn only, no tot): verbs backfill instead of failing; serving equals rebuild") {
+    // An index written before the meta sidecar carried `tot` must not
+    // fail its first append/serve with an unresolved column (advice
+    // r11) — readMeta backfills tot from the LIVE postings, exactly
+    // what the rebuild algebra would have carried.
+    val all = mkDocs(0L until 60L)
+    val idx = graft.Scratch.dir("sidx_spec_oldmeta_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") < 40), idx)
+    // rewrite meta the pre-r11 way: nn only
+    val nnOnly = spark.read.parquet(s"$idx/meta").select("nn").collect().head.getLong(0)
+    import spark.implicits._
+    Seq(nnOnly).toDF("nn").write.mode("overwrite").parquet(s"$idx/meta")
+    // serve from the legacy meta (BM25 needs tot — must backfill)
+    val legacyServe = SparseIndex.bm25RetrievalStored(spark, idx, queryEvery = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val base = graft.Scratch.dir("sidx_spec_oldmeta_base_")
+    SparseIndex.writeSparseIndex(all.filter(col("doc_id") < 40), base)
+    def bm25(d: String) = SparseIndex.bm25RetrievalStored(spark, d, queryEvery = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(legacyServe.nonEmpty && legacyServe == bm25(base),
+      "legacy-meta serve diverges from a fresh build")
+    // an append on the legacy meta upgrades it (backfill + merge)
+    SparseIndex.appendSparseIndex(all.filter(col("doc_id") >= 40), idx)
+    val full = graft.Scratch.dir("sidx_spec_oldmeta_full_")
+    SparseIndex.writeSparseIndex(all, full)
+    def meta(d: String) = {
+      val r = spark.read.parquet(s"$d/meta").collect().head
+      (r.getLong(r.fieldIndex("nn")), r.getLong(r.fieldIndex("tot")))
+    }
+    assert(meta(idx) == meta(full),
+      "append over legacy meta diverges from the rebuild's (nn, tot)")
+    assert(bm25(idx) == bm25(full),
+      "post-upgrade BM25 serve diverges from the full rebuild")
   }
 }
