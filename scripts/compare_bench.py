@@ -8,17 +8,38 @@ plus the worst movers in both directions, and the per-pass totals of
 each artifact so warm-up spread is visible next to the steady-state
 comparison.
 
-Usage: python3 scripts/compare_bench.py <old.json> <new.json> [top_n]
+Usage: python3 scripts/compare_bench.py <old.json> <new.json> [top_n] [--normalize]
+
+--normalize divides host-speed drift out of the comparison using the
+per-pass calibration micro-run both artifacts record (Bench.calibrate —
+a frozen data-free workload): new times are scaled by
+median(old calibration) / median(new calibration), so a uniformly
+slower/faster host reads as ~1.0x instead of a phantom slope. Falls
+back to raw comparison (with a warning) when either artifact predates
+the calibration key.
 """
 import json
 import statistics
 import sys
 
 
-def main(old_path: str, new_path: str, top_n: int = 8) -> None:
+def main(old_path: str, new_path: str, top_n: int = 8,
+         normalize: bool = False) -> None:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
+    if normalize:
+        oc, nc = old.get("calibration"), new.get("calibration")
+        if oc and nc:
+            factor = statistics.median(oc) / statistics.median(nc)
+            nq = {q: t * factor for q, t in nq.items()}
+            print(f"host-normalized: new times scaled by {factor:.3f} "
+                  f"(old calib {statistics.median(oc):.2f}s, "
+                  f"new calib {statistics.median(nc):.2f}s)")
+        else:
+            missing = [p for p, c in ((old_path, oc), (new_path, nc)) if not c]
+            print(f"WARNING: --normalize requested but no calibration key in "
+                  f"{', '.join(missing)} — comparing RAW times")
     shared = sorted(set(oq) & set(nq))
     ratios = {q: nq[q] / oq[q] for q in shared if oq[q] > 0}
     tot_old = sum(oq[q] for q in shared)
@@ -49,4 +70,6 @@ def main(old_path: str, new_path: str, top_n: int = 8) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    args = [a for a in sys.argv[1:] if a != "--normalize"]
+    main(args[0], args[1], int(args[2]) if len(args) > 2 else 8,
+         normalize="--normalize" in sys.argv)

@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host-speed calibration: a FROZEN, data-free, CPU-bound micro-run
+    * timed once per pass and recorded in the artifact. The host's speed
+    * drifts across days (r10: the identical sha measured ~13% slower on
+    * every query a day later), so round-over-round slopes read from
+    * artifacts alone conflate host drift with real regressions — this
+    * leg lets `compare_bench.py --normalize` divide the drift out
+    * without re-benching an old sha in a worktree. The workload is a
+    * codegen'd 32-slice range aggregate: deterministic, no IO, no
+    * shuffle, ~1 s — it measures the same JVM+CPU path the queries run
+    * on. DO NOT change the workload, the range, or the slice count:
+    * normalization depends on every round's artifact carrying the
+    * IDENTICAL micro-run. */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // overflow-free mix (max ~2e15 < 2^63) so the workload is identical
+    // under ANSI and legacy arithmetic — a frozen workload must not
+    // depend on overflow semantics
+    spark.range(0L, 8000000000L, 1L, 32)
+      .selectExpr(
+        "sum(((id % 1000003) * 2654435761 + 2862933) % 1000) as s")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,7 +57,13 @@ object Bench {
     // totals and per-pass maps are kept so run-to-run variance is
     // visible in the artifact.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // one UNTIMED calibration first: the timed per-pass runs must
+    // measure host speed, not the micro-run's own JIT/codegen warm-up
+    // (measured: cold 0.95 s vs warm ~0.3 s on the same host)
+    calibrate(spark)
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to rounds).map { _ =>
+      calibrations += calibrate(spark)
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -57,7 +87,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    val calib = calibrations.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"calibration":$calib,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json preserves only a truncated log tail
     // (round 7 kept 26 of 242 per-query times) — persist the FULL
@@ -69,7 +100,7 @@ object Bench {
         "\"pass" + (i + 1) + "\":" + p.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       }.mkString(",")
-      val full = s"""{"artifact":"full per-query bench (min over $rounds passes; per-pass maps for variance)","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total_sec":$total,"pass_totals":$passTotals,"queries":$qs,$perPass}"""
+      val full = s"""{"artifact":"full per-query bench (min over $rounds passes; per-pass maps for variance)","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total_sec":$total,"pass_totals":$passTotals,"calibration":$calib,"queries":$qs,$perPass}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
     } catch { case e: Throwable =>
