@@ -47,7 +47,14 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration only; the
     // harness never sets it, so driver rounds always measure everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // run in SORTED name order: HashMap iteration order reshuffles every
+    // query's neighbors whenever a query is added, and neighbor effects
+    // are real (r12: the multimodal family measured 2x slower in the
+    // full run vs solo purely from new predecessors' heap pressure) —
+    // sorted order pins each query's context across rounds, so per-query
+    // round-over-round ratios compare like for like
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // three back-to-back passes: single-pass numbers mix first-execution
     // JIT / codegen-compile time into whichever queries run early, which
     // showed up as phantom 1.5-2× "regressions" between rounds, and the
@@ -77,10 +84,15 @@ object Bench {
         // work lands outside the next query's timed window.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // start the next query from a settled heap: without this, a
+        // heavy predecessor's garbage lands in the successor's timed
+        // window (same neighbor effect the sorted order pins) — the gc
+        // runs OUTSIDE the timed window by construction
+        System.gc()
         name -> sec
-      }
+      }.toMap
     }
-    val results = selected.keys.map { name =>
+    val results = selected.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
