@@ -25,6 +25,19 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Evaluate a gate relation the way the correctness dump consumes it:
+    * execute the FULL physical plan and iterate every output row
+    * (InternalRows — no driver transfer, no external-Row conversion).
+    * `df.count()` is NOT that statistic: Catalyst rewrites the count
+    * aggregate and prunes whatever the count doesn't need — measured at
+    * 10× data, `Dedup.keepFirst(docs).count()` ran in 7 s because the
+    * decision left-join (and with it the whole banded candidate pass)
+    * was ELIMINATED, vs 24 s for the relation the oracle checks; the
+    * data-card aggregate pruned the same work (12×/3× under-measured at
+    * sf0.1). Every timed row forces the plan the gate is graded on. */
+  def evalRows(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,7 +86,7 @@ object Bench {
       calibrations += calibrate(spark)
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { evalRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // iterative queries (pageRank, BPE, LR, label propagation) pin
         // their localCheckpoint RDD blocks in the block manager; left

@@ -13,7 +13,7 @@ object BenchOne {
     val names = args.toSeq
     for (pass <- 1 to 3; n <- names) {
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, dir).count()
+      val c = Bench.evalRows(SparkEntry.queries(n)(spark, dir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"BENCHONE pass=$pass q=$n rows=$c sec=$sec%.2f")
     }

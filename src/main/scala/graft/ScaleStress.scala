@@ -545,7 +545,7 @@ object ScaleStress {
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, sfDir).count()
+      val rows = Bench.evalRows(SparkEntry.queries(q)(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are posted async — drain authoritatively via
       // LiveListenerBus.waitUntilEmpty (private[spark], reached by
@@ -848,7 +848,7 @@ object ScaleStress {
       "q_join_revenue", "q_important_parts", "q_min_cost")
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      Bench.evalRows(SparkEntry.queries(q)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     // min over two measured passes: single-shot write/window timings at
@@ -1077,7 +1077,7 @@ object ScaleStress {
           def run(): Unit = spark.sparkContext.cancelJobGroup(group)
         }
         timer.schedule(cancel, capMs)
-        try { SparkEntry.queries(q)(spark, dir).count() }
+        try { Bench.evalRows(SparkEntry.queries(q)(spark, dir)) }
         finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
         (System.nanoTime() - t0) / 1e9
       }
