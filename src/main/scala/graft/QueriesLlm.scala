@@ -616,6 +616,13 @@ object QueriesLlm {
     // proven by sharing its oracle
     "dedup_incremental_winnow_bloom" -> ((s, dir) =>
       Dedup.incrementalWinnowBloom(Tables.read(s, dir, "documents"))),
+    // BANDED incremental near-dup: the bounded-candidate sibling — LSH
+    // bands over per-doc MinHash signatures of the df-cut winnow-fp set
+    // generate candidates (bucket co-occupancy, never fp co-occurrence
+    // mass), exact integer containment verify inside candidates only;
+    // the full-probe rows above stay as the exactness anchors
+    "dedup_incremental_winnow_banded" -> ((s, dir) =>
+      Dedup.incrementalWinnowBanded(Tables.read(s, dir, "documents"))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -1306,6 +1313,7 @@ object QueriesLlm {
     "dedup_incremental" -> Dedup.incrementalSql(),
     "dedup_incremental_winnow" -> Dedup.incrementalWinnowSql(),
     "dedup_incremental_winnow_bloom" -> Dedup.incrementalWinnowSql(),
+    "dedup_incremental_winnow_banded" -> Dedup.incrementalWinnowBandedSql(),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),

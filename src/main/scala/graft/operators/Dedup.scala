@@ -1361,6 +1361,143 @@ object Dedup {
           "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
   }
 
+  /** BANDED incremental near-dup — the bounded-candidate sibling of
+    * [[incrementalWinnow]], the same relationship
+    * [[TextOps.winnowOverlapBanded]] bears to [[TextOps.winnowOverlap]].
+    * The full operator's history and within-batch probes are fp-keyed
+    * equi-joins whose pair mass tracks fp CO-OCCURRENCE — on a
+    * template-heavy corpus hot fingerprints make that quadratic (the
+    * honest-statistic sf1 sweep watchdog-capped both incremental winnow
+    * rows once their verdict joins were actually timed). Here candidate
+    * pairs come from LSH bands over a per-doc Carter-Wegman MinHash
+    * signature of the df-cut winnow-fp set — ONE map-side-combined
+    * aggregate per doc, never an fp self-join — and the exact integer
+    * containment verify (`sorted_intersect_count` over the sorted fp
+    * arrays, `n_shared·thrDen ≥ thrNum·n_fp` against the INCOMING doc's
+    * kept-fp count) runs only inside same-bucket pairs, each verified
+    * once in its first colliding band ([[firstMeetChainSql]]).
+    *
+    * Differences from the full operator's contract, both deliberate and
+    * both mirrored exactly in the oracle: (a) the df stop cut (fps in
+    * >10% of docs dropped) bounds signature AND verify mass — boilerplate
+    * fps carry no near-dup signal; (b) the verdict universe is increment
+    * docs with ≥1 KEPT fp. Recall at the band curve's knee
+    * ((1/b)^(1/r) ≈ 0.35 for 8×2) — the planted-corpus spec measures
+    * 1.0 on the shifted-copy regime, matching the full operator.
+    *
+    * Scale shape: the history side ships one signature row + one sorted
+    * fp array per doc (never text), candidate volume is bounded by
+    * bucket co-occupancy, and a day-sized increment meets the
+    * corpus-sized index in a band-keyed equi-join — |increment|-
+    * proportional, index-growth-independent candidate generation. */
+  def incrementalWinnowBanded(docs: DataFrame, minShared: Int = 3,
+                              thrNum: Int = 1, thrDen: Int = 2,
+                              numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val r = numHashes / bands
+    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    // bounded driver count — the measured winnowOverlap trade
+    val nDocs = docs.select("doc_id").distinct().count()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+        .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
+      "fp").localCheckpoint()
+    // one aggregate: sorted fp array (verify operand), its size
+    // (containment denominator), and the CW minima (fp < CwMod by the
+    // winnow packing, so cwMix is overflow-free on it directly)
+    val sigAggs = (0 until numHashes).map(j =>
+      min(expr(graft.oracle.Parity.cwMix(j, "fp"))).as(s"h$j"))
+    val aggs = Seq(sort_array(collect_list(col("fp"))).as("fset"),
+      count(lit(1)).as("n_fp")) ++ sigAggs
+    val sets = kept.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bvCols = (0 until bands).map(b =>
+      expr(bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))))
+    // checkpoint BEFORE the band explode: each fp array stored once
+    val banded = sets
+      .select(col("doc_id"), col("fset"), col("n_fp"), array(bvCols: _*).as("bvs"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("fset"), col("n_fp"), col("bvs"),
+        posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    def side(s: String, pred: String) = banded.filter(expr(pred))
+      .select(col("doc_id").as(s"doc_$s"), col("fset").as(s"f$s"),
+        col("n_fp").as(s"n_$s"), col("bvs").as(s"bvs_$s"),
+        col("band"), col("bv"))
+    // flagged doc is doc_b (the incoming / later doc); containment is
+    // scored against ITS kept-fp count — incrementalWinnow's predicate
+    def verdictHit(cands: DataFrame, flag: String): DataFrame = cands
+      .filter(expr(firstMeetChainSql(bands)))
+      .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_b"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn(flag, lit(1L))
+    val histHit = verdictHit(
+      side("a", "doc_id % 5 < 4")
+        .join(side("b", "doc_id % 5 >= 4"), Seq("band", "bv")),
+      "hist_dup")
+    val batchHit = verdictHit(
+      side("a", "doc_id % 5 >= 4")
+        .join(side("b", "doc_id % 5 >= 4"), Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b")),
+      "batch_dup")
+    val incSz = sets.filter(expr("doc_id % 5 >= 4")).select("doc_id", "n_fp")
+    incSz.join(histHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_fp",
+        "case when hist_dup is not null then 'dup_history' " +
+          "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
+  }
+
+  /** DuckDB mirror of [[incrementalWinnowBanded]] — every constant (CW
+    * params, band fold, df cut, containment predicate) interpolated from
+    * the same Scala source as the Spark plan; candidates are the same
+    * collision relation deduplicated (first-meet is only a Spark-side
+    * evaluation-order optimization). */
+  def incrementalWinnowBandedSql(minShared: Int = 3, thrNum: Int = 1,
+                                 thrDen: Int = 2, numHashes: Int = 16,
+                                 bands: Int = 8,
+                                 table: String = "documents"): String = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigCols = (0 until numHashes)
+      .map(j => s"min(${graft.oracle.Parity.cwMix(j, "fp")}) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until bands)
+      .map(b => s"select doc_id, $b as band, " +
+        s"${bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
+      .mkString(" union all ")
+    def hitCte(name: String, candPred: String): String =
+      s"""$name as (select distinct doc_b as doc_id from (
+         |  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+         |  from banded a join banded b on a.band = b.band and a.bv = b.bv
+         |  where $candPred) c
+         | join sets sa on c.doc_a = sa.doc_id
+         | join sets sb on c.doc_b = sb.doc_id
+         | where cast(len(list_intersect(sa.fset, sb.fset)) as bigint) >= $minShared
+         |  and cast(len(list_intersect(sa.fset, sb.fset)) as bigint) * $thrDen
+         |    >= $thrNum * sb.n_fp)""".stripMargin
+    s"""with wn as materialized (${TextOps.winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |nd as (select cast(count(distinct doc_id) as bigint) as n_docs from $table),
+       |kept as materialized (select doc_id, fp from fps
+       |  where fp in (select fp from fps, nd group by fp, n_docs
+       |               having cast(count(*) as bigint) * 10 <= n_docs)),
+       |sig as (select doc_id, $sigCols from kept group by doc_id),
+       |banded as materialized ($bandRows),
+       |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
+       |  cast(count(*) as bigint) as n_fp from kept group by doc_id),
+       |${hitCte("hh", "a.doc_id % 5 < 4 and b.doc_id % 5 >= 4")},
+       |${hitCte("bh", "a.doc_id % 5 >= 4 and b.doc_id % 5 >= 4 and a.doc_id < b.doc_id")},
+       |isz as (select doc_id, n_fp from sets where doc_id % 5 >= 4)
+       |select isz.doc_id, n_fp,
+       | case when hh.doc_id is not null then 'dup_history'
+       |  when bh.doc_id is not null then 'dup_batch' else 'kept' end as status
+       |from isz left join hh on isz.doc_id = hh.doc_id
+       | left join bh on isz.doc_id = bh.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of [[incrementalWinnow]]. */
   def incrementalWinnowSql(minShared: Int = 3, thrNum: Int = 1,
                            thrDen: Int = 2, table: String = "documents"): String =

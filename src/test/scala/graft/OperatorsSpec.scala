@@ -355,6 +355,39 @@ class OperatorsSpec extends SparkSpec {
       s"recall < 1.0 on the planted near-dup corpus: full=${fullPlanted.keySet} banded=${caught.keySet}")
   }
 
+  test("dedup_incremental_winnow_banded: planted hist/batch near-dups caught, unique kept; matches the full operator") {
+    // ids arranged around the %5 split: 3 (history), 4/9/14/19 (increment)
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 6
+    val shifted = base.substring(0, 50) + "X" + base.substring(50)
+    val base2 = "zyxwvutsrqponmlkjihgfedcba9876543210" * 6
+    val shifted2 = base2.substring(0, 70) + "Q" + base2.substring(70)
+    // fillers on multiples of 5 (history side); 30 of them so the
+    // df stop cut (dfp*10 <= nDocs) keeps the planted pair fps (dfp=2)
+    val filler = (0 until 30).map(i =>
+      (100L + 5L * i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    val docs = (Seq(
+      (3L, base),      // history original
+      (4L, shifted),   // increment near-copy of history -> dup_history
+      (9L, base2),     // increment original (no hist match) -> kept
+      (14L, shifted2), // increment near-copy of 9 -> dup_batch
+      (19L, "a genuinely unique increment document with its own words entirely")
+    ) ++ filler).toDF("doc_id", "text")
+    def statuses(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val banded = statuses(Dedup.incrementalWinnowBanded(docs))
+    assert(banded.get(4L).contains("dup_history"), s"shifted hist copy: $banded")
+    assert(banded.get(9L).contains("kept"), s"batch original must survive: $banded")
+    assert(banded.get(14L).contains("dup_batch"), s"batch near-copy: $banded")
+    banded.get(19L).foreach(s => assert(s == "kept", s"unique doc flagged: $banded"))
+    // the planted high-containment regime loses NOTHING to banding: the
+    // full operator's verdicts agree on every doc both contracts cover
+    val full = statuses(Dedup.incrementalWinnow(docs))
+    banded.foreach { case (id, st) =>
+      assert(full.get(id).contains(st),
+        s"banded verdict for $id ($st) differs from full (${full.get(id)})")
+    }
+  }
+
   test("pipeline_curriculum: dense positions, contiguous bins, scored-docs universe") {
     import graft.operators.Lm
     val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
