@@ -432,6 +432,11 @@ object TextOps {
     def dupFrac(k: Int) =
       s"(1e0 - cast($len($distinct(${grams(k)})) as double) / " +
         s"cast($len(${grams(k)}) as double))"
+    // max token multiplicity. A sorted-run-length fold (sort_array +
+    // aggregate) was MEASURED at parity with this per-distinct-token
+    // rescan at sf0.1 (~3.2 s either way — the row's cost is the gram
+    // arrays, and codegen subexpression elimination already dedups the
+    // repeated splits), so the symmetric two-dialect spelling stays.
     val topTok = d match {
       case SparkD =>
         s"array_max(transform($distinct($toks), t -> $len(filter($toks, x -> x = t))))"

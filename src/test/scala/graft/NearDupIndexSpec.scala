@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.NearDupIndex
+import org.apache.spark.sql.DataFrame
+
+/** Standing near-dup index lifecycle specs. The cross-engine
+  * build+append+delete+compact algebra is proven declaratively by the
+  * `neardup_index_stored` / `neardup_lifecycle_serve` DuckDB oracles
+  * (one SQL relation describes the mutated history, including the
+  * frozen build-time stop cut); what the unit suite pins is the
+  * behavioral contract — verdict flips under each verb, compaction
+  * invisibility, the frozen stop artifact, and serving correctness
+  * from a session that did NOT write (the r11 `stream_sparse_crud`
+  * regression class). */
+class NearDupIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 6
+  private val base2 = "zyxwvutsrqponmlkjihgfedcba9876543210" * 6
+  private def shifted(s: String, at: Int, c: String) =
+    s.substring(0, at) + c + s.substring(at)
+
+  /** Unique-text history docs (template grams are boilerplate in EVERY
+    * slice, tail grams unique) + the planted originals. */
+  private def histDocs: DataFrame = {
+    import spark.implicits._
+    val filler = (0 until 30).map(i =>
+      (100L + i, s"unrelated filler number $i carrying tokens ${i * 7} and ${i * 31}"))
+    (Seq((1L, base)) ++ filler).toDF("doc_id", "text")
+  }
+
+  /** Shard: a near-copy of history doc 1, a fresh original + its
+    * within-shard near-copy, and a unique doc. */
+  private def shardDocs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (201L, shifted(base, 50, "X")),  // near-copy of history 1
+      (202L, base2),                   // shard original
+      (203L, shifted(base2, 70, "Q")), // near-copy of 202 -> dup_batch
+      (204L, "a genuinely unique incoming document with its own words entirely")
+    ).toDF("doc_id", "text")
+  }
+
+  private def statuses(dir: String, shard: DataFrame): Map[Long, String] =
+    NearDupIndex.serveNearDup(spark, dir, shard).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+
+  test("serve verdicts: planted history dup, batch dup, unique kept") {
+    val idx = graft.Scratch.dir("ndidx_spec_base_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    val got = statuses(idx, shardDocs)
+    assert(got.get(201L).contains("dup_history"), s"shifted copy of indexed doc: $got")
+    assert(got.get(202L).contains("kept"), s"shard original must survive: $got")
+    assert(got.get(203L).contains("dup_batch"), s"within-shard near-copy: $got")
+    got.get(204L).foreach(s => assert(s == "kept", s"unique doc flagged: $got"))
+  }
+
+  test("append flips a verdict; the stop artifact is FROZEN across append and compact") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_app_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    def stop = spark.read.parquet(s"$idx/stopfps").collect()
+      .map(_.getLong(0)).toSet
+    val stop0 = stop
+    // before: 202 has no indexed match
+    assert(statuses(idx, shardDocs).get(202L).contains("kept"))
+    // append a near-copy of 202's text into HISTORY -> dup_history
+    NearDupIndex.appendNearDupIndex(
+      Seq((150L, shifted(base2, 30, "Z"))).toDF("doc_id", "text"), idx)
+    val got = statuses(idx, shardDocs)
+    assert(got.get(202L).contains("dup_history"),
+      s"appended history copy not visible: $got")
+    // 203 now ALSO matches history (the appended doc) — history outranks
+    // batch in the verdict case
+    assert(got.get(203L).contains("dup_history"), s"verdict precedence: $got")
+    assert(stop == stop0, "append moved the frozen stop set")
+    NearDupIndex.compactNearDupIndex(spark, idx)
+    assert(stop == stop0, "compaction moved the frozen stop set")
+    assert(statuses(idx, shardDocs) == got, "compaction changed serving")
+  }
+
+  test("delete flips dup_history back to kept; re-insert gated until compact; compaction invisible") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_del_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    assert(statuses(idx, shardDocs).get(201L).contains("dup_history"))
+    NearDupIndex.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), idx)
+    val afterDel = statuses(idx, shardDocs)
+    assert(afterDel.get(201L).contains("kept"),
+      s"tombstoned doc still answers: $afterDel")
+    // double-delete is a no-op; deleting a never-indexed id is loud
+    NearDupIndex.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), idx)
+    assert(statuses(idx, shardDocs) == afterDel)
+    val ex = intercept[IllegalArgumentException] {
+      NearDupIndex.deleteFromNearDupIndex(Seq(999L).toDF("doc_id"), idx)
+    }
+    assert(ex.getMessage.contains("never indexed"))
+    // re-insert of a tombstoned id is gated until compaction
+    val ex2 = intercept[IllegalArgumentException] {
+      NearDupIndex.appendNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"), idx)
+    }
+    assert(ex2.getMessage.contains("compactNearDupIndex"))
+    NearDupIndex.compactNearDupIndex(spark, idx)
+    assert(statuses(idx, shardDocs) == afterDel, "compaction changed serving")
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "tombstones survived compaction")
+    // after compacting, the id may re-enter
+    NearDupIndex.appendNearDupIndex(Seq((1L, base)).toDF("doc_id", "text"), idx)
+    assert(statuses(idx, shardDocs).get(201L).contains("dup_history"))
+  }
+
+  test("cross-session serve: segments appended by ANOTHER session are visible — the r11 regression shape") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_xsess_")
+    // seed EMPTY here, priming this session's relation caches
+    NearDupIndex.writeNearDupIndex(histDocs.limit(0), idx)
+    assert(statuses(idx, shardDocs).get(201L).contains("kept"))
+    // another session appends the real history
+    val other = spark.newSession()
+    val histOther = other.createDataFrame(
+      spark.sparkContext.parallelize(histDocs.collect().toIndexedSeq),
+      histDocs.schema)
+    NearDupIndex.appendNearDupIndex(histOther, idx)
+    // the OUTER session serves — a stale relation cache would answer
+    // kept from the empty seed
+    val got = statuses(idx, shardDocs)
+    assert(got.get(201L).contains("dup_history"),
+      s"outer session served the stale empty seed: $got")
+  }
+}
