@@ -257,6 +257,9 @@ object NearDupIndex {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     val histCand = live(spark, dir, bandsTbl(dir))
       .join(broadcast(shardBands), Seq("band", "bv"))
+      // a doc re-served while still indexed must not match ITSELF
+      // (mirrored in [[serveSql]]'s hh candidate predicate)
+      .filter(col("doc_id") =!= col("i_id"))
       .select(col("doc_id").as("h_id"), col("i_id")).distinct()
     val contain = col("n_shared") >= minShared &&
       col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_i")
@@ -337,7 +340,8 @@ object NearDupIndex {
        |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
        |  cast(count(*) as bigint) as n_fp from kept group by doc_id),
        |${hitCte("hh", s"a.doc_id in (select doc_id from $table where $histPred) " +
-        s"and b.doc_id in (select doc_id from $table where $incPred)")},
+        s"and b.doc_id in (select doc_id from $table where $incPred) " +
+        "and a.doc_id <> b.doc_id")},
        |${hitCte("bh", s"a.doc_id in (select doc_id from $table where $incPred) " +
         s"and b.doc_id in (select doc_id from $table where $incPred) " +
         "and a.doc_id < b.doc_id")},

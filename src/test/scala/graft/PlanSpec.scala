@@ -368,6 +368,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index serve: each stored table scanned ONCE; tombstones broadcast-anti-join; no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.read(spark, sf("sf0.001"), "documents")
+    val idx = graft.Scratch.dir("plan_ndidx_")
+    graft.operators.NearDupIndex.writeNearDupIndex(
+      docs.filter(col("doc_id") % 5 < 4), idx)
+    graft.operators.NearDupIndex.deleteFromNearDupIndex(
+      docs.filter(col("doc_id") % 5 < 4 && col("doc_id") % 10 === 1)
+        .select("doc_id")
+        .join(graft.operators.NearDupIndex.indexedIds(spark, idx),
+          Seq("doc_id"), "left_semi"), idx)
+    val p = plan(graft.operators.NearDupIndex.serveNearDup(spark, idx,
+      docs.filter(col("doc_id") % 5 >= 4)))
+    assert(!p.contains("Cartesian"), s"near-dup serve plans a cartesian:\n$p")
+    // the deleted-id sidecar is deleted-rows-sized — it must broadcast,
+    // never shuffle a stored table
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstones must anti-join as a broadcast:\n$p")
+    // serve cost must be candidate-proportional: the index is consulted
+    // exactly once per stored relation (bands for candidates, sets for
+    // the verify) — a second scan would mean the plan re-derives
+    // something the standing artifact already holds
+    def scans(suffix: String) =
+      s"Scan parquet [^\\n]*$suffix".r.findAllIn(p).length
+    assert(scans("_bands") == 1, s"band table scanned ${scans("_bands")}x:\n$p")
+    assert(scans("_sets") == 1, s"sets table scanned ${scans("_sets")}x:\n$p")
+  }
+
   test("dedup_decide: pair mass collapses in a partial min-aggregate before the exchange; no cartesian") {
     val p = plan(SparkEntry.queries("dedup_decide")(spark, sf("sf0.001")))
     assert(!p.contains("Cartesian"), s"dedup_decide plans a cartesian:\n$p")
