@@ -255,6 +255,13 @@ object QueriesOlap {
     // idempotent doc tombstones; serve == survivors-only rebuild
     "stream_sparse_crud" -> ((s, dir) =>
       graft.streaming.EventStream.runSparseCrudOnce(s, dir)),
+    // streaming NEAR-DUP index CRUD: seed build (freezing the stop cut
+    // there) + CDC add/delete micro-batches from foreachBatch's CLONED
+    // session (the r11 staleness shape) into the standing near-dup
+    // index; the OUTER session's shard serve hash-matches one
+    // declarative oracle with the deleted ids excluded
+    "stream_neardup_crud" -> ((s, dir) =>
+      graft.streaming.EventStream.runNearDupCrudOnce(s, dir)),
     // dropDuplicatesWithinWatermark state-TTL differential: dup with
     // live state drops, dup after expiry re-emits; oracle = the TTL
     // rule in set algebra
@@ -1691,6 +1698,10 @@ object QueriesOlap {
       table = "(select * from embeddings where vec_id % 5 <> 3)"),
     "stream_sparse_crud" -> graft.operators.TextOps.sparseRetrievalSql(
       table = "(select * from documents where doc_id % 5 <> 3)"),
+    "stream_neardup_crud" -> graft.operators.NearDupIndex.serveSql(
+      stopPred = "doc_id % 5 < 4 and doc_id % 3 = 0",
+      histPred = "doc_id % 5 < 4 and doc_id % 10 <> 1",
+      incPred = "doc_id % 5 >= 4"),
     "stream_dedup_ttl" -> graft.streaming.EventStream.dedupTtlSql(),
     "stream_restart_agg" -> graft.streaming.EventStream.restartAggSql(),
     "stream_trending" ->

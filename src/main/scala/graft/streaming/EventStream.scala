@@ -656,6 +656,76 @@ object EventStream {
     graft.operators.Pq.ivfAdcTopKStored(emb.filter(!doomed), idx)
   }
 
+  /** Streaming NEAR-DUP index CRUD — the CDC loop on the standing
+    * near-dup index ([[graft.operators.NearDupIndex]]), completing the
+    * stored-index streaming symmetry (ANN / sparse / near-dup): a seed
+    * BUILD over the first third of the history corpus (freezing the df
+    * stop cut there — the production shape: seed from a representative
+    * corpus so the stop set is meaningful), then four streamed
+    * micro-batches (add ⅓ → delete the doomed ids so far → add ⅓ →
+    * delete the rest) fold in via `foreachBatch` — whose CLONED session
+    * is exactly the r11 cross-session staleness shape the refresh
+    * discipline guards — and the OUTER session serves verdicts for the
+    * never-indexed shard. The serve hash-matches ONE declarative DuckDB
+    * relation (`NearDupIndex.serveSql` with the seed-corpus stop cut and
+    * the deleted ids excluded from history). Per-batch cost is
+    * shard-proportional (winnow + two segment appends or an O(deleted)
+    * tombstone write); the indexed corpus is never rescanned. */
+  def runNearDupCrudOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    val idx = graft.Scratch.dir("graft_ndidx_crud_idx_")
+    val hist = col("doc_id") % 5 < 4
+    graft.operators.NearDupIndex.writeNearDupIndex(
+      docs.filter(hist && col("doc_id") % 3 === 0), idx)
+    val doomed = col("doc_id") % 10 === 1
+    val batches: Seq[(String, DataFrame)] = Seq(
+      "add" -> docs.filter(hist && col("doc_id") % 3 === 1),
+      "del" -> docs.filter(doomed && col("doc_id") % 3 =!= 2),
+      "add" -> docs.filter(hist && col("doc_id") % 3 === 2),
+      "del" -> docs.filter(doomed && col("doc_id") % 3 === 2))
+    val src = graft.Scratch.path("graft_ndidx_crud_src_")
+    batches.zipWithIndex.foreach { case ((op, df), i) =>
+      val tmp = graft.Scratch.dir(s"graft_ndidx_crud_f$i")
+      df.withColumn("op", lit(op))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = src.resolve(s"f$i.parquet")
+      Files.copy(Paths.get(part.getPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val ckpt = graft.Scratch.dir("graft_ndidx_crud_ckpt_")
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "op", org.apache.spark.sql.types.StringType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val s = df.sparkSession
+        val adds = df.filter(col("op") === "add").drop("op")
+        val dels = df.filter(col("op") === "del").drop("op")
+        if (!adds.isEmpty) graft.operators.NearDupIndex.appendNearDupIndex(adds, idx)
+        if (!dels.isEmpty) {
+          // only indexed ids may be tombstoned: a doomed doc with no
+          // kept fps (short / all-boilerplate text — the edge dataset
+          // has them) never entered the index universe
+          val eff = dels.select("doc_id")
+            .join(graft.operators.NearDupIndex.indexedIds(s, idx),
+              Seq("doc_id"), "left_semi")
+          if (!eff.isEmpty)
+            graft.operators.NearDupIndex.deleteFromNearDupIndex(eff, idx)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.NearDupIndex.serveNearDup(spark, idx,
+      docs.filter(col("doc_id") % 5 >= 4))
+  }
+
   /** Streaming SPARSE index CRUD — [[runAnnCrudOnce]]'s twin on the
     * posting index ([[graft.operators.SparseIndex]]): the same CDC-shaped
     * five-batch history (add ⅓ → add ⅓ → delete the doomed slice so far

@@ -16,6 +16,50 @@ class StreamBatchSpec extends SparkSpec {
     batch.zip(stream).foreach { case (b, s) => assert(b == s) }
   }
 
+  test("stream_neardup_crud runner: the streamed CDC history serves identically to a batch-built equivalent index") {
+    // drives the REAL gate runner (seed build + 4 foreachBatch
+    // micro-batches from a cloned session + outer-session serve) — the
+    // r11 lesson: the oracle gate's runners need a spec that executes
+    // them, or a cross-session staleness bug ships silently
+    import org.apache.spark.sql.functions._
+    import graft.operators.NearDupIndex
+    val streamed = graft.streaming.EventStream
+      .runNearDupCrudOnce(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val docs = Tables.read(spark, sf("sf0.001"), "documents")
+    val hist = col("doc_id") % 5 < 4
+    val idx = graft.Scratch.dir("ndidx_crud_batch_")
+    NearDupIndex.writeNearDupIndex(docs.filter(hist && col("doc_id") % 3 === 0), idx)
+    NearDupIndex.appendNearDupIndex(docs.filter(hist && col("doc_id") % 3 === 1), idx)
+    NearDupIndex.appendNearDupIndex(docs.filter(hist && col("doc_id") % 3 === 2), idx)
+    NearDupIndex.deleteFromNearDupIndex(
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id")
+        .join(NearDupIndex.indexedIds(spark, idx), Seq("doc_id"), "left_semi"), idx)
+    val batch = NearDupIndex.serveNearDup(spark, idx,
+      docs.filter(col("doc_id") % 5 >= 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty, "streamed serve returned nothing")
+    assert(streamed == batch,
+      "streamed CDC history serves differently from the batch-built index")
+  }
+
+  test("stream_sparse_crud runner: the streamed CDC history serves identically to a survivors rebuild") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStream
+      .runSparseCrudOnce(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val docs = Tables.read(spark, sf("sf0.001"), "documents")
+    val surv = graft.Scratch.dir("sidx_crud_surv_")
+    graft.operators.SparseIndex.writeSparseIndex(
+      docs.filter(col("doc_id") % 5 =!= 3), surv)
+    val rebuild = graft.operators.SparseIndex
+      .sparseRetrievalStored(spark, surv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "streamed serve returned nothing")
+    assert(streamed == rebuild,
+      "streamed CDC history serves differently from the survivors rebuild")
+  }
+
   test("streaming trending top-k equals the batch rank over hourly counts") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
