@@ -102,10 +102,17 @@ object NearDupIndex {
     * `(doc_id, fset, n_fp, bvs)` — one map-side-combined aggregate over
     * the doc's kept winnow fps; computable shard-locally, which is what
     * makes append exact. */
-  private def docRows(docs: DataFrame, stop: DataFrame): DataFrame = {
+  private def docRows(docs: DataFrame, stop: DataFrame): DataFrame =
+    docRowsFromFps(
+      TextOps.winnow(docs).select("doc_id", "fp").distinct(), stop)
+
+  /** [[docRows]] over an already-tokenized `(doc_id, fp)` relation —
+    * the build path reuses its stop-cut tokenization here, so a build
+    * winnows the corpus ONCE (the [[SparseIndex.writeSparseIndex]]
+    * single-tokenization discipline). */
+  private def docRowsFromFps(fps: DataFrame, stop: DataFrame): DataFrame = {
     val r = NumHashes / Bands
-    val kept = TextOps.winnow(docs).select("doc_id", "fp").distinct()
-      .join(broadcast(stop), Seq("fp"), "left_anti")
+    val kept = fps.join(broadcast(stop), Seq("fp"), "left_anti")
     val sigAggs = (0 until NumHashes).map(j =>
       min(expr(graft.oracle.Parity.cwMix(j, "fp"))).as(s"h$j"))
     val aggs = Seq(sort_array(collect_list(col("fp"))).as("fset"),
@@ -148,7 +155,9 @@ object NearDupIndex {
     spark.sql(s"drop table if exists ${bandsTbl(dir)}")
     spark.sql(s"drop table if exists ${setsTbl(dir)}")
     IndexFs.deleteRecursive(spark, s"$dir/tombstones")
+    // ONE corpus tokenization feeds the stop cut AND the index rows
     val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct()
+      .localCheckpoint()
     val nDocs = docs.select("doc_id").distinct().count()
     // the frozen stop set: boilerplate fps (>10% of the build corpus) —
     // the same cut [[Dedup.incrementalWinnowBanded]] applies, written
@@ -156,7 +165,7 @@ object NearDupIndex {
     fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
       .filter(col("dfp") * 10 > lit(nDocs)).select("fp")
       .write.mode("overwrite").parquet(s"$dir/stopfps")
-    val rows = docRows(docs, readStop(spark, dir)).localCheckpoint()
+    val rows = docRowsFromFps(fps, readStop(spark, dir)).localCheckpoint()
     writeSets(rows, dir, "overwrite", nBuckets)
     writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"),
