@@ -77,6 +77,10 @@ object Bench {
     // totals and per-pass maps are kept so run-to-run variance is
     // visible in the artifact.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // per-query OUTPUT row counts (evalRows computes them anyway):
+    // recorded in the artifact so a future statistic or plan change
+    // decomposes into rows×cost without re-running old shas (verdict r12)
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     // one UNTIMED calibration first: the timed per-pass runs must
     // measure host speed, not the micro-run's own JIT/codegen warm-up
     // (measured: cold 0.95 s vs warm ~0.3 s on the same host)
@@ -86,8 +90,10 @@ object Bench {
       calibrations += calibrate(spark)
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { evalRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        val n = try { evalRows(fn(spark, sfDir)) }
+                catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        rowCounts(name) = n
         // iterative queries (pageRank, BPE, LR, label propagation) pin
         // their localCheckpoint RDD blocks in the block manager; left
         // alone they accumulate across the run and slow later queries
@@ -125,7 +131,9 @@ object Bench {
         "\"pass" + (i + 1) + "\":" + p.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       }.mkString(",")
-      val full = s"""{"artifact":"full per-query bench (min over $rounds passes; per-pass maps for variance)","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total_sec":$total,"pass_totals":$passTotals,"calibration":$calib,"queries":$qs,$perPass}"""
+      val rowsJson = rowCounts.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val full = s"""{"artifact":"full per-query bench (min over $rounds passes; per-pass maps for variance)","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total_sec":$total,"pass_totals":$passTotals,"calibration":$calib,"queries":$qs,"rows":$rowsJson,$perPass}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -31,10 +31,27 @@ object QueriesLlm {
   private def dataKey(s: SparkSession, dir: String): String =
     graft.operators.IndexFs.dataKey(s, dir)
 
+  /** Atomicity marker for MULTI-STEP cached builders (advice r12): a
+    * build/append/delete/compact sequence behind a bare `isIndexed`
+    * guard turns the guard true after the FIRST step, so a crash
+    * mid-sequence leaves a half-mutated index that later runs treat as
+    * complete and the gate fails with a misleading symptom. The marker
+    * file is written only after the LAST verb; the cache check requires
+    * it, so an interrupted lifecycle rebuilds from scratch instead. */
+  private def lifecycleDone(s: SparkSession, idx: String): Boolean =
+    graft.operators.IndexFs.exists(s, s"$idx/_lifecycle_complete")
+
+  private def markLifecycleDone(s: SparkSession, idx: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_lifecycle_complete")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
   private def cachedLifecycleIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxlc_" +
       dataKey(s, dir)
-    if (!graft.operators.SparseIndex.isIndexed(s, idx)) {
+    if (!graft.operators.SparseIndex.isIndexed(s, idx) ||
+        !lifecycleDone(s, idx)) {
       val docs = Tables.read(s, dir, "documents")
       graft.operators.SparseIndex.writeSparseIndex(
         docs.filter(col("doc_id") % 3 =!= 0), idx)
@@ -43,6 +60,7 @@ object QueriesLlm {
       graft.operators.SparseIndex.deleteFromSparseIndex(
         docs.filter(col("doc_id") % 5 === 3), idx)
       graft.operators.SparseIndex.compactSparseIndex(s, idx)
+      markLifecycleDone(s, idx)
     }
     idx
   }
@@ -80,7 +98,8 @@ object QueriesLlm {
   private def cachedNearDupLifecycleIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ndidxlc_" +
       dataKey(s, dir)
-    if (!graft.operators.NearDupIndex.isIndexed(s, idx)) {
+    if (!graft.operators.NearDupIndex.isIndexed(s, idx) ||
+        !lifecycleDone(s, idx)) {
       val docs = Tables.read(s, dir, "documents")
       graft.operators.NearDupIndex.writeNearDupIndex(
         docs.filter(col("doc_id") % 5 < 3), idx)
@@ -95,6 +114,7 @@ object QueriesLlm {
           .join(graft.operators.NearDupIndex.indexedIds(s, idx),
             Seq("doc_id"), "left_semi"), idx)
       graft.operators.NearDupIndex.compactNearDupIndex(s, idx)
+      markLifecycleDone(s, idx)
     }
     idx
   }
@@ -532,6 +552,24 @@ object QueriesLlm {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.imageHistogram(s,
         Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))),
+    // ...and the DECODE SIDECAR serve (verdict r12 #5): decoded
+    // per-asset features cached once per corpus generation keyed by
+    // dataKey — the multimodal family is decode-mass-linear (8-9× at
+    // 10× data), so repeated analytics must serve features from a
+    // standing artifact instead of re-decoding every asset per run
+    // (the data_card_ndin discipline applied to decodes). Shares
+    // multimodal_features' oracle verbatim: stored == recomputed,
+    // bit for bit
+    "multimodal_features_stored" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mmfeat_" +
+        dataKey(s, dir)
+      if (!graft.operators.IndexFs.exists(s, s"$path/_SUCCESS"))
+        Multimodal.imageHistogram(s,
+            Multimodal.pngAssets(s, Tables.read(s, dir, "documents")))
+          .write.mode("overwrite").parquet(path)
+      s.read.schema("doc_id long, channel long, bin long, cnt long")
+        .parquet(path)
+    }),
     // REAL audio features from raw PCM bytes: little-endian int16 parse
     // on the executors -> exact integer energy + zero-crossing counts
     // (the silence/voicing gates run before any audio model)
@@ -746,6 +784,24 @@ object QueriesLlm {
     "pipeline_curate_neardup" -> ((s, dir) =>
       graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"),
         nearDup = true)),
+    // ...and the same pipeline with the near-dup PAIR relation served
+    // from a standing cache-or-compute artifact (verdict r12 #6 — the
+    // `data_card_ndin` discipline applied to the curation chain): the
+    // banded pass runs once per corpus generation, every pipeline run
+    // serves from it. Shares pipeline_curate_neardup's oracle verbatim
+    // — the restriction to both-endpoints-surviving makes the supplied
+    // and inline spellings exactly equal (see Curation.pipeline doc)
+    "pipeline_curate_ndidx" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ndpairs_" +
+        dataKey(s, dir)
+      if (!graft.operators.IndexFs.exists(s, s"$path/_SUCCESS"))
+        graft.operators.Dedup.ngramJaccardBanded(Tables.read(s, dir, "documents"))
+          .select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
+      graft.operators.Curation.pipeline(Tables.read(s, dir, "documents"),
+        nearDup = true,
+        nearDupPairs = Some(s.read.schema("doc_a long, doc_b long")
+          .parquet(path)))
+    }),
     // L2-normalized embeddings in long format (bit-exact: shared chain
     // dot + one IEEE division; zero vectors excluded)
     "emb_normalize" -> ((s, dir) =>
@@ -1332,7 +1388,7 @@ object QueriesLlm {
        |where rk = 1""".stripMargin.replace("\n", " ")
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "sample_split" ->
       s"""select doc_id, lang, h, $splitCase as split from (
          |select doc_id, lang,
@@ -1386,6 +1442,10 @@ object QueriesLlm {
     "corpus_shuffle" -> Sampling.corpusShuffleSql(),
     "pipeline_curate" -> graft.operators.Curation.pipelineSql(),
     "pipeline_curate_neardup" -> graft.operators.Curation.pipelineSql(
+      nearDupShingle = shingleDuck),
+    // the standing-pair-relation spelling is exactly equal by
+    // construction — one oracle gates both
+    "pipeline_curate_ndidx" -> graft.operators.Curation.pipelineSql(
       nearDupShingle = shingleDuck),
     "pipeline_search" -> graft.operators.Curation.searchPipelineSql(),
     "emb_normalize" -> Similarity.l2NormalizeSql,
@@ -1808,4 +1868,11 @@ object QueriesLlm {
         |from ch group by doc_id, channel, v // 32"""
         .stripMargin.replace("\n", " ")
   )
+
+  /** Gates that share another gate's oracle VERBATIM because the Spark
+    * relation is definitionally equal (a stored/served spelling of the
+    * same computation): the stored decode sidecar must reproduce the
+    * recompute bit for bit. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "multimodal_features_stored" -> oraclesBase("multimodal_features"))
 }

@@ -75,6 +75,8 @@ object ScaleStress {
     if (args.headOption.contains("sf1full")) { sf1FullStress(args.drop(1)); return }
     if (args.headOption.contains("appendproof")) { appendProofStress(args.drop(1)); return }
     if (args.headOption.contains("serveproof")) { serveProofStress(args.drop(1)); return }
+    if (args.headOption.contains("neardupserve")) { nearDupServeStress(args.drop(1)); return }
+    if (args.headOption.contains("nearduprecall")) { nearDupRecallStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -1097,6 +1099,114 @@ object ScaleStress {
       System.gc() // nudge ContextCleaner to reap shuffle files
     }
     timer.cancel()
+    spark.stop()
+  }
+
+  /** MEASURED recall of the banded near-dup family against the FULL
+    * winnow overlap probe on the NON-planted word-soup corpus (verdict
+    * r12 #4: the recall-1.0 spec runs on the planted shifted-copy
+    * regime; the adversarial sf1 corpus — where the full pair
+    * watchdog-caps — had no measured recall row). The full probe is
+    * made affordable by SAMPLING the incoming side: universe = full
+    * history (doc_id % 5 < 4 over `replicas`× replicated documents)
+    * ∪ a 1/sampleMod slice of the incoming docs; ground truth
+    * ([[Dedup.incrementalWinnow]] — NO df cut), the banded operator
+    * ([[Dedup.incrementalWinnowBanded]] — df cut + LSH candidates) and
+    * the standing [[NearDupIndex]] serve (frozen build-corpus cut) all
+    * run on that SAME universe, so statuses compare row by row.
+    * Disagreement is two-sided by design: the df cut removes
+    * boilerplate fps from BOTH the shared count and the containment
+    * denominator, so the banded verdict can flag docs the full probe
+    * keeps as well as miss docs it flags — both directions reported.
+    * `sbt "runMain graft.ScaleStress nearduprecall [replicas] [sampleMod]"` */
+  private def nearDupRecallStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sampleMod = if (args.length > 1) args(1).toInt else 20
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs0 = graft.sources.Tables.read(spark, sfDir, "documents")
+    // the sf1full replica scheme: fresh ids, replica-tagged texts
+    val docs = docs0.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string")))
+          .as("text"))
+    val universe = docs.filter(
+      col("doc_id") % 5 < 4 ||
+        (col("doc_id") % 5 >= 4 && col("doc_id") % sampleMod === 0))
+      .localCheckpoint()
+    def verdicts(df: org.apache.spark.sql.DataFrame, name: String) = df
+      .select(col("doc_id"), col("status").as(name))
+    val full = verdicts(Dedup.incrementalWinnow(universe), "s_full")
+    val banded = verdicts(Dedup.incrementalWinnowBanded(universe), "s_band")
+    val idxDir = graft.Scratch.dir("graft_ndrecall_idx_")
+    NearDupIndex.writeNearDupIndex(universe.filter(col("doc_id") % 5 < 4), idxDir)
+    val idx = verdicts(NearDupIndex.serveNearDup(spark, idxDir,
+      universe.filter(col("doc_id") % 5 >= 4)), "s_idx")
+    // full outer on doc_id: universes can differ at the margin (the df
+    // cut can empty a doc's kept set entirely -> absent from banded/idx)
+    val j = full.join(banded, Seq("doc_id"), "left")
+      .join(idx, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "s_full <> 'kept' as d_full",
+        "coalesce(s_band, 'kept') <> 'kept' as d_band",
+        "coalesce(s_idx, 'kept') <> 'kept' as d_idx")
+      .localCheckpoint()
+    def agg(flag: String): (Long, Long, Long) = {
+      val r = j.selectExpr(
+        s"sum(case when d_full and $flag then 1 else 0 end) as hit",
+        s"sum(case when d_full and not $flag then 1 else 0 end) as miss",
+        s"sum(case when not d_full and $flag then 1 else 0 end) as extra").head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val n = j.count()
+    val nFullDup = j.filter(col("d_full")).count()
+    val (bh, bm, bx) = agg("d_band")
+    val (ih, im, ix) = agg("d_idx")
+    def rec(h: Long, m: Long) = if (h + m == 0) 1.0 else h.toDouble / (h + m)
+    println(f"""{"stress":"neardup_recall","replicas":$replicas,"sample_mod":$sampleMod,"sampled_incoming":$n,"full_dups":$nFullDup,"banded_recall":${rec(bh, bm)}%.4f,"banded_extra":$bx,"banded_miss":$bm,"index_recall":${rec(ih, im)}%.4f,"index_extra":$ix,"index_miss":$im}""")
+    spark.stop()
+  }
+
+  /** Backfill-regime near-dup serve: the standing index built over the
+    * WHOLE corpus, then a corpus-sized (replicated, near-copy) shard
+    * served through [[NearDupIndex.serveNearDup]] with the AUTO size
+    * gate — the estimate exceeds `autoBroadcastJoinThreshold`, so the
+    * serve must take the no-shard-broadcast sort-merge path (verdict
+    * r12 #2: the unconditional broadcast would be driver-mass here).
+    * Hard asserts: the serve completes (no driver OOM) and the
+    * replicas of indexed docs — near-copies by construction — come
+    * back `dup_history`/`dup_batch`, proving the fallback path answers,
+    * not just survives.
+    * `sbt "runMain graft.ScaleStress neardupserve [replicas]"` */
+  private def nearDupServeStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val nHist = docs.count()
+    val idx = graft.Scratch.dir("graft_ndsrv_stress_")
+    NearDupIndex.writeNearDupIndex(docs, idx)
+    // shard: `replicas` near-copies of every corpus doc (fresh ids, a
+    // replica-tagged token appended so copies are near- not exact)
+    val shard = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r") + lit(1000000000L)).as("doc_id"),
+        concat(col("text"), lit(" replicatag"), col("r")).as("text"))
+    val shardDocs = nHist * replicas
+    val t0 = System.nanoTime()
+    val out = NearDupIndex.serveNearDup(spark, idx, shard)
+      .groupBy("status").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(0)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    val served = out.values.sum
+    val dupFrac = (out.getOrElse("dup_history", 0L) +
+      out.getOrElse("dup_batch", 0L)).toDouble / math.max(served, 1L)
+    println(f"""{"stress":"neardup_serve_backfill","replicas":$replicas,"index_docs":$nHist,"shard_docs":$shardDocs,"served":$served,"dup_frac":$dupFrac%.4f,"sec":$sec%.2f}""")
+    assert(dupFrac > 0.8,
+      s"backfill serve must recognize replica near-copies: $out")
     spark.stop()
   }
 

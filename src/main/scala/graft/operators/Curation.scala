@@ -85,7 +85,8 @@ object Curation {
                lineTokens: Int = 10, mBits: Int = 65536, kHash: Int = 3,
                contamMax: Double = 0.5, budgetTokens: Long = 20000L,
                nShards: Int = 8, binBudget: Int = 256,
-               nearDup: Boolean = false): DataFrame = {
+               nearDup: Boolean = false,
+               nearDupPairs: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
 
     // stage 1 (row-local): quality + language-consistency filter.
@@ -113,10 +114,30 @@ object Curation {
     // with a smaller-id banded near-duplicate ([[Dedup.keepFirst]]'s
     // verdict as an anti-join; doc_b is always the larger id, so the
     // distinct doc_b set IS the drop set)
+    // `nearDupPairs` (verdict r12 #6): the banded pair relation served
+    // from a STANDING artifact instead of recomputed per run — at
+    // 100 TB the near-dup pass is materialized once by the dedup job
+    // and every downstream pipeline reuses it (the `data_card_ndin`
+    // discipline). Equivalence to the inline pass is exact because
+    // [[Dedup.ngramJaccardBanded]] is pairwise-local (per-doc
+    // signatures, per-pair verify — no corpus-dependent cut), so the
+    // full-corpus pair relation restricted to both-endpoints-surviving
+    // IS the survivor-corpus pair relation; the drop rule then only
+    // fires when the smaller-id partner itself survived, exactly as
+    // the inline spelling. Pair relations are near-dup-sized, so the
+    // two semi-joins are cheap against the survivor stream.
     val c2 = if (!nearDup) c2x
-      else c2x.join(
-        Dedup.ngramJaccardBanded(c2x).select(col("doc_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+      else {
+        val ids = c2x.select("doc_id")
+        val pairs = nearDupPairs match {
+          case Some(p) => p
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+          case None => Dedup.ngramJaccardBanded(c2x)
+        }
+        c2x.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
 
     // stage 3: cross-doc line dedup over the survivors — fp multiplicity
     // via a count window on the line relation (conservative rule: ALL

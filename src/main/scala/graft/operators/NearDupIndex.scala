@@ -133,18 +133,31 @@ object NearDupIndex {
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .option("path", s"$dir/sets").saveAsTable(setsTbl(dir))
 
+  /** Bucketed by BOTH (band, bv) — the candidate join's full key set.
+    * A bv-only bucket spec is a subset of the join keys and Spark's
+    * co-partitioning check (`requireAllClusterKeysForCoPartition`,
+    * default true) rejects subset matches, so the backfill-regime
+    * sort-merge candidate join would re-exchange the STORED table;
+    * with the full key set the stored side inherits its layout and
+    * only the shard band rows ever shuffle (PlanSpec pins it). */
   private def writeBands(df: DataFrame, dir: String, mode: String,
                          nBuckets: Int): Unit =
     df.write.format("parquet").mode(mode)
-      .bucketBy(nBuckets, "bv").sortBy("bv")
+      .bucketBy(nBuckets, "band", "bv").sortBy("band", "bv")
       .option("path", s"$dir/bands").saveAsTable(bandsTbl(dir))
 
   /** Servable index present for THIS session? The cache-or-compute
-    * guard ([[SparseIndex.isIndexed]]'s contract). */
+    * guard ([[SparseIndex.isIndexed]]'s contract): BOTH catalog entries
+    * and EVERY data path — a reaped tmp dir under a surviving catalog
+    * entry must read as absent. The bands path matters as much as the
+    * sets path: a reaped bands dir would make candidate generation see
+    * an empty listing and silently serve every shard doc as kept
+    * (advice r12). */
   def isIndexed(spark: SparkSession, dir: String): Boolean =
     spark.catalog.tableExists(bandsTbl(dir)) &&
       spark.catalog.tableExists(setsTbl(dir)) &&
       IndexFs.exists(spark, s"$dir/sets") &&
+      IndexFs.exists(spark, s"$dir/bands") &&
       IndexFs.exists(spark, s"$dir/stopfps")
 
   /** Build the stored index from scratch. Freezes the df stop cut from
@@ -161,10 +174,18 @@ object NearDupIndex {
     val nDocs = docs.select("doc_id").distinct().count()
     // the frozen stop set: boilerplate fps (>10% of the build corpus) —
     // the same cut [[Dedup.incrementalWinnowBanded]] applies, written
-    // once as an index artifact so appends/serves reuse it verbatim
-    fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
-      .filter(col("dfp") * 10 > lit(nDocs)).select("fp")
+    // once as an index artifact so appends/serves reuse it verbatim.
+    // The build-corpus df moments (fp, dfp, n_docs) ride along in a
+    // stop-set-sized sidecar so [[appendNearDupIndex]]'s drift metric
+    // (and a human reading the index) can compare the frozen cut's
+    // provenance against what later shards look like.
+    val stopDf = fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+      .filter(col("dfp") * 10 > lit(nDocs))
+    stopDf.withColumn("n_docs_build", lit(nDocs))
+      .write.mode("overwrite").parquet(s"$dir/stopdf")
+    stopDf.select("fp")
       .write.mode("overwrite").parquet(s"$dir/stopfps")
+    IndexFs.deleteRecursive(spark, s"$dir/driftlog")
     val rows = docRowsFromFps(fps, readStop(spark, dir)).localCheckpoint()
     writeSets(rows, dir, "overwrite", nBuckets)
     writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
@@ -172,11 +193,44 @@ object NearDupIndex {
       dir, "overwrite", nBuckets)
   }
 
+  /** Per-append drift observation of the FROZEN stop cut (returned by
+    * [[appendNearDupIndex]] and appended to `dir/driftlog`). The cut is
+    * frozen at build for append-safety, so after heavy appends the LIVE
+    * corpus' boilerplate can diverge from the build corpus' and recall
+    * decays silently — these two ratios make the decay observable:
+    *
+    *   `newBoilerplateFrac` — the share of the shard's distinct
+    *     (doc, fp) mass on fps that a shard-local 10% cut WOULD stop
+    *     but the frozen cut does not. New boilerplate the cut misses
+    *     inflates kept sets with corpus-common fps: spurious candidate
+    *     mass AND spurious containment — the recall/precision risk.
+    *   `staleStopFrac` — the share of the frozen stop set no longer
+    *     hot in the shard (fps stopped for boilerplate that has gone
+    *     away — over-stopping, shrinks signatures). Noisy on tiny
+    *     shards (a 3-doc shard makes almost any fp "hot"); read it on
+    *     shards of hundreds of docs or more.
+    *
+    * Rebuild trigger (documented contract, not enforced): rebuild when
+    * `newBoilerplateFrac` exceeds ~0.05 on a representative shard —
+    * at that point 1 in 20 kept-fp slots is boilerplate the frozen cut
+    * no longer removes, and banded recall measured on planted corpora
+    * starts to decay. The metric costs two shard-sized aggregates on
+    * the already-winnowed shard relation — never an index scan. */
+  final case class NearDupDrift(shardDocs: Long, shardFpMass: Long,
+                                newBoilerplateFrac: Double,
+                                staleStopFrac: Double)
+
   /** Fold a new shard in: two segment appends, shard-proportional.
     * Same re-insert guard as the sparse index — an id deleted earlier
     * must compact before re-inserting (the tombstone would shadow the
-    * new rows). */
-  def appendNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
+    * new rows), and a LIVE id must not re-append either: duplicate
+    * per-doc rows would survive delete/compact and an update-shaped
+    * re-append would answer from both versions with no loud failure
+    * (advice r12). The id-disjointness check is one column-pruned
+    * semi-join against the doc_id-bucketed sets table — cheap next to
+    * the shard winnow. Returns the stop-cut [[NearDupDrift]]
+    * observation (also appended to `dir/driftlog`). */
+  def appendNearDupIndex(newDocs: DataFrame, dir: String): NearDupDrift = {
     val spark = newDocs.sparkSession
     refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
@@ -188,12 +242,46 @@ object NearDupIndex {
       require(clash == 0L, "appendNearDupIndex: incoming shard re-inserts " +
         s"tombstoned doc_id(s); run compactNearDupIndex('$dir') first")
     }
-    val rows = docRows(newDocs, readStop(spark, dir)).localCheckpoint()
+    val liveClash = newDocs.select(col("doc_id").cast("long"))
+      .join(spark.table(setsTbl(dir)).select(col("doc_id").cast("long")),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(liveClash == 0L, "appendNearDupIndex: incoming shard re-inserts " +
+      s"doc_id(s) already live in '$dir' — appends must be id-disjoint " +
+      "(delete + compact first for update-shaped re-inserts)")
+    // ONE shard winnow feeds the index rows AND the drift metric
+    val fps = TextOps.winnow(newDocs).select("doc_id", "fp").distinct()
+      .localCheckpoint()
+    val stop = readStop(spark, dir)
+    val rows = docRowsFromFps(fps, stop).localCheckpoint()
     val nBuckets = bucketCount(spark, dir)
     writeSets(rows, dir, "append", nBuckets)
     writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"),
       dir, "append", nBuckets)
+    // drift: shard-local hot fps vs the frozen cut (see [[NearDupDrift]])
+    val nShard = fps.select("doc_id").distinct().count()
+    val shardDf = fps.groupBy("fp").agg(count(lit(1)).as("dfp_s"))
+    val hotShard = shardDf.filter(col("dfp_s") * 10 > lit(nShard))
+      .localCheckpoint()
+    val totalMass = fps.count()
+    val newBoilerMass = hotShard
+      .join(broadcast(stop), Seq("fp"), "left_anti")
+      .agg(coalesce(sum("dfp_s"), lit(0L))).head.getLong(0)
+    val nStop = stop.count()
+    val staleStop =
+      if (nStop == 0L) 0.0
+      else stop.join(hotShard, Seq("fp"), "left_anti").count().toDouble / nStop
+    val drift = NearDupDrift(nShard, totalMass,
+      if (totalMass == 0L) 0.0 else newBoilerMass.toDouble / totalMass,
+      staleStop)
+    spark.createDataFrame(Seq(
+        (drift.shardDocs, drift.shardFpMass, drift.newBoilerplateFrac,
+          drift.staleStopFrac)))
+      .toDF("shard_docs", "shard_fp_mass", "new_boilerplate_frac",
+        "stale_stop_frac")
+      .write.mode("append").parquet(s"$dir/driftlog")
+    drift
   }
 
   /** The ids the index currently holds rows for (pre-tombstone). A doc
@@ -239,7 +327,7 @@ object NearDupIndex {
       .localCheckpoint().repartition(nBuckets, col("doc_id"))
     writeSets(sets, dir, "overwrite", nBuckets)
     val bands = live(spark, dir, bandsTbl(dir))
-      .localCheckpoint().repartition(nBuckets, col("bv"))
+      .localCheckpoint().repartition(nBuckets, col("band"), col("bv"))
     writeBands(bands, dir, "overwrite", nBuckets)
     IndexFs.deleteRecursive(spark, s"$dir/tombstones")
   }
@@ -249,33 +337,66 @@ object NearDupIndex {
     * incoming doc's kept fps, `dup_batch` when an EARLIER incoming doc
     * does, else `kept`. Universe: shard docs with ≥1 kept fp.
     *
-    * Plan shape: the shard's band rows BROADCAST into the bucketed
-    * stored band table (shard-sized build side; the index side never
-    * reshuffles), collisions collapse to distinct candidate pairs
-    * before anything wide moves, and the exact verify joins the
-    * doc_id-bucketed sets table once per candidate. The within-shard
-    * half rides the [[Dedup.incrementalWinnowBanded]] inline
-    * first-meet shape on the (small) shard relation. */
+    * Plan shape, daily-shard regime: the shard's band rows BROADCAST
+    * into the bucketed stored band table (shard-sized build side; the
+    * index side never reshuffles), collisions collapse to distinct
+    * candidate pairs before anything wide moves, and the exact verify
+    * joins the doc_id-bucketed sets table once per candidate. The
+    * within-shard half rides the [[Dedup.incrementalWinnowBanded]]
+    * inline first-meet shape on the (small) shard relation.
+    *
+    * Backfill regime (SIZE-GATED, verdict r12): the broadcasts are
+    * driver-mass — a backfill-sized shard (bands = `Bands` rows/doc,
+    * fsets = its whole kept-fp mass) would OOM the driver, so when the
+    * estimated shard relations exceed the session's
+    * `autoBroadcastJoinThreshold` the serve falls back to sort-merge
+    * joins in which the STORED side inherits its bucket distribution
+    * (band table hash-partitioned by `bv` ⊆ the join keys; sets table
+    * by `doc_id` = the verify key) — only shard-derived relations ever
+    * shuffle, the index still never does. `broadcastShard` overrides
+    * the estimate for tests/pins; production callers leave it `None`.
+    * The tombstone anti-join broadcasts in BOTH regimes (deleted-rows-
+    * sized, independent of the shard). */
   def serveNearDup(spark: SparkSession, dir: String, shard: DataFrame,
                    minShared: Int = 3, thrNum: Int = 1,
-                   thrDen: Int = 2): DataFrame = {
+                   thrDen: Int = 2,
+                   broadcastShard: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     refreshStored(spark, dir)
     val rows = docRows(shard, readStop(spark, dir)).localCheckpoint()
+    val useBroadcast = broadcastShard.getOrElse {
+      val st = rows.agg(count(lit(1)).as("n"),
+        coalesce(sum("n_fp"), lit(0L)).as("t")).head
+      val (nDocs, totFps) = (st.getLong(0), st.getLong(1))
+      // conservative wire-size estimate of the two broadcast relations:
+      // band rows ≈ 48 B of longs+overhead each; the fset side is the
+      // fp arrays (8 B/fp) plus per-row array+struct overhead
+      val bandBytes = nDocs * Bands * 48L
+      val fsetBytes = totFps * 8L + nDocs * 64L
+      val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thresh > 0 && math.max(bandBytes, fsetBytes) <= thresh
+    }
+    // `hint("merge")` in the fallback pins the join strategy away from
+    // a planner-chosen broadcast (stats on checkpointed shard relations
+    // can look small even when the REAL shard is not): the stored scan
+    // side satisfies the merge join's clustering from its bucket spec,
+    // so only the hinted shard side exchanges
+    def shardSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("merge")
     val shardBands = rows.select(col("doc_id").as("i_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     val histCand = live(spark, dir, bandsTbl(dir))
-      .join(broadcast(shardBands), Seq("band", "bv"))
+      .join(shardSide(shardBands), Seq("band", "bv"))
       // a doc re-served while still indexed must not match ITSELF
       // (mirrored in [[serveSql]]'s hh candidate predicate)
       .filter(col("doc_id") =!= col("i_id"))
       .select(col("doc_id").as("h_id"), col("i_id")).distinct()
     val contain = col("n_shared") >= minShared &&
       col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_i")
-    val histHit = histCand
+    val histHit = (if (useBroadcast) histCand else histCand.hint("merge"))
       .join(live(spark, dir, setsTbl(dir))
         .select(col("doc_id").as("h_id"), col("fset").as("fh")), "h_id")
-      .join(broadcast(rows.select(col("doc_id").as("i_id"),
+      .join(shardSide(rows.select(col("doc_id").as("i_id"),
         col("fset").as("fi"), col("n_fp").as("n_i"))), "i_id")
       .withColumn("n_shared", expr("sorted_intersect_count(fh, fi)"))
       .filter(contain)
@@ -288,7 +409,11 @@ object NearDupIndex {
         col("n_fp").as(s"n_$s"), col("bvs").as(s"bvs_$s"),
         posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val batchHit = side("a").join(side("b"), Seq("band", "bv"))
+    // in the backfill regime the within-shard half is the batch banded
+    // self-join — hinted to merge so no shard-sized relation broadcasts
+    // there either
+    val sideA = if (useBroadcast) side("a") else side("a").hint("merge")
+    val batchHit = sideA.join(side("b"), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(expr(Dedup.firstMeetChainSql(Bands)))
       .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
@@ -322,16 +447,23 @@ object NearDupIndex {
       .map(b => s"select doc_id, $b as band, " +
         s"${Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
       .mkString(" union all ")
+    // n_shared is projected ONCE per candidate in an inner subquery and
+    // the containment predicates filter on the alias — DuckDB does not
+    // guarantee common-subexpression elimination across WHERE conjuncts,
+    // and list_intersect is the most expensive scalar here (advice r12;
+    // the vr-CTE pattern of [[Dedup.winnowOverlapBandedSql]])
     def hitCte(name: String, candPred: String): String =
-      s"""$name as (select distinct doc_b as doc_id from (
+      s"""$name as (select distinct doc_id from (
+         | select c.doc_b as doc_id, sb.n_fp,
+         |  cast(len(list_intersect(sa.fset, sb.fset)) as bigint) as n_shared
+         | from (
          |  select distinct a.doc_id as doc_a, b.doc_id as doc_b
          |  from banded a join banded b on a.band = b.band and a.bv = b.bv
          |  where $candPred) c
          | join sets sa on c.doc_a = sa.doc_id
-         | join sets sb on c.doc_b = sb.doc_id
-         | where cast(len(list_intersect(sa.fset, sb.fset)) as bigint) >= $minShared
-         |  and cast(len(list_intersect(sa.fset, sb.fset)) as bigint) * $thrDen
-         |    >= $thrNum * sb.n_fp)""".stripMargin
+         | join sets sb on c.doc_b = sb.doc_id) v
+         | where n_shared >= $minShared
+         |  and n_shared * $thrDen >= $thrNum * n_fp)""".stripMargin
     s"""with wn as materialized (${TextOps.winnowSql(table)}),
        |fps as materialized (select distinct doc_id, fp from wn),
        |nd as (select cast(count(distinct doc_id) as bigint) as n_docs

@@ -109,6 +109,78 @@ class NearDupIndexSpec extends SparkSpec {
     assert(statuses(idx, shardDocs).get(201L).contains("dup_history"))
   }
 
+  test("append of a LIVE id is loud (update-shaped re-append would answer from both versions)") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_liveapp_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    val ex = intercept[IllegalArgumentException] {
+      NearDupIndex.appendNearDupIndex(
+        Seq((1L, "replacement text for an already indexed id"))
+          .toDF("doc_id", "text"), idx)
+    }
+    assert(ex.getMessage.contains("already live"))
+    // the guarded append must not have half-written either segment
+    assert(statuses(idx, shardDocs).get(201L).contains("dup_history"))
+  }
+
+  test("isIndexed requires EVERY data path: a reaped bands dir reads as absent") {
+    val idx = graft.Scratch.dir("ndidx_spec_reap_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    assert(NearDupIndex.isIndexed(spark, idx))
+    graft.operators.IndexFs.deleteRecursive(spark, s"$idx/bands")
+    assert(!NearDupIndex.isIndexed(spark, idx),
+      "a reaped bands dir under a live catalog entry must read as absent " +
+        "(it would silently serve every shard doc as kept)")
+  }
+
+  test("stop-cut drift: a composition-shifted append raises newBoilerplateFrac; a natural one does not; serve stays exact") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_drift_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    // natural shard: per-doc seeded-random letter streams — winnow
+    // fingerprints CHARACTER k-grams, so even templated words share
+    // grams; truly disjoint docs need disjoint character streams (the
+    // first fixture attempts used English templates and the metric
+    // CORRECTLY measured their shared grams as boilerplate)
+    val natural = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(7919L * (i + 1))
+      (300L + i, (0 until 90).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(9).mkString(" "))
+    }.toDF("doc_id", "text")
+    val d1 = NearDupIndex.appendNearDupIndex(natural, idx)
+    assert(d1.newBoilerplateFrac < 0.05,
+      s"natural shard flagged as drifted: $d1")
+    // composition-shifted shard: every doc carries the SAME long
+    // boilerplate block the build corpus never saw — its fps are hot in
+    // the shard (df > 10%) but absent from the frozen cut
+    val boiler = "subscribe to our newsletter terms conditions apply " * 8
+    val shifted = (0 until 20).map(i =>
+      (400L + i, boiler + s" unique tail $i with words ${i * 7} ${i * 11}"))
+      .toDF("doc_id", "text")
+    val d2 = NearDupIndex.appendNearDupIndex(shifted, idx)
+    assert(d2.newBoilerplateFrac > 0.2,
+      s"shared-boilerplate shard must raise the drift metric: $d2")
+    assert(d2.newBoilerplateFrac > d1.newBoilerplateFrac * 2)
+    // both observations landed in the driftlog sidecar
+    val log = spark.read.parquet(s"$idx/driftlog")
+    assert(log.count() == 2)
+    // ... and the metric is OBSERVABILITY only: serving stays exact
+    // (signatures froze at append; verdicts unchanged for the base shard)
+    val got = statuses(idx, shardDocs)
+    assert(got.get(201L).contains("dup_history") &&
+      got.get(203L).contains("dup_batch"), s"drifted appends broke serving: $got")
+  }
+
+  test("serve size gate: a fallback (no-shard-broadcast) serve answers identically to the broadcast serve") {
+    val idx = graft.Scratch.dir("ndidx_spec_szgate_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    val bc = NearDupIndex.serveNearDup(spark, idx, shardDocs,
+      broadcastShard = Some(true)).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val sm = NearDupIndex.serveNearDup(spark, idx, shardDocs,
+      broadcastShard = Some(false)).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(bc == sm, s"fallback serve diverged: broadcast=$bc fallback=$sm")
+  }
+
   test("cross-session serve: segments appended by ANOTHER session are visible — the r11 regression shape") {
     import spark.implicits._
     val idx = graft.Scratch.dir("ndidx_spec_xsess_")

@@ -394,6 +394,34 @@ class PlanSpec extends SparkSpec {
       s"Scan parquet [^\\n]*$suffix".r.findAllIn(p).length
     assert(scans("_bands") == 1, s"band table scanned ${scans("_bands")}x:\n$p")
     assert(scans("_sets") == 1, s"sets table scanned ${scans("_sets")}x:\n$p")
+
+    // BACKFILL regime (size-gated fallback, verdict r12): no
+    // shard-derived relation may broadcast — a backfill-sized shard
+    // would be driver-mass — and the STORED tables must inherit their
+    // bucket layout instead of re-exchanging
+    val pf = plan(graft.operators.NearDupIndex.serveNearDup(spark, idx,
+      docs.filter(col("doc_id") % 5 >= 4), broadcastShard = Some(false)))
+    assert(!pf.contains("Cartesian") && !pf.contains("BroadcastNestedLoopJoin"),
+      s"fallback serve plans a cartesian/nested-loop:\n$pf")
+    // the ONLY broadcasts are the tombstone anti-joins (deleted-rows-
+    // sized, shard-independent); every inner/outer join is sort-merge
+    assert("BroadcastHashJoin [^\\n]*(Inner|LeftOuter|LeftSemi)".r
+      .findFirstIn(pf).isEmpty,
+      s"fallback serve broadcasts a shard-derived relation:\n$pf")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(pf).isDefined,
+      s"tombstones must still broadcast in the fallback:\n$pf")
+    // the candidate join's stored side reads its (band, bv) bucket
+    // layout from storage: the only (band, bv) exchanges are the shard
+    // band rows (1) and the two sides of the within-shard self-join —
+    // a 4th would mean the index re-shuffled
+    val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(pf).length
+    assert(bandEx == 3,
+      s"expected 3 shard-side (band, bv) exchanges, got $bandEx — the " +
+        s"stored band table must inherit its bucket layout:\n$pf")
+    def scansF(suffix: String) =
+      s"Scan parquet [^\\n]*$suffix".r.findAllIn(pf).length
+    assert(scansF("_bands") == 1 && scansF("_sets") == 1,
+      s"fallback serve rescans a stored table:\n$pf")
   }
 
   test("dedup_decide: pair mass collapses in a partial min-aggregate before the exchange; no cartesian") {
