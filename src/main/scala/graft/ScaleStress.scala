@@ -1132,14 +1132,67 @@ object ScaleStress {
         when(col("r") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string")))
           .as("text"))
+    // incoming docs are doc_id ≡ 4 (mod 5); the sample takes every
+    // sampleMod-th of THOSE: doc_id ≡ 4 (mod 5·sampleMod) — a plain
+    // `% sampleMod == 0` would contradict the mod-5 residue and select
+    // nothing (the first cut of this leg did exactly that)
     val universe = docs.filter(
       col("doc_id") % 5 < 4 ||
-        (col("doc_id") % 5 >= 4 && col("doc_id") % sampleMod === 0))
+        col("doc_id") % (5L * sampleMod) === 4)
       .localCheckpoint()
-    def verdicts(df: org.apache.spark.sql.DataFrame, name: String) = df
-      .select(col("doc_id"), col("status").as(name))
+    // each verdict relation is checkpointed WHILE timed, so the
+    // artifact carries per-operator wall clock on the same universe
+    // (single evaluation; the comparison join reads the checkpoints)
+    val opSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def verdicts(df: => org.apache.spark.sql.DataFrame, name: String) = {
+      val t0 = System.nanoTime()
+      val out = df.select(col("doc_id"), col("status").as(name))
+        .localCheckpoint()
+      opSec(name) = (System.nanoTime() - t0) / 1e9
+      out
+    }
     val full = verdicts(Dedup.incrementalWinnow(universe), "s_full")
     val banded = verdicts(Dedup.incrementalWinnowBanded(universe), "s_band")
+    // the DECOMPOSITION reference: the full pair probe over df-CUT fps
+    // (no LSH) — banded_vs_full conflates two effects (the df cut's
+    // boilerplate semantics AND any LSH candidate misses); comparing
+    // banded against THIS relation isolates the bands' recall alone
+    val cutFull = {
+      val fps = graft.operators.TextOps.winnow(universe)
+        .select("doc_id", "fp").distinct().localCheckpoint()
+      val nDocs = universe.select("doc_id").distinct().count()
+      val kept = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+          .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"), "fp")
+        .localCheckpoint()
+      val hist = kept.filter(expr("doc_id % 5 < 4"))
+        .select(col("doc_id").as("o_id"), col("fp"))
+      val inc = kept.filter(expr("doc_id % 5 >= 4"))
+      val incSz = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      def hits(m: org.apache.spark.sql.DataFrame, flag: String) = m
+        .filter(col("n_shared") >= 3)
+        .join(incSz, "doc_id")
+        .filter(col("n_shared") * 2L >= col("n_fp"))
+        .select("doc_id").distinct().withColumn(flag, lit(1L))
+      val hh = hits(inc.join(hist, "fp")
+        .groupBy("doc_id", "o_id").agg(count(lit(1)).as("n_shared")), "h")
+      val bb = hits(inc.join(inc.select(col("doc_id").as("o_id"), col("fp")), "fp")
+        .filter(col("o_id") < col("doc_id"))
+        .groupBy("doc_id", "o_id").agg(count(lit(1)).as("n_shared")), "b")
+      incSz.join(hh, Seq("doc_id"), "left").join(bb, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "case when h is not null then 'dup_history' " +
+            "when b is not null then 'dup_batch' else 'kept' end as status")
+    }
+    val cut = verdicts(cutFull, "s_cut")
+    // the r=1 configuration (16 bands × 1 hash): P(candidate) per band
+    // is s (Jaccard) not s², so CONTAINMENT-shaped dups — small doc
+    // ⊂ big doc, low Jaccard — that r=2 bands miss become reachable:
+    // 1-(1-s)^16 vs 1-(1-s²)^8 (s=0.2: 0.97 vs 0.28). Candidate mass
+    // rises (any shared argmin collides); this leg measures both sides
+    // of that trade on the natural corpus
+    val banded16 = verdicts(
+      Dedup.incrementalWinnowBanded(universe, bands = 16), "s_b16")
     val idxDir = graft.Scratch.dir("graft_ndrecall_idx_")
     NearDupIndex.writeNearDupIndex(universe.filter(col("doc_id") % 5 < 4), idxDir)
     val idx = verdicts(NearDupIndex.serveNearDup(spark, idxDir,
@@ -1148,24 +1201,36 @@ object ScaleStress {
     // cut can empty a doc's kept set entirely -> absent from banded/idx)
     val j = full.join(banded, Seq("doc_id"), "left")
       .join(idx, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .join(banded16, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "s_full <> 'kept' as d_full",
         "coalesce(s_band, 'kept') <> 'kept' as d_band",
-        "coalesce(s_idx, 'kept') <> 'kept' as d_idx")
+        "coalesce(s_idx, 'kept') <> 'kept' as d_idx",
+        "coalesce(s_cut, 'kept') <> 'kept' as d_cut",
+        "coalesce(s_b16, 'kept') <> 'kept' as d_b16")
       .localCheckpoint()
-    def agg(flag: String): (Long, Long, Long) = {
+    def agg(ref: String, flag: String): (Long, Long, Long) = {
       val r = j.selectExpr(
-        s"sum(case when d_full and $flag then 1 else 0 end) as hit",
-        s"sum(case when d_full and not $flag then 1 else 0 end) as miss",
-        s"sum(case when not d_full and $flag then 1 else 0 end) as extra").head
+        s"coalesce(sum(case when $ref and $flag then 1 else 0 end), 0) as hit",
+        s"coalesce(sum(case when $ref and not $flag then 1 else 0 end), 0) as miss",
+        s"coalesce(sum(case when not $ref and $flag then 1 else 0 end), 0) as extra").head
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val n = j.count()
     val nFullDup = j.filter(col("d_full")).count()
-    val (bh, bm, bx) = agg("d_band")
-    val (ih, im, ix) = agg("d_idx")
+    val nCutDup = j.filter(col("d_cut")).count()
+    val (bh, bm, bx) = agg("d_full", "d_band")
+    val (ih, im, ix) = agg("d_full", "d_idx")
+    // vs the cut-full reference: isolates LSH candidate recall from the
+    // df cut's (intended) boilerplate semantics
+    val (cbh, cbm, cbx) = agg("d_cut", "d_band")
+    val (cih, cim, cix) = agg("d_cut", "d_idx")
+    val (c16h, c16m, c16x) = agg("d_cut", "d_b16")
     def rec(h: Long, m: Long) = if (h + m == 0) 1.0 else h.toDouble / (h + m)
-    println(f"""{"stress":"neardup_recall","replicas":$replicas,"sample_mod":$sampleMod,"sampled_incoming":$n,"full_dups":$nFullDup,"banded_recall":${rec(bh, bm)}%.4f,"banded_extra":$bx,"banded_miss":$bm,"index_recall":${rec(ih, im)}%.4f,"index_extra":$ix,"index_miss":$im}""")
+    val secs = opSec.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"stress":"neardup_recall","op_sec":$secs,"replicas":$replicas,"sample_mod":$sampleMod,"sampled_incoming":$n,"full_dups":$nFullDup,"cutfull_dups":$nCutDup,"banded_recall_vs_full":${rec(bh, bm)}%.4f,"banded_extra_vs_full":$bx,"index_recall_vs_full":${rec(ih, im)}%.4f,"index_extra_vs_full":$ix,"banded_recall_vs_cutfull":${rec(cbh, cbm)}%.4f,"banded_extra_vs_cutfull":$cbx,"banded_miss_vs_cutfull":$cbm,"index_recall_vs_cutfull":${rec(cih, cim)}%.4f,"index_extra_vs_cutfull":$cix,"index_miss_vs_cutfull":$cim,"banded16_recall_vs_cutfull":${rec(c16h, c16m)}%.4f,"banded16_extra_vs_cutfull":$c16x,"banded16_miss_vs_cutfull":$c16m}""")
     spark.stop()
   }
 
@@ -1196,15 +1261,25 @@ object ScaleStress {
       .select((col("doc_id") * replicas + col("r") + lit(1000000000L)).as("doc_id"),
         concat(col("text"), lit(" replicatag"), col("r")).as("text"))
     val shardDocs = nHist * replicas
+    // replicate the serve's size estimate so the artifact RECORDS that
+    // the auto gate chose the fallback (shard fp mass × 8 B alone must
+    // exceed the broadcast threshold for this leg to test what it
+    // claims to)
+    val totFps = graft.operators.TextOps.winnow(shard)
+      .select("doc_id", "fp").distinct().count()
+    val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val fallback = totFps * 8L + shardDocs * 64L > thresh
     val t0 = System.nanoTime()
     val out = NearDupIndex.serveNearDup(spark, idx, shard)
       .groupBy("status").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(0)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sec = (System.nanoTime() - t0) / 1e9
     val served = out.values.sum
     val dupFrac = (out.getOrElse("dup_history", 0L) +
       out.getOrElse("dup_batch", 0L)).toDouble / math.max(served, 1L)
-    println(f"""{"stress":"neardup_serve_backfill","replicas":$replicas,"index_docs":$nHist,"shard_docs":$shardDocs,"served":$served,"dup_frac":$dupFrac%.4f,"sec":$sec%.2f}""")
+    println(f"""{"stress":"neardup_serve_backfill","replicas":$replicas,"index_docs":$nHist,"shard_docs":$shardDocs,"shard_fps":$totFps,"fallback":$fallback,"served":$served,"dup_frac":$dupFrac%.4f,"sec":$sec%.2f}""")
+    assert(fallback, s"leg must exercise the no-broadcast regime: " +
+      s"shard fp mass ${totFps * 8L} B vs threshold $thresh B — raise replicas")
     assert(dupFrac > 0.8,
       s"backfill serve must recognize replica near-copies: $out")
     spark.stop()

@@ -64,8 +64,17 @@ object NearDupIndex {
   /** Same sizing rule as [[SparseIndex.DefaultBuckets]]. */
   val DefaultBuckets = 8
 
+  /** 16 bands × 1 hash (r=1), matching
+    * [[Dedup.incrementalWinnowBanded]]'s r13 default: the verdict is
+    * CONTAINMENT but LSH collisions track Jaccard, and r=2 misses
+    * half the containment-shaped dups on the natural corpus (measured
+    * recall 0.51 → 0.99 for ~7% cost — see the banded operator's doc
+    * and `ScaleStress nearduprecall`). The geometry is part of the
+    * stored format: build stamps it into `dir/ndconf` and every
+    * verb/serve refuses an index stamped with different constants —
+    * a geometry mismatch would silently serve zero matches. */
   val NumHashes = 16
-  val Bands = 8
+  val Bands = 16
 
   private def stem(dir: String): String =
     "graft_ndidx_" + IndexFs.dirKey(dir)
@@ -127,6 +136,23 @@ object NearDupIndex {
   private def readStop(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema("fp long").parquet(s"$dir/stopfps")
 
+  /** Loud stored-format guard: per-doc rows computed under one LSH
+    * geometry are meaningless under another (shard band values would
+    * never collide with stored ones — every serve answers `kept`), so
+    * the geometry is stamped at build and re-checked by every verb and
+    * serve. An index without the stamp predates the guard — rebuild. */
+  private def requireConf(spark: SparkSession, dir: String): Unit = {
+    val p = s"$dir/ndconf"
+    require(IndexFs.exists(spark, p),
+      s"stored near-dup index '$dir' carries no geometry stamp " +
+        s"(pre-r13 or partial build) — rebuild with writeNearDupIndex")
+    val r = spark.read.schema("num_hashes int, bands int").parquet(p).head
+    require(r.getInt(0) == NumHashes && r.getInt(1) == Bands,
+      s"stored near-dup index '$dir' was built with geometry " +
+        s"(${r.getInt(0)}, ${r.getInt(1)}) but the code is " +
+        s"($NumHashes, $Bands) — rebuild with writeNearDupIndex")
+  }
+
   private def writeSets(df: DataFrame, dir: String, mode: String,
                         nBuckets: Int): Unit =
     df.write.format("parquet").mode(mode)
@@ -158,7 +184,14 @@ object NearDupIndex {
       spark.catalog.tableExists(setsTbl(dir)) &&
       IndexFs.exists(spark, s"$dir/sets") &&
       IndexFs.exists(spark, s"$dir/bands") &&
-      IndexFs.exists(spark, s"$dir/stopfps")
+      IndexFs.exists(spark, s"$dir/stopfps") &&
+      // a cache built under an older LSH geometry reads as ABSENT so
+      // cache-or-compute sites rebuild instead of hitting requireConf
+      IndexFs.exists(spark, s"$dir/ndconf") && {
+        val r = spark.read.schema("num_hashes int, bands int")
+          .parquet(s"$dir/ndconf").head
+        r.getInt(0) == NumHashes && r.getInt(1) == Bands
+      }
 
   /** Build the stored index from scratch. Freezes the df stop cut from
     * THIS corpus (see the object doc — append-safety requires it). */
@@ -191,6 +224,10 @@ object NearDupIndex {
     writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"),
       dir, "overwrite", nBuckets)
+    // geometry stamp LAST: its presence certifies a complete build
+    spark.createDataFrame(Seq((NumHashes, Bands)))
+      .toDF("num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$dir/ndconf")
   }
 
   /** Per-append drift observation of the FROZEN stop cut (returned by
@@ -232,6 +269,7 @@ object NearDupIndex {
     * observation (also appended to `dir/driftlog`). */
   def appendNearDupIndex(newDocs: DataFrame, dir: String): NearDupDrift = {
     val spark = newDocs.sparkSession
+    requireConf(spark, dir)
     refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
     if (IndexFs.exists(spark, tombPath)) {
@@ -299,6 +337,7 @@ object NearDupIndex {
     * Loud contract: every surviving delete id must be indexed. */
   def deleteFromNearDupIndex(deletedIds: DataFrame, dir: String): Unit = {
     val spark = deletedIds.sparkSession
+    requireConf(spark, dir)
     refreshStored(spark, dir)
     val tombPath = s"$dir/tombstones"
     val incoming = deletedIds.select(col("doc_id").cast("long"))
@@ -321,6 +360,7 @@ object NearDupIndex {
     * recompute would change already-indexed signatures — only a rebuild
     * refreshes it). */
   def compactNearDupIndex(spark: SparkSession, dir: String): Unit = {
+    requireConf(spark, dir)
     refreshStored(spark, dir)
     val nBuckets = bucketCount(spark, dir)
     val sets = live(spark, dir, setsTbl(dir))
@@ -362,6 +402,7 @@ object NearDupIndex {
                    thrDen: Int = 2,
                    broadcastShard: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requireConf(spark, dir)
     refreshStored(spark, dir)
     val rows = docRows(shard, readStop(spark, dir)).localCheckpoint()
     val useBroadcast = broadcastShard.getOrElse {

@@ -49,6 +49,36 @@ object Ranking {
       .drop("min_rank")
   }
 
+  /** [[withRanks]] collapsed to PER-DISTINCT-VALUE rows — (feature_id,
+    * value, tie_count, rank), the relation `mwu_rank` materializes —
+    * computed the tied-data scale way ([[MwuAgg.rankSumsAgg]]'s route):
+    * cells collapse to (feature, value) counts FIRST (map-side combine,
+    * so only distinct-value rows ever reach the sort), then one
+    * cumulative window derives min-rank and tie size per distinct
+    * value. On heavy-tie corpora the window input shrinks from n rows
+    * to d distinct values (the replicated 10× corpus keeps d FIXED
+    * while n grows 10× — the verdict-r12 slope probe); identical
+    * output by the rank identities: tie_count(v) = t(v) and
+    * min_rank(v) = cum(v) − t(v) + 1, NaN poisoning unchanged. Not a
+    * replacement for [[withRanks]] where per-CELL ranks are the API
+    * surface. */
+  def ranksByValue(cells: DataFrame, valueCol: String = "value",
+                   featureCol: String = "feature_id"): DataFrame = {
+    val wOrd = Window.partitionBy(featureCol).orderBy(valueCol)
+    val wCum = wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFeat = Window.partitionBy(featureCol)
+    cells
+      .groupBy(featureCol, valueCol)
+      .agg(count(lit(1)).as("tie_count"))
+      .withColumn("cum", sum("tie_count").over(wCum))
+      .withColumn("f_nan", max(isBad(col(valueCol))).over(wFeat))
+      .withColumn("rank",
+        when(col("f_nan"), lit(null).cast("double"))
+          .otherwise((col("cum") - col("tie_count") + 1L) +
+            (col("tie_count") - 1L) / 2.0))
+      .select(col(featureCol), col(valueCol), col("tie_count"), col("rank"))
+  }
+
   /** Oracle-SQL rendering of the same computation, including the NaN
     * branch: any NaN/NULL cell NULLs every rank of its feature while tie
     * counts stay finite (rank_data.py:193-196). Both engines order NaN
