@@ -76,6 +76,36 @@ object NearDupIndex {
   val NumHashes = 16
   val Bands = 16
 
+  /** Hot-bucket cap (frozen at build, like the fp stop cut): band
+    * values held by more than BvCutAbs docs of the BUILD corpus are
+    * excluded from candidate generation — they carry collision MASS,
+    * not signal (at r=1 a single corpus-common argmin puts thousands
+    * of docs in one bucket; measured on the 10× word-soup corpus: 454
+    * buckets of 400–3,196 docs holding 96% of a 6.6e8-row collision
+    * mass, which regressed the standing serve 10→171 s). The cap is
+    * ABSOLUTE, not relative: relative bucket sizes are scale-invariant
+    * under corpus growth while pair mass grows quadratically, so any
+    * percentage rule either starves recall at small N or admits
+    * quadratic mass at large N (measured: a 1% rule cut recall on the
+    * natural sf0.1 corpus 0.99→0.56; a 5% rule left 70% of the 10×
+    * mass). An absolute cap bounds candidate work per probe at
+    * cap × Bands rows regardless of index size — the standard
+    * production-LSH skip-mega-buckets rule — and a pair whose ONLY
+    * shared argmins are shared by 500+ other docs carries ~no
+    * similarity evidence. Serve-time filter on BOTH the stored and
+    * the shard band rows — stored segments keep every row, so append
+    * stability and compaction invisibility are untouched and only a
+    * rebuild moves the cut. Mirrored in [[serveSql]].
+    *
+    * Growth caveat (same discipline as the fp stop cut): the cap is
+    * computed from BUILD-corpus occupancy, so buckets that cross
+    * BvCutAbs only through later appends stay live and serve cost
+    * creeps with them (measured: the CRUD gate, whose seed is 1/3 of
+    * its final corpus, runs 2× slower at 10× than a fresh-build serve).
+    * Rebuild when the live corpus outgrows the build corpus ~2× — the
+    * [[NearDupDrift]] shardDocs log makes the growth observable. */
+  val BvCutAbs = 512
+
   private def stem(dir: String): String =
     "graft_ndidx_" + IndexFs.dirKey(dir)
   private def bandsTbl(dir: String) = stem(dir) + "_bands"
@@ -185,6 +215,7 @@ object NearDupIndex {
       IndexFs.exists(spark, s"$dir/sets") &&
       IndexFs.exists(spark, s"$dir/bands") &&
       IndexFs.exists(spark, s"$dir/stopfps") &&
+      IndexFs.exists(spark, s"$dir/stopbvs") &&
       // a cache built under an older LSH geometry reads as ABSENT so
       // cache-or-compute sites rebuild instead of hitting requireConf
       IndexFs.exists(spark, s"$dir/ndconf") && {
@@ -221,9 +252,15 @@ object NearDupIndex {
     IndexFs.deleteRecursive(spark, s"$dir/driftlog")
     val rows = docRowsFromFps(fps, readStop(spark, dir)).localCheckpoint()
     writeSets(rows, dir, "overwrite", nBuckets)
-    writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"),
-      dir, "overwrite", nBuckets)
+    val bandRows = rows.select(col("doc_id"), posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    writeBands(bandRows, dir, "overwrite", nBuckets)
+    // frozen hot-bucket cap (see [[BvCutAbs]]): band values the BUILD
+    // corpus crowds are excluded from candidate generation at serve
+    bandRows.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .filter(col("c") > BvCutAbs)
+      .select("band", "bv")
+      .write.mode("overwrite").parquet(s"$dir/stopbvs")
     // geometry stamp LAST: its presence certifies a complete build
     spark.createDataFrame(Seq((NumHashes, Bands)))
       .toDF("num_hashes", "bands")
@@ -424,9 +461,18 @@ object NearDupIndex {
     // so only the hinted shard side exchanges
     def shardSide(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df.hint("merge")
-    val shardBands = rows.select(col("doc_id").as("i_id"), posexplode(col("bvs")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val histCand = live(spark, dir, bandsTbl(dir))
+    // the frozen hot-bucket cut filters BOTH band relations before any
+    // join: build-corpus-crowded band values generate collision mass,
+    // not signal (see [[BvCutDen]]); the sidecar is cut-sized, always
+    // broadcast
+    val stopBv = spark.read.schema("band int, bv long")
+      .parquet(s"$dir/stopbvs")
+    def cutBv(df: DataFrame): DataFrame =
+      df.join(broadcast(stopBv), Seq("band", "bv"), "left_anti")
+    val shardBands = cutBv(
+      rows.select(col("doc_id").as("i_id"), posexplode(col("bvs")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"))
+    val histCand = cutBv(live(spark, dir, bandsTbl(dir)))
       .join(shardSide(shardBands), Seq("band", "bv"))
       // a doc re-served while still indexed must not match ITSELF
       // (mirrored in [[serveSql]]'s hh candidate predicate)
@@ -443,20 +489,23 @@ object NearDupIndex {
       .filter(contain)
       .select(col("i_id").as("doc_id")).distinct()
       .withColumn("hist_dup", lit(1L))
-    // within-shard: inline banded self-join, each pair verified once in
-    // its first colliding band
-    def side(s: String) = rows
-      .select(col("doc_id").as(s"doc_$s"), col("fset").as(s"f$s"),
-        col("n_fp").as(s"n_$s"), col("bvs").as(s"bvs_$s"),
-        posexplode(col("bvs")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    // in the backfill regime the within-shard half is the batch banded
-    // self-join — hinted to merge so no shard-sized relation broadcasts
-    // there either
-    val sideA = if (useBroadcast) side("a") else side("a").hint("merge")
-    val batchHit = sideA.join(side("b"), Seq("band", "bv"))
+    // within-shard: SLIM distinct candidate pairs (ids only through the
+    // band self-join and the dedup), then ONE wide join per side for the
+    // verify operands — the first-meet spelling verified inline but is
+    // incompatible with the hot-bucket cut (a pair whose first agreeing
+    // band is stopped must still verify in its first UNSTOPPED one;
+    // distinct-pair dedup gets that for free, and post-cut candidate
+    // mass is small enough that the extra exchange is cheap)
+    val bandA = shardBands.select(col("i_id").as("doc_a"), col("band"), col("bv"))
+    val batchCand = (if (useBroadcast) bandA else bandA.hint("merge"))
+      .join(shardBands.select(col("i_id").as("doc_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(expr(Dedup.firstMeetChainSql(Bands)))
+      .select("doc_a", "doc_b").distinct()
+    val batchHit = (if (useBroadcast) batchCand else batchCand.hint("merge"))
+      .join(rows.select(col("doc_id").as("doc_a"), col("fset").as("fa")), "doc_a")
+      .join(shardSide(rows.select(col("doc_id").as("doc_b"),
+        col("fset").as("fb"), col("n_fp").as("n_b"))), "doc_b")
       .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
       .withColumn("n_i", col("n_b"))
       .filter(contain)
@@ -473,10 +522,10 @@ object NearDupIndex {
   /** DuckDB mirror of a [[serveNearDup]] against an index whose build
     * corpus was `stopPred`, whose LIVE history rows are `histPred` (the
     * build ∪ appends minus deletes), serving the `incPred` shard — every
-    * constant interpolated from the same Scala source. The stop cut
-    * comes from the BUILD corpus only (frozen at build; later appends
-    * and deletes don't move it), which is exactly what the stored
-    * artifact replays. */
+    * constant interpolated from the same Scala source. BOTH frozen cuts
+    * come from the BUILD corpus only (the fp stop cut and the
+    * hot-bucket band-value cut; later appends and deletes move
+    * neither), which is exactly what the stored artifacts replay. */
   def serveSql(stopPred: String, histPred: String, incPred: String,
                minShared: Int = 3, thrNum: Int = 1, thrDen: Int = 2,
                table: String = "documents"): String = {
@@ -499,7 +548,7 @@ object NearDupIndex {
          |  cast(len(list_intersect(sa.fset, sb.fset)) as bigint) as n_shared
          | from (
          |  select distinct a.doc_id as doc_a, b.doc_id as doc_b
-         |  from banded a join banded b on a.band = b.band and a.bv = b.bv
+         |  from bandedc a join bandedc b on a.band = b.band and a.bv = b.bv
          |  where $candPred) c
          | join sets sa on c.doc_a = sa.doc_id
          | join sets sb on c.doc_b = sb.doc_id) v
@@ -519,6 +568,14 @@ object NearDupIndex {
        |      or (doc_id in (select doc_id from $table where $incPred)))),
        |sig as (select doc_id, $sigCols from kept group by doc_id),
        |banded as materialized ($bandRows),
+       |stopbv as materialized (select band, bv from (
+       |  select band, bv, cast(count(*) as bigint) as c from banded
+       |  where doc_id in (select doc_id from $table where $stopPred)
+       |  group by band, bv)
+       | where c > $BvCutAbs),
+       |bandedc as materialized (select bd.doc_id, bd.band, bd.bv
+       | from banded bd where not exists (select 1 from stopbv s
+       |  where s.band = bd.band and s.bv = bd.bv)),
        |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
        |  cast(count(*) as bigint) as n_fp from kept group by doc_id),
        |${hitCte("hh", s"a.doc_id in (select doc_id from $table where $histPred) " +

@@ -181,6 +181,35 @@ class NearDupIndexSpec extends SparkSpec {
     assert(bc == sm, s"fallback serve diverged: broadcast=$bc fallback=$sm")
   }
 
+  test("hot-bucket cap: a >BvCutAbs band bucket is frozen out; genuine near-copies of ordinary docs still match") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_cap_")
+    // 600 docs dominated by ONE shared block (their band argmins all
+    // land in the block's fps -> buckets of ~600 > BvCutAbs) + 5900
+    // unique-random docs keeping the block's df under the 10% fp cut
+    val block = "sharedboilerplateblock" * 10
+    val hot = (0 until 600).map(i => (10000L + i, block + s" t$i"))
+    val filler = (0 until 5900).map { i =>
+      val rnd = new scala.util.Random(104729L * (i + 1))
+      (20000L + i, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    NearDupIndex.writeNearDupIndex((hot ++ filler).toDF("doc_id", "text"), idx)
+    val stopBv = spark.read.parquet(s"$idx/stopbvs").count()
+    assert(stopBv > 0, "the 600-doc buckets must be frozen out at build")
+    // a shifted copy of an ORDINARY doc still answers dup_history: its
+    // candidate buckets are its own unique argmins, untouched by the cap
+    val fillerText = filler(7)._2
+    val got = NearDupIndex.serveNearDup(spark, idx, Seq(
+        (90001L, shifted(fillerText, 20, "X")),
+        (90002L, "a wholly unrelated probe document with its own words"))
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.get(90001L).contains("dup_history"),
+      s"cap must not affect ordinary-doc matches: $got")
+    got.get(90002L).foreach(s => assert(s == "kept", s"$got"))
+  }
+
   test("cross-session serve: segments appended by ANOTHER session are visible — the r11 regression shape") {
     import spark.implicits._
     val idx = graft.Scratch.dir("ndidx_spec_xsess_")
