@@ -489,23 +489,25 @@ object NearDupIndex {
       .filter(contain)
       .select(col("i_id").as("doc_id")).distinct()
       .withColumn("hist_dup", lit(1L))
-    // within-shard: SLIM distinct candidate pairs (ids only through the
-    // band self-join and the dedup), then ONE wide join per side for the
-    // verify operands — the first-meet spelling verified inline but is
-    // incompatible with the hot-bucket cut (a pair whose first agreeing
-    // band is stopped must still verify in its first UNSTOPPED one;
-    // distinct-pair dedup gets that for free, and post-cut candidate
-    // mass is small enough that the extra exchange is cheap)
-    val bandA = shardBands.select(col("i_id").as("doc_a"), col("band"), col("bv"))
-    val batchCand = (if (useBroadcast) bandA else bandA.hint("merge"))
-      .join(shardBands.select(col("i_id").as("doc_b"), col("band"), col("bv")),
-        Seq("band", "bv"))
+    // within-shard: WIDE INLINE verify — the fset arrays ride the band
+    // self-join and every colliding row verifies in place, then doc_b
+    // collapses to a doc-sized distinct. A pair agreeing in k bands
+    // verifies k (≤ Bands) times, but nothing pair-sized ever
+    // materializes or shuffles — measured on a dense 20k-doc backfill
+    // shard, a slim distinct-pairs-then-join-arrays spelling paid the
+    // pair relation × both arrays through two joins (639 s) where this
+    // shape streams the collision rows through one join stage (the
+    // [[Dedup.ngramJaccardBanded]] minHashPairs trade). The first-meet
+    // dedup the batch operator uses is NOT applicable here: a pair
+    // whose first agreeing band is hot-bucket-capped must still verify
+    // in its first uncut one, and the chain cannot see the cut.
+    def side(s: String) = cutBv(rows
+      .select(col("doc_id").as(s"doc_$s"), col("fset").as(s"f$s"),
+        col("n_fp").as(s"n_$s"), posexplode(col("bvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"))
+    val sideA = if (useBroadcast) side("a") else side("a").hint("merge")
+    val batchHit = sideA.join(side("b"), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val batchHit = (if (useBroadcast) batchCand else batchCand.hint("merge"))
-      .join(rows.select(col("doc_id").as("doc_a"), col("fset").as("fa")), "doc_a")
-      .join(shardSide(rows.select(col("doc_id").as("doc_b"),
-        col("fset").as("fb"), col("n_fp").as("n_b"))), "doc_b")
       .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
       .withColumn("n_i", col("n_b"))
       .filter(contain)
