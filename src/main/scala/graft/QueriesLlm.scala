@@ -47,11 +47,22 @@ object QueriesLlm {
     fs.create(p, true).close()
   }
 
+  /** First statement of EVERY rebuild branch (advice r13): a STALE
+    * marker left by a prior completed lifecycle must be cleared before
+    * the first verb runs — if the rebuild was triggered by `isIndexed`
+    * going false (e.g. a geometry bump) and the multi-verb sequence
+    * crashes mid-way, the next run would otherwise see
+    * isIndexed=true ∧ marker=true and serve a half-run lifecycle, the
+    * exact failure mode the marker exists to close. */
+  private def clearLifecycleMarker(s: SparkSession, idx: String): Unit =
+    graft.operators.IndexFs.deleteRecursive(s, s"$idx/_lifecycle_complete")
+
   private def cachedLifecycleIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sidxlc_" +
       dataKey(s, dir)
     if (!graft.operators.SparseIndex.isIndexed(s, idx) ||
         !lifecycleDone(s, idx)) {
+      clearLifecycleMarker(s, idx)
       val docs = Tables.read(s, dir, "documents")
       graft.operators.SparseIndex.writeSparseIndex(
         docs.filter(col("doc_id") % 3 =!= 0), idx)
@@ -96,10 +107,15 @@ object QueriesLlm {
     * tombstone the % 10 == 1 ids, compact. The serve over it proves the
     * whole verb algebra against one declarative oracle. */
   private def cachedNearDupLifecycleIndex(s: SparkSession, dir: String): String = {
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ndidxlc_" +
+    // stem bumped r14: the driftlog gained cap_grown_buckets, and the
+    // health-card gate reads it with the 5-column schema — a pre-r14
+    // cache would serve nulls there (isIndexed cannot see driftlog
+    // schema), so pre-r14 caches must key differently and rebuild
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ndidxlc2_" +
       dataKey(s, dir)
     if (!graft.operators.NearDupIndex.isIndexed(s, idx) ||
         !lifecycleDone(s, idx)) {
+      clearLifecycleMarker(s, idx)
       val docs = Tables.read(s, dir, "documents")
       graft.operators.NearDupIndex.writeNearDupIndex(
         docs.filter(col("doc_id") % 5 < 3), idx)
@@ -716,6 +732,16 @@ object QueriesLlm {
       graft.operators.NearDupIndex.serveNearDup(s,
         cachedNearDupLifecycleIndex(s, dir),
         Tables.read(s, dir, "documents").filter(col("doc_id") % 5 >= 4))),
+    // INDEX-HEALTH data card (verdict r13 #5): the drift metrics the
+    // lifecycle's append logged to `dir/driftlog` — frozen-stop-cut
+    // decay + hot-bucket-cap growth — surfaced as the datasheet row a
+    // pipeline reads its rebuild triggers from. The Spark side reads
+    // the STORED artifact; the oracle recomputes every metric from the
+    // raw table (artifact values vs an independent derivation — the
+    // serveSql discipline, strictly stronger than re-reading the file)
+    "data_card_ndhealth" -> ((s, dir) =>
+      graft.operators.Curation.indexHealthCard(s,
+        cachedNearDupLifecycleIndex(s, dir))),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -1432,6 +1458,10 @@ object QueriesLlm {
       stopPred = "doc_id % 5 < 3",
       histPred = "doc_id % 5 < 4 and doc_id % 10 <> 1",
       incPred = "doc_id % 5 >= 4"),
+    // the lifecycle's single append (%5==3 shard onto the %5<3 build;
+    // the append runs BEFORE the deletes, so live occupancy is %5<4)
+    "data_card_ndhealth" -> graft.operators.NearDupIndex.healthSql(
+      buildPred = "doc_id % 5 < 3", shardPred = "doc_id % 5 = 3"),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),

@@ -76,6 +76,7 @@ object ScaleStress {
     if (args.headOption.contains("appendproof")) { appendProofStress(args.drop(1)); return }
     if (args.headOption.contains("serveproof")) { serveProofStress(args.drop(1)); return }
     if (args.headOption.contains("neardupserve")) { nearDupServeStress(args.drop(1)); return }
+    if (args.headOption.contains("neardupcrudab")) { nearDupCrudAbStress(args.drop(1)); return }
     if (args.headOption.contains("nearduprecall")) { nearDupRecallStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1231,6 +1232,88 @@ object ScaleStress {
     val secs = opSec.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     println(f"""{"stress":"neardup_recall","op_sec":$secs,"replicas":$replicas,"sample_mod":$sampleMod,"sampled_incoming":$n,"full_dups":$nFullDup,"cutfull_dups":$nCutDup,"banded_recall_vs_full":${rec(bh, bm)}%.4f,"banded_extra_vs_full":$bx,"index_recall_vs_full":${rec(ih, im)}%.4f,"index_extra_vs_full":$ix,"banded_recall_vs_cutfull":${rec(cbh, cbm)}%.4f,"banded_extra_vs_cutfull":$cbx,"banded_miss_vs_cutfull":$cbm,"index_recall_vs_cutfull":${rec(cih, cim)}%.4f,"index_extra_vs_cutfull":$cix,"index_miss_vs_cutfull":$cim,"banded16_recall_vs_cutfull":${rec(c16h, c16m)}%.4f,"banded16_extra_vs_cutfull":$c16x,"banded16_miss_vs_cutfull":$c16m}""")
+    spark.stop()
+  }
+
+  /** `stream_neardup_crud` serve-cost ATTRIBUTION (verdict r13 #3):
+    * the CRUD gate seeds its index from 1/3 of the final corpus, so
+    * BOTH frozen cuts (fp stop + hot-bucket cap) freeze at 1/3-corpus
+    * occupancies and the 2/3 appended later can crowd buckets past
+    * [[NearDupIndex.BvCutAbs]] without the cap seeing them — the
+    * in-code growth-creep prediction. This leg isolates that effect
+    * from geometry/host noise: the SAME shard served against (A) a
+    * gate-shaped index (1/3 build + two appends + doomed deletes) and
+    * (B) a fresh build over the identical live corpus, same session,
+    * alternating 3 passes, min reported, full-plan statistic. Also
+    * reports each index's frozen-cut sizes and its live crowded-but-
+    * unfrozen bucket count (the new `capGrownBuckets` drift metric,
+    * computed the same way) — the mechanism, not just the delta.
+    * `sbt "runMain graft.ScaleStress neardupcrudab [replicas]"` */
+  private def nearDupCrudAbStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 1
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs0 = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val docs = (if (replicas == 1) docs0
+      else docs0.select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string")))
+            .as("text"))).localCheckpoint()
+    val hist = col("doc_id") % 5 < 4
+    val doomed = col("doc_id") % 10 === 1
+    val inc = docs.filter(col("doc_id") % 5 >= 4).localCheckpoint()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // A: the gate's construction — 1/3 seed build, two appends, deletes
+    val idxA = graft.Scratch.dir("ndcrudab_seed_")
+    val tA = timed {
+      NearDupIndex.writeNearDupIndex(
+        docs.filter(hist && col("doc_id") % 3 === 0), idxA)
+      NearDupIndex.appendNearDupIndex(
+        docs.filter(hist && col("doc_id") % 3 === 1), idxA)
+      NearDupIndex.appendNearDupIndex(
+        docs.filter(hist && col("doc_id") % 3 === 2), idxA)
+      NearDupIndex.deleteFromNearDupIndex(
+        docs.filter(hist && doomed).select("doc_id")
+          .join(NearDupIndex.indexedIds(spark, idxA), Seq("doc_id"), "left_semi"),
+        idxA)
+    }
+    // B: a fresh build over the identical live corpus — both cuts
+    // frozen at full-corpus occupancy
+    val idxB = graft.Scratch.dir("ndcrudab_fresh_")
+    val tB = timed {
+      NearDupIndex.writeNearDupIndex(docs.filter(hist && !doomed), idxB)
+    }
+    // frozen-cut sizes + live crowded-but-unfrozen buckets per index
+    def cutStats(idx: String): (Long, Long) = {
+      val stopBv = spark.read.schema("band int, bv long").parquet(s"$idx/stopbvs")
+      val bands0 = spark.read.schema("doc_id long, band int, bv long")
+        .parquet(s"$idx/bands")
+      val tomb = s"$idx/tombstones"
+      val bands = if (graft.operators.IndexFs.exists(spark, tomb))
+        bands0.join(spark.read.schema("doc_id long").parquet(tomb),
+          Seq("doc_id"), "left_anti")
+      else bands0
+      val grown = bands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+        .filter(col("c") > NearDupIndex.BvCutAbs)
+        .join(broadcast(stopBv), Seq("band", "bv"), "left_anti")
+        .count()
+      (stopBv.count(), grown)
+    }
+    val (frozenA, grownA) = cutStats(idxA)
+    val (frozenB, grownB) = cutStats(idxB)
+    def serveSec(idx: String): Double =
+      timed { NearDupIndex.serveNearDup(spark, idx, inc)
+        .queryExecution.toRdd.count(): Unit }
+    serveSec(idxA); serveSec(idxB) // JIT/readahead warm-up, untimed
+    val passes = (1 to 3).map(_ => (serveSec(idxA), serveSec(idxB)))
+    val sA = passes.map(_._1).min
+    val sB = passes.map(_._2).min
+    println(f"""{"stress":"neardup_crud_ab","replicas":$replicas,"build_seed_sec":$tA%.2f,"build_fresh_sec":$tB%.2f,"serve_seedgrown_sec":$sA%.2f,"serve_fresh_sec":$sB%.2f,"serve_ratio":${sA / sB}%.2f,"frozen_bv_seed":$frozenA,"frozen_bv_fresh":$frozenB,"cap_grown_seed":$grownA,"cap_grown_fresh":$grownB,"passes_seed":[${passes.map(p => f"${p._1}%.2f").mkString(",")}],"passes_fresh":[${passes.map(p => f"${p._2}%.2f").mkString(",")}]}""")
     spark.stop()
   }
 

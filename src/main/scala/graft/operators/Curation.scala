@@ -357,6 +357,34 @@ object Curation {
         "n_neardups", "neardup_rate")
   }
 
+  /** INDEX-HEALTH card over a standing [[NearDupIndex]]'s `driftlog`
+    * sidecar (verdict r13 #5): the per-append drift observations exist
+    * since r13 ([[NearDupIndex.NearDupDrift]] — frozen-stop-cut decay
+    * and, since r14, hot-bucket-cap growth) but nothing consumed them;
+    * this is the datasheet row a curation pipeline publishes next to
+    * its dedup stage so the documented rebuild triggers
+    * (`newBoilerplateFrac` > ~0.05, cap growth » 0) are READ, not
+    * inferred. One row, order-free aggregates over the append log
+    * (counts/sums exact, fracs max'd — the trigger reads the worst
+    * shard), so the card is independent of append order and of the
+    * parquet row layout. Cost: the driftlog is appends-sized (one row
+    * per append) — this never touches the index tables. */
+  def indexHealthCard(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    spark.read.schema("shard_docs long, shard_fp_mass long, " +
+        "new_boilerplate_frac double, stale_stop_frac double, " +
+        "cap_grown_buckets long")
+      .parquet(s"$dir/driftlog")
+      .agg(
+        count(lit(1)).as("n_appends"),
+        coalesce(sum("shard_docs"), lit(0L)).as("shard_docs_total"),
+        coalesce(sum("shard_fp_mass"), lit(0L)).as("shard_fp_mass_total"),
+        coalesce(max("new_boilerplate_frac"), lit(0d))
+          .as("new_boilerplate_frac_max"),
+        coalesce(max("stale_stop_frac"), lit(0d)).as("stale_stop_frac_max"),
+        coalesce(max("cap_grown_buckets"), lit(0L))
+          .as("cap_grown_buckets_max"))
+
   /** DuckDB mirror of [[dataCard]]. `shingle` is the caller's DuckDB
     * trigram expression (the keepFirst oracle's). */
   def dataCardSql(table: String = "documents", shingle: String): String = {

@@ -171,17 +171,31 @@ object NearDupIndex {
     * never collide with stored ones — every serve answers `kept`), so
     * the geometry is stamped at build and re-checked by every verb and
     * serve. An index without the stamp predates the guard — rebuild. */
-  private def requireConf(spark: SparkSession, dir: String): Unit = {
+  /** The stamp, read defensively (advice r13): a crash mid stamp-write
+    * can leave `dir/ndconf` present but EMPTY, and a bare `.head` there
+    * throws NoSuchElementException instead of the index reading as
+    * absent/rebuildable. None = missing, empty, or unreadable. */
+  private def readConf(spark: SparkSession, dir: String): Option[(Int, Int)] = {
     val p = s"$dir/ndconf"
-    require(IndexFs.exists(spark, p),
-      s"stored near-dup index '$dir' carries no geometry stamp " +
-        s"(pre-r13 or partial build) — rebuild with writeNearDupIndex")
-    val r = spark.read.schema("num_hashes int, bands int").parquet(p).head
-    require(r.getInt(0) == NumHashes && r.getInt(1) == Bands,
-      s"stored near-dup index '$dir' was built with geometry " +
-        s"(${r.getInt(0)}, ${r.getInt(1)}) but the code is " +
-        s"($NumHashes, $Bands) — rebuild with writeNearDupIndex")
+    if (!IndexFs.exists(spark, p)) None
+    else
+      try spark.read.schema("num_hashes int, bands int").parquet(p)
+        .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
+      catch { case _: Exception => None }
   }
+
+  private def requireConf(spark: SparkSession, dir: String): Unit =
+    readConf(spark, dir) match {
+      case None =>
+        sys.error(s"stored near-dup index '$dir' carries no readable " +
+          "geometry stamp (pre-r13, partial, or interrupted build) — " +
+          "rebuild with writeNearDupIndex")
+      case Some((nh, b)) =>
+        require(nh == NumHashes && b == Bands,
+          s"stored near-dup index '$dir' was built with geometry " +
+            s"($nh, $b) but the code is ($NumHashes, $Bands) — rebuild " +
+            "with writeNearDupIndex")
+    }
 
   private def writeSets(df: DataFrame, dir: String, mode: String,
                         nBuckets: Int): Unit =
@@ -216,13 +230,11 @@ object NearDupIndex {
       IndexFs.exists(spark, s"$dir/bands") &&
       IndexFs.exists(spark, s"$dir/stopfps") &&
       IndexFs.exists(spark, s"$dir/stopbvs") &&
-      // a cache built under an older LSH geometry reads as ABSENT so
-      // cache-or-compute sites rebuild instead of hitting requireConf
-      IndexFs.exists(spark, s"$dir/ndconf") && {
-        val r = spark.read.schema("num_hashes int, bands int")
-          .parquet(s"$dir/ndconf").head
-        r.getInt(0) == NumHashes && r.getInt(1) == Bands
-      }
+      // a cache built under an older LSH geometry — or one whose stamp
+      // is empty/unreadable after an interrupted build — reads as
+      // ABSENT so cache-or-compute sites rebuild instead of crashing
+      // in requireConf (advice r13)
+      readConf(spark, dir).contains((NumHashes, Bands))
 
   /** Build the stored index from scratch. Freezes the df stop cut from
     * THIS corpus (see the object doc — append-safety requires it). */
@@ -288,11 +300,24 @@ object NearDupIndex {
     * `newBoilerplateFrac` exceeds ~0.05 on a representative shard —
     * at that point 1 in 20 kept-fp slots is boilerplate the frozen cut
     * no longer removes, and banded recall measured on planted corpora
-    * starts to decay. The metric costs two shard-sized aggregates on
-    * the already-winnowed shard relation — never an index scan. */
+    * starts to decay. The two stop-cut ratios cost two shard-sized
+    * aggregates on the already-winnowed shard relation.
+    *
+    * `capGrownBuckets` (verdict r13 #4) makes the OTHER frozen cut's
+    * decay observable: the count of live (band, bv) buckets whose
+    * occupancy exceeds [[BvCutAbs]] AFTER this append but that are NOT
+    * in the frozen `stopbvs` sidecar — buckets that crossed the cap
+    * only through post-build growth, so serve still pays their full
+    * collision mass (the documented "CRUD gate 2× at 10×" creep,
+    * [[BvCutAbs]]'s growth caveat). Rebuild folds them into the frozen
+    * cut and the count resets to ~0. Cost: ONE exchange-free pass over
+    * the (band, bv)-bucketed band table (the group-by key IS the bucket
+    * spec, so no shuffle — scan-proportional at `Bands` rows/doc) plus
+    * the broadcast tombstone/stopbvs anti-joins. */
   final case class NearDupDrift(shardDocs: Long, shardFpMass: Long,
                                 newBoilerplateFrac: Double,
-                                staleStopFrac: Double)
+                                staleStopFrac: Double,
+                                capGrownBuckets: Long)
 
   /** Fold a new shard in: two segment appends, shard-proportional.
     * Same re-insert guard as the sparse index — an id deleted earlier
@@ -347,14 +372,24 @@ object NearDupIndex {
     val staleStop =
       if (nStop == 0L) 0.0
       else stop.join(hotShard, Seq("fp"), "left_anti").count().toDouble / nStop
+    // hot-bucket-cap growth (see [[NearDupDrift]]): live post-append
+    // occupancy, grouped on the table's own bucket keys (exchange-free),
+    // capped buckets not already frozen into stopbvs
+    refreshStored(spark, dir)
+    val capGrown = live(spark, dir, bandsTbl(dir))
+      .groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .filter(col("c") > BvCutAbs)
+      .join(broadcast(spark.read.schema("band int, bv long")
+        .parquet(s"$dir/stopbvs")), Seq("band", "bv"), "left_anti")
+      .count()
     val drift = NearDupDrift(nShard, totalMass,
       if (totalMass == 0L) 0.0 else newBoilerMass.toDouble / totalMass,
-      staleStop)
+      staleStop, capGrown)
     spark.createDataFrame(Seq(
         (drift.shardDocs, drift.shardFpMass, drift.newBoilerplateFrac,
-          drift.staleStopFrac)))
+          drift.staleStopFrac, drift.capGrownBuckets)))
       .toDF("shard_docs", "shard_fp_mass", "new_boilerplate_frac",
-        "stale_stop_frac")
+        "stale_stop_frac", "cap_grown_buckets")
       .write.mode("append").parquet(s"$dir/driftlog")
     drift
   }
@@ -463,7 +498,7 @@ object NearDupIndex {
       if (useBroadcast) broadcast(df) else df.hint("merge")
     // the frozen hot-bucket cut filters BOTH band relations before any
     // join: build-corpus-crowded band values generate collision mass,
-    // not signal (see [[BvCutDen]]); the sidecar is cut-sized, always
+    // not signal (see [[BvCutAbs]]); the sidecar is cut-sized, always
     // broadcast
     val stopBv = spark.read.schema("band int, bv long")
       .parquet(s"$dir/stopbvs")
@@ -521,13 +556,89 @@ object NearDupIndex {
           "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
   }
 
+  /** DuckDB mirror of [[graft.operators.Curation.indexHealthCard]] over
+    * a lifecycle index built from `buildPred` docs with ONE appended
+    * shard of `shardPred` docs (appended BEFORE any delete, so live
+    * occupancy at append time is buildPred ∪ shardPred) — the health
+    * card reads the stored `driftlog` artifact; this recomputes every
+    * metric declaratively from the raw table (strictly stronger than
+    * re-reading the file the Spark side wrote: the artifact's VALUES
+    * are checked against an independent derivation, the serveSql
+    * discipline). Every constant — the 10% df cut, the CW mix, the band
+    * fold, [[BvCutAbs]] — interpolates from the same Scala source. */
+  def healthSql(buildPred: String, shardPred: String,
+                table: String = "documents"): String = {
+    val r = NumHashes / Bands
+    val sigCols = (0 until NumHashes)
+      .map(j => s"min(${graft.oracle.Parity.cwMix(j, "fp")}) as h$j")
+      .mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"select doc_id, $b as band, " +
+        s"${Dedup.bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))} as bv from sig")
+      .mkString(" union all ")
+    s"""with wn as materialized (${TextOps.winnowSql(table)}),
+       |fps as materialized (select distinct doc_id, fp from wn),
+       |nb as (select cast(count(distinct doc_id) as bigint) as n
+       |  from $table where $buildPred),
+       |stop as materialized (select fp from fps, nb
+       |  where doc_id in (select doc_id from $table where $buildPred)
+       |  group by fp, n
+       |  having cast(count(*) as bigint) * 10 > n),
+       |shard as materialized (select doc_id, fp from fps
+       |  where doc_id in (select doc_id from $table where $shardPred)),
+       |ns as (select cast(count(distinct doc_id) as bigint) as n,
+       |  cast(count(*) as bigint) as m from shard),
+       |hot as materialized (select fp, cast(count(*) as bigint) as dfp_s
+       |  from shard, ns group by fp, ns.n
+       |  having cast(count(*) as bigint) * 10 > ns.n),
+       |nbm as (select cast(coalesce(sum(dfp_s), 0) as bigint) as v
+       |  from hot where fp not in (select fp from stop)),
+       |stale as (select
+       |  (select cast(count(*) as bigint) from stop
+       |    where fp not in (select fp from hot)) as miss,
+       |  (select cast(count(*) as bigint) from stop) as tot),
+       |kept as materialized (select doc_id, fp from fps
+       |  where fp not in (select fp from stop)
+       |    and ((doc_id in (select doc_id from $table where $buildPred))
+       |      or (doc_id in (select doc_id from $table where $shardPred)))),
+       |sig as (select doc_id, $sigCols from kept group by doc_id),
+       |banded as materialized ($bandRows),
+       |frozen as materialized (select band, bv from banded
+       |  where doc_id in (select doc_id from $table where $buildPred)
+       |  group by band, bv
+       |  having cast(count(*) as bigint) > $BvCutAbs),
+       |grown as (select cast(count(*) as bigint) as v from (
+       |  select band, bv from banded group by band, bv
+       |  having cast(count(*) as bigint) > $BvCutAbs) g
+       |  where not exists (select 1 from frozen f
+       |    where f.band = g.band and f.bv = g.bv))
+       |select cast(1 as bigint) as n_appends,
+       | ns.n as shard_docs_total,
+       | ns.m as shard_fp_mass_total,
+       | case when ns.m = 0 then 0e0
+       |  else cast(nbm.v as double) / cast(ns.m as double) end
+       |  as new_boilerplate_frac_max,
+       | case when stale.tot = 0 then 0e0
+       |  else cast(stale.miss as double) / cast(stale.tot as double) end
+       |  as stale_stop_frac_max,
+       | grown.v as cap_grown_buckets_max
+       |from ns, nbm, stale, grown""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror of a [[serveNearDup]] against an index whose build
     * corpus was `stopPred`, whose LIVE history rows are `histPred` (the
     * build ∪ appends minus deletes), serving the `incPred` shard — every
     * constant interpolated from the same Scala source. BOTH frozen cuts
     * come from the BUILD corpus only (the fp stop cut and the
     * hot-bucket band-value cut; later appends and deletes move
-    * neither), which is exactly what the stored artifacts replay. */
+    * neither), which is exactly what the stored artifacts replay.
+    * `kept` therefore spans stopPred ∪ histPred ∪ incPred docs — the
+    * BUILD corpus rides along even where deletes removed it from the
+    * live history, because the `stopbv` occupancy must be counted over
+    * the FULL build corpus exactly as [[writeNearDupIndex]] froze it
+    * (advice r13: a hist∪inc-restricted count un-caps any bucket that
+    * straddles [[BvCutAbs]] once build docs are deleted, a spurious
+    * parity mismatch). */
   def serveSql(stopPred: String, histPred: String, incPred: String,
                minShared: Int = 3, thrNum: Int = 1, thrDen: Int = 2,
                table: String = "documents"): String = {
@@ -566,7 +677,8 @@ object NearDupIndex {
        |  having cast(count(*) as bigint) * 10 > n_docs),
        |kept as materialized (select doc_id, fp from fps
        |  where fp not in (select fp from stop)
-       |    and ((doc_id in (select doc_id from $table where $histPred))
+       |    and ((doc_id in (select doc_id from $table where $stopPred))
+       |      or (doc_id in (select doc_id from $table where $histPred))
        |      or (doc_id in (select doc_id from $table where $incPred)))),
        |sig as (select doc_id, $sigCols from kept group by doc_id),
        |banded as materialized ($bandRows),

@@ -708,6 +708,14 @@ object EventStream {
         val s = df.sparkSession
         val adds = df.filter(col("op") === "add").drop("op")
         val dels = df.filter(col("op") === "del").drop("op")
+        // Replay contract (advice r13): foreachBatch is at-least-once —
+        // after checkpoint recovery the last committed micro-batch can
+        // replay, and append's live-id guard then fails LOUDLY (by
+        // design: silent re-append would double the doc's rows past
+        // delete/compact). A recovering caller that wants idempotent
+        // replay must anti-join indexedIds(s, idx) off the adds first;
+        // this gate runs AvailableNow on a fresh checkpoint every time,
+        // so a replayed batch here is a bug worth the loud stop.
         if (!adds.isEmpty) graft.operators.NearDupIndex.appendNearDupIndex(adds, idx)
         if (!dels.isEmpty) {
           // only indexed ids may be tombstoned: a doomed doc with no

@@ -210,6 +210,60 @@ class NearDupIndexSpec extends SparkSpec {
     got.get(90002L).foreach(s => assert(s == "kept", s"$got"))
   }
 
+  test("cap-growth drift: a growth-heavy append raises capGrownBuckets; a rebuild resets it") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_capgrow_")
+    // small build: no bucket near the cap, frozen stopbvs empty-ish
+    val seed = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(15485863L * (i + 1))
+      (500L + i, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    NearDupIndex.writeNearDupIndex(seed.toDF("doc_id", "text"), idx)
+    // growth-heavy append: 600 docs dominated by ONE shared block the
+    // 50-doc build never saw — their band argmins crowd buckets to
+    // ~600 > BvCutAbs, but the cap froze at build so serve still pays
+    // them; the new metric must SEE that
+    val block = "sharedgrowthblockcontent" * 10
+    val grown = (0 until 600).map(i => (1000L + i, block + s" tail$i"))
+    val d = NearDupIndex.appendNearDupIndex(grown.toDF("doc_id", "text"), idx)
+    assert(d.capGrownBuckets > 0,
+      s"post-build crowded buckets invisible to the growth metric: $d")
+    // the observation landed in the driftlog with the new column
+    val logged = spark.read.parquet(s"$idx/driftlog")
+      .select("cap_grown_buckets").collect().map(_.getLong(0)).max
+    assert(logged == d.capGrownBuckets)
+    // rebuild over the LIVE corpus refreshes both frozen cuts (here the
+    // block's fps cross the 10% df cut — 600/650 docs — so the crowded
+    // buckets leave the kept universe entirely; in either regime the
+    // growth count must read ~0 after rebuild)
+    NearDupIndex.writeNearDupIndex(
+      (seed ++ grown).toDF("doc_id", "text"), idx)
+    val fresh = (0 until 10).map { i =>
+      val rnd = new scala.util.Random(32452843L * (i + 1))
+      (5000L + i, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    val d2 = NearDupIndex.appendNearDupIndex(fresh.toDF("doc_id", "text"), idx)
+    assert(d2.capGrownBuckets == 0L,
+      s"rebuild must reset the growth metric: $d2")
+  }
+
+  test("an interrupted (empty) geometry stamp reads as absent, not a crash") {
+    val idx = graft.Scratch.dir("ndidx_spec_emptystamp_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    assert(NearDupIndex.isIndexed(spark, idx))
+    // simulate a crash mid stamp-write: ndconf dir exists, no rows
+    graft.operators.IndexFs.deleteRecursive(spark, s"$idx/ndconf")
+    new java.io.File(s"$idx/ndconf").mkdirs()
+    assert(!NearDupIndex.isIndexed(spark, idx),
+      "an empty stamp must read as ABSENT so cache-or-compute rebuilds")
+    val ex = intercept[RuntimeException] {
+      NearDupIndex.serveNearDup(spark, idx, shardDocs)
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("cross-session serve: segments appended by ANOTHER session are visible — the r11 regression shape") {
     import spark.implicits._
     val idx = graft.Scratch.dir("ndidx_spec_xsess_")
