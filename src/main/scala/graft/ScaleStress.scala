@@ -77,6 +77,7 @@ object ScaleStress {
     if (args.headOption.contains("serveproof")) { serveProofStress(args.drop(1)); return }
     if (args.headOption.contains("neardupserve")) { nearDupServeStress(args.drop(1)); return }
     if (args.headOption.contains("neardupcrudab")) { nearDupCrudAbStress(args.drop(1)); return }
+    if (args.headOption.contains("nearduphist")) { nearDupHistProbe(args.drop(1)); return }
     if (args.headOption.contains("nearduprecall")) { nearDupRecallStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1232,6 +1233,49 @@ object ScaleStress {
     val secs = opSec.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     println(f"""{"stress":"neardup_recall","op_sec":$secs,"replicas":$replicas,"sample_mod":$sampleMod,"sampled_incoming":$n,"full_dups":$nFullDup,"cutfull_dups":$nCutDup,"banded_recall_vs_full":${rec(bh, bm)}%.4f,"banded_extra_vs_full":$bx,"index_recall_vs_full":${rec(ih, im)}%.4f,"index_extra_vs_full":$ix,"banded_recall_vs_cutfull":${rec(cbh, cbm)}%.4f,"banded_extra_vs_cutfull":$cbx,"banded_miss_vs_cutfull":$cbm,"index_recall_vs_cutfull":${rec(cih, cim)}%.4f,"index_extra_vs_cutfull":$cix,"index_miss_vs_cutfull":$cim,"banded16_recall_vs_cutfull":${rec(c16h, c16m)}%.4f,"banded16_extra_vs_cutfull":$c16x,"banded16_miss_vs_cutfull":$c16m}""")
+    spark.stop()
+  }
+
+  /** Diagnostic: bucket-occupancy histogram of the BACKFILL shard's
+    * band rows after the frozen build cut — where does the within-shard
+    * self-join's collision mass come from?
+    * `sbt "runMain graft.ScaleStress nearduphist [replicas]"` */
+  private def nearDupHistProbe(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val idx = graft.Scratch.dir("graft_ndhist_")
+    NearDupIndex.writeNearDupIndex(docs, idx)
+    val shard = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r") + lit(1000000000L)).as("doc_id"),
+        concat(col("text"), lit(" replicatag"), col("r")).as("text"))
+    // replicate serve's shard band rows + frozen cut
+    graft.functions.GraftFunctions.register(spark)
+    val fps = graft.operators.TextOps.winnow(shard)
+      .select("doc_id", "fp").distinct()
+    val stop = spark.read.schema("fp long").parquet(s"$idx/stopfps")
+    val kept = fps.join(broadcast(stop), Seq("fp"), "left_anti")
+    val sigAggs = (0 until NearDupIndex.NumHashes).map(j =>
+      min(expr(graft.oracle.Parity.cwMix(j, "fp"))).as(s"h$j"))
+    val bvCols = (0 until NearDupIndex.Bands).map(b =>
+      expr(graft.operators.Dedup.bandValueSql(Seq(s"h$b"))))
+    val bands = kept.groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"), posexplode(array(bvCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val stopBv = spark.read.schema("band int, bv long").parquet(s"$idx/stopbvs")
+    val cut = bands.join(broadcast(stopBv), Seq("band", "bv"), "left_anti")
+    val histo = cut.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .selectExpr("cast(pow(2, floor(log2(c))) as bigint) as bucketsz")
+      .groupBy("bucketsz").agg(count(lit(1)).as("n_buckets"))
+      .orderBy("bucketsz").collect()
+    val mass = cut.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) div 2")).as("pairmass"),
+        sum("c").as("rows"), count(lit(1)).as("buckets")).head
+    println(s"""{"stress":"neardup_hist","replicas":$replicas,"frozen_bv":${stopBv.count()},"histo":${histo.map(r => s"[${r.getLong(0)},${r.getLong(1)}]").mkString("[", ",", "]")},"pair_mass":${mass.getLong(0)},"band_rows":${mass.getLong(1)},"buckets":${mass.getLong(2)}}""")
     spark.stop()
   }
 

@@ -468,7 +468,17 @@ object NearDupIndex {
     * shuffle, the index still never does. `broadcastShard` overrides
     * the estimate for tests/pins; production callers leave it `None`.
     * The tombstone anti-join broadcasts in BOTH regimes (deleted-rows-
-    * sized, independent of the shard). */
+    * sized, independent of the shard).
+    *
+    * Candidate generation applies BOTH hot-bucket cuts (r14): the
+    * frozen BUILD-corpus cut (`dir/stopbvs`) and a serve-computed
+    * SHARD-occupancy cut at the same [[BvCutAbs]] — a backfill shard
+    * can crowd a bucket past the cap all by itself, invisible to the
+    * frozen cut (measured: 155M collision pairs, one ~8k-doc bucket,
+    * on the 4×-corpus leg whose 5k-doc build froze an EMPTY cut;
+    * 165 s → ~20 s with 99.93% of replica near-copies still
+    * recognized). Both cuts are deterministic and mirrored in
+    * [[serveSql]]. */
   def serveNearDup(spark: SparkSession, dir: String, shard: DataFrame,
                    minShared: Int = 3, thrNum: Int = 1,
                    thrDen: Int = 2,
@@ -504,9 +514,27 @@ object NearDupIndex {
       .parquet(s"$dir/stopbvs")
     def cutBv(df: DataFrame): DataFrame =
       df.join(broadcast(stopBv), Seq("band", "bv"), "left_anti")
-    val shardBands = cutBv(
+    // SHARD-side hot-bucket cap (r14): the frozen cut sees only BUILD
+    // occupancy, so a backfill-sized shard can crowd a bucket past
+    // [[BvCutAbs]] all by itself — the 4×-corpus leg measured ONE
+    // shard bucket of ~8k docs and 155M collision pairs behind a
+    // frozen cut that (correctly) froze EMPTY over its 5k-doc build
+    // corpus. Same signal argument as the frozen cut, applied to the
+    // probe side (the production skip-mega-buckets rule is side-
+    // agnostic): >BvCutAbs PROBE docs sharing one argmin is collision
+    // mass, not evidence. Deterministic — occupancy of the shard's
+    // post-frozen-cut band rows — so [[serveSql]] mirrors it exactly.
+    // The relation is bounded by (shard band rows / BvCutAbs) keys:
+    // the same growth class as the frozen sidecar, always broadcast.
+    val bands0 = cutBv(
       rows.select(col("doc_id").as("i_id"), posexplode(col("bvs")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"))
+    val hotShardBv = bands0.groupBy("band", "bv")
+      .agg(count(lit(1)).as("c")).filter(col("c") > BvCutAbs)
+      .select("band", "bv").localCheckpoint()
+    def cutShardBv(df: DataFrame): DataFrame =
+      df.join(broadcast(hotShardBv), Seq("band", "bv"), "left_anti")
+    val shardBands = cutShardBv(bands0)
     val histCand = cutBv(live(spark, dir, bandsTbl(dir)))
       .join(shardSide(shardBands), Seq("band", "bv"))
       // a doc re-served while still indexed must not match ITSELF
@@ -524,25 +552,57 @@ object NearDupIndex {
       .filter(contain)
       .select(col("i_id").as("doc_id")).distinct()
       .withColumn("hist_dup", lit(1L))
-    // within-shard: WIDE INLINE verify — the fset arrays ride the band
-    // self-join and every colliding row verifies in place, then doc_b
-    // collapses to a doc-sized distinct. A pair agreeing in k bands
-    // verifies k (≤ Bands) times, but nothing pair-sized ever
-    // materializes or shuffles — measured on a dense 20k-doc backfill
-    // shard, a slim distinct-pairs-then-join-arrays spelling paid the
-    // pair relation × both arrays through two joins (639 s) where this
-    // shape streams the collision rows through one join stage (the
-    // [[Dedup.ngramJaccardBanded]] minHashPairs trade). The first-meet
-    // dedup the batch operator uses is NOT applicable here: a pair
-    // whose first agreeing band is hot-bucket-capped must still verify
-    // in its first uncut one, and the chain cannot see the cut.
-    def side(s: String) = cutBv(rows
+    // within-shard: CUT-AWARE FIRST-MEET inline verify — the fset
+    // arrays ride the band self-join ([[Dedup.ngramJaccardBanded]]'s
+    // minHashPairs trade: nothing pair-sized ever materializes or
+    // shuffles; a slim distinct-pairs-then-join-arrays spelling paid
+    // the pair relation × both arrays through two joins, 639 s on a
+    // dense 20k-doc backfill where this shape streams one join stage),
+    // and each colliding PAIR verifies exactly ONCE, at its first
+    // agreeing band that survives the hot-bucket cut. The plain batch
+    // first-meet chain ([[Dedup.firstMeetChainSql]]) cannot see the
+    // cut — a pair whose first agreeing band is capped must still
+    // verify in its first UNCUT one — so the chain runs over EFFECTIVE
+    // band vectors: capped entries are replaced per doc with a
+    // doc-unique negative sentinel (−(doc_id·Bands+j)−1; real bvs are
+    // in [0, CwMod) and ids non-negative like everywhere in the id
+    // algebra, so a sentinel equals nothing across a pair), making
+    // "ebvs agree at j" ⇔ "uncut agreement at j" — exactly the join's
+    // collision condition, so precisely one collision row per pair
+    // passes the chain and verifies (verdict r13 #6). Measured on the
+    // dense 20k-doc backfill leg: the probe found the DOMINANT cost was
+    // collision MASS, not verify multiplicity — the shard-occupancy cap
+    // above took the leg 165 s → ~20 s (8×), after which first-meet
+    // and the wide shape tie within host noise (20.4/21.3 s vs
+    // 18.5/23.2 s). Adopted anyway: it bounds verify work at O(1) per
+    // pair instead of O(bands), which is the safe asymptote as fset
+    // widths grow, and its output is bit-identical. The cut-band
+    // marking is the same broadcast anti-join the relation already
+    // paid, re-aggregated per doc (two shard-sized doc_id exchanges —
+    // nothing index-sized, nothing pair-sized).
+    // a band survives for first-meet purposes only if BOTH cuts keep
+    // it — the frozen build cut and the shard-occupancy cut — so the
+    // sentinel substitution sees exactly the joinable band set
+    val uncutBands = cutShardBv(bands0)
+      .groupBy("i_id").agg(collect_set(col("band")).as("okb"))
+      .withColumnRenamed("i_id", "doc_id")
+    val rowsE = rows
+      .join(shardSide(uncutBands), Seq("doc_id"), "left")
+      .withColumn("ebvs", expr(
+        s"transform(bvs, (v, j) -> case when okb is not null and " +
+          s"array_contains(okb, j) then v " +
+          s"else -(doc_id * $Bands + cast(j as bigint)) - 1 end)"))
+      .localCheckpoint()
+    def side(s: String) = rowsE
       .select(col("doc_id").as(s"doc_$s"), col("fset").as(s"f$s"),
-        col("n_fp").as(s"n_$s"), posexplode(col("bvs")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"))
+        col("n_fp").as(s"n_$s"), col("ebvs").as(s"bvs_$s"),
+        posexplode(col("ebvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      .filter(col("bv") >= 0)
     val sideA = if (useBroadcast) side("a") else side("a").hint("merge")
     val batchHit = sideA.join(side("b"), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(Dedup.firstMeetChainSql(Bands)))
       .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
       .withColumn("n_i", col("n_b"))
       .filter(contain)
@@ -661,7 +721,7 @@ object NearDupIndex {
          |  cast(len(list_intersect(sa.fset, sb.fset)) as bigint) as n_shared
          | from (
          |  select distinct a.doc_id as doc_a, b.doc_id as doc_b
-         |  from bandedc a join bandedc b on a.band = b.band and a.bv = b.bv
+         |  from bandedd a join bandedd b on a.band = b.band and a.bv = b.bv
          |  where $candPred) c
          | join sets sa on c.doc_a = sa.doc_id
          | join sets sb on c.doc_b = sb.doc_id) v
@@ -689,6 +749,14 @@ object NearDupIndex {
        | where c > $BvCutAbs),
        |bandedc as materialized (select bd.doc_id, bd.band, bd.bv
        | from banded bd where not exists (select 1 from stopbv s
+       |  where s.band = bd.band and s.bv = bd.bv)),
+       |stopbvi as materialized (select band, bv from (
+       |  select band, bv, cast(count(*) as bigint) as c from bandedc
+       |  where doc_id in (select doc_id from $table where $incPred)
+       |  group by band, bv)
+       | where c > $BvCutAbs),
+       |bandedd as materialized (select bd.doc_id, bd.band, bd.bv
+       | from bandedc bd where not exists (select 1 from stopbvi s
        |  where s.band = bd.band and s.bv = bd.bv)),
        |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
        |  cast(count(*) as bigint) as n_fp from kept group by doc_id),

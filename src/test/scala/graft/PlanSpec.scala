@@ -411,9 +411,12 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(pf).isDefined,
       s"tombstones must still broadcast in the fallback:\n$pf")
     // the candidate join's stored side reads its (band, bv) bucket
-    // layout from storage: the only (band, bv) exchanges are the shard
-    // band rows (1) and the two sides of the within-shard self-join —
-    // a 4th would mean the index re-shuffled
+    // layout from storage: the only (band, bv) exchanges in the SERVED
+    // plan are the shard band rows (1) and the two sides of the
+    // within-shard self-join — a 4th would mean the index re-shuffled.
+    // (The r14 shard-occupancy cap's count aggregate also exchanges on
+    // (band, bv), but it runs eagerly at serve construction behind a
+    // checkpoint — shard-sized, map-side-combined, never in this plan.)
     val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(pf).length
     assert(bandEx == 3,
       s"expected 3 shard-side (band, bv) exchanges, got $bandEx — the " +
