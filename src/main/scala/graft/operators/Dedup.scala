@@ -1400,10 +1400,26 @@ object Dedup {
     * fp array per doc (never text), candidate volume is bounded by
     * bucket co-occupancy, and a day-sized increment meets the
     * corpus-sized index in a band-keyed equi-join — |increment|-
-    * proportional, index-growth-independent candidate generation. */
+    * proportional, index-growth-independent candidate generation.
+    *
+    * Hot-bucket cap (r14): band values held by more than `bvCutAbs`
+    * docs of the universe are excluded from candidate generation — the
+    * same deterministic skip-mega-buckets rule the standing
+    * [[NearDupIndex]] applies (its [[NearDupIndex.BvCutAbs]] doc
+    * carries the full absolute-vs-relative argument), mirrored in the
+    * oracle. Motivation measured on the r14 regenerated (dup-heavy)
+    * corpus: at r=1 a single corpus-common argmin crowds one bucket
+    * with thousands of docs and the collision mass is quadratic —
+    * the uncapped 10× leg ran 258 s where the capped standing index
+    * serves the same universe in ~8 s. The first-meet chain runs over
+    * EFFECTIVE band vectors (capped entries replaced with doc-unique
+    * negative sentinels, the [[NearDupIndex.serveNearDup]] pattern) so
+    * a pair whose first agreeing band is capped still verifies once,
+    * in its first surviving band. */
   def incrementalWinnowBanded(docs: DataFrame, minShared: Int = 3,
                               thrNum: Int = 1, thrDen: Int = 2,
-                              numHashes: Int = 16, bands: Int = 16): DataFrame = {
+                              numHashes: Int = 16, bands: Int = 16,
+                              bvCutAbs: Int = NearDupIndex.BvCutAbs): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
@@ -1425,12 +1441,31 @@ object Dedup {
     val bvCols = (0 until bands).map(b =>
       expr(bandValueSql((b * r until (b + 1) * r).map(j => s"h$j"))))
     // checkpoint BEFORE the band explode: each fp array stored once
-    val banded = sets
+    val setsC = sets
       .select(col("doc_id"), col("fset"), col("n_fp"), array(bvCols: _*).as("bvs"))
       .localCheckpoint()
-      .select(col("doc_id"), col("fset"), col("n_fp"), col("bvs"),
-        posexplode(col("bvs")))
+    // hot-bucket cap: whole-universe occupancy per (band, bv) — one
+    // narrow aggregate over the fixed-width band rows; the result is
+    // bounded by (rows / cap) keys, always broadcast. ebvs replaces
+    // capped entries with doc-unique negative sentinels so the
+    // first-meet chain sees exactly the joinable band set (real bvs
+    // are in [0, CwMod))
+    val bandRows = setsC.select(col("doc_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val hotBv = bandRows.groupBy("band", "bv")
+      .agg(count(lit(1)).as("c")).filter(col("c") > bvCutAbs)
+      .select("band", "bv").localCheckpoint()
+    val uncut = bandRows.join(broadcast(hotBv), Seq("band", "bv"), "left_anti")
+      .groupBy("doc_id").agg(collect_set(col("band")).as("okb"))
+    val banded = setsC.join(uncut, Seq("doc_id"), "left")
+      .withColumn("ebvs", expr(
+        s"transform(bvs, (v, j) -> case when okb is not null and " +
+          s"array_contains(okb, j) then v " +
+          s"else -(doc_id * $bands + cast(j as bigint)) - 1 end)"))
+      .select(col("doc_id"), col("fset"), col("n_fp"), col("ebvs").as("bvs"),
+        posexplode(col("ebvs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      .filter(col("bv") >= 0)
     def side(s: String, pred: String) = banded.filter(expr(pred))
       .select(col("doc_id").as(s"doc_$s"), col("fset").as(s"f$s"),
         col("n_fp").as(s"n_$s"), col("bvs").as(s"bvs_$s"),
@@ -1453,7 +1488,7 @@ object Dedup {
         .join(side("b", "doc_id % 5 >= 4"), Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b")),
       "batch_dup")
-    val incSz = sets.filter(expr("doc_id % 5 >= 4")).select("doc_id", "n_fp")
+    val incSz = setsC.filter(expr("doc_id % 5 >= 4")).select("doc_id", "n_fp")
     incSz.join(histHit, Seq("doc_id"), "left")
       .join(batchHit, Seq("doc_id"), "left")
       .selectExpr("doc_id", "n_fp",
@@ -1469,6 +1504,7 @@ object Dedup {
   def incrementalWinnowBandedSql(minShared: Int = 3, thrNum: Int = 1,
                                  thrDen: Int = 2, numHashes: Int = 16,
                                  bands: Int = 16,
+                                 bvCutAbs: Int = NearDupIndex.BvCutAbs,
                                  table: String = "documents"): String = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -1482,7 +1518,7 @@ object Dedup {
     def hitCte(name: String, candPred: String): String =
       s"""$name as (select distinct doc_b as doc_id from (
          |  select distinct a.doc_id as doc_a, b.doc_id as doc_b
-         |  from banded a join banded b on a.band = b.band and a.bv = b.bv
+         |  from bandedc a join bandedc b on a.band = b.band and a.bv = b.bv
          |  where $candPred) c
          | join sets sa on c.doc_a = sa.doc_id
          | join sets sb on c.doc_b = sb.doc_id
@@ -1497,6 +1533,13 @@ object Dedup {
        |               having cast(count(*) as bigint) * 10 <= n_docs)),
        |sig as (select doc_id, $sigCols from kept group by doc_id),
        |banded as materialized ($bandRows),
+       |stopbv as materialized (select band, bv from (
+       |  select band, bv, cast(count(*) as bigint) as c from banded
+       |  group by band, bv)
+       | where c > $bvCutAbs),
+       |bandedc as materialized (select bd.doc_id, bd.band, bd.bv
+       | from banded bd where not exists (select 1 from stopbv s
+       |  where s.band = bd.band and s.bv = bd.bv)),
        |sets as materialized (select doc_id, list_sort(list(fp)) as fset,
        |  cast(count(*) as bigint) as n_fp from kept group by doc_id),
        |${hitCte("hh", "a.doc_id % 5 < 4 and b.doc_id % 5 >= 4")},
