@@ -79,6 +79,7 @@ object ScaleStress {
     if (args.headOption.contains("neardupcrudab")) { nearDupCrudAbStress(args.drop(1)); return }
     if (args.headOption.contains("nearduphist")) { nearDupHistProbe(args.drop(1)); return }
     if (args.headOption.contains("nearduprecall")) { nearDupRecallStress(args.drop(1)); return }
+    if (args.headOption.contains("canary")) { canaryStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -1409,6 +1410,56 @@ object ScaleStress {
       s"shard fp mass ${totFps * 8L} B vs threshold $thresh B — raise replicas")
     assert(dupFrac > 0.8,
       s"backfill serve must recognize replica near-copies: $out")
+    spark.stop()
+  }
+
+  /** Round-open corpus-sensitivity CANARY (verdict r14 #7): a ~1-minute
+    * cross-family leg run at round start on UNCHANGED operator code and
+    * committed as `BENCH_canary_r{N}.json` BEFORE any code change, so a
+    * driver-side testdata regeneration (the r14 headline break: same r13
+    * code, 12–27 s → 165–184 s backfill serve after the corpus turned
+    * dup-heavy) is separated from code effects by construction. Covers
+    * three distinct corpus-shape sensitivities: the standing-index
+    * backfill serve (LSH bucket occupancy), the batch banded dedup at 1×
+    * (df + mega-bucket cut mass) and exact-hash decontamination at 1×
+    * (duplicate-text join mass); also records a direct corpus
+    * fingerprint (exact-dup text fraction) so a shift is visible even
+    * before it moves a timing.
+    * `sbt "runMain graft.ScaleStress canary [serveReplicas]"` */
+  private def canaryStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val nDocs = docs.count()
+    val exactDupFrac =
+      1.0 - docs.select("text").distinct().count().toDouble / math.max(nDocs, 1L)
+    val idx = graft.Scratch.dir("graft_canary_")
+    var t0 = System.nanoTime()
+    NearDupIndex.writeNearDupIndex(docs, idx)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    // the backfill shard: near-copies with fresh ids (the r14 break regime)
+    val shard = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .select((col("doc_id") * replicas + col("r") + lit(1000000000L)).as("doc_id"),
+        concat(col("text"), lit(" replicatag"), col("r")).as("text"))
+    t0 = System.nanoTime()
+    val served = NearDupIndex.serveNearDup(spark, idx, shard)
+      .groupBy("status").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val serveSec = (System.nanoTime() - t0) / 1e9
+    val dupFrac = (served.getOrElse("dup_history", 0L) +
+      served.getOrElse("dup_batch", 0L)).toDouble /
+      math.max(served.values.sum, 1L)
+    def timeQuery(q: String): Double = {
+      val t = System.nanoTime()
+      Bench.evalRows(SparkEntry.queries(q)(spark, sfDir))
+      (System.nanoTime() - t) / 1e9
+    }
+    val bandedSec = timeQuery("dedup_incremental_winnow_banded")
+    val decontamSec = timeQuery("decontaminate")
+    println(f"""{"stress":"canary","docs":$nDocs,"exact_dup_frac":$exactDupFrac%.4f,"serve_replicas":$replicas,"build_sec":$buildSec%.2f,"serve_sec":$serveSec%.2f,"serve_dup_frac":$dupFrac%.4f,"banded_sec":$bandedSec%.2f,"decontam_sec":$decontamSec%.2f}""")
     spark.stop()
   }
 
