@@ -1017,6 +1017,36 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** Registry rows whose timed query SERVES a once-per-corpus
+    * cache-or-compute artifact (dataKey-keyed tmpdir parquet / bucketed
+    * table): the sweep pre-warms these at each dir so the recorded time
+    * is the serve, with the pre-warm wall-clock disclosed alongside.
+    * Build scaling for each artifact is carried by its builder sibling
+    * (multimodal_features, dedup_decide, dedup_ngram_banded, the sparse/
+    * ANN lifecycle rows). */
+  private val storedServeQueries: Set[String] = Set(
+    "bm25_stored", "bm25_serve_fixedq", "bm25_lifecycle_serve",
+    "sparse_stored", "sparse_lifecycle_serve", "sparse_serve_fixedq",
+    "neardup_index_stored", "neardup_lifecycle_serve", "data_card_ndhealth",
+    "multimodal_features_stored", "pipeline_curate_ndidx", "data_card_ndin",
+    "ann_serve_fixedq", "mwu_rank_bucket", "mwu_rank_bucket_agg")
+
+  /** Documented brute-force / growing-universe exactness anchors → the
+    * bounded-candidate sibling that carries the same semantics at scale.
+    * Superlinearity in a labeled row is the stated price of exactness,
+    * not a regression; an UNLABELED superlinear row is a finding. */
+  private val anchorOf: Map[String, String] = Map(
+    "allpairs_similarity" -> "allpairs_banded",
+    "dedup_winnow" -> "dedup_winnow_banded",
+    "dedup_incremental_winnow" -> "dedup_incremental_winnow_banded",
+    "dedup_incremental_winnow_bloom" -> "dedup_incremental_winnow_banded",
+    "dedup_ngram" -> "dedup_ngram_banded",
+    "decontaminate" -> "decontaminate_fixed",
+    "decontaminate_winnow" -> "decontaminate_winnow_fixed",
+    "knn_classify" -> "knn_classify_ivf",
+    "emb_neardup_exact" -> "emb_neardup_probe",
+    "ann_rerank" -> "ann_rerank_ivf")
+
   private def sf1FullStress(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1087,12 +1117,33 @@ object ScaleStress {
         (System.nanoTime() - t0) / 1e9
       }
       try {
+        val extras = new StringBuilder
+        if (storedServeQueries(q)) {
+          // deterministic warm serve (verdict r14 #1): these rows serve
+          // a once-per-corpus cache-or-compute artifact, and their
+          // contract is the SERVE cost — but a corpus regeneration
+          // rolls the dataKey and leaves the replica-dir cache cold, so
+          // an unwarmed sweep times the build instead (the r14 sweep's
+          // multimodal_features_stored 57.5x / data_card_ndin 33.8x /
+          // pipeline_curate_ndidx 13.1x were exactly that). One
+          // untimed pass per dir builds the artifact when absent; its
+          // wall-clock is disclosed as *_prewarm_sec (cold ≈ the build
+          // cost, already measured by each artifact's builder row).
+          val w0 = time(sfDir)
+          val w1 = time(outDir)
+          extras ++= f""","stored_serve":true,"sf01_prewarm_sec":$w0%.2f,"sf1_prewarm_sec":$w1%.2f"""
+        }
+        // documented brute-force / growing-universe exactness anchors:
+        // the bounded sibling that carries the same semantics at scale
+        // (verdict r14 #5 — the label rides the artifact row itself)
+        anchorOf.get(q).foreach(a => extras ++= s""","anchor_of":"$a"""")
         val base = time(sfDir)
         val big = time(outDir)
-        println(f"""{"stress":"sf1full","query":"$q","replicas":$replicas,"sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":${big / base}%.2f}""")
+        println(f"""{"stress":"sf1full","query":"$q","replicas":$replicas,"sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":${big / base}%.2f$extras}""")
       } catch {
         case e: Throwable =>
-          println(s"""{"stress":"sf1full","query":"$q","error":"${e.getClass.getSimpleName}"}""")
+          val anchor = anchorOf.get(q).map(a => s""","anchor_of":"$a"""").getOrElse("")
+          println(s"""{"stress":"sf1full","query":"$q","error":"${e.getClass.getSimpleName}"$anchor}""")
       }
       // free the localCheckpoint blocks the query pinned — across a
       // 237-query double sweep they otherwise accumulate to tens of GB
