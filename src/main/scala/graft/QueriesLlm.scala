@@ -116,6 +116,12 @@ object QueriesLlm {
     if (!graft.operators.NearDupIndex.isIndexed(s, idx) ||
         !lifecycleDone(s, idx)) {
       clearLifecycleMarker(s, idx)
+      // reap the pre-r14 stem for this data dir — the bump orphaned
+      // graft_ndidxlc_* cache directories in tmpdir (advice r14); the
+      // delete is best-effort and idempotent
+      graft.operators.IndexFs.deleteRecursive(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ndidxlc_" +
+          dataKey(s, dir))
       val docs = Tables.read(s, dir, "documents")
       graft.operators.NearDupIndex.writeNearDupIndex(
         docs.filter(col("doc_id") % 5 < 3), idx)
@@ -742,6 +748,43 @@ object QueriesLlm {
     "data_card_ndhealth" -> ((s, dir) =>
       graft.operators.Curation.indexHealthCard(s,
         cachedNearDupLifecycleIndex(s, dir))),
+    // REBUILD-ON-TRIGGER (verdict r14 #3 — the verb that CONSUMES the
+    // health card's rebuild triggers): a fresh seed index (%3==0 slice,
+    // build %5<3 + append %5==3) takes two drift-trigger decisions —
+    // a 'hold' arm whose thresholds no observation exceeds (no-op: the
+    // driftlog survives, card still reads the append) and a 'trip' arm
+    // whose thresholds any observation exceeds (rebuild from the live
+    // %5<4 slice: both frozen cuts re-freeze at today's corpus, the
+    // driftlog resets, and the post card reads all-zeros — also the
+    // never-appended-card path, advice r14). The oracle recomputes the
+    // pre-decision card from the raw table (healthSql) and pins both
+    // decisions and both post-card states declaratively.
+    "neardup_rebuild_drifted" -> ((s, dir) => {
+      val ND = graft.operators.NearDupIndex
+      val docs = Tables.read(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+      val live = docs.filter(col("doc_id") % 5 < 4)
+      val idx = graft.Scratch.dir("graft_ndrebuild_")
+      ND.writeNearDupIndex(docs.filter(col("doc_id") % 5 < 3), idx)
+      ND.appendNearDupIndex(docs.filter(col("doc_id") % 5 === 3), idx)
+      val hold = ND.rebuildNearDupIndexIfDrifted(live, idx,
+        maxNewBoilerplate = 1.0, maxStaleStop = 1.0,
+        maxCapGrown = Long.MaxValue)
+      val holdPost = graft.operators.Curation.indexHealthCard(s, idx)
+        .head.getLong(0)
+      val trip = ND.rebuildNearDupIndexIfDrifted(live, idx,
+        maxNewBoilerplate = -1.0, maxStaleStop = 2.0, maxCapGrown = -1L)
+      val tripPost = graft.operators.Curation.indexHealthCard(s, idx)
+        .head.getLong(0)
+      import s.implicits._
+      Seq(
+        ("hold", hold.rebuilt, hold.nAppends, hold.newBoilerplateFracMax,
+          hold.staleStopFracMax, hold.capGrownBucketsMax, holdPost),
+        ("trip", trip.rebuilt, trip.nAppends, trip.newBoilerplateFracMax,
+          trip.staleStopFracMax, trip.capGrownBucketsMax, tripPost))
+        .toDF("arm", "rebuilt", "n_appends", "new_boilerplate_frac_max",
+          "stale_stop_frac_max", "cap_grown_buckets_max", "post_n_appends")
+    }),
     // INTRA-document repeated-line removal (boilerplate stripping): first
     // occurrence kept, later repeats of the same line dropped, document
     // reassembled — one exchange total (the doc_id repartition feeds both
@@ -1462,6 +1505,22 @@ object QueriesLlm {
     // the append runs BEFORE the deletes, so live occupancy is %5<4)
     "data_card_ndhealth" -> graft.operators.NearDupIndex.healthSql(
       buildPred = "doc_id % 5 < 3", shardPred = "doc_id % 5 = 3"),
+    // both decision arms from one recomputed pre-decision card: 'hold'
+    // thresholds trip on nothing (post card still reads the 1 append),
+    // 'trip' thresholds trip on anything (post card reads the reset
+    // driftlog: 0 appends)
+    "neardup_rebuild_drifted" ->
+      s"""with h as (${graft.operators.NearDupIndex.healthSql(
+        buildPred = "doc_id % 3 = 0 and doc_id % 5 < 3",
+        shardPred = "doc_id % 3 = 0 and doc_id % 5 = 3")})
+         |select 'hold' as arm, false as rebuilt, n_appends,
+         |  new_boilerplate_frac_max, stale_stop_frac_max,
+         |  cap_grown_buckets_max, cast(1 as bigint) as post_n_appends
+         |from h
+         |union all
+         |select 'trip', true, n_appends, new_boilerplate_frac_max,
+         |  stale_stop_frac_max, cap_grown_buckets_max, cast(0 as bigint)
+         |from h""".stripMargin.replace("\n", " "),
     // shared oracle = the bloom prescreen provably changes no verdict
     "dedup_incremental_bloom" -> Dedup.incrementalSql(),
     "bpe_train" -> graft.operators.Bpe.trainSql(),

@@ -80,6 +80,7 @@ object ScaleStress {
     if (args.headOption.contains("nearduphist")) { nearDupHistProbe(args.drop(1)); return }
     if (args.headOption.contains("nearduprecall")) { nearDupRecallStress(args.drop(1)); return }
     if (args.headOption.contains("canary")) { canaryStress(args.drop(1)); return }
+    if (args.headOption.contains("rebuildproof")) { rebuildProofStress(args.drop(1)); return }
     val nFeat = if (args.nonEmpty) args(0).toInt else 32
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -1345,6 +1346,68 @@ object ScaleStress {
     * unfrozen bucket count (the new `capGrownBuckets` drift metric,
     * computed the same way) — the mechanism, not just the delta.
     * `sbt "runMain graft.ScaleStress neardupcrudab [replicas]"` */
+  /** Verdict r14 #3's closing A/B: the r14 `neardupcrudab` leg measured
+    * the seed-grown serve regime (2.4× slower than a fresh build; 240
+    * crowded-but-unfrozen buckets) and PINNED it with "rebuild at ~2×
+    * growth" as a documented-but-unenforced trigger. This leg runs the
+    * verb that now enforces it: build the 1/3-seed growth sequence,
+    * measure the grown serve, let [[NearDupIndex.rebuildNearDupIndexIfDrifted]]
+    * read the driftlog and trip on the default any-cap-grown-bucket
+    * threshold, and measure the post-rebuild serve — which should land
+    * at the fresh-build level the A/B established (9.6 s vs 23.4 s at
+    * 10×).
+    * `sbt "runMain graft.ScaleStress rebuildproof [replicas]"` */
+  private def rebuildProofStress(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val docs0 = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val docs = (if (replicas == 1) docs0
+      else docs0.select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" replica"), col("r").cast("string")))
+            .as("text"))).localCheckpoint()
+    val hist = col("doc_id") % 5 < 4
+    val doomed = col("doc_id") % 10 === 1
+    val inc = docs.filter(col("doc_id") % 5 >= 4).localCheckpoint()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // the gate's growth sequence: 1/3 seed build, two appends, deletes
+    val idx = graft.Scratch.dir("ndrebuildproof_")
+    NearDupIndex.writeNearDupIndex(
+      docs.filter(hist && col("doc_id") % 3 === 0), idx)
+    NearDupIndex.appendNearDupIndex(
+      docs.filter(hist && col("doc_id") % 3 === 1), idx)
+    NearDupIndex.appendNearDupIndex(
+      docs.filter(hist && col("doc_id") % 3 === 2), idx)
+    NearDupIndex.deleteFromNearDupIndex(
+      docs.filter(hist && doomed).select("doc_id")
+        .join(NearDupIndex.indexedIds(spark, idx), Seq("doc_id"), "left_semi"),
+      idx)
+    def serveSec(): Double =
+      timed { NearDupIndex.serveNearDup(spark, idx, inc)
+        .queryExecution.toRdd.count(): Unit }
+    serveSec() // JIT/readahead warm-up, untimed
+    val grownPasses = (1 to 3).map(_ => serveSec())
+    val sGrown = grownPasses.min
+    val live = docs.filter(hist && !doomed)
+    var dec: NearDupIndex.RebuildDecision = null
+    val rebuildSec = timed {
+      dec = NearDupIndex.rebuildNearDupIndexIfDrifted(live, idx)
+    }
+    serveSec() // fresh layout warm-up, untimed
+    val postPasses = (1 to 3).map(_ => serveSec())
+    val sPost = postPasses.min
+    println(f"""{"stress":"rebuildproof","replicas":$replicas,"serve_grown_sec":$sGrown%.2f,"rebuilt":${dec.rebuilt},"cap_grown_max":${dec.capGrownBucketsMax},"boiler_max":${dec.newBoilerplateFracMax}%.4f,"rebuild_sec":$rebuildSec%.2f,"serve_postrebuild_sec":$sPost%.2f,"grown_over_post":${sGrown / sPost}%.2f,"passes_grown":[${grownPasses.map(p => f"$p%.2f").mkString(",")}],"passes_post":[${postPasses.map(p => f"$p%.2f").mkString(",")}]}""")
+    assert(dec.rebuilt,
+      s"the growth sequence must trip the default rebuild trigger: $dec")
+    spark.stop()
+  }
+
   private def nearDupCrudAbStress(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -370,11 +370,21 @@ object Curation {
     * parquet row layout. Cost: the driftlog is appends-sized (one row
     * per append) — this never touches the index tables. */
   def indexHealthCard(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): DataFrame =
-    spark.read.schema("shard_docs long, shard_fp_mass long, " +
-        "new_boilerplate_frac double, stale_stop_frac double, " +
-        "cap_grown_buckets long")
-      .parquet(s"$dir/driftlog")
+                      dir: String): DataFrame = {
+    // an index that has never had an append has no driftlog sidecar at
+    // all (the append writes it, and a rebuild resets it): that reads
+    // as the healthy all-zeros card, not PATH_NOT_FOUND (advice r14)
+    val driftlog =
+      if (IndexFs.exists(spark, s"$dir/driftlog"))
+        spark.read.schema("shard_docs long, shard_fp_mass long, " +
+            "new_boilerplate_frac double, stale_stop_frac double, " +
+            "cap_grown_buckets long")
+          .parquet(s"$dir/driftlog")
+      else
+        spark.range(0).selectExpr("id as shard_docs", "id as shard_fp_mass",
+          "cast(id as double) as new_boilerplate_frac",
+          "cast(id as double) as stale_stop_frac", "id as cap_grown_buckets")
+    driftlog
       .agg(
         count(lit(1)).as("n_appends"),
         coalesce(sum("shard_docs"), lit(0L)).as("shard_docs_total"),
@@ -384,6 +394,7 @@ object Curation {
         coalesce(max("stale_stop_frac"), lit(0d)).as("stale_stop_frac_max"),
         coalesce(max("cap_grown_buckets"), lit(0L))
           .as("cap_grown_buckets_max"))
+  }
 
   /** DuckDB mirror of [[dataCard]]. `shingle` is the caller's DuckDB
     * trigram expression (the keepFirst oracle's). */

@@ -60,6 +60,7 @@ import org.apache.spark.sql.functions._
   * with the index-maintenance verbs an ingestion pipeline needs.
   */
 object NearDupIndex {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Same sizing rule as [[SparseIndex.DefaultBuckets]]. */
   val DefaultBuckets = 8
@@ -172,16 +173,19 @@ object NearDupIndex {
     * the geometry is stamped at build and re-checked by every verb and
     * serve. An index without the stamp predates the guard — rebuild. */
   /** The stamp, read defensively (advice r13): a crash mid stamp-write
-    * can leave `dir/ndconf` present but EMPTY, and a bare `.head` there
-    * throws NoSuchElementException instead of the index reading as
-    * absent/rebuildable. None = missing, empty, or unreadable. */
+    * can leave `dir/ndconf` present but EMPTY or with uncommitted
+    * partial files. Incompleteness is detected by the committer's
+    * `_SUCCESS` marker, not by swallowing exceptions (advice r14): a
+    * blanket catch turned any transient IO failure into None, which
+    * made `isIndexed` report a healthy index as absent and drove
+    * cache-or-compute sites into a destructive rebuild (wiping driftlog
+    * and tombstones). With the marker present, read errors PROPAGATE.
+    * None = stamp dir missing, write never committed, or zero rows. */
   private def readConf(spark: SparkSession, dir: String): Option[(Int, Int)] = {
     val p = s"$dir/ndconf"
-    if (!IndexFs.exists(spark, p)) None
-    else
-      try spark.read.schema("num_hashes int, bands int").parquet(p)
-        .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
-      catch { case _: Exception => None }
+    if (!IndexFs.exists(spark, s"$p/_SUCCESS")) None
+    else spark.read.schema("num_hashes int, bands int").parquet(p)
+      .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
   }
 
   private def requireConf(spark: SparkSession, dir: String): Unit =
@@ -328,8 +332,19 @@ object NearDupIndex {
     * (advice r12). The id-disjointness check is one column-pruned
     * semi-join against the doc_id-bucketed sets table — cheap next to
     * the shard winnow. Returns the stop-cut [[NearDupDrift]]
-    * observation (also appended to `dir/driftlog`). */
-  def appendNearDupIndex(newDocs: DataFrame, dir: String): NearDupDrift = {
+    * observation (also appended to `dir/driftlog`).
+    *
+    * `capGrownMetric` (advice r14): the `capGrownBuckets` drift metric
+    * aggregates the FULL live band table (exchange-free — the group-by
+    * key is the bucket spec — but still one whole-index scan per
+    * append). That is the right default while the index is within ~10×
+    * of its build size; for a very large index fed by small frequent
+    * shards, pass `false` on most appends and `true` on a sampling
+    * cadence — skipped appends log the sentinel −1 ("not computed"),
+    * which [[Curation.indexHealthCard]]'s max-aggregate ignores
+    * whenever any computed observation exists. */
+  def appendNearDupIndex(newDocs: DataFrame, dir: String,
+                         capGrownMetric: Boolean = true): NearDupDrift = {
     val spark = newDocs.sparkSession
     requireConf(spark, dir)
     refreshStored(spark, dir)
@@ -376,12 +391,14 @@ object NearDupIndex {
     // occupancy, grouped on the table's own bucket keys (exchange-free),
     // capped buckets not already frozen into stopbvs
     refreshStored(spark, dir)
-    val capGrown = live(spark, dir, bandsTbl(dir))
-      .groupBy("band", "bv").agg(count(lit(1)).as("c"))
-      .filter(col("c") > BvCutAbs)
-      .join(broadcast(spark.read.schema("band int, bv long")
-        .parquet(s"$dir/stopbvs")), Seq("band", "bv"), "left_anti")
-      .count()
+    val capGrown =
+      if (!capGrownMetric) -1L // sentinel: metric skipped this append
+      else live(spark, dir, bandsTbl(dir))
+        .groupBy("band", "bv").agg(count(lit(1)).as("c"))
+        .filter(col("c") > BvCutAbs)
+        .join(broadcast(spark.read.schema("band int, bv long")
+          .parquet(s"$dir/stopbvs")), Seq("band", "bv"), "left_anti")
+        .count()
     val drift = NearDupDrift(nShard, totalMass,
       if (totalMass == 0L) 0.0 else newBoilerMass.toDouble / totalMass,
       staleStop, capGrown)
@@ -442,6 +459,53 @@ object NearDupIndex {
       .localCheckpoint().repartition(nBuckets, col("band"), col("bv"))
     writeBands(bands, dir, "overwrite", nBuckets)
     IndexFs.deleteRecursive(spark, s"$dir/tombstones")
+  }
+
+  /** One drift-trigger decision: the pre-decision health-card maxima
+    * ([[Curation.indexHealthCard]] over `dir/driftlog`) and whether the
+    * index was rebuilt. Threshold semantics are strict-greater: a
+    * metric EXCEEDING its max trips. */
+  final case class RebuildDecision(rebuilt: Boolean, nAppends: Long,
+                                   newBoilerplateFracMax: Double,
+                                   staleStopFracMax: Double,
+                                   capGrownBucketsMax: Long)
+
+  /** Close the lifecycle loop (verdict r14 #3): READ the rebuild
+    * triggers the driftlog publishes and ACT on them. Both frozen cuts
+    * (stop fps, stop band values) are append-safe precisely because
+    * they never move after build — the price is that their decay under
+    * growth is monotone: `newBoilerplateFrac` rises as live-corpus
+    * boilerplate diverges from the build corpus', and
+    * `capGrownBuckets` counts mega-buckets the frozen cut cannot see
+    * (the measured 2.4×-slower seed-grown serve regime: 240 crowded
+    * unfrozen buckets at 10×, 23.4 s vs a 9.6 s fresh build). This
+    * verb is the consumer: when any health-card maximum exceeds its
+    * threshold, rebuild from `liveDocs` — the caller's current live
+    * corpus, the only faithful rebuild input since stopped fps never
+    * enter the stored fsets — re-freezing both cuts at TODAY's corpus
+    * and resetting the driftlog; otherwise a no-op. Cost: one
+    * appends-sized driftlog scan to decide; the rebuild itself is the
+    * build. Defaults encode the documented triggers (boilerplate >5%
+    * per the [[NearDupDrift]] contract; any cap-grown bucket;
+    * stale-stop off by default — noisy on small shards).
+    *
+    * After a rebuild the health card reads all-zeros (fresh driftlog)
+    * and a recomputed `capGrownBuckets` is 0 by construction — every
+    * build-corpus-crowded bucket is in the new frozen cut. */
+  def rebuildNearDupIndexIfDrifted(liveDocs: DataFrame, dir: String,
+                                   maxNewBoilerplate: Double = 0.05,
+                                   maxStaleStop: Double = 1.0,
+                                   maxCapGrown: Long = 0L): RebuildDecision = {
+    val spark = liveDocs.sparkSession
+    requireConf(spark, dir)
+    val h = Curation.indexHealthCard(spark, dir).head()
+    val d = RebuildDecision(rebuilt = false, h.getLong(0), h.getDouble(3),
+      h.getDouble(4), h.getLong(5))
+    val trip = d.newBoilerplateFracMax > maxNewBoilerplate ||
+      d.staleStopFracMax > maxStaleStop ||
+      d.capGrownBucketsMax > maxCapGrown
+    if (trip) writeNearDupIndex(liveDocs, dir)
+    d.copy(rebuilt = trip)
   }
 
   /** Per-doc verdicts for an incoming shard against the standing index:
@@ -535,6 +599,24 @@ object NearDupIndex {
     def cutShardBv(df: DataFrame): DataFrame =
       df.join(broadcast(hotShardBv), Seq("band", "bv"), "left_anti")
     val shardBands = cutShardBv(bands0)
+    // per-serve visibility of the cap's recall price (advice r14): a
+    // shard doc whose EVERY band value falls to the cuts generates no
+    // candidates and serves as 'kept' even if it is a true near-dup.
+    // Only computed when the shard-occupancy cap actually fired (a
+    // cut-sized isEmpty probe gates two shard-sized aggregates), so
+    // the common no-mega-bucket serve pays nothing.
+    if (!hotShardBv.isEmpty) {
+      val nShardDocs = rows.count()
+      val withBands = shardBands.select(col("i_id")).distinct().count()
+      if (withBands < nShardDocs)
+        log.warn(s"serveNearDup('$dir'): ${nShardDocs - withBands} of " +
+          s"$nShardDocs shard docs have ZERO band values surviving the " +
+          "frozen + shard-occupancy hot-bucket cuts - they generate no " +
+          "candidates and will serve as 'kept' even if true near-dups " +
+          "(the documented recall price of bounding collision mass; " +
+          "raise BvCutAbs via the batch operator's bvCutAbs escape " +
+          "hatch or rebuild if this ratio matters for this corpus)")
+    }
     val histCand = cutBv(live(spark, dir, bandsTbl(dir)))
       .join(shardSide(shardBands), Seq("band", "bv"))
       // a doc re-served while still indexed must not match ITSELF

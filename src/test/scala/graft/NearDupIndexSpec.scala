@@ -264,6 +264,117 @@ class NearDupIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("rebuildIfDrifted: the growth sequence trips the default trigger; a healthy log holds; post-rebuild the card and growth metric reset") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_rebuild_")
+    val seed = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(15485863L * (i + 1))
+      (500L + i, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    NearDupIndex.writeNearDupIndex(seed.toDF("doc_id", "text"), idx)
+    // the seed-grown regime in miniature: a growth-heavy append crowds
+    // buckets past BvCutAbs that the build-frozen cut cannot see
+    val block = "sharedgrowthblockcontent" * 10
+    val grown = (0 until 600).map(i => (1000L + i, block + s" tail$i"))
+    NearDupIndex.appendNearDupIndex(grown.toDF("doc_id", "text"), idx)
+    val live = (seed ++ grown).toDF("doc_id", "text")
+    // hold: thresholds above every observation -> no-op, driftlog intact
+    val hold = NearDupIndex.rebuildNearDupIndexIfDrifted(live, idx,
+      maxNewBoilerplate = 1.0, maxStaleStop = 1.0, maxCapGrown = Long.MaxValue)
+    assert(!hold.rebuilt, s"healthy thresholds must not rebuild: $hold")
+    assert(hold.nAppends == 1L && hold.capGrownBucketsMax > 0L, s"$hold")
+    assert(graft.operators.Curation.indexHealthCard(spark, idx)
+      .head.getLong(0) == 1L, "hold arm must leave the driftlog")
+    // trip: the DEFAULT trigger (any cap-grown bucket) fires on the
+    // growth observation -> rebuild re-freezes both cuts at today's
+    // corpus and resets the driftlog
+    val trip = NearDupIndex.rebuildNearDupIndexIfDrifted(live, idx)
+    assert(trip.rebuilt, s"default trigger must trip on growth: $trip")
+    assert(trip.capGrownBucketsMax == hold.capGrownBucketsMax, s"$trip")
+    val post = graft.operators.Curation.indexHealthCard(spark, idx).head
+    assert(post.getLong(0) == 0L && post.getLong(5) == 0L,
+      s"post-rebuild card must read all-zeros (fresh driftlog): $post")
+    // the growth signal itself is reset: a fresh append observes 0
+    // cap-grown buckets (the crowded buckets are in the NEW frozen cut
+    // or out of the kept universe entirely)
+    val probe = (0 until 5).map { i =>
+      val rnd = new scala.util.Random(86028121L * (i + 1))
+      (9000L + i, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    val d2 = NearDupIndex.appendNearDupIndex(probe.toDF("doc_id", "text"), idx)
+    assert(d2.capGrownBuckets == 0L,
+      s"rebuild must fold grown buckets into the frozen cut: $d2")
+  }
+
+  test("health card on a never-appended index reads all-zeros, not PATH_NOT_FOUND") {
+    val idx = graft.Scratch.dir("ndidx_spec_noappend_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    val card = graft.operators.Curation.indexHealthCard(spark, idx).head
+    assert(card.getLong(0) == 0L && card.getLong(1) == 0L &&
+      card.getDouble(3) == 0.0 && card.getLong(5) == 0L,
+      s"absent driftlog must be the healthy all-zeros card: $card")
+  }
+
+  test("capGrownMetric=false logs the -1 sentinel; the card max ignores it next to a computed observation") {
+    import spark.implicits._
+    val idx = graft.Scratch.dir("ndidx_spec_capskip_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    val dSkip = NearDupIndex.appendNearDupIndex(
+      Seq((300L, shifted(base2, 10, "K"))).toDF("doc_id", "text"), idx,
+      capGrownMetric = false)
+    assert(dSkip.capGrownBuckets == -1L, s"skip sentinel: $dSkip")
+    NearDupIndex.appendNearDupIndex(
+      Seq((301L, "another small probe shard with fresh words only here"))
+        .toDF("doc_id", "text"), idx)
+    val card = graft.operators.Curation.indexHealthCard(spark, idx).head
+    assert(card.getLong(0) == 2L && card.getLong(5) >= 0L,
+      s"a computed observation must dominate the -1 sentinel: $card")
+  }
+
+  test("an uncommitted geometry stamp (_SUCCESS missing) reads as absent; transient read errors are NOT swallowed") {
+    val idx = graft.Scratch.dir("ndidx_spec_nosuccess_")
+    NearDupIndex.writeNearDupIndex(histDocs, idx)
+    assert(NearDupIndex.isIndexed(spark, idx))
+    // simulate a crash mid stamp-write: files present, commit marker not
+    assert(new java.io.File(s"$idx/ndconf/_SUCCESS").delete())
+    assert(!NearDupIndex.isIndexed(spark, idx),
+      "an uncommitted stamp must read as ABSENT so cache-or-compute rebuilds")
+  }
+
+  test("banded escape hatch: bvCutAbs=Int.MaxValue recovers the uncapped mega-bucket pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 6-doc near-identical cluster inside a 90-doc unique corpus
+    // (<10% so the df cut keeps the cluster's fps): one history member
+    // (id%5<4), five incoming (%5==4). The cluster crowds its band
+    // buckets to occupancy 6.
+    val filler = (0 until 90).map { i =>
+      val rnd = new scala.util.Random(479001599L * (i + 1))
+      val id = 10L + i * 5 // ids = 10,15,20,... -> all %5==0 history
+      (id, (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString.grouped(8).mkString(" "))
+    }
+    // identical texts -> identical fp sets -> all 16 band buckets hold
+    // exactly the 6 cluster docs, so the cap verdict is deterministic
+    val cluster = Seq(1L, 4L, 9L, 14L, 19L, 24L).map(id =>
+      (id, shifted(base, 30, "Q")))
+    val docs = (filler ++ cluster).toDF("doc_id", "text")
+    def statusOf(bvCut: Int): Map[Long, String] =
+      Dedup.incrementalWinnowBanded(docs, bvCutAbs = bvCut).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // tiny cap: every cluster bucket (occupancy 6 > 3) is cut, the
+    // cluster's pairs agree ONLY there -> incoming members missed
+    val capped = statusOf(3)
+    assert(Seq(4L, 9L, 14L, 19L, 24L).forall(capped(_) == "kept"),
+      s"cap must eat the mega-bucket-only pairs (the documented price): $capped")
+    // escape hatch: no bucket capped -> the uncapped verdicts return
+    val uncapped = statusOf(Int.MaxValue)
+    assert(Seq(4L, 9L, 14L, 19L, 24L).forall(uncapped(_) != "kept"),
+      s"bvCutAbs=Int.MaxValue must recover 1.0 recall here: $uncapped")
+  }
+
   test("cross-session serve: segments appended by ANOTHER session are visible — the r11 regression shape") {
     import spark.implicits._
     val idx = graft.Scratch.dir("ndidx_spec_xsess_")
