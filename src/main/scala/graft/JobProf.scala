@@ -30,7 +30,9 @@ object JobProf {
     @volatile var enabled = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = if (enabled) {
-        val site = js.properties.getProperty("callSite.short", "?")
+        val site = Option(js.properties.getProperty("callSite.short"))
+          .orElse(Option(js.properties.getProperty("spark.job.description")))
+          .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse("?"))
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = if (enabled) {

@@ -259,8 +259,13 @@ object NearDupIndex {
     // stop-set-sized sidecar so [[appendNearDupIndex]]'s drift metric
     // (and a human reading the index) can compare the frozen cut's
     // provenance against what later shards look like.
+    // localCheckpoint (stop-set-sized) so the corpus-wide df aggregate
+    // runs ONCE for the two sidecar writes — each write used to re-run
+    // the full groupBy over fps (r15: corpus-sized work per build
+    // halved for a cut-sized materialization)
     val stopDf = fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
       .filter(col("dfp") * 10 > lit(nDocs))
+      .localCheckpoint()
     stopDf.withColumn("n_docs_build", lit(nDocs))
       .write.mode("overwrite").parquet(s"$dir/stopdf")
     stopDf.select("fp")
@@ -374,19 +379,36 @@ object NearDupIndex {
     writeBands(rows.select(col("doc_id"), posexplode(col("bvs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv"),
       dir, "append", nBuckets)
-    // drift: shard-local hot fps vs the frozen cut (see [[NearDupDrift]])
-    val nShard = fps.select("doc_id").distinct().count()
+    // drift: shard-local hot fps vs the frozen cut (see [[NearDupDrift]]).
+    // r15 job-count surgery (profiled: lifecycle gates are many small
+    // jobs whose driver-side constants — planning, codegen, commit —
+    // rivalled their task time): the two shard moments fold into ONE
+    // aggregate (fps rows are distinct (doc, fp), so
+    // count_distinct(doc_id) IS the shard doc count), and the three
+    // stop-cut comparisons fold into ONE full-outer aggregate over the
+    // two cut-sized relations — 5 jobs → 2, identical integers out.
+    val mom = fps.agg(count(lit(1)).as("mass"),
+      count_distinct(col("doc_id")).as("docs")).head
+    val totalMass = mom.getLong(0)
+    val nShard = mom.getLong(1)
     val shardDf = fps.groupBy("fp").agg(count(lit(1)).as("dfp_s"))
     val hotShard = shardDf.filter(col("dfp_s") * 10 > lit(nShard))
-      .localCheckpoint()
-    val totalMass = fps.count()
-    val newBoilerMass = hotShard
-      .join(broadcast(stop), Seq("fp"), "left_anti")
-      .agg(coalesce(sum("dfp_s"), lit(0L))).head.getLong(0)
-    val nStop = stop.count()
+    val cutStats = hotShard
+      .join(stop.withColumn("stopped", lit(1L)), Seq("fp"), "full_outer")
+      .agg(
+        // shard-hot fps the frozen cut misses: their shard df mass
+        coalesce(sum(when(col("stopped").isNull, col("dfp_s"))), lit(0L))
+          .as("new_boiler"),
+        // frozen-stop fps no longer hot in the shard
+        coalesce(sum(when(col("stopped").isNotNull && col("dfp_s").isNull,
+          lit(1L))), lit(0L)).as("stale"),
+        coalesce(sum("stopped"), lit(0L)).as("n_stop"))
+      .head
+    val newBoilerMass = cutStats.getLong(0)
+    val nStop = cutStats.getLong(2)
     val staleStop =
       if (nStop == 0L) 0.0
-      else stop.join(hotShard, Seq("fp"), "left_anti").count().toDouble / nStop
+      else cutStats.getLong(1).toDouble / nStop
     // hot-bucket-cap growth (see [[NearDupDrift]]): live post-append
     // occupancy, grouped on the table's own bucket keys (exchange-free),
     // capped buckets not already frozen into stopbvs

@@ -183,18 +183,27 @@ object SparseIndex {
     val tf = tfRelation(docs)
     writeBucketed(tf, postingsTbl(dir), dir, "postings",
       "overwrite", nBuckets)
-    // df moments and the scalar meta moments derive from a PATH read of
+    // df moments and the scalar meta moments derive from a read-back of
     // the posting files just written — one corpus tokenization total
-    // (df used to re-tokenize), and critically NOT a read of the catalog
-    // table: `spark.table` would prime this session's relation cache
-    // with the build-time file listing, and a serve in this session
-    // after appends from ANOTHER session (streaming foreachBatch runs in
-    // a cloned session) would silently answer from the stale listing —
-    // round 11's `stream_sparse_crud` 0-row regression. A path read
-    // lists fresh and caches nothing.
-    val posted = spark.read.schema(tf.schema).parquet(s"$dir/postings")
-    writeBucketed(posted.groupBy("token").agg(count(lit(1)).as("dfq")),
+    // (df used to re-tokenize). The df aggregate reads the CATALOG
+    // table (r15): the bucket spec satisfies the groupBy(token)
+    // distribution, so the corpus-sized posting relation is never
+    // re-shuffled to compute df — the path-read spelling paid one full
+    // exchange of every posting row per build. Session-staleness
+    // safety (the round-11 `stream_sparse_crud` 0-row regression —
+    // a relation cache primed here would hide segments appended by
+    // ANOTHER session) is carried by [[refreshStored]], which every
+    // verb and serve entry point has invoked since r11: the listing
+    // cached at build time is invalidated before any later read. The
+    // build itself just dropped/recreated the table, so this read's
+    // listing is fresh by construction. Meta's `tot` sum stays a PATH
+    // read: a plain sum gains nothing from bucketing, and the path
+    // read keeps one cache-free spelling in the file as the pattern
+    // for readers outside the verb surface.
+    writeBucketed(spark.table(postingsTbl(dir))
+        .groupBy("token").agg(count(lit(1)).as("dfq")),
       dfTbl(dir), dir, "dfstats", "overwrite", nBuckets)
+    val posted = spark.read.schema(tf.schema).parquet(s"$dir/postings")
     // meta holds BOTH scalar moments serving needs: the doc count `nn`
     // (TF-IDF idf and the df stop cut) and the total token count `tot`
     // (BM25's avglen = tot/nn). Every document emits >= 1 token (the
@@ -243,11 +252,15 @@ object SparseIndex {
     // read-merge-rewrite per call
     writeBucketed(tf.groupBy("token").agg(count(lit(1)).as("dfq")),
       dfTbl(dir), dir, "dfstats", "append", bucketCount(spark, dir))
-    val nn = meta
+    // no checkpoint before the overwrite (r15): every input is already
+    // materialized (`meta` checkpointed above, `tf` checkpointed), so
+    // the write's plan never reads the path it replaces — the prior
+    // spelling paid one extra job per append materializing a 1-row frame
+    meta
       .unionByName(newDocs.agg(count(lit(1)).as("nn"))
         .crossJoin(tf.agg(coalesce(sum("c"), lit(0L)).as("tot"))))
-      .agg(sum("nn").as("nn"), sum("tot").as("tot")).localCheckpoint()
-    nn.write.mode("overwrite").parquet(s"$dir/meta")
+      .agg(sum("nn").as("nn"), sum("tot").as("tot"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Delete documents from the stored index. Takes the deleted ROWS
@@ -304,11 +317,14 @@ object SparseIndex {
     val tf = tfRelation(eff).localCheckpoint()
     writeBucketed(tf.groupBy("token").agg((-count(lit(1))).as("dfq")),
       dfTbl(dir), dir, "dfstats", "append", bucketCount(spark, dir))
-    val nn = meta
+    // same r15 no-checkpoint-before-overwrite argument as the append:
+    // `meta` and `tf` (and `eff`) are materialized, nothing re-reads
+    // the path being replaced
+    meta
       .unionByName(eff.agg((-count(lit(1))).as("nn"))
         .crossJoin(tf.agg((-coalesce(sum("c"), lit(0L))).as("tot"))))
-      .agg(sum("nn").as("nn"), sum("tot").as("tot")).localCheckpoint()
-    nn.write.mode("overwrite").parquet(s"$dir/meta")
+      .agg(sum("nn").as("nn"), sum("tot").as("tot"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Compact: physically apply the tombstones and fold each table's

@@ -645,11 +645,18 @@ object EventStream {
         // a mixed CDC batch applies adds before dels, so a same-batch
         // add+del nets to a tombstoned row (standard CDC ordering);
         // the staged history keeps each batch homogeneous, the handler
-        // does not rely on it
+        // does not rely on it. One op-count aggregate gates both verbs
+        // (r15): the former per-op isEmpty probes cost two jobs per
+        // batch, and the absent op's probe scanned the whole batch to
+        // find nothing.
+        val ops = df.groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         val adds = df.filter(col("op") === "add").drop("op")
         val dels = df.filter(col("op") === "del").drop("op")
-        if (!adds.isEmpty) graft.operators.Pq.appendIvfPqIndex(adds, idx)
-        if (!dels.isEmpty) graft.operators.Pq.deleteFromIvfPqIndex(dels, idx)
+        if (ops.getOrElse("add", 0L) > 0)
+          graft.operators.Pq.appendIvfPqIndex(adds, idx)
+        if (ops.getOrElse("del", 0L) > 0)
+          graft.operators.Pq.deleteFromIvfPqIndex(dels, idx)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -706,6 +713,11 @@ object EventStream {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: DataFrame, _: Long) =>
         val s = df.sparkSession
+        // one op-count aggregate gates both verbs (r15; see
+        // runAnnCrudOnce — the absent op's isEmpty probe scanned the
+        // whole batch)
+        val ops = df.groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         val adds = df.filter(col("op") === "add").drop("op")
         val dels = df.filter(col("op") === "del").drop("op")
         // Replay contract (advice r13): foreachBatch is at-least-once —
@@ -716,8 +728,9 @@ object EventStream {
         // replay must anti-join indexedIds(s, idx) off the adds first;
         // this gate runs AvailableNow on a fresh checkpoint every time,
         // so a replayed batch here is a bug worth the loud stop.
-        if (!adds.isEmpty) graft.operators.NearDupIndex.appendNearDupIndex(adds, idx)
-        if (!dels.isEmpty) {
+        if (ops.getOrElse("add", 0L) > 0)
+          graft.operators.NearDupIndex.appendNearDupIndex(adds, idx)
+        if (ops.getOrElse("del", 0L) > 0) {
           // only indexed ids may be tombstoned: a doomed doc with no
           // kept fps (short / all-boilerplate text — the edge dataset
           // has them) never entered the index universe
@@ -777,10 +790,16 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: DataFrame, _: Long) =>
+        // one op-count aggregate gates both verbs (r15; see
+        // runAnnCrudOnce)
+        val ops = df.groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         val adds = df.filter(col("op") === "add").drop("op")
         val dels = df.filter(col("op") === "del").drop("op")
-        if (!adds.isEmpty) graft.operators.SparseIndex.appendSparseIndex(adds, idx)
-        if (!dels.isEmpty) graft.operators.SparseIndex.deleteFromSparseIndex(dels, idx)
+        if (ops.getOrElse("add", 0L) > 0)
+          graft.operators.SparseIndex.appendSparseIndex(adds, idx)
+        if (ops.getOrElse("del", 0L) > 0)
+          graft.operators.SparseIndex.deleteFromSparseIndex(dels, idx)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
