@@ -51,34 +51,65 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // edges pre-joined with out-degrees once, HASH-PARTITIONED ON src and
-    // materialized: every iteration's rank join then reuses this layout
-    // and exchanges only the node-sized rank vector — the edge table
-    // (the big side at 100 TB) never moves again
-    val we = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nn = deg.agg(count(lit(1)).as("nn"))
+    // edges pre-joined with out-degrees once and materialized. NOT
+    // re-partitioned first: localCheckpoint erases partitioning from
+    // the planner's view (measured on this Spark: the checkpoint scan
+    // reports UnknownPartitioning, so a pre-checkpoint repartition is
+    // one full edge exchange bought for nothing — the r15 plan audit
+    // found every iteration re-exchanging AND re-sorting this table
+    // behind a comment claiming the layout was reused)
+    val we = edges.join(deg, "src").localCheckpoint()
+    // the node count is a bounded driver scalar (ONE count job): riding
+    // it through the loop as a broadcast 1-row cross join re-planned
+    // the deg aggregate inside a broadcast future EVERY iteration
+    // (r15 plan audit: 14 BroadcastExchanges, each re-aggregating the
+    // edge checkpoint twice — the winnowOverlap driver-literal trade,
+    // measured there at +6s for the dataflow spelling)
+    val nn = deg.count()
     // the rank frames stay UNmaterialized: each round references the
     // previous one exactly once, so lineage grows linearly (unlike the
     // self-referencing label-propagation loop, which must checkpoint per
     // round) and all `iters` rounds pipeline into one DAG whose only big
-    // leaf is the materialized edge table
-    var r = deg.crossJoin(broadcast(nn))
-      .selectExpr("src as node", "(1e0 / cast(nn as double)) as r")
+    // leaf is the materialized edge table.
+    // The per-iteration join SHIPS THE RANK VECTOR, never the edges:
+    // size-gated explicit broadcast (the serveNearDup discipline) —
+    // node-sized rank rows (~32 B each) under the session broadcast
+    // threshold pin a BroadcastHashJoin so the edge table is neither
+    // exchanged nor sorted in any round; above the gate the planner's
+    // shuffle join takes over (nodes are catalog-sized at 100 TB, so
+    // the gate trips to shuffle exactly when a broadcast would OOM)
+    val bcastRanks = {
+      val thresh = docsThreshold(lineitem)
+      thresh > 0 && nn * 32L <= thresh
+    }
+    def rankSide(df: DataFrame): DataFrame =
+      if (bcastRanks) broadcast(df) else df
+    var r = deg.selectExpr("src as node",
+      s"(1e0 / cast(${nn}L as double)) as r")
     for (_ <- 1 to iters) {
-      r = we.join(r, col("src") === col("node"))
+      r = we.join(rankSide(r), col("src") === col("node"))
         .selectExpr("dst", "(r / cast(deg as double)) as c")
         .groupBy("dst").agg(expr(fpSum("c")).as("s"))
-        .crossJoin(broadcast(nn))
         .selectExpr("dst as node",
-          s"($OneMinusD / cast(nn as double) + $D * s) as r")
+          s"($OneMinusD / cast(${nn}L as double) + $D * s) as r")
     }
-    r.crossJoin(broadcast(nn))
+    // top-k via sort+limit (TakeOrderedAndProject), NOT a row_number
+    // window with no partition key: the windowed spelling moved the
+    // whole node-sized rank vector to one task (the WindowExec
+    // single-partition warning) — rank assignment over the topK
+    // survivors is bounded by topK
+    r.orderBy(col("r").desc, col("node").asc).limit(topK)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("r").desc, col("node").asc)).cast("long"))
-      .filter(col("rn") <= topK)
-      .selectExpr("node", "cast(nn as bigint) as n_nodes",
+      .selectExpr("node", s"cast(${nn}L as bigint) as n_nodes",
         s"${q9("r")} as rank9", "rn")
   }
+
+  /** The session broadcast threshold, read off the frame's session —
+    * the size gate for shipping node-sized rank/label vectors as
+    * broadcasts. */
+  private def docsThreshold(df: DataFrame): Long =
+    df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
 
   /** DuckDB mirror of [[pageRank]]: the identical iteration unrolled as
     * MATERIALIZED CTEs. */
@@ -194,13 +225,26 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select("u", "v")
+    // no pre-checkpoint repartition (r15): localCheckpoint erases
+    // partitioning from the planner's view (see [[pageRank]]), so the
+    // old repartition(v) was one full edge exchange bought for nothing
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v")).localCheckpoint()
+      .localCheckpoint()
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
+    // per-round join ships the node-sized label vector, never the edge
+    // table: size-gated broadcast, same argument and gate as
+    // [[pageRank]]'s rank vector (label frames stay node-count-sized
+    // every round — the count is paid once)
+    val bcastLabels = {
+      val thresh = docsThreshold(lineitem)
+      thresh > 0 && labels.count() * 32L <= thresh
+    }
+    def labelSide(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val votes = sym.join(labels, col("v") === col("node"))
+      val votes = sym.join(labelSide(labels), col("v") === col("node"))
         .select(col("u").as("n2"), col("lbl"))
         .union(labels.select(col("node").as("n2"), col("lbl")))
         .groupBy("n2", "lbl").agg(count(lit(1)).as("c"))
