@@ -592,10 +592,16 @@ object Pq {
       .write.mode("overwrite").partitionBy("cl").parquet(s"$dir/codes")
     // the mergeable exact moment relation behind the centroids — stored
     // so a later APPEND can fold a new shard in without rescanning the
-    // already-indexed corpus (n_cells·dim BIGINT rows: model-sized)
-    Similarity.cellStats(embF)
-      .write.mode("overwrite").parquet(s"$dir/cellstats")
-    Similarity.labelCentroids(embF)
+    // already-indexed corpus (n_cells·dim BIGINT rows: model-sized).
+    // Materialized ONCE (r15): labelCentroids IS
+    // centroidsFromStats∘cellStats, so the old spelling aggregated the
+    // full embedding corpus twice per build — the checkpoint is
+    // model-sized and the centroid write now derives from it, exactly
+    // the append/delete verbs' shape (whose gates prove the derived
+    // centroids serve bit-identically to a rebuild's)
+    val stats = Similarity.cellStats(embF).localCheckpoint()
+    stats.write.mode("overwrite").parquet(s"$dir/cellstats")
+    Similarity.centroidsFromStats(stats)
       .select("cl", "centroid", "c_norm")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // the index OWNS its codebook (verdict r10 #4): m·ksub rows of
