@@ -88,7 +88,9 @@ object GraftFunctions {
     ("chain_dot", "left-associated dot product of two numeric arrays",
       exprs => ChainDot(exprs.head, exprs(1))),
     ("cody_erfc", "erfc via Cody's SPECFUN algorithm (bit-equal to the SQL snippet)",
-      exprs => CodyErfc(exprs.head)))
+      exprs => CodyErfc(exprs.head)),
+    ("winnow_sel", "distinct packed winnow-selected (pos, fp) keys of a document",
+      exprs => WinnowSel(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

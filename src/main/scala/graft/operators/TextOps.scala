@@ -143,21 +143,39 @@ object TextOps {
     s"(($h) * 8589934592 + (8589934591 - ($i)))"
 
   /** Winnowed fingerprints: (doc_id, pos, fp) — the selected k-gram
-    * start positions and their rolling hashes. Per-row generators + one
-    * partition-local window (doc- AND chunk-keyed, ordered by
-    * position): one shuffle of (doc, pos, hash) triples, no text after
-    * the projection. Documents shorter than k+w-1 chars have no full
-    * window and are absent — identical filter in both engines.
-    *
-    * Task-skew bound: winnowing is LOCAL (the selection at position i
-    * reads only keys i..i+w-1), so the per-doc window splits into
-    * `chunkLen`-position chunks whose first w-1 positions are ALSO
-    * emitted into the preceding chunk as frame-fillers — every window
-    * frame sees its full w keys inside one partition and the selected
-    * set is exactly the unchunked algorithm's. A pathological 100 MB
-    * document becomes ~1500 bounded tasks instead of one task's sort
-    * (the r5 spelling partitioned by doc alone). */
-  def winnow(docs: DataFrame, chunkLen: Int = 1 << 16): DataFrame = {
+    * start positions and their rolling hashes. r15: ONE codegen
+    * expression per document ([[graft.functions.WinnowSel]]) — the
+    * selection is doc-local, so the old dataflow spelling's
+    * row-per-character explode + exchange + window sort (a corpus-
+    * characters-sized shuffle PER WINNOW CALL, inherited by the
+    * near-dup index verbs, the incremental/batch winnow dedups and
+    * winnow decontamination) collapses to scan → explode(selected
+    * set): zero exchanges, nothing per-character leaves the scan
+    * stage. Output rows are already distinct (the expression returns
+    * the distinct selected-key set; keys encode (pos, fp) uniquely),
+    * so the old trailing distinct's exchange is gone too. Documents
+    * shorter than k+w-1 chars have no full window and are absent —
+    * identical filter in both engines; the DuckDB oracle
+    * ([[winnowSql]]) is untouched, so every winnow gate hash-checks
+    * the expression against the independent declarative spelling.
+    * Selected sets are pinned bit-identical to [[winnowWindowed]] by
+    * the differential spec. */
+  def winnow(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr("winnow_sel(trim(text))")).as("sel"))
+      .select(col("doc_id"),
+        expr("cast(8589934591 - sel % 8589934592 as bigint)").as("pos"),
+        expr("cast(sel div 8589934592 as bigint)").as("fp"))
+  }
+
+  /** The pre-r15 dataflow spelling of [[winnow]] — kept as the
+    * INDEPENDENT reference implementation the differential spec pins
+    * [[graft.functions.WinnowSel]] against (per-row generators + one
+    * chunk-keyed partition-local window; the chunking splits a
+    * pathological document into `chunkLen`-position window tasks with
+    * w−1 frame-filler overlap, selecting exactly the unchunked set). */
+  private[graft] def winnowWindowed(docs: DataFrame, chunkLen: Int = 1 << 16): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val grams = docs

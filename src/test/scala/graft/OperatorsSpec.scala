@@ -227,22 +227,33 @@ class OperatorsSpec extends SparkSpec {
       s"no shared fingerprint across the shift: ${f1.size}/${f2.size}")
   }
 
-  test("winnow chunking: a 10x outlier doc splits into bounded tasks with the identical selection") {
-    // winnowing is local, so chunked windows (with the w-1 frame-filler
-    // overlap) must select EXACTLY the unchunked set — here one doc 10x
-    // longer than the rest forces ~30 chunks at chunkLen=64 where the
-    // r5 spelling made it one task's sort
+  test("winnow_sel expression selects bit-exactly the windowed dataflow set (chunked and unchunked)") {
+    // r15: winnow() computes the selection in one codegen expression
+    // (no per-character shuffle); the pre-r15 window spelling is kept
+    // as the independent reference — expression output must equal it
+    // at BOTH chunkings, on an outlier doc long enough to exercise the
+    // chunk frame-fillers, a short doc, a sub-window doc, an empty doc,
+    // and a multibyte (CJK + astral) doc exercising the codepoint walk
     val outlier = (0 until 40).map(i => s"sentence$i has words ${i * 13}").mkString(" ")
     val docs = Seq(
       (1L, outlier),
       (2L, "a short document"),
-      (3L, outlier.substring(100, 280))).toDF("doc_id", "text")
-    def sel(chunkLen: Int) = TextOps.winnow(docs, chunkLen).collect()
+      (3L, outlier.substring(100, 280)),
+      (4L, "tiny"),
+      (5L, "   "),
+      (6L, "斯坦福大学的计算机科学系与MOSS系统 😀😀 指纹选择")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val chunked = sel(64)
-    assert(chunked == sel(1 << 30), "chunked selection diverges from unchunked")
+    val viaExpr = rows(TextOps.winnow(docs))
+    assert(viaExpr == rows(TextOps.winnowWindowed(docs, 64)),
+      "expression selection diverges from the chunked window spelling")
+    assert(viaExpr == rows(TextOps.winnowWindowed(docs, 1 << 30)),
+      "expression selection diverges from the unchunked window spelling")
     assert(outlier.length > 640, s"outlier too short to exercise chunks: ${outlier.length}")
-    assert(chunked.nonEmpty)
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr.exists(_._1 == 6L), "multibyte doc must select fingerprints")
+    assert(!viaExpr.exists(t => t._1 == 4L || t._1 == 5L),
+      "sub-window docs must be absent")
   }
 
   test("dedup_winnow: single-insertion shifted copy caught; word-gram spans are blind to it") {
