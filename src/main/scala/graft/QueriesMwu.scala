@@ -84,9 +84,20 @@ object QueriesMwu {
   private val effectRrb =
     "(1e0 - (2e0 * u1) / (cast(n1 as double) * cast(n2 as double)))"
 
+  /** Rank→U→z chain for the derived-stats gates. r15: the rank sums come
+    * from [[MwuAgg.rankSumsAgg]] — cells collapse to distinct-value
+    * counts through a map-side-combined aggregate BEFORE the per-feature
+    * sort, so the window sorts d distinct values instead of n cells
+    * (guide §2.3 "aggregate before you shuffle"; the per-feature window
+    * parallelism is |features|, so shrinking its input is the lever).
+    * Bit-equal to the per-row spelling by the exact-dyadic rank
+    * identities — `mwu_ranksum_agg` shares `mwu_ranksum`'s oracle as
+    * the standing proof, and every consumer gate below re-proves it
+    * hash-exactly. The per-row spelling stays the declared surface of
+    * `mwu_rank`/`mwu_ranksum`/`mwu_u`/`mwu_effect`. */
   private def statsDf(s: SparkSession, dir: String): DataFrame = {
     val cells = liCells(s, dir)
-    MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+    MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
       MwuAgg.tieTerm(cells))
   }
 
@@ -197,7 +208,7 @@ object QueriesMwu {
     // single-feature pipeline on customer (c_acctbal can be negative — no lfc leg)
     "mwu_customer" -> ((s, dir) => {
       val cells = Tables.melt(Tables.read(s, dir, "customer"), "c_mktsegment", Seq("c_acctbal"))
-      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
         MwuAgg.tieTerm(cells))
       MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
         .select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")
@@ -205,7 +216,7 @@ object QueriesMwu {
     // MWU of events.value grouped by event_type
     "mwu_events" -> ((s, dir) => {
       val cells = Tables.melt(Tables.read(s, dir, "events"), "event_type", Seq("value"))
-      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
         MwuAgg.tieTerm(cells))
       MwuStats.withP(st).withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
@@ -227,7 +238,7 @@ object QueriesMwu {
         .select(col("o_orderstatus").as("grp"),
           lit("l_extendedprice").as("feature_id"),
           col("l_extendedprice").cast("double").as("value"))
-      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
         MwuAgg.tieTerm(cells))
       MwuStats.withP(st).withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
@@ -295,9 +306,10 @@ object QueriesMwu {
     })
   )
 
-  /** Full rank → U/z → p → BH chain with the NaN-safe quantized p. */
+  /** Full rank → U/z → p → BH chain with the NaN-safe quantized p.
+    * r15: rank sums via the aggregated spelling (see [[statsDf]]). */
   private def pAdjChain(cells: DataFrame): DataFrame = {
-    val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(Ranking.withRanks(cells))),
+    val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
       MwuAgg.tieTerm(cells))
     MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
   }
@@ -306,9 +318,16 @@ object QueriesMwu {
   private def markersDf(s: SparkSession, dir: String,
                         checkpoint: Option[String] = None): DataFrame = {
     val cells = liCells(s, dir)
-    val ranked = Pipeline.rankedCells(s, cells,
-      Pipeline.Config(checkpointDir = checkpoint))
-    val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSums(ranked)), MwuAgg.tieTerm(cells))
+    // r15: without a checkpoint the rank sums take the aggregated
+    // spelling (see statsDf). WITH a checkpoint the per-cell rank
+    // relation IS the persisted S5 artifact, so that path keeps the
+    // per-row rank stage and re-reads it.
+    val rankSums = checkpoint match {
+      case None => MwuAgg.rankSumsAgg(cells)
+      case Some(_) => MwuAgg.rankSums(
+        Pipeline.rankedCells(s, cells, Pipeline.Config(checkpointDir = checkpoint)))
+    }
+    val st = MwuStats.withZ(MwuStats.withU(rankSums), MwuAgg.tieTerm(cells))
     val bh = MwuStats.withBH(
       MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
     val cq = cells.withColumn("value", expr(logQuant))

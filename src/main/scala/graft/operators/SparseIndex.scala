@@ -145,12 +145,24 @@ object SparseIndex {
   /** Raw term-frequency relation of a document set — per-document values
     * only (tf count and doc length), so it is computable shard-locally:
     * the append path's whole write is this relation over the shard. */
-  private def tfRelation(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(col("doc_id"), explode(expr(TextOps.gram3Spark)).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
-  }
+  private def tfRelation(docs: DataFrame): DataFrame =
+    // r15: n_tok = the closed-form gram count ([[TextOps.gram3Count]] —
+    // split cost, computed row-locally; gram3 emits >= 1 token per doc
+    // and explode drops nothing, so it equals the old sum-over-tf
+    // window's integer exactly) — computing it BEFORE the explode
+    // deletes a doc_id-keyed window exchange + sort from every index
+    // verb (guide §2.4; n_tok is functionally dependent on doc_id, so
+    // adding it to the grouping key changes no group)
+    // two-step select: pins n_tok BELOW the Generate (see
+    // TextOps.tfidfPostings — a one-projection spelling hoists the
+    // split above the explode and runs it once per token row)
+    docs.select(col("doc_id"),
+        expr(s"cast((${TextOps.gram3Count}) as bigint)").as("n_tok"),
+        col("text"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr(TextOps.gram3Spark)).as("token"))
+      .groupBy("doc_id", "token", "n_tok").agg(count(lit(1)).as("c"))
+      .select("doc_id", "token", "c", "n_tok")
 
   private def writeBucketed(df: DataFrame, tbl: String, dir: String,
                             sub: String, mode: String, nBuckets: Int): Unit =

@@ -479,6 +479,15 @@ object TextOps {
     "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)), " +
       "i -> concat_ws(' ', slice(split(trim(text), ' '), i, 3)))"
 
+  /** |gram3Spark(text)| WITHOUT building the gram array — the sequence
+    * bound above, so it equals size(gram3Spark) by construction. Used to
+    * compute per-doc token counts pre-explode at split cost instead of
+    * re-running the whole gram constructor a second time (r15: a
+    * size(toks) spelling measured ~+20% on every TF-IDF consumer because
+    * the collapsed projection evaluated the transform twice). */
+  private[operators] val gram3Count: String =
+    "greatest(size(split(trim(text), ' ')) - 2, 1)"
+
   /** DuckDB twin of [[gram3Spark]] as a `(doc_id, token)` select. */
   private def gram3DuckToks(table: String): String =
     s"""select doc_id, unnest(list_transform(
@@ -507,11 +516,26 @@ object TextOps {
     * is exactly the partitioning a downstream posting join reuses.
     * Emits (doc_id, token, c, n_tok, dfq, nn, tfidf). */
   private def tfidfPostings(docs: DataFrame, tokenExpr: String,
-                            dfCap: Int, broadcastDf: Boolean): DataFrame = {
+                            dfCap: Int, broadcastDf: Boolean,
+                            nTokExpr: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), explode(expr(tokenExpr)).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .withColumn("n_tok", sum("c").over(Window.partitionBy("doc_id")))
+    // r15: n_tok = the token-array LENGTH computed row-locally from
+    // `nTokExpr` (each tokenizer's closed-form count — split cost, no
+    // second gram construction) instead of a sum-over-tf window: the
+    // explode drops nothing from these tokenizers, so the integer equals
+    // the old window's exactly, and the doc_id-keyed window exchange +
+    // sort disappears from every TF-IDF consumer (guide §2.4). n_tok is
+    // functionally dependent on doc_id, so carrying it in the grouping
+    // key changes no group. The two-step select is load-bearing: with
+    // n_tok and the explode in ONE projection, ExtractGenerator hoists
+    // n_tok ABOVE the Generate and the split runs once per exploded
+    // TOKEN row instead of once per document (measured +80% on
+    // tfidf_top) — computing it in the child projection pins it below.
+    val toks = docs
+      .select(col("doc_id"), expr(s"cast(($nTokExpr) as bigint)").as("n_tok"),
+        col("text"))
+      .select(col("doc_id"), col("n_tok"), explode(expr(tokenExpr)).as("token"))
+    val tf = toks.groupBy("doc_id", "n_tok", "token").agg(count(lit(1)).as("c"))
     val withDf =
       if (broadcastDf) {
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfq"))
@@ -555,7 +579,8 @@ object TextOps {
   def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
-    tfidfPostings(docs, "split(trim(text), ' ')", dfCap = 0, broadcastDf = true)
+    tfidfPostings(docs, "split(trim(text), ' ')", dfCap = 0, broadcastDf = true,
+      nTokExpr = "size(split(trim(text), ' '))")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("doc_id", "token", "tfidf", "rk")
@@ -987,7 +1012,8 @@ object TextOps {
     * `sparse_stored` persists it token-bucketed so the retrieval join
     * runs with zero exchanges). */
   def sparsePostings(docs: DataFrame): DataFrame =
-    tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
+    tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false,
+      nTokExpr = gram3Count)
       .select("doc_id", "token", "tfidf")
 
   /** Retrieval over a GIVEN posting relation — the query-time half
@@ -1091,7 +1117,8 @@ object TextOps {
     * shared by the Bayardo prefix filter and the banded variant; four+
     * consumers, so it materializes once (the minHashPairs discipline). */
   private def normalizedPostings(docs: DataFrame): DataFrame = {
-    val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false)
+    val p = tfidfPostings(docs, gram3Spark, dfCap = 10, broadcastDf = false,
+      nTokExpr = gram3Count)
       .select("doc_id", "token", "tfidf", "dfq")
     val nrm = p.groupBy("doc_id")
       .agg(expr(graft.oracle.Parity.fpSum("tfidf * tfidf")).as("nrm2"))
@@ -1456,11 +1483,23 @@ object TextOps {
   def bm25Retrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50,
                     maxQ: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), explode(expr(gram3Spark)).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("len", sum("tf").over(Window.partitionBy("doc_id")))
+    // r15: `len` = the closed-form gram count ([[gram3Count]] — split
+    // cost, no second gram construction; equals the old sum-over-tf
+    // window's integer exactly since explode drops nothing), so the
+    // doc_id-keyed window exchange + sort disappears; and the two
+    // scalar totals come from a cheap row-local scan instead of
+    // re-running the whole tokenize+aggregate subtree a second time
+    // (nd = doc count since gram3 emits >= 1 token per doc — the
+    // SparseIndex meta contract; tot = Σ gram3Count = Σ tf).
+    // two-step select: pins `len` BELOW the Generate (see tfidfPostings)
+    val toks = docs
+      .select(col("doc_id"), expr(s"cast(($gram3Count) as bigint)").as("len"),
+        col("text"))
+      .select(col("doc_id"), col("len"), explode(expr(gram3Spark)).as("token"))
+    val tf = toks.groupBy("doc_id", "len", "token").agg(count(lit(1)).as("tf"))
       .withColumn("dfq", count(lit(1)).over(Window.partitionBy("token")))
-    val totals = tf.agg(countDistinct("doc_id").as("nd"), sum("tf").as("tot"))
+    val totals = docs.agg(count(lit(1)).as("nd"),
+      expr(s"cast(sum($gram3Count) as bigint)").as("tot"))
     val postings = tf.crossJoin(broadcast(totals))
       .filter(col("dfq") * 10 <= col("nd"))
       .withColumn("idf9", expr(bm25Idf9("nd")))
