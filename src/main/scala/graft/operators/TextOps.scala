@@ -1005,7 +1005,13 @@ object TextOps {
     // same way: whatever makes postings selective. An OPEN token
     // universe grows with the corpus, so broadcastDf=false: the df
     // table meets tf in a token-keyed equi-join.
-    sparseRetrievalFrom(sparsePostings(docs), k, queryEvery)
+    // r15: the rebuild path materializes the posting relation once
+    // (localCheckpoint — the normalizedPostings discipline): the
+    // retrieval join consumes it on BOTH sides, and without the
+    // materialization each side re-ran the whole tokenize+aggregate
+    // chain (plan showed the subtree twice). The stored-index serve
+    // path is untouched — its postings are already a table.
+    sparseRetrievalFrom(sparsePostings(docs).localCheckpoint(), k, queryEvery)
 
   /** The TF-IDF posting relation (doc_id, token, tfidf) — the stored
     * form of the sparse index ([[sparseRetrievalFrom]] serves from it;
@@ -1481,7 +1487,15 @@ object TextOps {
     * top-k per query. Same 100 TB shape as [[sparseRetrieval]]: the
     * posting table is the stored index, bucketed by token. */
   def bm25Retrieval(docs: DataFrame, k: Int = 10, queryEvery: Int = 50,
-                    maxQ: Long = Long.MaxValue): DataFrame = {
+                    maxQ: Long = Long.MaxValue): DataFrame =
+    // r15: materialize the posting relation once — the retrieval join
+    // consumes it on both sides (see sparseRetrieval)
+    bm25RetrievalFrom(bm25Postings(docs).localCheckpoint(), k, queryEvery, maxQ)
+
+  /** The scored BM25 posting relation a from-scratch retrieval builds —
+    * split out of [[bm25Retrieval]] so plan pins can compare the
+    * UNmaterialized chain against the stored-index serve. */
+  def bm25Postings(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // r15: `len` = the closed-form gram count ([[gram3Count]] — split
     // cost, no second gram construction; equals the old sum-over-tf
@@ -1505,7 +1519,7 @@ object TextOps {
       .withColumn("idf9", expr(bm25Idf9("nd")))
       .withColumn("avglen", expr("cast(tot as double) / cast(nd as double)"))
       .select("doc_id", "token", "tf", "len", "idf9", "avglen")
-    bm25RetrievalFrom(postings, k, queryEvery, maxQ)
+    postings
   }
 
   /** BM25 retrieval over a GIVEN scored-posting relation

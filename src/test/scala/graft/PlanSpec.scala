@@ -301,7 +301,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stored sparse index: the token join inherits the bucket distribution — fewer exchanges than rebuild") {
-    val rebuild = plan(SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001")))
+    // the rebuild comparator is the UNmaterialized operator chain: the
+    // shipped sparse_retrieval localCheckpoints its postings (r15), which
+    // truncates the plan and would hide exactly the exchanges this pin
+    // compares against
+    val rebuild = plan(graft.operators.TextOps.sparseRetrievalFrom(
+      graft.operators.TextOps.sparsePostings(
+        Tables.read(spark, sf("sf0.001"), "documents"))))
     val stored = plan(SparkEntry.queries("sparse_stored")(spark, sf("sf0.001")))
     def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
     // rebuild pays the token shuffle on both join sides; the bucketed
@@ -329,8 +335,13 @@ class PlanSpec extends SparkSpec {
   test("sparse lifecycle serve (TF-IDF and BM25): tombstones broadcast-anti-join; no more exchanges than a rebuild — at BOTH bucket counts") {
     val docs = Tables.read(spark, sf("sf0.001"), "documents")
     def exchanges(s: String) = "Exchange hashpartitioning".r.findAllIn(s).length
-    val rebuild = plan(SparkEntry.queries("sparse_retrieval")(spark, sf("sf0.001")))
-    val bm25Rebuild = plan(SparkEntry.queries("bm25_retrieval")(spark, sf("sf0.001")))
+    // unmaterialized comparators (see the stored-vs-rebuild pin above):
+    // the shipped rebuild queries localCheckpoint their postings (r15),
+    // which would truncate away the exchanges being compared
+    val rebuild = plan(graft.operators.TextOps.sparseRetrievalFrom(
+      graft.operators.TextOps.sparsePostings(docs)))
+    val bm25Rebuild = plan(graft.operators.TextOps.bm25RetrievalFrom(
+      graft.operators.TextOps.bm25Postings(docs)))
     // the bucket count is a sizing parameter (buckets ≈ cluster cores ×
     // a small factor — SparseIndex.DefaultBuckets docs); the
     // zero-extra-exchange serve plan must be a property of the BUCKETED
@@ -520,8 +531,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sparse retrieval: token-keyed equi-joins only, df table never hint-forced") {
-    val p = plan(graft.operators.TextOps.sparseRetrieval(
-      Tables.read(spark, sf("sf0.001"), "documents")))
+    // pin the UNmaterialized operator chain: the shipped sparse_retrieval
+    // localCheckpoints its postings (r15), which truncates the plan this
+    // pin inspects (the token exchange lives in the checkpointed half)
+    val p = plan(graft.operators.TextOps.sparseRetrievalFrom(
+      graft.operators.TextOps.sparsePostings(
+        Tables.read(spark, sf("sf0.001"), "documents"))))
     assert(!p.contains("CartesianProduct"),
       s"the posting join must be an equi-join on the token, never all-pairs:\n$p")
     // the word-3-gram df table is an OPEN universe (grows with the
