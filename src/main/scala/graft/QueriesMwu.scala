@@ -208,7 +208,15 @@ object QueriesMwu {
     // single-feature pipeline on customer (c_acctbal can be negative — no lfc leg)
     "mwu_customer" -> ((s, dir) => {
       val cells = Tables.melt(Tables.read(s, dir, "customer"), "c_mktsegment", Seq("c_acctbal"))
-      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
+      // r16: c_acctbal is CONTINUOUS (~n distinct values), the documented
+      // degenerate case of [[MwuAgg.rankSumsAgg]] ("for continuous values
+      // it degrades to ~n aggregated rows — prefer Ranking.withRanks +
+      // rankSums there"): the r15 agg spelling measured +0.3 s here while
+      // every tied-feature gate gained. Static per-column choice; both
+      // spellings are bit-equal by the exact-dyadic rank identities (the
+      // shared oracle is the standing proof).
+      val st = MwuStats.withZ(MwuStats.withU(
+        MwuAgg.rankSums(Ranking.withRanks(cells))),
         MwuAgg.tieTerm(cells))
       MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
         .select("feature_id", "grp", "n1", "u1", "z", "p9", "p_adj")

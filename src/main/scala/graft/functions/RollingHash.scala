@@ -87,6 +87,8 @@ object GraftFunctions {
       exprs => CharTrigramCodes(exprs.head)),
     ("chain_dot", "left-associated dot product of two numeric arrays",
       exprs => ChainDot(exprs.head, exprs(1))),
+    ("sorted_dot_fp", "fixed-point dot of two sorted (token, weight) parallel-array pairs",
+      exprs => SortedDotFp(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("cody_erfc", "erfc via Cody's SPECFUN algorithm (bit-equal to the SQL snippet)",
       exprs => CodyErfc(exprs.head)),
     ("winnow_sel", "distinct packed winnow-selected (pos, fp) keys of a document",

@@ -1272,6 +1272,106 @@ object Dedup {
     * too short to emit a full winnow window have no fps and are outside
     * the contract (same as the batch winnow operators). */
   def incrementalWinnow(docs: DataFrame, minShared: Int = 3,
+                        thrNum: Int = 1, thrDen: Int = 2): DataFrame =
+    incrementalWinnowFrom(docs, minShared, thrNum, thrDen, (pref, _) => pref)
+
+  /** The verdict engine behind [[incrementalWinnow]] and
+    * [[incrementalWinnowBloom]] — r16 respelling of the full-probe pair
+    * path (guide §2.3/§3.2). The old spelling joined EVERY incoming fp
+    * row against the history/batch fp sets and aggregated the full
+    * co-occurrence mass into per-pair counts; with no df stop cut (the
+    * full probe's declared exactness), hot boilerplate fingerprints make
+    * that fan-out quadratic — measured at sf0.1: 96.6 M history-join rows
+    * collapsing to 4.0 M distinct pairs plus 11.8 M batch-join rows to
+    * 0.5 M, with the pair-keyed aggregation the bench's top row. Now
+    * candidates come from a LOSSLESS prefix filter and pairs verify by
+    * one sorted-array merge each:
+    *
+    *   - a pair can only reach the verdict when
+    *     `n_shared >= t(B) = max(minShared, ceil(n_fp·thrNum/thrDen))`
+    *     (B = the incoming doc the containment is scored against), and
+    *     `|B \ A| <= n_fp - t`, so ANY `n_fp - t + 1`-subset of B's fps
+    *     must contain a shared fp — probing with a subset of that size
+    *     is lossless (Bayardo/Chaudhuri prefix filtering, WWW'07 §3,
+    *     applied to the containment threshold);
+    *   - the subset CHOSEN is the doc's rarest fps (global fp document
+    *     frequency asc, fp asc — deterministic), so the candidate join
+    *     avoids exactly the hot fingerprints that carried the quadratic
+    *     mass (measured at sf0.1: history probe fan-out 96.6 M → 11.6 M
+    *     rows, batch 11.8 M → 1.4 M; candidates 3.3 M + 0.4 M pairs,
+    *     each verified by one merge over ~81-element sorted arrays);
+    *   - each distinct candidate pair verifies once with the EXACT
+    *     n_shared from `sorted_intersect_count` over the two docs'
+    *     sorted fp arrays — the same integers the old aggregate counted,
+    *     so the verdict predicate is unchanged (the banded family's
+    *     verify operand, here with no recall caveat because candidate
+    *     generation is lossless).
+    *
+    * Scale shape: the per-doc fp-set relation is 1 row/doc (corpus-
+    * catalog-sized, like the banded signatures), the probe join's mass
+    * is bounded by rare-fp co-occurrence instead of total co-occurrence,
+    * and the verify is |candidates| merges. The DuckDB oracle
+    * ([[incrementalWinnowSql]]) keeps the independent join+aggregate
+    * spelling — hash equality is the losslessness proof — and the old
+    * Spark spelling stays as [[incrementalWinnowJoinAgg]], pinned
+    * verdict-identical by the differential spec. */
+  private def incrementalWinnowFrom(docs: DataFrame, minShared: Int,
+      thrNum: Int, thrDen: Int,
+      screenHistProbe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    val hist = fps.filter(expr("doc_id % 5 < 4"))
+      .select(col("doc_id").as("hist_id"), col("fp"))
+    val inc = fps.filter(expr("doc_id % 5 >= 4"))
+    // ONE aggregate: per-doc sorted fp array (the verify operand) and its
+    // size (the containment denominator / verdict universe)
+    val sets = fps.groupBy("doc_id").agg(
+        sort_array(collect_list(col("fp"))).as("fset"),
+        count(lit(1)).as("n_fp"))
+      .localCheckpoint()
+    // lossless rarest-(n_fp - t + 1) probe prefix per incoming doc (see
+    // scaladoc); rows ordered by global fp rarity so hot fps stay out of
+    // candidate generation whenever the doc has rarer ones
+    val dfp = fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("dfp").asc, col("fp").asc)
+    val pref = inc.join(dfp, "fp")
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("t", greatest(lit(minShared.toLong),
+        expr(s"cast(ceil(n_fp * $thrNum / $thrDen) as bigint)")))
+      .filter(col("rk") <= col("n_fp") - col("t") + 1)
+      .select("doc_id", "fp")
+      .localCheckpoint() // feeds both probes
+    def verdictHit(cands: DataFrame, aId: String, flag: String): DataFrame = cands
+      .join(sets.select(col("doc_id").as(aId), col("fset").as("fa")), aId)
+      .join(sets.select(col("doc_id"), col("fset").as("fb"), col("n_fp")), "doc_id")
+      .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_fp"))
+      .select("doc_id").distinct().withColumn(flag, lit(1L))
+    val histHit = verdictHit(
+      screenHistProbe(pref, hist).join(hist, "fp")
+        .select("doc_id", "hist_id").distinct(),
+      "hist_id", "hist_dup")
+    val batchHit = verdictHit(
+      pref.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
+        .filter(col("e_id") < col("doc_id"))
+        .select("doc_id", "e_id").distinct(),
+      "e_id", "batch_dup")
+    val incSz = sets.filter(expr("doc_id % 5 >= 4")).select("doc_id", "n_fp")
+    incSz.join(histHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_fp",
+        "case when hist_dup is not null then 'dup_history' " +
+          "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
+  }
+
+  /** The pre-r16 per-fp join+aggregate spelling of [[incrementalWinnow]]
+    * — kept as the INDEPENDENT Spark reference the differential spec pins
+    * the prefix-filtered respelling against (the [[TextOps.winnowWindowed]]
+    * discipline). */
+  private[graft] def incrementalWinnowJoinAgg(docs: DataFrame, minShared: Int = 3,
                         thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
     val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
     val hist = fps.filter(expr("doc_id % 5 < 4"))
@@ -1317,48 +1417,34 @@ object Dedup {
                              thrNum: Int = 1, thrDen: Int = 2,
                              mBits: Int = 65536, kHash: Int = 3): DataFrame = {
     val cw = graft.oracle.Parity.CwMod
-    val fps = TextOps.winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
-    val hist = fps.filter(expr("doc_id % 5 < 4"))
-      .select(col("doc_id").as("hist_id"), col("fp"))
-    val inc = fps.filter(expr("doc_id % 5 >= 4")).localCheckpoint()
-    val incSz = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    // fp % CwMod brings the 33-bit winnow fp into CW range so the mixes
-    // stay overflow-free in BOTH engines (DuckDB raises on bigint wrap)
-    val bloom = hist
-      .select(expr(s"fp % $cw").as("code"),
-        explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
-      .select(expr(bloomPosCase(kHash, mBits)).as("pos"))
-      .distinct()
-    val withPos = inc.withColumn("code", expr(s"fp % $cw"))
-      .select(col("doc_id") +: col("fp") +:
-        (0 until kHash).map(j =>
-          expr(s"(${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
-    val probed = (0 until kHash).foldLeft(withPos) { (df, j) =>
-      df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
-        col(s"p$j") === col(s"bp$j"), "left")
-    }.withColumn("bloom_pos",
-      (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
-      .select("doc_id", "fp", "bloom_pos")
-    def hits(matches: DataFrame, flag: String): DataFrame = matches
-      .filter(col("n_shared") >= minShared)
-      .join(incSz, "doc_id")
-      .filter(col("n_shared") * lit(thrDen.toLong) >= lit(thrNum.toLong) * col("n_fp"))
-      .select("doc_id").distinct().withColumn(flag, lit(1L))
-    val histHit = hits(
-      probed.filter(col("bloom_pos")).select("doc_id", "fp")
-        .join(hist, "fp")
-        .groupBy("doc_id", "hist_id").agg(count(lit(1)).as("n_shared")),
-      "hist_dup")
-    val batchHit = hits(
-      inc.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
-        .filter(col("e_id") < col("doc_id"))
-        .groupBy("doc_id", "e_id").agg(count(lit(1)).as("n_shared")),
-      "batch_dup")
-    incSz.join(histHit, Seq("doc_id"), "left")
-      .join(batchHit, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "n_fp",
-        "case when hist_dup is not null then 'dup_history' " +
-          "when batch_dup is not null then 'dup_batch' else 'kept' end as status")
+    // r16: the bloom now prescreens the PREFIX probe rows of the shared
+    // verdict engine (see [[incrementalWinnowFrom]]) instead of the full
+    // incoming fp relation. Losslessness composes: a clear bit certifies
+    // the fingerprint absent from history, an absent fingerprint is in no
+    // history doc's intersection, and the prefix theorem only needs the
+    // probe subset to RETAIN every shared fp it held — so the verdicts
+    // stay identical to [[incrementalWinnow]] (the driver query shares
+    // its oracle, which is the proof).
+    incrementalWinnowFrom(docs, minShared, thrNum, thrDen, (pref, hist) => {
+      // fp % CwMod brings the 33-bit winnow fp into CW range so the mixes
+      // stay overflow-free in BOTH engines (DuckDB raises on bigint wrap)
+      val bloom = hist
+        .select(expr(s"fp % $cw").as("code"),
+          explode(expr(s"sequence(0, ${kHash - 1})")).as("j"))
+        .select(expr(bloomPosCase(kHash, mBits)).as("pos"))
+        .distinct()
+      val withPos = pref.withColumn("code", expr(s"fp % $cw"))
+        .select(col("doc_id") +: col("fp") +:
+          (0 until kHash).map(j =>
+            expr(s"(${graft.oracle.Parity.cwMix(40 + j, "code")} % $mBits)").as(s"p$j")): _*)
+      (0 until kHash).foldLeft(withPos) { (df, j) =>
+        df.join(broadcast(bloom.select(col("pos").as(s"bp$j"))),
+          col(s"p$j") === col(s"bp$j"), "left")
+      }.withColumn("bloom_pos",
+        (0 until kHash).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
+        .filter(col("bloom_pos"))
+        .select("doc_id", "fp")
+    })
   }
 
   /** BANDED incremental near-dup — the bounded-candidate sibling of

@@ -727,20 +727,27 @@ object TextOps {
       .withColumn("inter_est",
         col("common").cast("double") / col("n_kept").cast("double")
           * col("union_est"))
-    val exactU = pairs.join(dt.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
-      .select("lang_a", "lang_b", "t")
-      .unionByName(pairs.join(dt.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
-        .select("lang_a", "lang_b", "t"))
-      .distinct()
-      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_union_exact"))
+    // r16 (guide §1.2 "don't compute things you throw away"): the exact
+    // union count derives from inclusion–exclusion over EXACT BIGINTs —
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — so the pair-fanned union relation
+    // (4·|dt| rows through a distinct + exchange) is never materialized;
+    // only the per-lang counts (5 rows) and the intersection join remain.
+    // The DuckDB oracle keeps the literal distinct-union spelling — hash
+    // equality is the identity's proof.
+    val exactL = dt.groupBy("lang").agg(count(lit(1)).as("n_lang_exact"))
     val exactI = pairs
       .join(dt.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
       .join(dt.withColumnRenamed("lang", "lang_b").withColumnRenamed("t", "t")
         .select(col("lang_b"), col("t")), Seq("lang_b", "t"))
       .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter_exact"))
-    stats.join(exactU, Seq("lang_a", "lang_b"))
+    stats
+      .join(broadcast(exactL.select(col("lang").as("lang_a"),
+        col("n_lang_exact").as("n_a"))), Seq("lang_a"))
+      .join(broadcast(exactL.select(col("lang").as("lang_b"),
+        col("n_lang_exact").as("n_b"))), Seq("lang_b"))
       .join(exactI, Seq("lang_a", "lang_b"), "left")
       .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("n_union_exact", col("n_a") + col("n_b") - col("n_inter_exact"))
       .select("lang_a", "lang_b", "n_union_exact", "n_inter_exact",
         "n_kept", "theta", "common", "union_est", "inter_est")
   }
@@ -1142,11 +1149,56 @@ object TextOps {
 
   def allPairsSimilarity(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val (w, cand) = allPairsParts(docs, threshold)
+    verifyPairsDot(w, cand, threshold)
+  }
+
+  /** The pre-r16 explode-join + fpSum-aggregate verify — kept as the
+    * INDEPENDENT Spark reference the differential spec pins
+    * [[verifyPairsDot]] against (the winnowWindowed discipline). */
+  private[graft] def allPairsSimilarityJoinAgg(docs: DataFrame,
+                                               threshold: Double = 0.6): DataFrame = {
+    val (w, cand) = allPairsParts(docs, threshold)
     val pl = w.select(col("doc_id").as("doc_lo"), col("token"), col("w").as("wl"))
     val pg = w.select(col("doc_id").as("doc_hi"), col("token"), col("w").as("wg"))
     cand.join(pl, "doc_lo").join(pg, Seq("doc_hi", "token"))
       .groupBy("doc_lo", "doc_hi")
       .agg(expr(graft.oracle.Parity.fpSum("wl * wg")).as("score"))
+      .filter(col("score") >= threshold)
+      .select("doc_lo", "doc_hi", "score")
+  }
+
+  /** Exact cosine verify of candidate pairs — r16 respelling shared by
+    * [[allPairsSimilarity]] and [[allPairsBanded]] (guide §3.3: `explode`
+    * before a join multiplies the shuffle). The old verify joined every
+    * candidate against BOTH docs' full posting rows (candidate×tokens
+    * fan-out) and aggregated `fpSum(wl·wg)` through a pair-keyed
+    * exchange; now each doc's postings collapse once into ASC-sorted
+    * parallel (token, w) arrays and each candidate pair verifies with ONE
+    * linear merge ([[graft.functions.SortedDotFp]]) — no exploded
+    * relation, no pair-keyed exchange. Bit-equal by construction: the
+    * merge accumulates the identical per-term fixed-point longs over the
+    * identical shared-token set and divides once (fpSum's exact
+    * order-free BIGINT sum), and a no-shared-token pair scores 0.0,
+    * dropped by the same `>= threshold` filter that never saw its empty
+    * aggregation group. The naive-self-join DuckDB oracle is untouched —
+    * hash equality is the proof. */
+  private def verifyPairsDot(w: DataFrame, cand: DataFrame,
+                             threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(w.sparkSession)
+    // sort_array over (token, w) structs orders by token (distinct per
+    // doc) in UTF8 binary order — the comparator SortedDotFp merges with
+    val arrs = w.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("tw"))
+      .select(col("doc_id"),
+        expr("transform(tw, x -> x.token)").as("toks"),
+        expr("transform(tw, x -> x.w)").as("ws"))
+      .localCheckpoint() // feeds both pair sides
+    cand
+      .join(arrs.select(col("doc_id").as("doc_lo"),
+        col("toks").as("tl"), col("ws").as("wsl")), "doc_lo")
+      .join(arrs.select(col("doc_id").as("doc_hi"),
+        col("toks").as("tg"), col("ws").as("wsg")), "doc_hi")
+      .withColumn("score", expr("sorted_dot_fp(tl, wsl, tg, wsg)"))
       .filter(col("score") >= threshold)
       .select("doc_lo", "doc_hi", "score")
   }
@@ -1221,6 +1273,11 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_lo"), col("b.doc_id").as("doc_hi"))
       .distinct()
+    // verify stays the explode-join + fpSum aggregate HERE (r16 A/B:
+    // 3.56 → 3.67 s under verifyPairsDot — the banded candidate set is
+    // small enough that collecting per-doc sorted arrays costs more than
+    // the explode it replaces; the full operator's candidates are ~40×
+    // larger and take the dot verify, see [[verifyPairsDot]])
     val pl = w.select(col("doc_id").as("doc_lo"), col("token"), col("w").as("wl"))
     val pg = w.select(col("doc_id").as("doc_hi"), col("token"), col("w").as("wg"))
     cand.join(pl, "doc_lo").join(pg, Seq("doc_hi", "token"))

@@ -31,6 +31,7 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; table is shared
     assert(graft.functions.GraftFunctions.all.map(_._1).toSet ==
       Set("rolling_hash", "sorted_intersect_count", "sorted_jaccard",
-        "char_trigram_codes", "chain_dot", "cody_erfc", "winnow_sel"))
+        "char_trigram_codes", "chain_dot", "cody_erfc", "winnow_sel",
+        "sorted_dot_fp"))
   }
 }

@@ -950,6 +950,43 @@ class OperatorsSpec extends SparkSpec {
       s"recall < 1.0 on the planted near-dup corpus: full=${fullP.keySet} banded=${bandP.keySet}")
   }
 
+  test("sorted_dot_fp: bit-equal to the fpSum aggregate over the explode join (r16 verify respelling)") {
+    // the differential proof behind verifyPairsDot: for every candidate
+    // pair of the real corpus, the sorted-array merge reproduces the old
+    // candidate×token explode + fpSum aggregate EXACTLY (same fixed-point
+    // longs, same one division) — compared pre-threshold so near-miss
+    // scores are pinned too, not only survivors
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    // (a) operator-level differential on the real corpus at a LOW
+    // threshold (more survivors, more near-threshold scores): the merge
+    // verify must reproduce the explode+aggregate reference row for row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = rows(TextOps.allPairsSimilarityJoinAgg(docs, 0.3))
+    val got = rows(TextOps.allPairsSimilarity(docs, 0.3))
+    assert(got.nonEmpty, "sanity: the corpus must produce pairs at 0.3")
+    assert(got == ref, s"verify respelling diverged: " +
+      s"missing=${(ref.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- ref.keySet).take(5)} " +
+      s"scoreDiffs=${ref.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(5)}")
+    // (b) expression-level parity against the literal fpSum spelling on
+    // hand-built sorted arrays, including the no-shared-token zero and
+    // the malformed-input NULL
+    val r = spark.sql(
+      """select
+        | sorted_dot_fp(array('a','b','d'), array(0.25D, 0.5D, 0.125D),
+        |               array('b','c','d'), array(0.5D, 1.0D, 0.25D)) as s,
+        | sorted_dot_fp(array('a'), array(0.5D), array('b'), array(0.5D)) as z,
+        | sorted_dot_fp(array('a','b'), array(0.5D), array('a'), array(0.5D)) as m
+        |""".stripMargin).collect().head
+    val exp = (Math.floor(0.5 * 0.5 * 1048576.0 + 0.5).toLong +
+      Math.floor(0.125 * 0.25 * 1048576.0 + 0.5).toLong) / 1048576.0
+    assert(r.getDouble(0) == exp, s"merge dot ${r.getDouble(0)} != $exp")
+    assert(r.getDouble(1) == 0.0, "no shared tokens must score 0.0")
+    assert(r.isNullAt(2), "mismatched token/weight lengths must be NULL")
+  }
+
   test("avi frame sample: RIFF demux + DIB pixel decode; compressed fourcc and corruption ride the stub") {
     import spark.implicits._
     // doc 7: 2 + 7%6 = 3 frames of (8, 11); doc 9: 2 + 9%6 = 5 of (10, 6)
@@ -1099,6 +1136,26 @@ class OperatorsSpec extends SparkSpec {
     val bloomed = graft.operators.Dedup.incrementalWinnowBloom(docs, mBits = 64)
       .collect().map(x => (x.getLong(0), x.getString(2))).toMap
     assert(bloomed == r, s"bloom-prescreened verdicts diverged: $bloomed vs $r")
+  }
+
+  test("incremental winnow prefix filter: verdicts identical to the join+aggregate reference") {
+    // r16 differential pin (the winnowWindowed discipline): the shipped
+    // prefix-filtered candidate generation + sorted-intersect verify must
+    // reproduce the pre-r16 full fp-join spelling row for row — on the
+    // real sf0.001 corpus (template-heavy: hot fps, ties in the rarity
+    // order) and at non-default thresholds where the prefix size formula
+    // t = max(minShared, ceil(n_fp·thrNum/thrDen)) exercises both arms.
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    for ((ms, tn, td) <- Seq((3, 1, 2), (1, 1, 10), (5, 9, 10))) {
+      val ref = rows(graft.operators.Dedup
+        .incrementalWinnowJoinAgg(docs, minShared = ms, thrNum = tn, thrDen = td))
+      val got = rows(graft.operators.Dedup
+        .incrementalWinnow(docs, minShared = ms, thrNum = tn, thrDen = td))
+      assert(got == ref, s"prefix spelling diverged at ($ms, $tn/$td): " +
+        s"missing=${ref -- got} extra=${got -- ref}")
+    }
   }
 
   test("hilbert index: exhaustive bijection + unit adjacency over the 256x256 grid") {
