@@ -92,7 +92,9 @@ object GraftFunctions {
     ("cody_erfc", "erfc via Cody's SPECFUN algorithm (bit-equal to the SQL snippet)",
       exprs => CodyErfc(exprs.head)),
     ("winnow_sel", "distinct packed winnow-selected (pos, fp) keys of a document",
-      exprs => WinnowSel(exprs.head)))
+      exprs => WinnowSel(exprs.head)),
+    ("repetition_stats", "integer counts of the within-doc repetition signals in one pass",
+      exprs => RepetitionStats(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -243,7 +243,7 @@ object Graph {
     }
     def labelSide(df: DataFrame): DataFrame =
       if (bcastLabels) broadcast(df) else df
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val votes = sym.join(labelSide(labels), col("v") === col("node"))
         .select(col("u").as("n2"), col("lbl"))
         .union(labels.select(col("node").as("n2"), col("lbl")))
@@ -256,7 +256,15 @@ object Graph {
         .groupBy(col("n2").as("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+      // r16 (guide §1.2 job-count; JobProf: LPA is ~35 small jobs, all
+      // barrier/planning overhead at node scale): the checkpoint still
+      // truncates the self-referencing lineage every round (the plan is
+      // a LogicalRDD either way), but LAZY — the RDD materializes inside
+      // the next round's first job instead of a dedicated per-round
+      // action — and the FINAL round skips it entirely (its labels are
+      // referenced exactly once, by the community rollup, so lineage
+      // never doubles past it).
+      if (i < iters) labels = labels.localCheckpoint(eager = false)
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))

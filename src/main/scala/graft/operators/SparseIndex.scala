@@ -208,21 +208,25 @@ object SparseIndex {
     // verb and serve entry point has invoked since r11: the listing
     // cached at build time is invalidated before any later read. The
     // build itself just dropped/recreated the table, so this read's
-    // listing is fresh by construction. Meta's `tot` sum stays a PATH
-    // read: a plain sum gains nothing from bucketing, and the path
-    // read keeps one cache-free spelling in the file as the pattern
-    // for readers outside the verb surface.
-    writeBucketed(spark.table(postingsTbl(dir))
-        .groupBy("token").agg(count(lit(1)).as("dfq")),
+    // listing is fresh by construction.
+    // r16 (guide §1.2 compute-once): meta's `tot` used to come from a
+    // SECOND corpus-sized path read of the posting files; the one df
+    // aggregate now carries sum(c) per token alongside, materializes
+    // once at vocabulary size, and `tot` folds from it —
+    // Σ_token Σ c = Σ c exactly (BIGINT), so the build reads its
+    // postings back once instead of twice.
+    val dfPlus = spark.table(postingsTbl(dir))
+      .groupBy("token").agg(count(lit(1)).as("dfq"), sum("c").as("ctok"))
+      .localCheckpoint()
+    writeBucketed(dfPlus.select("token", "dfq"),
       dfTbl(dir), dir, "dfstats", "overwrite", nBuckets)
-    val posted = spark.read.schema(tf.schema).parquet(s"$dir/postings")
     // meta holds BOTH scalar moments serving needs: the doc count `nn`
     // (TF-IDF idf and the df stop cut) and the total token count `tot`
     // (BM25's avglen = tot/nn). Every document emits >= 1 token (the
     // gram3 tokenizer pads short/empty text to one gram), so `nn`
     // doubles as BM25's distinct-doc count `nd`.
     docs.agg(count(lit(1)).as("nn"))
-      .crossJoin(posted.agg(coalesce(sum("c"), lit(0L)).as("tot")))
+      .crossJoin(dfPlus.agg(coalesce(sum("ctok"), lit(0L)).as("tot")))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 

@@ -469,7 +469,30 @@ object TextOps {
       s"${dupFrac(3)} as dup_3gram_frac")
   }
 
-  def repetition(docs: DataFrame): DataFrame =
+  def repetition(docs: DataFrame): DataFrame = {
+    // r16: the interpreted higher-order-function projection (three gram
+    // transforms + array_distincts + the O(distinct·n) multiplicity
+    // rescan) was the query's entire 6.3 s at sf0.1 — one compiled pass
+    // ([[graft.functions.RepetitionStats]]) produces the identical
+    // integer counts and the ratios keep the identical casts/divisions,
+    // so every double is bit-equal. The old projection stays as
+    // [[repetitionHof]] (and remains the DuckDB oracle's source via
+    // [[repetitionSelects]]), pinned by the differential spec.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("repetition_stats(split(trim(text), ' '))").as("rs"))
+      .selectExpr("doc_id", "lang",
+        "rs.n_tok as n_tokens",
+        "(cast(rs.top as double) / cast(rs.n_tok as double)) as top_token_frac",
+        "(1e0 - cast(rs.d2 as double) / cast(rs.g2 as double)) as dup_2gram_frac",
+        "(1e0 - cast(rs.d3 as double) / cast(rs.g3 as double)) as dup_3gram_frac")
+  }
+
+  /** The pre-r16 higher-order-function spelling — the independent Spark
+    * reference the differential spec pins [[repetition]] against (and
+    * the shared source of the DuckDB oracle via [[repetitionSelects]]). */
+  private[graft] def repetitionHof(docs: DataFrame): DataFrame =
     docs.selectExpr(repetitionSelects(SparkD): _*)
 
   /** Word-3-gram tokenizer, Spark side — the OPEN posting universe the

@@ -987,6 +987,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(2), "mismatched token/weight lengths must be NULL")
   }
 
+  test("repetition_stats: bit-equal to the higher-order-function projection (r16 one-pass respelling)") {
+    // differential on the real corpus plus adversarial rows: multibyte
+    // tokens, repeated-token runs, single-token and whitespace-only docs
+    // (split edge shapes: leading/trailing empties are tokens)
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "lang", "text")
+      .unionByName(Seq(
+        (100001L, "zz", "héllo héllo héllo wörld 界界 界界 héllo"),
+        (100002L, "zz", "one"),
+        (100003L, "zz", "  spaced   out  "),
+        (100004L, "zz", "a b a b a b a b"),
+        (100005L, "zz", "x y x y z x y x y z")).toDF("doc_id", "lang", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val ref = rows(TextOps.repetitionHof(docs))
+    val got = rows(TextOps.repetition(docs))
+    assert(got == ref, s"one-pass repetition diverged: " +
+      s"${ref.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+  }
+
   test("avi frame sample: RIFF demux + DIB pixel decode; compressed fourcc and corruption ride the stub") {
     import spark.implicits._
     // doc 7: 2 + 7%6 = 3 frames of (8, 11); doc 9: 2 + 9%6 = 5 of (10, 6)
