@@ -5,9 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-16 measurement scratch (guide §1: measure first) — NOT part of
-  * the shipped surface; counts the join masses behind the full-probe
-  * incremental winnow dedups and the all-pairs verify to size the
-  * candidate-generation respelling before writing it. */
+  * the shipped surface. First run sized the incremental-winnow prefix
+  * respelling (numbers in Dedup.incrementalWinnowFrom's scaladoc); this
+  * run sizes the same trick for the batch winnowOverlap (dedup_winnow):
+  * smaller-side-only rarest prefix vs the full df-cut fp self-join. */
 object ProbeR16 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -20,44 +21,40 @@ object ProbeR16 {
     val docs = graft.sources.Tables.read(spark, dir, "documents")
     val fps = graft.operators.TextOps.winnow(docs)
       .select("doc_id", "fp").distinct().localCheckpoint()
-    println(s"PROBE fps=${fps.count()}")
-    val hist = fps.filter(expr("doc_id % 5 < 4"))
-      .select(col("doc_id").as("hist_id"), col("fp"))
-    val inc = fps.filter(expr("doc_id % 5 >= 4"))
-    println(s"PROBE hist=${hist.count()} inc=${inc.count()}")
-    // current spelling's masses
-    val hj = inc.join(hist, "fp")
-    println(s"PROBE hist_fanout=${hj.count()}")
-    println(s"PROBE hist_pairs=${hj.select("doc_id", "hist_id").distinct().count()}")
-    val bj = inc.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
-      .filter(col("e_id") < col("doc_id"))
-    println(s"PROBE batch_fanout=${bj.count()}")
-    println(s"PROBE batch_pairs=${bj.select("doc_id", "e_id").distinct().count()}")
-    // hot-fp profile
-    fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
-      .groupBy(expr("cast(ln(dfp)/ln(10) as int)").as("log10df"))
-      .agg(count(lit(1)).as("n_fps"), sum(col("dfp") * col("dfp")).as("sum_df2"))
-      .orderBy("log10df").show()
-    // prefix-filtered candidate masses (minShared=3, thr 1/2)
-    val dfp = fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+    val nDocs = docs.select("doc_id").distinct().count()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+        .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
+      "fp").localCheckpoint()
+    println(s"PROBE fps=${fps.count()} kept=${kept.count()}")
+    // current spelling
+    val pj = kept.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+    println(s"PROBE overlap_fanout=${pj.count()}")
+    println(s"PROBE overlap_pairs=${pj.select("doc_a", "doc_b").distinct().count()}")
+    // smaller-side prefix: doc D probes with its (n - max(3, ceil(n/2)) + 1)
+    // rarest kept fps; pair generated only when (n, id) of the prefix side
+    // is lexicographically smaller than the other side's
+    val dfp = kept.groupBy("fp").agg(count(lit(1)).as("dfp"))
     val wd = Window.partitionBy("doc_id").orderBy(col("dfp").asc, col("fp").asc)
-    val pref = inc.join(dfp, "fp")
+    val pref = kept.join(dfp, "fp")
       .withColumn("rk", row_number().over(wd))
       .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("t", greatest(lit(3L), expr("cast(ceil(n_fp * 1 / 2) as bigint)")))
       .filter(col("rk") <= col("n_fp") - col("t") + 1)
-      .select("doc_id", "fp").localCheckpoint()
-    println(s"PROBE pref_rows=${pref.count()} (inc rows were ${inc.count()})")
-    val phj = pref.join(hist, "fp")
-    println(s"PROBE pref_hist_fanout=${phj.count()}")
-    println(s"PROBE pref_hist_cands=${phj.select("doc_id", "hist_id").distinct().count()}")
-    val pbj = pref.join(inc.select(col("doc_id").as("e_id"), col("fp")), "fp")
-      .filter(col("e_id") < col("doc_id"))
-    println(s"PROBE pref_batch_fanout=${pbj.count()}")
-    println(s"PROBE pref_batch_cands=${pbj.select("doc_id", "e_id").distinct().count()}")
-    // per-doc fset sizes (verify cost proxy)
-    fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .agg(avg("n"), max("n"), expr("percentile(n, 5e-1)")).show()
+      .select(col("doc_id").as("doc_a"), col("n_fp").as("n_a"), col("fp"))
+      .localCheckpoint()
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val other = kept.select(col("doc_id").as("doc_b"), col("fp"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_b")), "doc_b")
+    val cj = pref.join(other, "fp")
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("doc_a") =!= col("doc_b")))
+    println(s"PROBE pref_rows=${pref.count()}")
+    println(s"PROBE pref_fanout=${cj.count()}")
+    println(s"PROBE pref_cands=${cj.select(least(col("doc_a"), col("doc_b")),
+      greatest(col("doc_a"), col("doc_b"))).distinct().count()}")
     spark.stop()
   }
 }

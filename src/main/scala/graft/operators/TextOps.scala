@@ -244,6 +244,8 @@ object TextOps {
     * one still scores 1.0); exact integer ratio, bit-deterministic. */
   def winnowOverlap(docs: DataFrame, minShared: Int = 3,
                     threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
     val fps = winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
     // corpus size is a bounded driver aggregate (one count job); riding
     // it through the dataflow as a broadcast 1-row cross join was
@@ -251,22 +253,84 @@ object TextOps {
     // passes, plans otherwise identical) — the literal keeps the
     // df-filter side a clean broadcast build
     val nDocs = docs.select("doc_id").distinct().count()
-    // kept feeds three consumers (sizes + both join sides) — materialize
+    // kept feeds three consumers (sets + both join sides) — materialize
     // once, like the minHashPairs/allPairs posting relation
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
         .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
       "fp").localCheckpoint()
-    // Second-stage-cut candidates were MEASURED and rejected at sf0.1
-    // (22.1M fan-out rows -> 12M distinct pairs): (a) dropping docs with
-    // n_fp < minShared pre-join kills 2 of 5000 docs — template-heavy
-    // corpora have no doomed-doc tail; (b) a Bayardo-style rarity-prefix
-    // probe (probe prefix n-ceil(t*n)+1, index prefix n-minShared+1)
-    // halves the fan-out to 10.7M but still leaves 6.2M distinct
-    // candidates whose array-intersect verify costs more than the direct
-    // count; (c) a packed single-long pair key changes agg time by <3%.
-    // The df stop cut above remains the operative scale knob — the pair
-    // count below is realized-overlap-proportional, which IS the output.
+    // r16: candidates via the SMALLER-SIDE rarest prefix + one sorted
+    // merge per pair — [[graft.operators.Dedup.incrementalWinnowFrom]]'s
+    // lossless trick applied to the symmetric batch overlap. A passing
+    // pair needs n_shared >= t = max(minShared, floor(threshold·n_min))
+    // (floor is the conservative integer bound: n_shared is an integer
+    // >= threshold·n_min, so >= floor of it), hence any
+    // (n_min - t + 1)-subset of the SMALLER doc's kept fps intersects
+    // the pair — probing with its rarest that-many fps is lossless, and
+    // one side suffices when generation is pinned to the (n, id)-smaller
+    // side. Measured at sf0.1: fan-out 22.1 M → 10.9 M rows, candidates
+    // 6.2 M (vs 8.5 M aggregated pairs), each verified by one
+    // sorted_intersect_count merge over the ~32-element kept-fp arrays.
+    // (The r15 rejection of a two-sided prefix probe used the hash-set
+    // array_intersect verify; the codegen merge changes the trade — A/B
+    // min-of-3 8.86 → 4.73 s. The per-fp join+aggregate spelling stays as
+    // [[winnowOverlapJoinAgg]], pinned by the differential spec; the
+    // DuckDB oracle keeps the independent join+aggregate spelling.)
+    val sets = kept.groupBy("doc_id").agg(
+        sort_array(collect_list(col("fp"))).as("fset"),
+        count(lit(1)).as("n_fp"))
+      .localCheckpoint()
+    val dfp = kept.groupBy("fp").agg(count(lit(1)).as("dfp"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("dfp").asc, col("fp").asc)
+    val pref = kept.join(dfp, "fp")
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("t", greatest(lit(minShared.toLong),
+        expr(s"cast(floor(n_fp * ${graft.oracle.Parity.lit(threshold)}) as bigint)")))
+      .filter(col("rk") <= col("n_fp") - col("t") + 1)
+      .select(col("doc_id").as("doc_p"), col("n_fp").as("n_p"), col("fp"))
+    val other = kept.select(col("doc_id").as("doc_o"), col("fp"))
+      .join(sets.select(col("doc_id").as("doc_o"), col("n_fp").as("n_o")), "doc_o")
+    val cand = pref.join(other, "fp")
+      .filter(col("n_p") < col("n_o") ||
+        (col("n_p") === col("n_o") && col("doc_p") < col("doc_o")))
+      .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_o")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("fset").as("fa"),
+        col("n_fp").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("fset").as("fb"),
+        col("n_fp").as("n_b")), "doc_b")
+      .withColumn("n_shared", expr("sorted_intersect_count(fa, fb)"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("score",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("score") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "score")
+  }
+
+  /** The pre-r16 per-fp join+aggregate spelling of [[winnowOverlap]] —
+    * kept as the INDEPENDENT Spark reference the differential spec pins
+    * the prefix-filtered respelling against. Its code comments carry the
+    * r15 measured trade-offs that still motivate the df stop cut. */
+  private[graft] def winnowOverlapJoinAgg(docs: DataFrame, minShared: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val fps = winnow(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    val nDocs = docs.select("doc_id").distinct().count()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("dfp"))
+        .filter(col("dfp") * 10 <= lit(nDocs)).select("fp"),
+      "fp").localCheckpoint()
+    // Second-stage-cut candidates MEASURED r15 at sf0.1 (22.1M fan-out
+    // rows -> 12M distinct pairs): (a) dropping docs with n_fp <
+    // minShared pre-join kills 2 of 5000 docs — template-heavy corpora
+    // have no doomed-doc tail; (b) a TWO-SIDED Bayardo prefix probe
+    // (probe prefix n-ceil(t*n)+1, index prefix n-minShared+1) halves
+    // the fan-out to 10.7M but its hash-set array_intersect verify cost
+    // more than the direct count (superseded r16: the smaller-side
+    // prefix + sorted-merge verify in [[winnowOverlap]] wins);
+    // (c) a packed single-long pair key changes agg time by <3%.
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val pairs = kept.select(col("doc_id").as("doc_a"), col("fp"))
       .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")

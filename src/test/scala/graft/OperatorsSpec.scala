@@ -1159,6 +1159,23 @@ class OperatorsSpec extends SparkSpec {
     assert(bloomed == r, s"bloom-prescreened verdicts diverged: $bloomed vs $r")
   }
 
+  test("winnow overlap prefix filter: pairs identical to the join+aggregate reference") {
+    // r16 differential pin for the smaller-side-prefix respelling of the
+    // batch overlap — full row set (ids, counts, sizes, scores) equal on
+    // the real corpus at the default and at a non-default threshold
+    // exercising the floor(threshold·n_min) prefix bound
+    val docs = graft.sources.Tables.read(spark, sf("sf0.001"), "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    for ((ms, thr) <- Seq((3, 0.5), (1, 0.2), (5, 0.9))) {
+      val ref = rows(TextOps.winnowOverlapJoinAgg(docs, ms, thr))
+      val got = rows(TextOps.winnowOverlap(docs, ms, thr))
+      assert(got == ref, s"prefix overlap diverged at ($ms, $thr): " +
+        s"missing=${(ref -- got).take(3)} extra=${(got -- ref).take(3)}")
+    }
+  }
+
   test("incremental winnow prefix filter: verdicts identical to the join+aggregate reference") {
     // r16 differential pin (the winnowWindowed discipline): the shipped
     // prefix-filtered candidate generation + sorted-intersect verify must
