@@ -94,7 +94,9 @@ object GraftFunctions {
     ("winnow_sel", "distinct packed winnow-selected (pos, fp) keys of a document",
       exprs => WinnowSel(exprs.head)),
     ("repetition_stats", "integer counts of the within-doc repetition signals in one pass",
-      exprs => RepetitionStats(exprs.head)))
+      exprs => RepetitionStats(exprs.head)),
+    ("double_sort_bucket", "deterministic bucket id monotone in double ordering",
+      exprs => DoubleSortBucket(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -42,15 +42,52 @@ object MwuAgg {
     * NaN poisoning matches rank_data.py:193-196: any bad value NULLs the
     * feature's rank sums while n1/n stay populated. */
   def rankSumsAgg(cells: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy("feature_id").orderBy("value")
+    // r16: the r15 spelling windowed the distinct-value rows partitioned
+    // by feature_id alone — parallelism |features| (4), so ONE task
+    // sorted every distinct value of a continuous feature (~600 k
+    // l_extendedprice values = a 1.9 s single-task stage inside every
+    // derived-stats consumer; JobProf mwu_bh). The cumulative count a
+    // rank needs is a PREFIX SUM, which distributes two-level (the
+    // classic scan): split each feature's value axis by a DETERMINISTIC
+    // bucket id monotone in the value ([[graft.functions.DoubleSortBucket]]
+    // — a pure function, so no range sampling, no partition identity, no
+    // materialization), cumulate locally per (feature, bucket), and add
+    // each bucket's offset (total count of all lower buckets —
+    // feature×bucket-sized, broadcast). Bit-exact by construction: equal
+    // values share a bucket, so local t and off + lcum reproduce the
+    // global range-frame integers exactly, and every avg_rank·c term is
+    // a dyadic rational < 2^53 — sums never round, any order (the r15
+    // argument, unchanged). A single-valued column degrades to one
+    // bucket = exactly the old plan, never below it. Pinned bit-equal to
+    // the per-cell spelling (incl. NaN poisoning) by PropertySpec.
+    graft.functions.GraftFunctions.register(cells.sparkSession)
+    val cv = cells
+      .groupBy("feature_id", "value", "grp").agg(count(lit(1)).as("c"))
+      .withColumn("vb", expr("double_sort_bucket(value)"))
+    val wOrd = Window.partitionBy("feature_id", "vb").orderBy("value")
     val wCum = wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wPeer = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
     val wFeat = Window.partitionBy("feature_id")
-    cells
-      .groupBy("feature_id", "value", "grp").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wCum))
+    // bucket offsets and the NaN flag ride one feature×bucket aggregate
+    // (null bucket = null values sorts FIRST, like the value order)
+    val wOff = Window.partitionBy("feature_id").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = cv.groupBy("feature_id", "vb").agg(sum("c").as("bc"),
+        max(Ranking.isBad(col("value"))).as("p_nan"))
+      .withColumn("off", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("f_nan", max(col("p_nan")).over(wFeat))
+      .select("feature_id", "vb", "off", "f_nan")
+    // NULL-SAFE on vb: a null value buckets to null, and its cells must
+    // keep flowing (n1/n stay populated while only the ranks null out)
+    val btA = bt.withColumnRenamed("feature_id", "bt_f")
+      .withColumnRenamed("vb", "bt_vb")
+    cv
+      .withColumn("lcum", sum("c").over(wCum))
       .withColumn("t", sum("c").over(wPeer))
-      .withColumn("f_nan", max(Ranking.isBad(col("value"))).over(wFeat))
+      .join(broadcast(btA),
+        col("feature_id") === col("bt_f") && col("vb") <=> col("bt_vb"))
+      .drop("bt_f", "bt_vb")
+      .withColumn("cum", col("off") + col("lcum"))
       .withColumn("avg_rank", when(col("f_nan"), lit(null).cast("double"))
         .otherwise((col("cum") - col("t")).cast("double") + (col("t") + 1L) / 2.0))
       .groupBy("feature_id", "grp")

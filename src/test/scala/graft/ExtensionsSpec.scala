@@ -32,6 +32,6 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.functions.GraftFunctions.all.map(_._1).toSet ==
       Set("rolling_hash", "sorted_intersect_count", "sorted_jaccard",
         "char_trigram_codes", "chain_dot", "cody_erfc", "winnow_sel",
-        "sorted_dot_fp", "repetition_stats"))
+        "sorted_dot_fp", "repetition_stats", "double_sort_bucket"))
   }
 }
