@@ -127,7 +127,11 @@ object QueriesMwu {
     // downstream distribution; PlanSpec asserts it), same numbers as
     // mwu_rank (shared oracle)
     "mwu_rank_bucket" -> ((s, dir) => {
-      Ranking.withRanks(bucketedCells(s, dir))
+      // bucketSplit = false: this gate's declared property IS the
+      // zero-exchange plan over the bucket layout (PlanSpec pins it);
+      // the r16 split spelling would add the (feature, vb) exchanges
+      // the layout exists to avoid
+      Ranking.withRanks(bucketedCells(s, dir), bucketSplit = false)
         .groupBy("feature_id", "value")
         .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
     }),

@@ -32,21 +32,70 @@ object Ranking {
   def isBad(c: Column): Column = c.isNull || isnan(c)
 
   /** Adds `rank` (DOUBLE, null on NaN-poisoned features), `tie_count`
-    * (LONG), `feature_has_nan` (BOOLEAN) to a cells-like frame. */
+    * (LONG), `feature_has_nan` (BOOLEAN) to a cells-like frame.
+    *
+    * r16 (`bucketSplit = true`, the default): the per-feature window
+    * sorted ALL of a feature's cells in one task (parallelism =
+    * |features|; at sf0.1 one task sorted 2.4 M cells — the cost center
+    * of every per-cell rank consumer). A rank is a prefix count, so it
+    * distributes two-level exactly like [[MwuAgg.rankSumsAgg]]:
+    * [[graft.functions.DoubleSortBucket]] splits each feature's value
+    * axis deterministically and monotonically, RANK() runs locally per
+    * (feature, bucket), and each bucket's broadcast offset (row count of
+    * all lower buckets) restores the global min-rank integer exactly —
+    * peers never straddle a bucket, so `tie_count` is local, and the
+    * final `rank` double is computed from the identical integer operands
+    * (dyadic-exact, so bit-equal; PropertySpec/RankingSpec pin it).
+    *
+    * `bucketSplit = false` keeps the single-window spelling whose
+    * partition key is exactly the bucketed-cells table's bucket hash —
+    * the `mwu_rank_bucket` gate's declared ZERO-exchange plan (PlanSpec
+    * pins it); the split spelling would add (feature, bucket) and
+    * (feature, grp) exchanges that layout exists to avoid. */
   def withRanks(cells: DataFrame, valueCol: String = "value",
-                featureCol: String = "feature_id"): DataFrame = {
+                featureCol: String = "feature_id",
+                bucketSplit: Boolean = true): DataFrame = {
     val v = col(valueCol)
-    val wOrd = Window.partitionBy(featureCol).orderBy(v)
-    val wPeers = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
-    val wFeat = Window.partitionBy(featureCol)
-    cells
-      .withColumn("tie_count", count(lit(1)).over(wPeers))
-      .withColumn("min_rank", rank().over(wOrd).cast("long"))
-      .withColumn("feature_has_nan", max(isBad(v)).over(wFeat))
-      .withColumn("rank",
-        when(col("feature_has_nan"), lit(null).cast("double"))
-          .otherwise(col("min_rank") + (col("tie_count") - 1L) / 2.0))
-      .drop("min_rank")
+    if (!bucketSplit) {
+      val wOrd = Window.partitionBy(featureCol).orderBy(v)
+      val wPeers = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
+      val wFeat = Window.partitionBy(featureCol)
+      cells
+        .withColumn("tie_count", count(lit(1)).over(wPeers))
+        .withColumn("min_rank", rank().over(wOrd).cast("long"))
+        .withColumn("feature_has_nan", max(isBad(v)).over(wFeat))
+        .withColumn("rank",
+          when(col("feature_has_nan"), lit(null).cast("double"))
+            .otherwise(col("min_rank") + (col("tie_count") - 1L) / 2.0))
+        .drop("min_rank")
+    } else {
+      graft.functions.GraftFunctions.register(cells.sparkSession)
+      val withVb = cells.withColumn("_vb", expr(s"double_sort_bucket(`$valueCol`)"))
+      val wOrd = Window.partitionBy(featureCol, "_vb").orderBy(v)
+      val wPeers = wOrd.rangeBetween(Window.currentRow, Window.currentRow)
+      val wOff = Window.partitionBy(featureCol).orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // bucket offsets + the feature NaN flag: feature×bucket-sized,
+      // broadcast; NULL-SAFE on the bucket (null values bucket to null
+      // and must keep flowing — only their ranks null out)
+      val bt = withVb.groupBy(featureCol, "_vb")
+        .agg(count(lit(1)).as("_bc"), max(isBad(v)).as("_p_nan"))
+        .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
+        .withColumn("_f_nan",
+          max(col("_p_nan")).over(Window.partitionBy(featureCol)))
+        .select(col(featureCol).as("_bt_f"), col("_vb").as("_bt_vb"),
+          col("_off"), col("_f_nan"))
+      withVb
+        .withColumn("tie_count", count(lit(1)).over(wPeers))
+        .withColumn("_lrk", rank().over(wOrd).cast("long"))
+        .join(broadcast(bt),
+          col(featureCol) === col("_bt_f") && col("_vb") <=> col("_bt_vb"))
+        .withColumn("feature_has_nan", col("_f_nan"))
+        .withColumn("rank",
+          when(col("feature_has_nan"), lit(null).cast("double"))
+            .otherwise((col("_off") + col("_lrk")) + (col("tie_count") - 1L) / 2.0))
+        .drop("_vb", "_lrk", "_bt_f", "_bt_vb", "_off", "_f_nan")
+    }
   }
 
   /** [[withRanks]] collapsed to PER-DISTINCT-VALUE rows — (feature_id,

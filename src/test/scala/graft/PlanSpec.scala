@@ -11,11 +11,23 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("rank windows + rank sums ride ONE fact shuffle (hash by feature_id)") {
+  test("rank windows + rank sums ride ONE fact shuffle (hash by feature_id) in the bucket-aligned spelling") {
+    // the single-window spelling (bucketSplit = false) is the shape the
+    // bucketed-cells gate serves exchange-free; this pin keeps it honest
     val p = plan(MwuAgg.rankSums(Ranking.withRanks(
-      QueriesMwu.liCells(spark, sf("sf0.001")))))
+      QueriesMwu.liCells(spark, sf("sf0.001")), bucketSplit = false)))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("r16 split rank spelling: the window rides (feature, value-bucket), never feature alone") {
+    // the default per-cell rank path distributes the per-feature sort
+    // two-level (DoubleSortBucket) — the window partition key must carry
+    // the bucket or one task re-inherits a whole feature's sort
+    val p = plan(MwuAgg.rankSums(Ranking.withRanks(
+      QueriesMwu.liCells(spark, sf("sf0.001")))))
+    assert(p.contains("hashpartitioning(feature_id") && p.contains("_vb"),
+      s"expected the (feature_id, _vb) window exchange:\n$p")
   }
 
   test("marker pipeline broadcasts the feature-sized side tables") {
@@ -161,7 +173,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions.max
     for (nb <- Seq(QueriesMwu.DefaultCellBuckets, 16)) {
       val df = graft.operators.Ranking
-        .withRanks(QueriesMwu.bucketedCells(spark, sf("sf0.001"), nb))
+        .withRanks(QueriesMwu.bucketedCells(spark, sf("sf0.001"), nb),
+          bucketSplit = false)
         .groupBy("feature_id", "value")
         .agg(max("tie_count").as("tie_count"), max("rank").as("rank"))
       val p = plan(df)
