@@ -228,7 +228,12 @@ object QueriesMwu {
     // MWU of events.value grouped by event_type
     "mwu_events" -> ((s, dir) => {
       val cells = Tables.melt(Tables.read(s, dir, "events"), "event_type", Seq("value"))
-      val st = MwuStats.withZ(MwuStats.withU(MwuAgg.rankSumsAgg(cells)),
+      // r16: single continuous feature over a SMALL fact (events) — the
+      // aggregated spelling's distinct-value collapse buys nothing and
+      // its bucket-offset branch is fixed overhead (final-bench +0.66 s);
+      // per-row ranks, like mwu_customer (bit-equal, shared-oracle proof)
+      val st = MwuStats.withZ(MwuStats.withU(
+        MwuAgg.rankSums(Ranking.withRanks(cells))),
         MwuAgg.tieTerm(cells))
       MwuStats.withP(st).withColumn("p9", expr(q9n("p")))
         .select("feature_id", "grp", "n1", "u1", "z", "p9")
@@ -301,7 +306,16 @@ object QueriesMwu {
       val cells = Tables.read(s, dir, "nation").filter(col("n_nationkey") === 0)
         .select(col("n_name").as("grp"), lit("n_regionkey").as("feature_id"),
           col("n_regionkey").cast("double").as("value"))
-      pAdjChain(cells).select("feature_id", "grp", "n1", "n2", "sigma", "z", "p9", "p_adj")
+      // r16: the cells relation is ONE ROW — the aggregated rank-sum
+      // machinery (distinct-value collapse + bucket offsets) is pure
+      // fixed overhead here (measured +0.6 s); the per-row chain is the
+      // right spelling for degenerate inputs, bit-equal by the shared
+      // rank identities (this gate's oracle is the proof)
+      val st = MwuStats.withZ(MwuStats.withU(
+        MwuAgg.rankSums(Ranking.withRanks(cells, bucketSplit = false))),
+        MwuAgg.tieTerm(cells))
+      MwuStats.withBH(MwuStats.withP(st).withColumn("p9", expr(q9n("p"))), "p9", "p_adj")
+        .select("feature_id", "grp", "n1", "n2", "sigma", "z", "p9", "p_adj")
     }),
     // S6 round-trip: the per-group CSV sink (one directory per sanitized
     // group label, rank_gene_groups.py:294-307) written and read BACK, so
